@@ -2,12 +2,15 @@
 
 Forces JAX onto a *virtual 8-device CPU mesh* so every sharding / collective
 test (shard_map over the path axis, deterministic cross-device merges) runs on
-one host without TPU hardware.  Must run before `jax` is imported anywhere.
+one host without TPU hardware.
+
+Note: this image's sitecustomize imports jax at interpreter startup (to
+register the axon TPU backend), so env vars alone are too late — the platform
+must be overridden through jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+
 # Allow float64 in tests (feature-engineering parity against pandas float64).
 # All library code pins dtypes explicitly, so this does not change behavior.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache — most test wall-clock is XLA compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

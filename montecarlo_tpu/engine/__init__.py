@@ -1,0 +1,12 @@
+"""Path-simulation engine, payoffs, and MC estimators."""
+
+from montecarlo_tpu.engine.simulate import path_ids_for, simulate  # noqa: F401
+from montecarlo_tpu.engine.payoffs import (  # noqa: F401
+    basket_call,
+    black_scholes_call,
+    black_scholes_put,
+    discount_factor,
+    european_call,
+    european_put,
+)
+from montecarlo_tpu.engine.pricing import mc_estimate  # noqa: F401

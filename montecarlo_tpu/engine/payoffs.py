@@ -1,0 +1,40 @@
+"""Payoff functions and closed forms for validation."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+
+def european_call(s_t, strike):
+    return jnp.maximum(s_t - strike, 0.0)
+
+
+def european_put(s_t, strike):
+    return jnp.maximum(strike - s_t, 0.0)
+
+
+def basket_call(prices, weights, strike):
+    """Call on a weighted basket: prices (n_paths, n_assets)."""
+    w = jnp.asarray(weights, prices.dtype)
+    basket = prices @ w
+    return jnp.maximum(basket - strike, 0.0)
+
+
+def discount_factor(r, T, dtype=jnp.float32):
+    return jnp.exp(jnp.asarray(-r * T, dtype))
+
+
+def black_scholes_call(s0, strike, r, sigma, T):
+    """Black-Scholes closed form — the absolute oracle for GBM calls."""
+    s0, strike, r, sigma, T = map(jnp.asarray, (s0, strike, r, sigma, T))
+    sqrt_t = jnp.sqrt(T)
+    d1 = (jnp.log(s0 / strike) + (r + 0.5 * sigma**2) * T) / (sigma * sqrt_t)
+    d2 = d1 - sigma * sqrt_t
+    return s0 * norm.cdf(d1) - strike * jnp.exp(-r * T) * norm.cdf(d2)
+
+
+def black_scholes_put(s0, strike, r, sigma, T):
+    s0, strike, r, sigma, T = map(jnp.asarray, (s0, strike, r, sigma, T))
+    call = black_scholes_call(s0, strike, r, sigma, T)
+    return call - s0 + strike * jnp.exp(-r * T)

@@ -1,0 +1,71 @@
+"""The reference path-simulation engine: `lax.scan` over time.
+
+This is the *semantics-defining* engine: pure JAX, runs on any backend, and
+every fast path (the fused Pallas kernel in :mod:`montecarlo_tpu.ops`) must
+agree with it bitwise on TPU.  Time is sequential (the GARCH/Heston variance
+recurrences forbid parallelizing it — reference app.py:633); parallelism is
+over paths.
+
+Modes (mirroring the reference's two uses of its path array):
+- ``"terminal"`` — return only terminal prices (pricing, VaR): O(paths) memory.
+- ``"paths"``    — return the full (n_steps+1, n_paths) price array, exactly
+  the reference's ``paths`` layout (app.py:612-613), for path-percentile
+  charts at small scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.samplers import PlainSampler
+
+
+def path_ids_for(n_paths: int, path_offset=0):
+    """Global path ids for a contiguous block starting at ``path_offset``.
+
+    ``path_offset`` may be traced (e.g. ``axis_index * local_n`` inside a
+    `shard_map`), which is how a shard reproduces exactly the paths it would
+    own inside an unsharded run.
+    """
+    offset = jnp.asarray(path_offset).astype(jnp.uint32)
+    return offset + jnp.arange(n_paths, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
+                                   "mode", "dtype"))
+def simulate(process, n_paths: int, n_steps: int, *, seed: int,
+             stream: int = 0, sampler=None, mode: str = "terminal",
+             dtype=jnp.float32, path_offset=0):
+    """Simulate ``n_paths`` paths for ``n_steps`` steps.
+
+    Args:
+      process: a process pytree (see :mod:`montecarlo_tpu.processes.base`).
+      sampler: a draw provider (default plain MC).
+      path_offset: the global id of the first path — the sharding hook: a
+        shard simulating paths [o, o+n) passes ``path_offset=o`` and gets the
+        identical paths it would have produced inside a bigger unsharded run.
+
+    Returns:
+      ``mode="terminal"`` -> (n_paths,) (or (n_paths, n_assets)) prices at T.
+      ``mode="paths"``    -> (n_steps+1, n_paths[, n_assets]) prices, row 0 = spot.
+    """
+    if sampler is None:
+        sampler = PlainSampler()
+    ids = path_ids_for(n_paths, path_offset)
+    state0 = process.init_state(ids, dtype)
+
+    def body(state, t):
+        eps = sampler.draws(process, seed, stream, ids, t, dtype)
+        new_state = process.step(state, eps, t)
+        out = process.prices(new_state) if mode == "paths" else None
+        return new_state, out
+
+    final_state, outs = jax.lax.scan(body, state0,
+                                     jnp.arange(n_steps, dtype=jnp.int32))
+    if mode == "paths":
+        first = process.prices(state0)[None]
+        return jnp.concatenate([first, outs], axis=0)
+    return process.prices(final_state)

@@ -1,0 +1,14 @@
+"""Mesh construction and sharded simulation."""
+
+from montecarlo_tpu.parallel.mesh import (  # noqa: F401
+    ASSETS_AXIS,
+    PATHS_AXIS,
+    make_mesh,
+)
+from montecarlo_tpu.parallel.sharded import (  # noqa: F401
+    DEFAULT_BLOCK,
+    block_moments,
+    sharded_mc_estimate,
+    sharded_terminal,
+    sharded_terminal_sketch,
+)

@@ -1,0 +1,175 @@
+"""`shard_map`-sharded simulation with shard-shape-invariant reductions.
+
+Replaces the reference's parallelism (single-host NumPy vectorization over
+`n_sims` + a thread pool over tickers, reference app.py:612-633 and
+1391-1418) with SPMD over a `jax.sharding.Mesh`:
+
+- Each device simulates a contiguous block of **global** path ids
+  (``path_offset = axis_index * local_n``), so the union of all shards is
+  bitwise identical to an unsharded run — the counter-based RNG guarantees
+  per-path equality, and the reduction scheme below guarantees estimate
+  equality.
+
+- Statistics are accumulated per fixed-size *path block* (``block_size``
+  consecutive global paths), all-gathered in global block order, and merged
+  with a pairwise tree that depends only on the number of blocks.  Since
+  neither the per-block reduction shape nor the merge tree depends on the
+  mesh, the final estimate is **bitwise identical across mesh shapes** —
+  including a 1-device mesh, which is how the tests verify it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.parallel.mesh import PATHS_AXIS
+from montecarlo_tpu.stats.welford import (
+    MomentState,
+    moments_from_array,
+    moments_reduce,
+    std_error,
+)
+from montecarlo_tpu.stats.quantiles import (
+    sketch_from_array,
+    sketch_merge,
+)
+
+#: Paths per statistics block. Fixed (mesh-independent) by design — do not
+#: scale it with the device count or reproducibility across mesh shapes dies.
+DEFAULT_BLOCK = 4096
+
+
+def _check_divisible(n_paths: int, n_shards: int, block_size: int):
+    if n_paths % (n_shards * block_size) != 0:
+        raise ValueError(
+            f"n_paths={n_paths} must be divisible by n_shards*block_size="
+            f"{n_shards}*{block_size}"
+        )
+
+
+def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
+                     mesh, stream: int = 0, sampler=None,
+                     dtype=jnp.float32, axis: str = PATHS_AXIS):
+    """Terminal prices as a global array sharded over the path axis."""
+    n_shards = mesh.shape[axis]
+    if n_paths % n_shards != 0:
+        raise ValueError(f"n_paths={n_paths} not divisible by {n_shards} shards")
+    local_n = n_paths // n_shards
+
+    def shard_fn():
+        offset = jax.lax.axis_index(axis) * local_n
+        return simulate(process, local_n, n_steps, seed=seed, stream=stream,
+                        sampler=sampler, dtype=dtype, path_offset=offset)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(), out_specs=P(axis),
+                       check_vma=False)
+    return jax.jit(fn)()
+
+
+def block_moments(values, block_size: int = DEFAULT_BLOCK) -> MomentState:
+    """Per-block moment states over consecutive global path blocks."""
+    values = jnp.asarray(values)
+    blocks = values.reshape(-1, block_size)
+    return moments_from_array(blocks, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
+                                   "dtype", "block_size", "axis", "mesh",
+                                   "payoff_fn"))
+def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
+                        seed: int, mesh, discount=1.0, stream: int = 0,
+                        sampler=None, dtype=jnp.float32,
+                        block_size: int = DEFAULT_BLOCK,
+                        axis: str = PATHS_AXIS):
+    """Sharded MC mean/std-err of ``payoff_fn(terminal_prices)``.
+
+    Returns ``{"price", "std_err", "n_paths"}`` — bitwise identical for any
+    mesh shape (given the same backend), replicated on every device.
+    """
+    n_shards = mesh.shape[axis]
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+
+    def shard_fn(proc, sampler_):
+        offset = jax.lax.axis_index(axis) * local_n
+        terminal = simulate(proc, local_n, n_steps, seed=seed, stream=stream,
+                            sampler=sampler_, dtype=dtype, path_offset=offset)
+        payoffs = payoff_fn(terminal)
+        local_stats = block_moments(payoffs, block_size)
+        # Gather per-block stats in global block order; the merge below is
+        # then executed identically (replicated) on every device.
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            local_stats,
+        )
+        return gathered
+
+    spec_in = jax.tree.map(lambda _: P(), (process, sampler))
+    stats = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=spec_in, out_specs=P(),
+        check_vma=False,
+    )(process, sampler)
+    total = moments_reduce(stats)
+    d = jnp.asarray(discount, total.mean.dtype)
+    return {
+        "price": d * total.mean,
+        "std_err": d * std_error(total),
+        "n_paths": total.count,
+    }
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
+                                   "dtype", "block_size", "axis", "mesh",
+                                   "bins", "lo", "hi"))
+def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
+                            seed: int, mesh, lo: float, hi: float,
+                            bins: int = 4096, stream: int = 0, sampler=None,
+                            dtype=jnp.float32,
+                            block_size: int = DEFAULT_BLOCK,
+                            axis: str = PATHS_AXIS):
+    """Pod-scale quantile path: a mergeable histogram sketch of terminal
+    prices plus exact moments — O(bins) memory per device regardless of path
+    count (BASELINE.json config 5).
+
+    Counts are exact integers (held in f32/f64 lanes), so `psum`-merging is
+    exact and mesh-shape invariant.
+    """
+    n_shards = mesh.shape[axis]
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+
+    def shard_fn(proc, sampler_):
+        offset = jax.lax.axis_index(axis) * local_n
+        terminal = simulate(proc, local_n, n_steps, seed=seed, stream=stream,
+                            sampler=sampler_, dtype=dtype, path_offset=offset)
+        sketch = sketch_from_array(terminal, lo, hi, bins, dtype)
+        moments = block_moments(terminal, block_size)
+        # Sketch counts: exact integer adds -> psum is safe and exact.
+        merged_sketch = type(sketch)(
+            lo=sketch.lo,
+            hi=sketch.hi,
+            counts=jax.lax.psum(sketch.counts, axis),
+            total=jax.lax.psum(sketch.total, axis),
+            underflow=jax.lax.psum(sketch.underflow, axis),
+            overflow=jax.lax.psum(sketch.overflow, axis),
+            vmin=jax.lax.pmin(sketch.vmin, axis),
+            vmax=jax.lax.pmax(sketch.vmax, axis),
+        )
+        gathered_moments = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            moments,
+        )
+        return merged_sketch, gathered_moments
+
+    spec_in = jax.tree.map(lambda _: P(), (process, sampler))
+    sketch, moments = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=spec_in, out_specs=(P(), P()),
+        check_vma=False,
+    )(process, sampler)
+    return sketch, moments_reduce(moments)

@@ -1,0 +1,13 @@
+"""Stochastic processes: GBM, bootstrap-GARCH(1,1), multi-asset GBM, Heston."""
+
+from montecarlo_tpu.processes.gbm import GBM, GBMState  # noqa: F401
+from montecarlo_tpu.processes.garch import (  # noqa: F401
+    DEFAULT_ALPHA,
+    DEFAULT_BETA,
+    DEFAULT_OMEGA,
+    GARCHBootstrap,
+    GARCHState,
+    MIN_HISTORY,
+)
+from montecarlo_tpu.processes.multi_gbm import MultiGBM, MultiGBMState  # noqa: F401
+from montecarlo_tpu.processes.heston import Heston, HestonState  # noqa: F401

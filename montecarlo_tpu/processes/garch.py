@@ -1,0 +1,122 @@
+"""GARCH(1,1) bootstrap process — exact reference-recurrence parity.
+
+Reproduces the reference app's Monte Carlo dynamics (reference
+app.py:586-633):
+
+    shock_t ~ resample(standardized historical returns)     (app.py:609, 620)
+    r_t      = shock_t * sqrt(var_t)                        (app.py:623-626)
+    S_{t+1}  = S_t * exp(r_t)                               (app.py:629)
+    var_{t+1}= omega + alpha * r_t^2 + beta * var_t         (app.py:633)
+
+with omega=1e-5, alpha=0.10, beta=0.85 (app.py:601-603) and initial daily
+variance rvol_20[-1]^2 / 252 (app.py:606).
+
+TPU-native differences from the reference:
+- the resampling uses counter-based uniform index draws into a *padded,
+  static-shape* device-resident table instead of `np.random.choice` on the
+  unseeded global NumPy RNG — so it is reproducible and shard-invariant;
+- prices evolve in log space (mathematically identical, numerically kinder).
+
+Statistical distribution of the paths is identical; per-draw equality with
+NumPy is impossible by design (the reference is unseeded).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.rng.normal import uniform_draw
+
+#: Reference GARCH parameters (app.py:601-603).
+DEFAULT_OMEGA = 1e-5
+DEFAULT_ALPHA = 0.10
+DEFAULT_BETA = 0.85
+
+#: Minimum history the reference requires before simulating (app.py:594).
+MIN_HISTORY = 100
+
+
+class GARCHState(NamedTuple):
+    log_s: jnp.ndarray  # (n_paths,)
+    var: jnp.ndarray    # (n_paths,) current daily variance
+
+
+class GARCHBootstrap(NamedTuple("GARCHFields", [
+        ("s0", jnp.ndarray),
+        ("var0", jnp.ndarray),
+        ("omega", jnp.ndarray),
+        ("alpha", jnp.ndarray),
+        ("beta", jnp.ndarray),
+        ("table", jnp.ndarray),     # (table_size,) standardized returns, padded
+        ("n_table", jnp.ndarray),   # int32 — number of valid entries
+])):
+    """Bootstrap-GARCH(1,1) with a device-resident shock table."""
+
+    n_draws = 1
+
+    @classmethod
+    def create(cls, returns, s0, var0, omega=DEFAULT_OMEGA,
+               alpha=DEFAULT_ALPHA, beta=DEFAULT_BETA,
+               dtype=jnp.float32, pad_to: int | None = None):
+        """Build from a history of log returns.
+
+        Standardizes the history exactly as the reference does
+        (``returns / (std(returns) + 1e-10)``, app.py:609) and pads the table
+        to a static power-of-two size so the compiled gather shape never
+        depends on the data length.
+        """
+        returns = np.asarray(returns, np.float64)
+        n = int(returns.size)
+        if n < MIN_HISTORY:
+            raise ValueError(
+                f"need >= {MIN_HISTORY} return observations, got {n}"
+            )
+        std_returns = returns / (returns.std() + 1e-10)
+        if pad_to is None:
+            pad_to = 1 << int(np.ceil(np.log2(max(n, 1))))
+        table = np.zeros(pad_to, np.float64)
+        table[:n] = std_returns
+        as_ = lambda v: jnp.asarray(v, dtype)
+        return cls(
+            s0=as_(s0), var0=as_(var0), omega=as_(omega), alpha=as_(alpha),
+            beta=as_(beta), table=as_(table),
+            n_table=jnp.asarray(n, jnp.int32),
+        )
+
+    def init_state(self, path_ids, dtype=jnp.float32) -> GARCHState:
+        n = path_ids.shape[0]
+        return GARCHState(
+            log_s=jnp.full((n,), jnp.log(self.s0).astype(dtype), dtype),
+            var=jnp.full((n,), self.var0.astype(dtype), dtype),
+        )
+
+    def draws(self, seed: int, stream: int, path_ids, t, dtype=jnp.float32):
+        """Bootstrap shocks: a uniform index per (path, t) gathered from the
+        standardized-return table — the counter-based replacement for
+        `np.random.choice(std_returns, size=n_sims)` (app.py:620)."""
+        m = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(self.n_draws)
+        u = uniform_draw(seed, stream, path_ids, m, jnp.float32)
+        # Uniform over exactly the n_table valid entries; the padding is
+        # unreachable, so the static table size never affects the draw.
+        idx = jnp.floor(u * self.n_table.astype(jnp.float32)).astype(jnp.int32)
+        idx = jnp.minimum(idx, self.n_table - 1)
+        shock = self.table.astype(dtype)[idx]
+        return shock[..., None]
+
+    def antithetic(self, eps):
+        return -eps
+
+    def step(self, state: GARCHState, eps, t) -> GARCHState:
+        shock = eps[..., 0]
+        vol = jnp.sqrt(state.var)
+        r = shock * vol
+        new_var = (self.omega.astype(r.dtype)
+                   + self.alpha.astype(r.dtype) * jnp.square(r)
+                   + self.beta.astype(r.dtype) * state.var)
+        return GARCHState(log_s=state.log_s + r, var=new_var)
+
+    def prices(self, state: GARCHState):
+        return jnp.exp(state.log_s)

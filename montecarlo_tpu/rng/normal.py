@@ -71,7 +71,7 @@ def normal_matrix(seed: int, stream: int, path_ids, t: int, n_draws: int,
     no matter how paths or steps are blocked.
     """
     d = jnp.arange(n_draws, dtype=jnp.uint32)
-    m = jnp.uint32(t) * jnp.uint32(n_draws) + d  # (n_draws,)
+    m = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(n_draws) + d  # (n_draws,)
     ids = jnp.asarray(path_ids, jnp.uint32)[..., None]
     return normal_draw(seed, stream, ids, m, dtype)
 

@@ -1,0 +1,148 @@
+"""Quantiles: exact (NumPy-`linear` compatible) and a mergeable streaming sketch.
+
+Two regimes:
+
+- **Exact** — sorts the sample; matches `np.percentile(..., method="linear")`
+  which is what the reference app uses for its percentile bands, VaR and CVaR
+  (reference app.py:639-656).  Right answer up to ~10^7-10^8 values per chip.
+- **Sketch** — a fixed-grid histogram over a data-driven range.  Counts are
+  plain integers, so the merge is an exact `+` (commutative, associative,
+  psum-able): the pod-scale path for 10^9+-path VaR/CVaR where sorting is
+  impossible.  Quantile error is bounded by one bin width.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+def percentile_linear(x, q, axis=None):
+    """`np.percentile` with the default linear interpolation, in JAX."""
+    return jnp.percentile(jnp.asarray(x), jnp.asarray(q), axis=axis,
+                          method="linear")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch
+# ---------------------------------------------------------------------------
+
+class HistogramSketch(NamedTuple):
+    """Histogram over [lo, hi) with ``bins`` equal cells plus under/overflow.
+
+    All fields are arrays so the sketch is a pytree: it can be vmapped,
+    psum-ed, checkpointed with orbax, and merged exactly (integer adds).
+    """
+
+    lo: jnp.ndarray        # scalar f32/f64
+    hi: jnp.ndarray        # scalar
+    counts: jnp.ndarray    # (bins,) float (exact for counts < 2^24 per bin in f32; use f64/int on CPU)
+    total: jnp.ndarray     # scalar — includes under/overflow
+    underflow: jnp.ndarray
+    overflow: jnp.ndarray
+    vmin: jnp.ndarray      # running min/max for exact tail endpoints
+    vmax: jnp.ndarray
+
+
+def sketch_empty(lo: float, hi: float, bins: int = 4096,
+                 dtype=jnp.float32) -> HistogramSketch:
+    z = jnp.zeros((), dtype)
+    return HistogramSketch(
+        lo=jnp.asarray(lo, dtype),
+        hi=jnp.asarray(hi, dtype),
+        counts=jnp.zeros((bins,), dtype),
+        total=z,
+        underflow=z,
+        overflow=z,
+        vmin=jnp.asarray(jnp.inf, dtype),
+        vmax=jnp.asarray(-jnp.inf, dtype),
+    )
+
+
+def sketch_add(s: HistogramSketch, x) -> HistogramSketch:
+    """Absorb a batch of values (any shape) into the sketch."""
+    x = jnp.ravel(jnp.asarray(x, s.counts.dtype))
+    bins = s.counts.shape[0]
+    width = (s.hi - s.lo) / bins
+    idx = jnp.floor((x - s.lo) / width).astype(jnp.int32)
+    under = idx < 0
+    over = idx >= bins
+    in_range = ~(under | over)
+    idx = jnp.clip(idx, 0, bins - 1)
+    counts = s.counts.at[idx].add(in_range.astype(s.counts.dtype))
+    return HistogramSketch(
+        lo=s.lo,
+        hi=s.hi,
+        counts=counts,
+        total=s.total + x.size,
+        underflow=s.underflow + jnp.sum(under.astype(s.counts.dtype)),
+        overflow=s.overflow + jnp.sum(over.astype(s.counts.dtype)),
+        vmin=jnp.minimum(s.vmin, jnp.min(x)),
+        vmax=jnp.maximum(s.vmax, jnp.max(x)),
+    )
+
+
+def sketch_from_array(x, lo: float, hi: float, bins: int = 4096,
+                      dtype=jnp.float32) -> HistogramSketch:
+    return sketch_add(sketch_empty(lo, hi, bins, dtype), x)
+
+
+def sketch_merge(a: HistogramSketch, b: HistogramSketch) -> HistogramSketch:
+    """Exact merge — grids must match (same lo/hi/bins by construction)."""
+    return HistogramSketch(
+        lo=a.lo,
+        hi=a.hi,
+        counts=a.counts + b.counts,
+        total=a.total + b.total,
+        underflow=a.underflow + b.underflow,
+        overflow=a.overflow + b.overflow,
+        vmin=jnp.minimum(a.vmin, b.vmin),
+        vmax=jnp.maximum(a.vmax, b.vmax),
+    )
+
+
+def sketch_quantile(s: HistogramSketch, q):
+    """Quantile estimate with within-bin linear interpolation.
+
+    ``q`` in [0, 100] (percentile convention, matching the reference and
+    `np.percentile`).  Error <= one bin width for in-range quantiles.
+    """
+    q = jnp.asarray(q, s.counts.dtype) / 100.0
+    bins = s.counts.shape[0]
+    width = (s.hi - s.lo) / bins
+    # CDF at the right edge of each bin (underflow counts first).
+    cdf = s.underflow + jnp.cumsum(s.counts)
+    target = q * s.total
+    # First bin whose right-edge CDF reaches the target.
+    k = jnp.searchsorted(cdf, target, side="left")
+    k = jnp.clip(k, 0, bins - 1)
+    cdf_left = jnp.where(k > 0, cdf[jnp.maximum(k - 1, 0)], s.underflow)
+    in_bin = jnp.maximum(cdf[k] - cdf_left, 1e-12)
+    frac = jnp.clip((target - cdf_left) / in_bin, 0.0, 1.0)
+    est = s.lo + (k.astype(s.counts.dtype) + frac) * width
+    # Clamp to the observed range; exact at the extremes.
+    return jnp.clip(est, s.vmin, s.vmax)
+
+
+def sketch_tail_mean_below(s: HistogramSketch, threshold):
+    """Mean of all values <= threshold (bin-midpoint approximation).
+
+    Used for CVaR at pod scale; the exact path (`masked tail mean`, reference
+    app.py:656) is preferred whenever the sample fits on-chip.
+    """
+    bins = s.counts.shape[0]
+    width = (s.hi - s.lo) / bins
+    mids = s.lo + (jnp.arange(bins, dtype=s.counts.dtype) + 0.5) * width
+    right_edges = s.lo + (jnp.arange(1, bins + 1, dtype=s.counts.dtype)) * width
+    w = jnp.where(right_edges <= threshold, s.counts, 0.0)
+    # Partial bin containing the threshold: include proportionally.
+    k = jnp.clip(jnp.floor((threshold - s.lo) / width).astype(jnp.int32),
+                 0, bins - 1)
+    frac = jnp.clip((threshold - (s.lo + k.astype(s.counts.dtype) * width))
+                    / width, 0.0, 1.0)
+    w = w.at[k].set(s.counts[k] * frac)
+    # Underflow mass: approximate at vmin.
+    tot = jnp.sum(w) + s.underflow
+    acc = jnp.sum(w * mids) + s.underflow * s.vmin
+    return acc / jnp.maximum(tot, 1e-12)

@@ -1,0 +1,101 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The headline guarantee: estimates are **bitwise identical across mesh
+shapes** (1, 2, 4, 8 devices) at a fixed seed — the property the reference
+app cannot have (unseeded global RNG, app.py:620).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlo_tpu.engine import european_call, simulate
+from montecarlo_tpu.parallel import (
+    make_mesh,
+    sharded_mc_estimate,
+    sharded_terminal,
+    sharded_terminal_sketch,
+)
+from montecarlo_tpu.processes import GBM
+from montecarlo_tpu.stats import sketch_quantile
+
+N_PATHS = 1 << 15
+N_STEPS = 32
+BLOCK = 1024
+S0, STRIKE = 100.0, 105.0
+
+
+def _gbm():
+    return GBM.create(s0=S0, mu=0.03, sigma=0.2, dt=1 / 252)
+
+
+def _payoff(s):
+    return european_call(s, STRIKE)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_terminal_matches_unsharded():
+    mesh = make_mesh(8)
+    sharded = np.asarray(sharded_terminal(_gbm(), N_PATHS, N_STEPS, seed=3,
+                                          mesh=mesh))
+    local = np.asarray(simulate(_gbm(), N_PATHS, N_STEPS, seed=3))
+    np.testing.assert_array_equal(sharded, local)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+def test_estimate_bitwise_invariant_across_mesh_shapes(ndev):
+    mesh = make_mesh(ndev)
+    est = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                              mesh=mesh, block_size=BLOCK)
+    ref_mesh = make_mesh(1)
+    ref = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                              mesh=ref_mesh, block_size=BLOCK)
+    assert float(est["price"]) == float(ref["price"])  # bitwise
+    assert float(est["std_err"]) == float(ref["std_err"])
+    assert int(est["n_paths"]) == N_PATHS
+
+
+def test_sharded_estimate_statistically_correct():
+    from montecarlo_tpu.engine import black_scholes_call, discount_factor
+
+    mesh = make_mesh(8)
+    est = sharded_mc_estimate(
+        _gbm(), _payoff, 1 << 17, 64, seed=5, mesh=mesh, block_size=BLOCK,
+        discount=float(discount_factor(0.03, 64 / 252)),
+    )
+    bs = float(black_scholes_call(S0, STRIKE, 0.03, 0.2, 64 / 252))
+    assert abs(float(est["price"]) - bs) < 4 * float(est["std_err"])
+
+
+def test_sketch_quantiles_close_to_exact():
+    mesh = make_mesh(8)
+    sketch, moments = sharded_terminal_sketch(
+        _gbm(), N_PATHS, N_STEPS, seed=7, mesh=mesh, lo=40.0, hi=250.0,
+        bins=4096, block_size=BLOCK,
+    )
+    terminal = np.asarray(simulate(_gbm(), N_PATHS, N_STEPS, seed=7))
+    for q in (5.0, 50.0, 95.0):
+        exact = np.percentile(terminal, q)
+        approx = float(sketch_quantile(sketch, q))
+        bin_w = (250.0 - 40.0) / 4096
+        assert abs(approx - exact) < 3 * bin_w, (q, approx, exact)
+    # Moments agree with the sample exactly (same blocks, same tree).
+    assert abs(float(moments.mean) - terminal.mean()) < 1e-3
+    assert int(moments.count) == N_PATHS
+
+
+def test_sketch_bitwise_invariant_across_mesh_shapes():
+    results = []
+    for ndev in (1, 2, 8):
+        sketch, moments = sharded_terminal_sketch(
+            _gbm(), N_PATHS, N_STEPS, seed=7, mesh=make_mesh(ndev),
+            lo=40.0, hi=250.0, bins=512, block_size=BLOCK,
+        )
+        results.append((np.asarray(sketch.counts), float(moments.mean)))
+    for counts, mean in results[1:]:
+        np.testing.assert_array_equal(counts, results[0][0])
+        assert mean == results[0][1]
