@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: GBM path-steps/sec/chip via the fused Pallas kernel.
+
+The driver-set north-star metric (BASELINE.json): counter-based Threefry RNG
+inside a fused Pallas path kernel, target >= 5e9 GBM path-steps/sec/chip on
+TPU v5e.  Prints ONE JSON line.
+
+Methodology: REPS kernel invocations (different seeds) chained by a data
+dependency inside a single jit, timed with one host transfer at the end —
+device-side throughput, free of host<->device relay latency.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PATH_STEPS_PER_SEC = 5e9  # BASELINE.json north_star target
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    if on_tpu:
+        n_paths, n_steps, reps, block_rows = 1 << 20, 1024, 8, 256
+        interpret = False
+    else:  # CPU smoke fallback (interpret mode) — numbers not meaningful
+        n_paths, n_steps, reps, block_rows = 1 << 15, 64, 2, 64
+        interpret = True
+
+    from montecarlo_tpu.ops.gbm_kernel import gbm_terminal_pallas
+    from montecarlo_tpu.processes import GBM
+    from montecarlo_tpu.engine.payoffs import black_scholes_call
+
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 252.0)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def bench(seed0):
+        def body(i, acc):
+            out = gbm_terminal_pallas(
+                proc, n_paths, n_steps, seed=seed0 + i,
+                block_rows=block_rows, interpret=interpret)
+            return acc + out[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    # Compile + warm up (also smokes the kernel end to end).
+    float(bench(jnp.int32(1)))
+
+    t0 = time.time()
+    float(bench(jnp.int32(1000)))
+    dt = (time.time() - t0) / reps
+    path_steps_per_sec = n_paths * n_steps / dt
+
+    # Sanity: the kernel prices a European call within MC tolerance of
+    # Black-Scholes (T = n_steps/252 years). Guards against benchmarking
+    # garbage.
+    terminal = gbm_terminal_pallas(proc, n_paths, 252, seed=7,
+                                   block_rows=block_rows,
+                                   interpret=interpret)
+    payoff = jnp.maximum(terminal - 105.0, 0.0)
+    price = float(jnp.exp(-0.03) * jnp.mean(payoff))
+    se = float(jnp.exp(-0.03) * jnp.std(payoff) / jnp.sqrt(n_paths * 1.0))
+    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
+    assert abs(price - bs) < 5 * se + 1e-3, (price, bs, se)
+
+    print(json.dumps({
+        "metric": "gbm_path_steps_per_sec_per_chip",
+        "value": path_steps_per_sec,
+        "unit": "path_steps/s",
+        "vs_baseline": path_steps_per_sec / BASELINE_PATH_STEPS_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

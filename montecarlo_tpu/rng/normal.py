@@ -25,9 +25,12 @@ def uniform_from_bits(bits, dtype=jnp.float32):
     """
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64:
-        hi = bits.astype(jnp.float64)
-        return (hi + 0.5) * (2.0 ** -32)
-    hi = (bits >> jnp.uint32(9)).astype(dtype)
+        # Split so each half fits in int32 (Mosaic has no uint32->float cast).
+        hi = (bits >> jnp.uint32(1)).astype(jnp.int32).astype(jnp.float64)
+        lo = (bits & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float64)
+        return (hi * 2.0 + lo + 0.5) * (2.0 ** -32)
+    # Top 23 bits -> non-negative int32 -> float32 is exact.
+    hi = (bits >> jnp.uint32(9)).astype(jnp.int32).astype(dtype)
     return (hi + dtype.type(0.5)) * dtype.type(2.0 ** -23)
 
 

@@ -86,6 +86,20 @@ def key_from_seed(seed: int, stream: int = 0):
     return k0, k1
 
 
+def key_from_seed_dynamic(seed, stream=0):
+    """Like :func:`key_from_seed` but also accepts traced (runtime) values.
+
+    Traced seeds are treated as 32-bit (k0 = seed, k1 = stream), which agrees
+    exactly with :func:`key_from_seed` for any python-int seed < 2**32 — so
+    jitted call sites can switch seeds without recompiling.
+    """
+    if isinstance(seed, int) and isinstance(stream, int):
+        return key_from_seed(seed, stream)
+    k0 = jnp.asarray(seed).astype(jnp.uint32)
+    k1 = jnp.asarray(stream).astype(jnp.uint32)
+    return k0, k1
+
+
 def random_bits(seed: int, stream: int, c0, c1):
     """64 bits of pseudo-randomness per (c0, c1) counter pair.
 
