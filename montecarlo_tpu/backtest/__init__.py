@@ -1,0 +1,3 @@
+"""Walk-forward backtesting (reference app.py:662-882 parity)."""
+
+from montecarlo_tpu.backtest.engine import WalkForwardBacktester  # noqa: F401
