@@ -1,0 +1,78 @@
+"""End-to-end API: analyze pipeline, scanner, data layer, universes."""
+
+import numpy as np
+
+from montecarlo_tpu.api import analyze_ticker, scan_tickers
+from montecarlo_tpu.config import ModelConfig
+from montecarlo_tpu.data import get_stock_data, get_ticker_list
+
+
+def test_get_ticker_list_offline_fallbacks():
+    for source, min_len in [("S&P 500", 150), ("Nasdaq 100", 90),
+                            ("Popular Stocks", 50), ("Mega Caps Only", 10),
+                            ("ETFs Only", 20)]:
+        tickers = get_ticker_list(source, allow_network=False)
+        assert len(tickers) >= min_len, source
+    combined = get_ticker_list("All Combined", allow_network=False)
+    assert combined == sorted(set(combined))
+    assert get_ticker_list("bogus") == get_ticker_list("Popular Stocks")
+
+
+def test_get_stock_data_synthetic_contract():
+    data = get_stock_data("AAPL", "3y", provider="synthetic")
+    assert data is not None
+    assert "rvol_20" in data and "log_ret" in data and "Close" in data
+    assert len(data["Close"]) > 400
+    # Deterministic per ticker; distinct across tickers.
+    again = get_stock_data("AAPL", "3y", provider="synthetic")
+    np.testing.assert_array_equal(data["Close"], again["Close"])
+    other = get_stock_data("MSFT", "3y", provider="synthetic")
+    assert not np.array_equal(data["Close"], other["Close"])
+
+
+def test_get_stock_data_short_period_returns_none():
+    # 1y -> 252 rows; the ~200-row feature warmup leaves < MIN_ROWS... the
+    # guard fires before featurization for < 200 raw rows, after for short
+    # feature output. Either way the reference contract is None or valid.
+    data = get_stock_data("TSLA", "1y", provider="synthetic")
+    assert data is None or len(data["Close"]) > 0
+
+
+def test_analyze_ticker_end_to_end():
+    out = analyze_ticker(
+        "NVDA", forecast_horizon=20, n_sims=500, run_backtest=True,
+        period="5y", model_config=ModelConfig.fast(), provider="synthetic")
+    assert out is not None
+    assert out["results"]["signal"] in (-1, 0, 1)
+    assert out["mc_results"] is not None
+    assert out["mc_results"]["paths"].shape == (21, 500)
+    assert out["backtest_results"] is not None
+    assert out["backtest_results"]["metrics"]["trading_days"] > 0
+
+
+def test_scanner_end_to_end_and_summary():
+    tickers = ["AAPL", "MSFT", "GOOGL", "AMZN"]
+    progress = []
+    res = scan_tickers(
+        tickers, forecast_horizon=20, config=ModelConfig.fast(),
+        period="3y", provider="synthetic", parallel=True, n_workers=2,
+        progress_callback=lambda done, total, out: progress.append(done))
+    assert len(res.results) + len(res.failed) == len(tickers)
+    assert progress[-1] == len(tickers)
+    for r in res.results:
+        assert set(r) == {"Ticker", "Price", "Dir. Accuracy", "Pred. Return",
+                          "Volatility", "Signal", "Edge", "Confidence"}
+        assert r["Signal"] in ("LONG", "SHORT", "FLAT")
+    s = res.summary(len(tickers), min_accuracy=52.0)
+    assert s["attempted"] == 4
+    assert s["successful"] == len(res.results)
+    assert s["with_edge"] == len(res.edge_stocks(52.0))
+
+
+def test_scanner_failure_taxonomy():
+    res = scan_tickers(["AAPL"], config=ModelConfig.full(), period="1y",
+                       provider="synthetic", parallel=False)
+    # 1y of synthetic data is always too short for the full preset.
+    assert len(res.failed) == 1
+    s = res.summary(1, 52.0)
+    assert sum(s["failure_reasons"].values()) == 1
