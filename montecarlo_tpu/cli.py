@@ -1,0 +1,216 @@
+"""Command-line interface — flags mirror the reference's sidebar widgets.
+
+Subcommands:
+  analyze  — single-ticker deep dive (reference 'Single Stock' mode,
+             app.py:1182-1257: horizon 5-60 default 20, sims 500-5000
+             default 1000, backtest toggle, cv-folds/estimators/retrain)
+  scan     — multi-ticker scanner (reference 'Scanner' mode,
+             app.py:1262-1532: universe, max stocks, horizon, min accuracy,
+             fast/balanced/full reliability, workers)
+  price    — Monte Carlo option pricing on the TPU engine (GBM/Heston,
+             plain/antithetic/Sobol)
+  bench    — the headline GBM throughput benchmark
+
+Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from montecarlo_tpu.config import ModelConfig, RELIABILITY_MODES, TradingConfig
+
+
+def _add_analyze(sub):
+    p = sub.add_parser("analyze", help="single-ticker deep dive")
+    p.add_argument("ticker", nargs="?", default="NVDA")
+    p.add_argument("--horizon", type=int, default=20,
+                   help="forecast horizon in days (5-60)")
+    p.add_argument("--sims", type=int, default=1000,
+                   help="Monte Carlo simulations (500-5000)")
+    p.add_argument("--no-backtest", action="store_true")
+    p.add_argument("--cv-folds", type=int, default=5)
+    p.add_argument("--estimators", type=int, default=100)
+    p.add_argument("--retrain-freq", type=int, default=60)
+    p.add_argument("--period", default="5y")
+    p.add_argument("--provider", default=None,
+                   choices=[None, "yfinance", "synthetic", "csv"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true", help="JSON output")
+
+
+def _add_scan(sub):
+    p = sub.add_parser("scan", help="multi-ticker scanner")
+    p.add_argument("--source", default="Popular Stocks",
+                   help="universe: 'S&P 500', 'Nasdaq 100', "
+                        "'Popular Stocks', 'Mega Caps Only', 'ETFs Only', "
+                        "'All Combined'")
+    p.add_argument("--tickers", default=None,
+                   help="comma-separated custom list (overrides --source)")
+    p.add_argument("--max-stocks", type=int, default=50)
+    p.add_argument("--horizon", type=int, default=20)
+    p.add_argument("--min-accuracy", type=float, default=52.0)
+    p.add_argument("--mode", default="balanced",
+                   choices=list(RELIABILITY_MODES))
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--sequential", action="store_true")
+    p.add_argument("--provider", default=None)
+    p.add_argument("--json", action="store_true")
+
+
+def _add_price(sub):
+    p = sub.add_parser("price", help="Monte Carlo option pricing")
+    p.add_argument("--process", default="gbm", choices=["gbm", "heston"])
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=105.0)
+    p.add_argument("--rate", type=float, default=0.03)
+    p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0, help="years")
+    p.add_argument("--paths", type=int, default=100_000)
+    p.add_argument("--steps", type=int, default=252)
+    p.add_argument("--sampler", default="plain",
+                   choices=["plain", "antithetic", "sobol"])
+    p.add_argument("--seed", type=int, default=0)
+    # Heston extras
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=-0.7)
+
+
+def cmd_analyze(args) -> int:
+    from montecarlo_tpu.api import analyze_ticker
+    from montecarlo_tpu import report
+
+    cfg = ModelConfig(cv_folds=args.cv_folds, n_estimators=args.estimators)
+    out = analyze_ticker(
+        args.ticker, forecast_horizon=args.horizon, n_sims=args.sims,
+        run_backtest=not args.no_backtest,
+        retrain_frequency=args.retrain_freq, period=args.period,
+        model_config=cfg, trading_config=TradingConfig(),
+        provider=args.provider, seed=args.seed,
+        progress_callback=lambda m: print(f"  {m}", file=sys.stderr))
+    if out is None:
+        print(f"Could not analyze {args.ticker}: insufficient data or "
+              "training failed", file=sys.stderr)
+        return 1
+    if args.json:
+        res = {k: v for k, v in out["results"].items()
+               if k != "fold_predictions"}
+        mc = {k: v for k, v in (out["mc_results"] or {}).items()
+              if k not in ("paths", "final_prices", "path_percentiles")}
+        bt = (out["backtest_results"] or {}).get("metrics")
+        print(json.dumps({"ticker": out["ticker"], "results": res,
+                          "mc": mc, "backtest": bt}, default=float))
+    else:
+        print(report.analysis_report(out))
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from montecarlo_tpu.api import scan_tickers
+    from montecarlo_tpu.data import get_ticker_list
+    from montecarlo_tpu import report
+
+    if args.tickers:
+        tickers = [t.strip().upper() for t in args.tickers.replace(
+            "\n", ",").split(",") if t.strip()]
+    else:
+        tickers = get_ticker_list(args.source)
+    tickers = tickers[:args.max_stocks]
+    cfg, period = RELIABILITY_MODES[args.mode]
+
+    def progress(done, total, out):
+        print(f"  scanned {done}/{total} | ok {len(out.results)} "
+              f"| failed {len(out.failed)}", file=sys.stderr)
+
+    res = scan_tickers(
+        tickers, forecast_horizon=args.horizon, config=cfg, period=period,
+        provider=args.provider, parallel=not args.sequential,
+        n_workers=args.workers, progress_callback=progress)
+    if args.json:
+        print(json.dumps({"results": res.results,
+                          "failed": res.failed,
+                          "summary": res.summary(len(tickers),
+                                                 args.min_accuracy)},
+                         default=float))
+    else:
+        print(report.scan_report(res, len(tickers), args.min_accuracy))
+    return 0
+
+
+def cmd_price(args) -> int:
+    import jax.numpy as jnp
+    from montecarlo_tpu.engine import (
+        discount_factor, european_call, mc_estimate, simulate,
+        black_scholes_call,
+    )
+    from montecarlo_tpu.processes import GBM, Heston
+    from montecarlo_tpu.samplers import (
+        AntitheticSampler, PlainSampler, SobolSampler,
+    )
+
+    dt = args.maturity / args.steps
+    if args.process == "gbm":
+        proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
+    else:
+        proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                             kappa=args.kappa, theta=args.theta, xi=args.xi,
+                             rho=args.rho, dt=dt)
+    if args.sampler == "plain":
+        sampler = PlainSampler()
+    elif args.sampler == "antithetic":
+        sampler = AntitheticSampler()
+    else:
+        sampler = SobolSampler.create(args.paths, args.steps,
+                                      proc.n_draws, seed=args.seed)
+    terminal = simulate(proc, args.paths, args.steps, seed=args.seed,
+                        sampler=sampler)
+    est = mc_estimate(european_call(terminal, args.strike),
+                      discount_factor(args.rate, args.maturity))
+    out = {"price": float(est["price"]), "std_err": float(est["std_err"]),
+           "n_paths": int(est["n_paths"])}
+    if args.process == "gbm":
+        out["black_scholes"] = float(black_scholes_call(
+            args.s0, args.strike, args.rate, args.sigma, args.maturity))
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="montecarlo_tpu",
+        description="TPU-native quantitative Monte Carlo framework")
+    parser.add_argument("--platform", default=None,
+                        choices=[None, "tpu", "cpu"],
+                        help="force a JAX platform (e.g. cpu for "
+                             "host-latency-bound analyze/scan runs)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_analyze(sub)
+    _add_scan(sub)
+    _add_price(sub)
+    sub.add_parser("bench", help="headline GBM throughput benchmark")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.cmd == "analyze":
+        return cmd_analyze(args)
+    if args.cmd == "scan":
+        return cmd_scan(args)
+    if args.cmd == "price":
+        return cmd_price(args)
+    if args.cmd == "bench":
+        import bench
+        bench.main()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
