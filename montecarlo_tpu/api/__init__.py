@@ -1,6 +1,7 @@
 """Public API: Monte Carlo, single-ticker analysis, scanner."""
 
 from montecarlo_tpu.api.montecarlo import garch_monte_carlo  # noqa: F401
+from montecarlo_tpu.api.var import portfolio_var  # noqa: F401
 from montecarlo_tpu.api.analyze import analyze_ticker  # noqa: F401
 from montecarlo_tpu.api.scanner import (  # noqa: F401
     ScanResult,

@@ -1,0 +1,216 @@
+"""Streaming estimation with checkpoint/resume — the pod-scale path.
+
+The reference materializes every path in memory and has no persistence at
+all (its only cache is an in-memory 1h memo of fetched data, reference
+app.py:887).  This module runs arbitrarily large path counts in fixed-size
+chunks and keeps only O(blocks + sketch) state:
+
+- per-block Welford moment states (block = ``DEFAULT_BLOCK`` consecutive
+  global paths) — kept, not merged, so the final fixed-tree reduce is
+  *identical* whether the run happened in one shot, in chunks, across
+  resumes, or on different mesh shapes;
+- a mergeable histogram sketch of terminal values for quantiles/VaR/CVaR;
+- the RNG needs no state: counters are derived from global path ids, so a
+  resumed run regenerates exactly the paths it would have had (seed-
+  deterministic re-execution — failed shards are replayable for free).
+
+Checkpoints are a single .npz (atomic rename); `resume=True` picks up a
+partial estimate mid-flight and the result is bitwise identical to the
+uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.stats.quantiles import (
+    HistogramSketch,
+    sketch_empty,
+    sketch_from_array,
+    sketch_merge,
+    sketch_quantile,
+    sketch_tail_mean_below,
+)
+from montecarlo_tpu.stats.welford import (
+    MomentState,
+    moments_from_array,
+    moments_reduce,
+    std_error,
+)
+
+DEFAULT_BLOCK = 4096
+
+
+@dataclass
+class StreamingState:
+    """Host-side accumulated state (all numpy; trivially serializable)."""
+
+    seed: int
+    n_steps: int
+    block_size: int
+    paths_done: int
+    block_count: np.ndarray   # (n_blocks,)
+    block_mean: np.ndarray
+    block_m2: np.ndarray
+    sketch: HistogramSketch   # numpy-leaved
+
+    def save(self, path: str) -> None:
+        tmp = tempfile.mktemp(dir=os.path.dirname(os.path.abspath(path)))
+        np.savez(
+            tmp, seed=self.seed, n_steps=self.n_steps,
+            block_size=self.block_size, paths_done=self.paths_done,
+            block_count=self.block_count, block_mean=self.block_mean,
+            block_m2=self.block_m2,
+            **{f"sk_{k}": np.asarray(v)
+               for k, v in self.sketch._asdict().items()},
+        )
+        os.replace(tmp + ".npz", path)
+
+    @classmethod
+    def load(cls, path: str) -> "StreamingState":
+        z = np.load(path)
+        sketch = HistogramSketch(**{k: z[f"sk_{k}"]
+                                    for k in HistogramSketch._fields})
+        return cls(
+            seed=int(z["seed"]), n_steps=int(z["n_steps"]),
+            block_size=int(z["block_size"]), paths_done=int(z["paths_done"]),
+            block_count=z["block_count"], block_mean=z["block_mean"],
+            block_m2=z["block_m2"], sketch=sketch,
+        )
+
+    def moments(self) -> MomentState:
+        return moments_reduce(MomentState(
+            jnp.asarray(self.block_count), jnp.asarray(self.block_mean),
+            jnp.asarray(self.block_m2)))
+
+
+def streaming_estimate(
+    process, total_paths: int, n_steps: int, *, seed: int,
+    payoff_fn: Optional[Callable] = None, chunk_paths: int = 1 << 20,
+    block_size: int = DEFAULT_BLOCK, lo: float = 0.0, hi: float = 1000.0,
+    bins: int = 4096, dtype=jnp.float32, sampler=None,
+    checkpoint_path: Optional[str] = None, resume: bool = True,
+    checkpoint_every: int = 1, target_std_err: Optional[float] = None,
+    mesh=None, progress_callback=None,
+) -> StreamingState:
+    """Estimate over ``total_paths`` in chunks, checkpointing along the way.
+
+    ``payoff_fn`` feeds the moment accumulator (defaults to the terminal
+    value itself); the sketch always ingests terminal values.  Stops early
+    at a chunk boundary once ``target_std_err`` is reached (the driver
+    metric's 'wall-clock to std-err 1e-3' mode).
+    """
+    if total_paths % chunk_paths or chunk_paths % block_size:
+        raise ValueError("total_paths % chunk_paths % block_size != 0")
+    payoff_fn = payoff_fn or (lambda s: s)
+
+    state = None
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        state = StreamingState.load(checkpoint_path)
+        if (state.seed, state.n_steps, state.block_size) != (
+                seed, n_steps, block_size):
+            raise ValueError("checkpoint does not match this run's config")
+    if state is None:
+        empty = sketch_empty(lo, hi, bins, jnp.float64)
+        state = StreamingState(
+            seed=seed, n_steps=n_steps, block_size=block_size, paths_done=0,
+            block_count=np.zeros((0,)), block_mean=np.zeros((0,)),
+            block_m2=np.zeros((0,)),
+            sketch=HistogramSketch(*(np.asarray(v) for v in empty)),
+        )
+
+    chunk_idx = state.paths_done // chunk_paths
+    while state.paths_done < total_paths:
+        offset = state.paths_done
+        if mesh is not None:
+            from montecarlo_tpu.parallel.sharded import sharded_terminal
+            terminal = sharded_terminal(process, chunk_paths, n_steps,
+                                        seed=seed, mesh=mesh, sampler=sampler,
+                                        dtype=dtype, path_offset=offset)
+            # Gather before accumulating: block statistics must be computed
+            # with a device-layout-independent reduction order so chunked /
+            # sharded / one-shot runs stay bitwise identical.  (The fully
+            # on-device pod path is sharded_mc_estimate /
+            # sharded_terminal_sketch, which all_gather per-block stats
+            # instead.)
+            terminal = jnp.asarray(np.asarray(terminal))
+        else:
+            terminal = simulate(process, chunk_paths, n_steps, seed=seed,
+                                sampler=sampler, dtype=dtype,
+                                path_offset=offset)
+        payoffs = payoff_fn(terminal)
+        blocks = moments_from_array(
+            jnp.reshape(payoffs, (-1, block_size)), axis=-1)
+        chunk_sketch = sketch_from_array(
+            jnp.asarray(terminal, jnp.float64), lo, hi, bins, jnp.float64)
+
+        state.block_count = np.concatenate(
+            [state.block_count, np.asarray(blocks.count, np.float64)])
+        state.block_mean = np.concatenate(
+            [state.block_mean, np.asarray(blocks.mean, np.float64)])
+        state.block_m2 = np.concatenate(
+            [state.block_m2, np.asarray(blocks.m2, np.float64)])
+        merged = sketch_merge(
+            HistogramSketch(*(jnp.asarray(v) for v in state.sketch)),
+            chunk_sketch)
+        state.sketch = HistogramSketch(*(np.asarray(v) for v in merged))
+        state.paths_done += chunk_paths
+        chunk_idx += 1
+
+        if checkpoint_path and chunk_idx % checkpoint_every == 0:
+            state.save(checkpoint_path)
+        se = float(std_error(state.moments()))
+        if progress_callback:
+            progress_callback(state.paths_done, total_paths, se)
+        if target_std_err is not None and se <= target_std_err:
+            break
+
+    if checkpoint_path:
+        state.save(checkpoint_path)
+    return state
+
+
+def risk_from_state(state: StreamingState, current_price: float) -> dict:
+    """The reference's risk statistics (app.py:647-657) from streamed state —
+    sketch-based quantiles instead of exact sort (error <= one bin width)."""
+    m = state.moments()
+    s0 = float(current_price)
+    p = {f"p{q}": float(sketch_quantile(
+        HistogramSketch(*(jnp.asarray(v) for v in state.sketch)), float(q)))
+        for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
+    sk = HistogramSketch(*(jnp.asarray(v) for v in state.sketch))
+    tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
+    mean = float(m.mean)
+    std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))
+    below = 1.0  # prob_profit from sketch CDF at s0:
+    prob_profit = 100.0 * (1.0 - _sketch_cdf(sk, s0))
+    del below
+    return {
+        "percentiles": p,
+        "expected_return": (mean / s0 - 1.0) * 100.0,
+        "expected_vol": std / s0 * 100.0,
+        "prob_profit": prob_profit,
+        "var_95": (s0 - p["p5"]) / s0 * 100.0,
+        "cvar_95": (s0 - tail_mean) / s0 * 100.0,
+        "std_err": float(std_error(m)),
+        "n_paths": int(float(m.count)),
+    }
+
+
+def _sketch_cdf(s: HistogramSketch, x: float) -> float:
+    bins = s.counts.shape[0]
+    width = float(s.hi - s.lo) / bins
+    k = int(np.clip(np.floor((x - float(s.lo)) / width), 0, bins - 1))
+    counts = np.asarray(s.counts)
+    below = float(np.sum(counts[:k])) + float(s.underflow)
+    frac = float(np.clip((x - (float(s.lo) + k * width)) / width, 0.0, 1.0))
+    below += counts[k] * frac
+    total = float(s.total)
+    return below / total if total > 0 else 0.0

@@ -54,7 +54,8 @@ def _check_divisible(n_paths: int, n_shards: int, block_size: int):
 
 def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
                      mesh, stream: int = 0, sampler=None,
-                     dtype=jnp.float32, axis: str = PATHS_AXIS):
+                     dtype=jnp.float32, axis: str = PATHS_AXIS,
+                     path_offset: int = 0):
     """Terminal prices as a global array sharded over the path axis."""
     n_shards = mesh.shape[axis]
     if n_paths % n_shards != 0:
@@ -62,7 +63,7 @@ def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
     local_n = n_paths // n_shards
 
     def shard_fn():
-        offset = jax.lax.axis_index(axis) * local_n
+        offset = path_offset + jax.lax.axis_index(axis) * local_n
         return simulate(process, local_n, n_steps, seed=seed, stream=stream,
                         sampler=sampler, dtype=dtype, path_offset=offset)
 

@@ -1,0 +1,130 @@
+"""Streaming estimator: resume == one-shot bitwise, checkpointing, early stop."""
+
+import os
+
+import numpy as np
+import pytest
+
+from montecarlo_tpu.engine.streaming import (
+    StreamingState,
+    risk_from_state,
+    streaming_estimate,
+)
+from montecarlo_tpu.parallel import make_mesh
+from montecarlo_tpu.processes import GBM
+
+N_STEPS = 16
+CHUNK = 4096
+TOTAL = 4 * CHUNK
+BLOCK = 1024
+
+
+def _gbm():
+    return GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1 / 252)
+
+
+def _run(**kw):
+    return streaming_estimate(_gbm(), TOTAL, N_STEPS, seed=5,
+                              chunk_paths=CHUNK, block_size=BLOCK,
+                              lo=40.0, hi=260.0, bins=512, **kw)
+
+
+def test_oneshot_equals_chunked_bitwise():
+    chunked = _run()
+    oneshot = streaming_estimate(_gbm(), TOTAL, N_STEPS, seed=5,
+                                 chunk_paths=TOTAL, block_size=BLOCK,
+                                 lo=40.0, hi=260.0, bins=512)
+    m_a, m_b = chunked.moments(), oneshot.moments()
+    assert float(m_a.mean) == float(m_b.mean)
+    assert float(m_a.m2) == float(m_b.m2)
+    np.testing.assert_array_equal(np.asarray(chunked.sketch.counts),
+                                  np.asarray(oneshot.sketch.counts))
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    ckpt = str(tmp_path / "est.npz")
+    # Interrupted run: stop after 2 chunks via target_std_err=0 trick is
+    # wrong — instead run half the total, checkpointing.
+    half = streaming_estimate(_gbm(), TOTAL // 2, N_STEPS, seed=5,
+                              chunk_paths=CHUNK, block_size=BLOCK,
+                              lo=40.0, hi=260.0, bins=512,
+                              checkpoint_path=ckpt)
+    assert half.paths_done == TOTAL // 2
+    assert os.path.exists(ckpt)
+    # Resume to completion.
+    resumed = _run(checkpoint_path=ckpt, resume=True)
+    assert resumed.paths_done == TOTAL
+    uninterrupted = _run()
+    assert float(resumed.moments().mean) == float(
+        uninterrupted.moments().mean)
+    np.testing.assert_array_equal(np.asarray(resumed.sketch.counts),
+                                  np.asarray(uninterrupted.sketch.counts))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ckpt = str(tmp_path / "s.npz")
+    state = _run(checkpoint_path=ckpt)
+    loaded = StreamingState.load(ckpt)
+    assert loaded.paths_done == state.paths_done
+    assert float(loaded.moments().mean) == float(state.moments().mean)
+
+
+def test_checkpoint_config_mismatch_raises(tmp_path):
+    ckpt = str(tmp_path / "s.npz")
+    _run(checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        streaming_estimate(_gbm(), TOTAL, N_STEPS, seed=6,  # wrong seed
+                           chunk_paths=CHUNK, block_size=BLOCK,
+                           lo=40.0, hi=260.0, bins=512,
+                           checkpoint_path=ckpt, resume=True)
+
+
+def test_early_stop_at_target_std_err():
+    state = _run(target_std_err=1.0)  # loose target -> stops after 1 chunk
+    assert state.paths_done == CHUNK
+
+
+def test_sharded_streaming_matches_local():
+    mesh = make_mesh(8)
+    sharded = _run(mesh=mesh)
+    local = _run()
+    assert float(sharded.moments().mean) == float(local.moments().mean)
+    np.testing.assert_array_equal(np.asarray(sharded.sketch.counts),
+                                  np.asarray(local.sketch.counts))
+
+
+def test_risk_from_state_contract():
+    state = _run()
+    out = risk_from_state(state, 100.0)
+    for key in ("percentiles", "expected_return", "expected_vol",
+                "prob_profit", "var_95", "cvar_95", "std_err", "n_paths"):
+        assert key in out
+    assert out["n_paths"] == TOTAL
+    # Sketch quantiles close to exact ones from a direct simulation.
+    from montecarlo_tpu.engine import simulate
+    terminal = np.asarray(simulate(_gbm(), TOTAL, N_STEPS, seed=5))
+    for q in (5, 50, 95):
+        exact = np.percentile(terminal, q)
+        approx = out["percentiles"][f"p{q}"]
+        assert abs(approx - exact) < 3 * (260.0 - 40.0) / 512
+    assert abs(out["prob_profit"] - (terminal > 100).mean() * 100) < 1.0
+
+
+def test_portfolio_var_sharded_vs_streaming():
+    from montecarlo_tpu.api import portfolio_var
+
+    mesh = make_mesh(8)
+    a = portfolio_var(_gbm(), TOTAL, N_STEPS, 100.0, seed=5, mesh=mesh,
+                      bins=512, block_size=BLOCK)
+    b = portfolio_var(_gbm(), TOTAL, N_STEPS, 100.0, seed=5, bins=512,
+                      block_size=BLOCK, chunk_paths=CHUNK)
+    assert a["n_paths"] == b["n_paths"] == TOTAL
+    # Sharded sketch runs in f32, streaming in f64: agreement is bounded by
+    # interpolation round-off, well under a bin width.
+    bin_w = (a["percentiles"]["p99"] - a["percentiles"]["p1"]) / 50
+    for q in (5, 50, 95):
+        assert abs(a["percentiles"][f"p{q}"]
+                   - b["percentiles"][f"p{q}"]) < 0.5 * bin_w
+    assert abs(a["var_95"] - b["var_95"]) < 1.0
+    assert abs(a["prob_profit"] - b["prob_profit"]) < 0.5
+    assert abs(a["expected_return"] - b["expected_return"]) < 1e-3
