@@ -16,7 +16,11 @@ import numpy as np
 from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.engine.streaming import streaming_estimate, risk_from_state
 from montecarlo_tpu.parallel.sharded import sharded_terminal_sketch
-from montecarlo_tpu.stats.quantiles import sketch_quantile, sketch_tail_mean_below
+from montecarlo_tpu.stats.quantiles import (
+    sketch_cdf,
+    sketch_quantile,
+    sketch_tail_mean_below,
+)
 from montecarlo_tpu.stats.welford import std_error
 
 
@@ -61,10 +65,7 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
         tail = float(sketch_tail_mean_below(sketch, p["p5"]))
         mean = float(moments.mean)
         std = float(jnp.sqrt(moments.m2 / jnp.maximum(moments.count, 1)))
-        cdf_at_s0 = float(jnp.sum(jnp.where(
-            jnp.arange(bins) < jnp.floor((s0 - sketch.lo)
-                                         / ((sketch.hi - sketch.lo) / bins)),
-            sketch.counts, 0.0)) + sketch.underflow) / max(float(sketch.total), 1.0)
+        cdf_at_s0 = float(sketch_cdf(sketch, s0))
         return {
             "percentiles": p,
             "expected_return": (mean / s0 - 1.0) * 100.0,

@@ -32,6 +32,7 @@ import numpy as np
 from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.stats.quantiles import (
     HistogramSketch,
+    sketch_cdf,
     sketch_empty,
     sketch_from_array,
     sketch_merge,
@@ -189,9 +190,7 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
     tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
     mean = float(m.mean)
     std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))
-    below = 1.0  # prob_profit from sketch CDF at s0:
-    prob_profit = 100.0 * (1.0 - _sketch_cdf(sk, s0))
-    del below
+    prob_profit = 100.0 * (1.0 - float(sketch_cdf(sk, s0)))
     return {
         "percentiles": p,
         "expected_return": (mean / s0 - 1.0) * 100.0,
@@ -203,14 +202,3 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
         "n_paths": int(float(m.count)),
     }
 
-
-def _sketch_cdf(s: HistogramSketch, x: float) -> float:
-    bins = s.counts.shape[0]
-    width = float(s.hi - s.lo) / bins
-    k = int(np.clip(np.floor((x - float(s.lo)) / width), 0, bins - 1))
-    counts = np.asarray(s.counts)
-    below = float(np.sum(counts[:k])) + float(s.underflow)
-    frac = float(np.clip((x - (float(s.lo) + k * width)) / width, 0.0, 1.0))
-    below += counts[k] * frac
-    total = float(s.total)
-    return below / total if total > 0 else 0.0

@@ -125,6 +125,20 @@ def sketch_quantile(s: HistogramSketch, q):
     return jnp.clip(est, s.vmin, s.vmax)
 
 
+def sketch_cdf(s: HistogramSketch, x):
+    """P(value <= x) with within-bin linear interpolation."""
+    bins = s.counts.shape[0]
+    width = (s.hi - s.lo) / bins
+    k = jnp.clip(jnp.floor((jnp.asarray(x, s.counts.dtype) - s.lo) / width)
+                 .astype(jnp.int32), 0, bins - 1)
+    below = jnp.sum(jnp.where(
+        jnp.arange(bins) < k, s.counts, 0.0)) + s.underflow
+    frac = jnp.clip((x - (s.lo + k.astype(s.counts.dtype) * width)) / width,
+                    0.0, 1.0)
+    below = below + s.counts[k] * frac
+    return below / jnp.maximum(s.total, 1.0)
+
+
 def sketch_tail_mean_below(s: HistogramSketch, threshold):
     """Mean of all values <= threshold (bin-midpoint approximation).
 
