@@ -1,0 +1,129 @@
+"""Generic fused Pallas path kernel — any scalar-state process.
+
+Where :mod:`montecarlo_tpu.ops.gbm_kernel` is a hand-specialized GBM kernel,
+this one is *process-generic*: it runs the exact same ``process.draws`` /
+``process.step`` / ``process.prices`` methods the `lax.scan` engine runs —
+but inside one Pallas kernel, with the whole state pytree living in
+VMEM/registers for the entire time loop.  Works for every process whose
+state leaves are per-path scalars (GBM, Heston, GARCH-bootstrap); the
+multi-asset basket keeps the scan engine (its per-step matmul is already
+MXU-fused by XLA).
+
+Mechanics:
+- the process pytree is flattened; scalar leaves ride in SMEM, array leaves
+  (e.g. the GARCH shock table) in VMEM; the pytree is rebuilt inside the
+  kernel so the process methods trace unmodified;
+- two SDE steps run per loop iteration: both steps of a pair share one
+  Threefry call (draw convention `c1 = t >> 1`), so the cipher computation
+  is CSE'd — same cost model as the specialized kernel;
+- draw streams are keyed by global path id -> identical to the scan engine
+  and shard-invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from montecarlo_tpu.ops.gbm_kernel import LANES, _block_path_ids
+from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
+
+
+def _tree_where(cond, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int):
+    def kernel(*refs):
+        n_leaves = len(leaf_is_scalar)
+        leaf_refs = refs[:n_leaves]
+        scalar_ref = refs[n_leaves]
+        out_ref = refs[n_leaves + 1]
+
+        leaves = [r[0, 0] if is_scalar else r[0, :]
+                  for r, is_scalar in zip(leaf_refs, leaf_is_scalar)]
+        proc = jax.tree.unflatten(treedef, leaves)
+
+        b = pl.program_id(0)
+        ids = _block_path_ids(b, block_rows, scalar_ref[0, 0])
+        k0 = scalar_ref[0, 1].astype(jnp.uint32)
+        k1 = scalar_ref[0, 2].astype(jnp.uint32)
+
+        state0 = proc.init_state(ids, jnp.float32)
+
+        def body(j, state):
+            # Both steps of a pair draw from the same cipher calls —
+            # draws_pair makes the sharing explicit (no reliance on CSE).
+            eps0, eps1 = proc.draws_pair(k0, k1, ids, j, jnp.float32)
+            t0 = 2 * j
+            state = proc.step(state, eps0, t0)
+            t1 = 2 * j + 1
+            stepped = proc.step(state, eps1, t1)
+            return _tree_where(t1 < n_steps, stepped, state)
+
+        n_pairs = (n_steps + 1) // 2
+        final = jax.lax.fori_loop(0, n_pairs, body, state0)
+        out_ref[:] = proc.prices(final)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "block_rows", "interpret"))
+def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
+                          stream=0, path_offset=0, block_rows: int = 256,
+                          interpret: bool = False):
+    """Terminal prices for any scalar-state process via one fused kernel.
+
+    Same draw streams as ``simulate(process, ..., mode="terminal")``;
+    results agree with the scan engine to float32 round-off and are bitwise
+    reproducible across block sizes / path offsets / mesh shapes.
+    """
+    block = block_rows * LANES
+    if n_paths % block != 0:
+        raise ValueError(f"n_paths={n_paths} must be a multiple of "
+                         f"block_rows*128={block}")
+    num_blocks = n_paths // block
+
+    leaves, treedef = jax.tree.flatten(process)
+    leaf_is_scalar = [jnp.ndim(l) == 0 for l in leaves]
+    leaf_inputs = []
+    leaf_specs = []
+    for leaf, is_scalar in zip(leaves, leaf_is_scalar):
+        if is_scalar:
+            leaf_inputs.append(jnp.reshape(leaf, (1, 1)))
+            leaf_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                           memory_space=pltpu.SMEM))
+        else:
+            if jnp.ndim(leaf) != 1:
+                raise ValueError(
+                    "fused_terminal_pallas supports scalar and 1-D process "
+                    f"leaves, got shape {jnp.shape(leaf)}")
+            arr = jnp.reshape(leaf, (1, -1))
+            leaf_inputs.append(arr)
+            leaf_specs.append(pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM))
+
+    k0, k1 = key_from_seed_dynamic(seed, stream)
+    scalars = jnp.stack([
+        jnp.asarray(path_offset).astype(jnp.int32),
+        k0.astype(jnp.int32),
+        k1.astype(jnp.int32),
+    ]).reshape(1, 3)
+
+    out = pl.pallas_call(
+        _make_kernel(treedef, leaf_is_scalar, n_steps, block_rows),
+        grid=(num_blocks,),
+        in_specs=leaf_specs + [
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * block_rows, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(*leaf_inputs, scalars)
+    return out.reshape(-1)

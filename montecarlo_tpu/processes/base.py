@@ -23,15 +23,42 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.rng.normal import normal_matrix
+from montecarlo_tpu.rng.normal import normal_draw, normal_pair
 
 
 class NormalDrawsMixin:
     """Default innovation source: i.i.d. standard normals, counter-keyed by
-    (global path id, t * n_draws + d) so streams are shard-invariant."""
+    (global path id, t * n_draws + d) so streams are shard-invariant.
 
-    def draws(self, seed: int, stream: int, path_ids, t, dtype=jnp.float32):
-        return normal_matrix(seed, stream, path_ids, t, self.n_draws, dtype)
+    Innovations are a *tuple of per-dimension arrays* (each shaped like
+    ``path_ids``) rather than one trailing-axis array: inside Pallas kernels
+    path blocks are (rows, 128) matrices, and keeping every draw 2-D is what
+    Mosaic vectorizes well.  Consecutive dimensions of one step share a
+    Threefry call (draw index ``m = t*D + d``, counter ``m >> 1``), so the
+    cipher work is CSE'd."""
+
+    def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
+        d0 = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(self.n_draws)
+        return tuple(
+            normal_draw(seed, stream, path_ids, d0 + jnp.uint32(d), dtype)
+            for d in range(self.n_draws))
+
+    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
+        """Innovations for the two consecutive steps (2j, 2j+1) with the
+        cipher sharing made *explicit*: the 2D draws of a step pair span
+        exactly D Threefry calls (draw m lives in call m >> 1), and both
+        Box-Muller halves of every call are consumed.  Bitwise identical to
+        calling :meth:`draws` at t=2j and t=2j+1 — used by the fused Pallas
+        engine, where relying on compiler CSE across the two calls proved
+        unreliable."""
+        D = self.n_draws
+        j = jnp.asarray(j).astype(jnp.uint32)
+        flat = []
+        for c in range(D):
+            z0, z1 = normal_pair(seed, stream, path_ids,
+                                 j * jnp.uint32(D) + jnp.uint32(c), dtype)
+            flat += [z0, z1]
+        return tuple(flat[:D]), tuple(flat[D:])
 
     def antithetic(self, eps):
-        return -eps
+        return tuple(-e for e in eps)

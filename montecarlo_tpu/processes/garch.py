@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.rng.normal import uniform_draw
+from montecarlo_tpu.rng.normal import uniform_draw, uniform_from_bits
+from montecarlo_tpu.rng.threefry import random_bits
 
 #: Reference GARCH parameters (app.py:601-603).
 DEFAULT_OMEGA = 1e-5
@@ -87,30 +88,62 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         )
 
     def init_state(self, path_ids, dtype=jnp.float32) -> GARCHState:
-        n = path_ids.shape[0]
+        shape = path_ids.shape
         return GARCHState(
-            log_s=jnp.full((n,), jnp.log(self.s0).astype(dtype), dtype),
-            var=jnp.full((n,), self.var0.astype(dtype), dtype),
+            log_s=jnp.full(shape, jnp.log(self.s0).astype(dtype), dtype),
+            var=jnp.full(shape, self.var0.astype(dtype), dtype),
         )
 
-    def draws(self, seed: int, stream: int, path_ids, t, dtype=jnp.float32):
+    def _index_of(self, u):
+        """Uniform over exactly the n_table valid entries; the padding is
+        unreachable, so the static table size never affects the draw."""
+        idx = jnp.floor(u * self.n_table.astype(jnp.float32)).astype(jnp.int32)
+        return jnp.minimum(idx, self.n_table - 1)
+
+    def _gather(self, idx, dtype):
+        table = self.table.astype(dtype)
+        if idx.ndim == 2:
+            # Pallas block layout (rows, 128). Mosaic lowers only same-shape
+            # gathers (indices.shape == operand.shape), so decompose the
+            # table into 128-lane rows: one lane-gather + select per table
+            # row.  pad_to is a power of two >= 128, so this is exact.
+            n_rows = table.shape[0] // 128
+            table2d = table.reshape(n_rows, 128)
+            row = (idx >> 7).astype(jnp.int32)
+            col = (idx & 127).astype(jnp.int32)
+            shock = jnp.zeros(idx.shape, dtype)
+            for r in range(n_rows):
+                vals = jnp.broadcast_to(table2d[r][None, :], idx.shape)
+                g = jnp.take_along_axis(vals, col, axis=1)
+                shock = jnp.where(row == r, g, shock)
+        else:
+            shock = table[idx]
+        return shock
+
+    def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
         """Bootstrap shocks: a uniform index per (path, t) gathered from the
         standardized-return table — the counter-based replacement for
         `np.random.choice(std_returns, size=n_sims)` (app.py:620)."""
         m = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(self.n_draws)
         u = uniform_draw(seed, stream, path_ids, m, jnp.float32)
-        # Uniform over exactly the n_table valid entries; the padding is
-        # unreachable, so the static table size never affects the draw.
-        idx = jnp.floor(u * self.n_table.astype(jnp.float32)).astype(jnp.int32)
-        idx = jnp.minimum(idx, self.n_table - 1)
-        shock = self.table.astype(dtype)[idx]
-        return shock[..., None]
+        return (self._gather(self._index_of(u), dtype),)
+
+    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
+        """Shocks for steps (2j, 2j+1): both uniform halves of one Threefry
+        call (draw m uses component m & 1 of call m >> 1, and here
+        m = t) — bitwise identical to two draws() calls."""
+        j = jnp.asarray(j).astype(jnp.uint32)
+        b0, b1 = random_bits(seed, stream, path_ids, j)
+        u0 = uniform_from_bits(b0, jnp.float32)
+        u1 = uniform_from_bits(b1, jnp.float32)
+        return ((self._gather(self._index_of(u0), dtype),),
+                (self._gather(self._index_of(u1), dtype),))
 
     def antithetic(self, eps):
-        return -eps
+        return tuple(-e for e in eps)
 
     def step(self, state: GARCHState, eps, t) -> GARCHState:
-        shock = eps[..., 0]
+        shock = eps[0]
         vol = jnp.sqrt(state.var)
         r = shock * vol
         new_var = (self.omega.astype(r.dtype)

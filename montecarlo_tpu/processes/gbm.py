@@ -40,12 +40,11 @@ class GBM(NormalDrawsMixin, NamedTuple("GBMFields", [
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), dt=as_(dt))
 
     def init_state(self, path_ids, dtype=jnp.float32) -> GBMState:
-        n = path_ids.shape[0]
         log_s0 = jnp.log(self.s0).astype(dtype)
-        return GBMState(log_s=jnp.full((n,), log_s0, dtype))
+        return GBMState(log_s=jnp.full(path_ids.shape, log_s0, dtype))
 
     def step(self, state: GBMState, eps, t) -> GBMState:
-        z = eps[..., 0]
+        z = eps[0]
         dtype = state.log_s.dtype
         drift = ((self.mu - 0.5 * jnp.square(self.sigma)) * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(self.dt)).astype(dtype)

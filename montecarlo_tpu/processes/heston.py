@@ -49,15 +49,15 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
                    theta=as_(theta), xi=as_(xi), rho=as_(rho), dt=as_(dt))
 
     def init_state(self, path_ids, dtype=jnp.float32) -> HestonState:
-        n = path_ids.shape[0]
+        shape = path_ids.shape
         return HestonState(
-            log_s=jnp.full((n,), jnp.log(self.s0).astype(dtype), dtype),
-            v=jnp.full((n,), self.v0.astype(dtype), dtype),
+            log_s=jnp.full(shape, jnp.log(self.s0).astype(dtype), dtype),
+            v=jnp.full(shape, self.v0.astype(dtype), dtype),
         )
 
     def step(self, state: HestonState, eps, t) -> HestonState:
         dtype = state.log_s.dtype
-        z1, z2 = eps[..., 0], eps[..., 1]
+        z1, z2 = eps[0], eps[1]
         rho = self.rho.astype(dtype)
         z_v = rho * z1 + jnp.sqrt(1.0 - jnp.square(rho)) * z2
         dt = self.dt.astype(dtype)

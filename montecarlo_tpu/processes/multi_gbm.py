@@ -52,7 +52,8 @@ class MultiGBM(NormalDrawsMixin, NamedTuple("MultiGBMFields", [
     def step(self, state: MultiGBMState, eps, t) -> MultiGBMState:
         dtype = state.log_s.dtype
         # Correlate: (n_paths, A) @ L^T — MXU matmul, fp32 accumulation.
-        zc = jnp.dot(eps, self.chol.astype(dtype).T,
+        zmat = jnp.stack(eps, axis=-1)
+        zc = jnp.dot(zmat, self.chol.astype(dtype).T,
                      preferred_element_type=jnp.float32).astype(dtype)
         drift = ((self.mu - 0.5 * jnp.square(self.sigma)) * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(self.dt)).astype(dtype)

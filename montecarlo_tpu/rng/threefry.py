@@ -100,10 +100,13 @@ def key_from_seed_dynamic(seed, stream=0):
     return k0, k1
 
 
-def random_bits(seed: int, stream: int, c0, c1):
+def random_bits(seed, stream, c0, c1):
     """64 bits of pseudo-randomness per (c0, c1) counter pair.
 
-    Returns two uint32 arrays of the broadcast shape of ``c0``/``c1``.
+    ``seed``/``stream`` may be python ints (full 64-bit seed space) or traced
+    uint32 values (inside jit/Pallas; they become the key words directly —
+    identical streams for seeds < 2**32).  Returns two uint32 arrays of the
+    broadcast shape of ``c0``/``c1``.
     """
-    k0, k1 = key_from_seed(seed, stream)
+    k0, k1 = key_from_seed_dynamic(seed, stream)
     return threefry2x32(k0, k1, c0, c1)

@@ -34,7 +34,7 @@ class AntitheticSampler(NamedTuple("AntitheticFields", [])):
         eps = process.draws(seed, stream, pair_ids, t, dtype)
         mirrored = process.antithetic(eps)
         odd = (path_ids & jnp.uint32(1)).astype(bool)
-        return jnp.where(odd[..., None], mirrored, eps)
+        return tuple(jnp.where(odd, m, e) for m, e in zip(mirrored, eps))
 
 
 class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
@@ -50,7 +50,8 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
     """
 
     def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
-        return self.z[path_ids.astype(jnp.int32), t].astype(dtype)
+        step = self.z[path_ids.astype(jnp.int32), t].astype(dtype)
+        return tuple(step[..., d] for d in range(self.z.shape[-1]))
 
     @classmethod
     def create(cls, n_paths: int, n_steps: int, n_draws: int, seed: int = 0,
