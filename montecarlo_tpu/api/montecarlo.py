@@ -20,6 +20,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from montecarlo_tpu.engine.dispatch import terminal_prices
 from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.processes.garch import GARCHBootstrap, MIN_HISTORY
 from montecarlo_tpu.stats.risk import path_percentiles, terminal_statistics
@@ -52,7 +53,8 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         final_prices = paths[-1]
     else:
         paths = None
-        final_prices = simulate(proc, n_sims, n_days, seed=seed, dtype=dtype)
+        final_prices = terminal_prices(proc, n_sims, n_days, seed=seed,
+                                       dtype=dtype)
 
     out = {k: (np.asarray(v) if hasattr(v, "shape") else v)
            for k, v in terminal_statistics(final_prices,

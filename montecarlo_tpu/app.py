@@ -1,0 +1,291 @@
+"""Streamlit dashboard — UI parity with the reference app.
+
+Run with: ``streamlit run montecarlo_tpu/app.py``
+
+Mirrors the reference's three modes (reference app.py:1125-1532): an About
+page, a Single Stock deep dive (header metrics, MC fan chart with percentile
+bands, backtest equity/drawdown, feature importances, CV details), and a
+multi-ticker Scanner (universe picker, reliability modes, live progress,
+edge tables, failure breakdown).  All analytics come from the TPU-native
+pipeline; this file is presentation only.
+
+streamlit and plotly are optional dependencies — every capability is also
+available through the CLI / report module without them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import streamlit as st
+except ImportError as e:  # pragma: no cover - optional dependency
+    raise ImportError(
+        "The dashboard requires streamlit (`pip install streamlit plotly`); "
+        "use `python -m montecarlo_tpu.cli` for the terminal interface."
+    ) from e
+
+try:
+    import plotly.graph_objects as go
+    from plotly.subplots import make_subplots
+    HAS_PLOTLY = True
+except ImportError:  # pragma: no cover
+    HAS_PLOTLY = False
+
+from montecarlo_tpu.api import analyze_ticker, scan_tickers
+from montecarlo_tpu.config import RELIABILITY_MODES, ModelConfig, TradingConfig
+from montecarlo_tpu.data import SOURCES, default_provider, get_ticker_list
+from montecarlo_tpu import report
+
+st.set_page_config(layout="wide",
+                   page_title="Quantitative Trading System (TPU)")
+
+
+def _about_page():
+    st.title("Quantitative Trading System — TPU-native")
+    st.markdown("""
+This is a TPU-native rebuild of a quantitative trading research system:
+
+- **Feature engineering** — ~60 technical indicators computed in JAX
+- **ML forecasting** — walk-forward cross-validated gradient-boosted trees
+  (histogram GBT running entirely on the accelerator)
+- **Monte Carlo** — GARCH(1,1)-bootstrap simulation with counter-based,
+  reproducible RNG (fused TPU kernels, >10^10 path-steps/s/chip)
+- **Backtesting** — walk-forward with periodic retraining, slippage,
+  commissions, and a full risk-metric suite
+- **Scanner** — multi-ticker universe scans with reliability presets
+
+| Mode | Estimators | CV folds | History |
+|---|---|---|---|
+| Fast | 50 | 3 | 2y |
+| Balanced | 75 | 4 | 3y |
+| Full | 100 | 5 | 5y |
+
+**Interpretation guide** — directional accuracy: poor < 52% < good > 55%;
+Sharpe: poor < 0.5 < good > 1.0; max drawdown: good < 15% < poor > 30%;
+win rate: poor < 45% < good > 55%.
+
+*Research tooling, not investment advice.*
+""")
+
+
+def _mc_chart(mc, results):
+    if not HAS_PLOTLY:
+        st.text(report.mc_report(mc, results["current_price"]))
+        return
+    pp = mc["path_percentiles"]
+    days = np.arange(len(pp["p50"]))
+    fig = go.Figure()
+    for lo, hi, alpha in (("p5", "p95", 0.15), ("p25", "p75", 0.3)):
+        fig.add_trace(go.Scatter(x=days, y=pp[hi], line=dict(width=0),
+                                 showlegend=False))
+        fig.add_trace(go.Scatter(
+            x=days, y=pp[lo], fill="tonexty",
+            fillcolor=f"rgba(0,100,200,{alpha})", line=dict(width=0),
+            name=f"{lo}-{hi}"))
+    fig.add_trace(go.Scatter(x=days, y=pp["p50"], name="median",
+                             line=dict(color="royalblue", width=2)))
+    target_day = len(days) - 1
+    target = results["current_price"] * np.exp(
+        results["predicted_log_return"])
+    fig.add_trace(go.Scatter(x=[target_day], y=[target], mode="markers",
+                             marker=dict(symbol="star", size=14,
+                                         color="gold"),
+                             name="ML target"))
+    fig.update_layout(title="Monte Carlo price paths (percentile bands)",
+                      xaxis_title="days", yaxis_title="price")
+    st.plotly_chart(fig, use_container_width=True)
+
+
+def _backtest_charts(bt):
+    if not HAS_PLOTLY:
+        st.text(report.backtest_report(bt))
+        return
+    fig = make_subplots(rows=2, cols=1, shared_xaxes=True,
+                        row_heights=[0.7, 0.3],
+                        subplot_titles=("Equity", "Drawdown"))
+    x = np.arange(len(bt["equity"]))
+    fig.add_trace(go.Scatter(x=x, y=bt["equity"], name="equity"), row=1,
+                  col=1)
+    fig.add_trace(go.Scatter(x=x, y=-100 * np.asarray(bt["drawdowns"]),
+                             name="drawdown %", fill="tozeroy"), row=2,
+                  col=1)
+    st.plotly_chart(fig, use_container_width=True)
+
+
+def _single_stock_page():
+    st.sidebar.header("Analysis Settings")
+    ticker = st.sidebar.text_input("Ticker", "NVDA").strip().upper()
+    horizon = st.sidebar.slider("Forecast horizon (days)", 5, 60, 20)
+    run_bt = st.sidebar.checkbox("Run backtest", True)
+    n_sims = st.sidebar.slider("Monte Carlo simulations", 500, 5000, 1000,
+                               step=500)
+    with st.sidebar.expander("Advanced"):
+        cv_folds = st.slider("CV folds", 3, 7, 5)
+        n_estimators = st.slider("Trees", 50, 200, 100, step=25)
+        retrain_freq = st.slider("Retrain frequency (days)", 20, 120, 60,
+                                 step=20)
+
+    if not st.sidebar.button("Analyze", type="primary"):
+        st.info("Configure and press Analyze.")
+        return
+
+    status = st.empty()
+    out = analyze_ticker(
+        ticker, forecast_horizon=horizon, n_sims=n_sims,
+        run_backtest=run_bt, retrain_frequency=retrain_freq,
+        model_config=ModelConfig(cv_folds=cv_folds,
+                                 n_estimators=n_estimators),
+        trading_config=TradingConfig(),
+        progress_callback=status.text)
+    status.empty()
+    if out is None:
+        st.error(f"Could not analyze {ticker}: insufficient data or "
+                 "training failed.")
+        return
+
+    r = out["results"]
+    c1, c2, c3, c4, c5 = st.columns(5)
+    da = r["directional_accuracy"] * 100
+    c1.metric("Direction Accuracy", f"{da:.1f}%", f"{da - 50:+.1f}% vs random")
+    c2.metric("CV RMSE", f"{r['rmse_mean']:.4f}", f"±{r['rmse_std']:.4f}")
+    label = ("LONG" if r["signal"] == 1 else
+             "SHORT" if r["signal"] == -1 else "FLAT")
+    c3.metric("Predicted Return", f"{r['predicted_pct_return']:+.2f}%", label)
+    c4.metric("Annualized Vol", f"{r['current_volatility'] * 100:.1f}%")
+    c5.metric("Confidence", f"{r['confidence'] * 100:.0f}%")
+    if r["has_edge"]:
+        st.success("Model shows predictive edge (>52% directional accuracy)")
+    else:
+        st.warning("No significant edge detected (<52% accuracy)")
+
+    tabs = st.tabs(["Monte Carlo", "Backtest", "Features", "Details"])
+    with tabs[0]:
+        if out["mc_results"]:
+            mc = out["mc_results"]
+            m1, m2, m3, m4 = st.columns(4)
+            m1.metric("Expected Return", f"{mc['expected_return']:+.2f}%")
+            m2.metric("Prob. of Profit", f"{mc['prob_profit']:.1f}%")
+            m3.metric("VaR 95%", f"{mc['var_95']:.2f}%")
+            m4.metric("CVaR 95%", f"{mc['cvar_95']:.2f}%")
+            st.table({"percentile": list(mc["percentiles"]),
+                      "price": [f"{v:.2f}"
+                                for v in mc["percentiles"].values()]})
+            _mc_chart(mc, r)
+    with tabs[1]:
+        if out["backtest_results"]:
+            bt = out["backtest_results"]
+            m = bt["metrics"]
+            cols = st.columns(4)
+            for col, (k, v) in zip(cols * 2, [
+                    ("Total Return", f"{m['total_return']:+.2f}%"),
+                    ("Sharpe", f"{m['sharpe_ratio']:.2f}"),
+                    ("Max Drawdown", f"{m['max_drawdown']:.2f}%"),
+                    ("Win Rate", f"{m['win_rate']:.1f}%"),
+                    ("Sortino", f"{m['sortino_ratio']:.2f}"),
+                    ("Calmar", f"{m['calmar_ratio']:.2f}"),
+                    ("Profit Factor", f"{m['profit_factor']:.2f}"),
+                    ("Trades", str(m["num_trades"]))]):
+                col.metric(k, v)
+            _backtest_charts(bt)
+            with st.expander("Trade log"):
+                st.dataframe(bt["trades"])
+        else:
+            st.info("Backtest disabled or insufficient data.")
+    with tabs[2]:
+        fi = out["model"].feature_importance
+        st.dataframe({"feature": fi["feature"],
+                      "importance": fi["importance"]})
+    with tabs[3]:
+        st.table({"fold": list(range(1, len(r["rmse_scores"]) + 1)),
+                  "rmse": r["rmse_scores"], "dir_acc": r["da_scores"]})
+
+
+def _scanner_page():
+    st.sidebar.header("Scanner Settings")
+    source = st.sidebar.selectbox("Universe", list(SOURCES) + ["Custom"])
+    custom = ""
+    if source == "Custom":
+        custom = st.sidebar.text_area("Tickers (comma/newline separated)")
+    max_stocks = st.sidebar.slider("Stocks to scan", 10, 300, 50, step=10)
+    horizon = st.sidebar.slider("Forecast horizon", 10, 60, 20)
+    min_acc = st.sidebar.slider("Min directional accuracy (%)", 50, 60, 52)
+    mode = st.sidebar.select_slider("Reliability",
+                                    options=["fast", "balanced", "full"],
+                                    value="balanced")
+    parallel = st.sidebar.checkbox("Parallel fetch", True)
+    workers = st.sidebar.slider("Workers", 2, 8, 4)
+
+    if not st.sidebar.button("Start Scan", type="primary"):
+        st.info("Configure and press Start Scan.")
+        return
+
+    if custom:
+        tickers = [t.strip().upper()
+                   for t in custom.replace("\n", ",").split(",")
+                   if t.strip()]
+    else:
+        tickers = get_ticker_list(source)
+    tickers = tickers[:max_stocks]
+    cfg, period = RELIABILITY_MODES[mode]
+    st.info(f"Scanning {len(tickers)} stocks from {source} in {mode} mode "
+            f"({default_provider()} data)...")
+
+    bar = st.progress(0)
+    status = st.empty()
+    live = st.empty()
+
+    def progress(done, total, out):
+        bar.progress(done / total)
+        status.text(f"Scanned {done}/{total} | ok {len(out.results)} "
+                    f"| failed {len(out.failed)}")
+        if out.results and done % 3 == 0:
+            top = sorted(out.results,
+                         key=lambda x: -x["Dir. Accuracy"])[:10]
+            live.dataframe(top)
+
+    res = scan_tickers(tickers, forecast_horizon=horizon, config=cfg,
+                       period=period, parallel=parallel, n_workers=workers,
+                       progress_callback=progress)
+    bar.empty(); status.empty(); live.empty()
+
+    edge = res.edge_stocks(min_acc)
+    st.subheader(f"Stocks with potential edge (>= {min_acc}%)")
+    if edge:
+        st.dataframe(edge)
+        c1, c2, c3 = st.columns(3)
+        c1.metric("Long Signals",
+                  sum(r["Signal"] == "LONG" for r in edge))
+        c2.metric("Short Signals",
+                  sum(r["Signal"] == "SHORT" for r in edge))
+        c3.metric("Avg Accuracy", f"{np.mean([r['Dir. Accuracy'] for r in edge]):.1f}%")
+    else:
+        st.warning(f"No stocks found with >= {min_acc}% accuracy")
+
+    st.subheader("All scanned results")
+    st.dataframe(sorted(res.results, key=lambda x: -x["Dir. Accuracy"]))
+    s = res.summary(len(tickers), min_acc)
+    st.success(f"Scan complete — attempted {s['attempted']}, successful "
+               f"{s['successful']}, failed {s['failed']}, with edge "
+               f"{s['with_edge']}, avg accuracy "
+               f"{s['average_accuracy']:.1f}%")
+    if res.failed:
+        with st.expander(f"Failed tickers ({len(res.failed)})"):
+            st.dataframe(res.failed)
+            for reason, count in s["failure_reasons"].items():
+                st.write(f"- {reason}: {count} tickers")
+
+
+def main():
+    mode = st.sidebar.radio("Mode", ["About", "Single Stock", "Scanner"],
+                            index=1)
+    if mode == "About":
+        _about_page()
+    elif mode == "Single Stock":
+        _single_stock_page()
+    else:
+        _scanner_page()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Engine dispatch: pick the fastest correct backend for a terminal run.
+
+- On TPU, scalar-state processes (GBM, GARCH-bootstrap, Heston) with plain
+  sampling and kernel-compatible path counts run the fused Pallas kernel
+  (~12-28e9 path-steps/s/chip on v5e).
+- Everything else (CPU, paths mode, custom samplers, multi-asset states,
+  odd path counts) runs the `lax.scan` engine — the two produce identical
+  draw streams, and bitwise-identical paths in interpret mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.ops.fused_engine import LANES, fused_terminal_pallas
+from montecarlo_tpu.processes.garch import GARCHBootstrap
+from montecarlo_tpu.processes.gbm import GBM
+from montecarlo_tpu.processes.heston import Heston
+
+_FUSABLE = (GBM, GARCHBootstrap, Heston)
+_MIN_BLOCK_ROWS = 8
+
+
+def _kernel_block_rows(n_paths: int) -> int | None:
+    """Largest supported block_rows (<=256) that divides the path count."""
+    for rows in (256, 128, 64, 32, 16, 8):
+        if n_paths % (rows * LANES) == 0:
+            return rows
+    return None
+
+
+def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
+                    stream=0, sampler=None, dtype=jnp.float32,
+                    path_offset=0, prefer_fused: bool = True):
+    """Terminal prices via the fused kernel when eligible, else the scan
+    engine.  Identical draw streams either way."""
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    rows = _kernel_block_rows(n_paths)
+    if (prefer_fused and on_tpu and sampler is None
+            and dtype == jnp.float32 and rows is not None
+            and isinstance(process, _FUSABLE)):
+        return fused_terminal_pallas(process, n_paths, n_steps, seed=seed,
+                                     stream=stream, path_offset=path_offset,
+                                     block_rows=rows)
+    return simulate(process, n_paths, n_steps, seed=seed, stream=stream,
+                    sampler=sampler, dtype=dtype, path_offset=path_offset)

@@ -29,6 +29,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from montecarlo_tpu.engine.dispatch import terminal_prices
 from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.stats.quantiles import (
     HistogramSketch,
@@ -143,9 +144,9 @@ def streaming_estimate(
             # instead.)
             terminal = jnp.asarray(np.asarray(terminal))
         else:
-            terminal = simulate(process, chunk_paths, n_steps, seed=seed,
-                                sampler=sampler, dtype=dtype,
-                                path_offset=offset)
+            terminal = terminal_prices(process, chunk_paths, n_steps,
+                                       seed=seed, sampler=sampler,
+                                       dtype=dtype, path_offset=offset)
         payoffs = payoff_fn(terminal)
         blocks = moments_from_array(
             jnp.reshape(payoffs, (-1, block_size)), axis=-1)
