@@ -1,0 +1,156 @@
+"""Batched scanner — the whole universe as a few vmapped device programs.
+
+The reference scans tickers with a thread pool (one XGBoost pipeline per
+ticker, reference app.py:1391-1418).  On TPU the right structure is data
+parallelism over the *ticker* axis:
+
+1. fetch raw OHLCV host-side (I/O), group tickers by series length;
+2. `vmap(compute_features)` — one program featurizes the whole group;
+3. one `vmap`'d masked-weight GBT program trains **every CV fold of every
+   ticker at once** ((tickers x folds) fits in a single XLA computation),
+   and one more trains the final models and predicts the latest row;
+4. metrics/record assembly host-side, same schema and failure taxonomy as
+   the threaded scanner.
+
+Produces the same `ScanResult` schema as `scan_tickers`; records agree with
+the threaded path up to float32-vs-float64 feature round-off (the batched
+featurizer runs in f32 on-device).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.api.scanner import ScanResult, signal_label
+from montecarlo_tpu.config import ModelConfig
+from montecarlo_tpu.data.fetch import get_stock_ohlcv
+from montecarlo_tpu.ml.model import FEATURE_COLS, _fit_folds, _gbt_cfg, make_target
+from montecarlo_tpu.ml.splits import split_bounds
+from montecarlo_tpu.quant.features import compute_features, finalize
+
+_batched_features = jax.jit(jax.vmap(
+    lambda o, h, l, c, v: finalize(compute_features(o, h, l, c, v,
+                                                    dtype=jnp.float32))))
+
+# vmap the fold-batched fitter over the ticker axis:
+# x (B, n, F), y (B, n), masks (B, K, n) -> preds (B, K, n)
+_fit_folds_tickers = jax.jit(
+    jax.vmap(_fit_folds, in_axes=(0, 0, 0, None)),
+    static_argnames=("cfg",))
+
+
+def scan_tickers_batched(tickers: List[str], *, forecast_horizon: int = 20,
+                         config: Optional[ModelConfig] = None,
+                         period: str = "5y",
+                         provider: Optional[str] = None,
+                         progress_callback=None) -> ScanResult:
+    """Scan a universe with batched device execution."""
+    config = config or ModelConfig()
+    out = ScanResult()
+
+    # --- host-side fetch + grouping by raw length -------------------------
+    groups: Dict[int, List[tuple]] = {}
+    for t in tickers:
+        ohlcv = get_stock_ohlcv(t, period, provider=provider)
+        if ohlcv is None:
+            out.failed.append({"Ticker": t, "Reason": "No data available"})
+            continue
+        groups.setdefault(len(ohlcv["Close"]), []).append((t, ohlcv))
+    if progress_callback:
+        progress_callback(0, len(tickers), out)
+
+    done = len(out.failed)
+    for _, members in sorted(groups.items()):
+        done = _scan_group(members, forecast_horizon, config, out,
+                           progress_callback, len(tickers), done)
+    return out
+
+
+def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
+                progress_callback, total: int, done: int) -> int:
+    names = [t for t, _ in members]
+    stack = {k: np.stack([np.asarray(o[k], np.float64) for _, o in members])
+             for k in ("Open", "High", "Low", "Close", "Volume")}
+
+    feats, valid = _batched_features(*[jnp.asarray(stack[k], jnp.float32)
+                                       for k in ("Open", "High", "Low",
+                                                 "Close", "Volume")])
+    valid = np.asarray(valid)  # (B, T)
+    feats = {k: np.asarray(v) for k, v in feats.items()}
+
+    # Rows surviving dropna are a suffix (all NaN sources are leading
+    # windows); group tickers by surviving length so shapes stay static.
+    sub_groups: Dict[int, List[int]] = {}
+    for i in range(len(names)):
+        sub_groups.setdefault(int(valid[i].sum()), []).append(i)
+
+    for n_valid, idxs in sorted(sub_groups.items()):
+        batch_names = [names[i] for i in idxs]
+        if n_valid - horizon < config.min_data_points:
+            for t in batch_names:
+                out.failed.append({
+                    "Ticker": t,
+                    "Reason": (f"Insufficient data: {n_valid}/"
+                               f"{config.min_data_points} days")})
+            done += len(idxs)
+            if progress_callback:
+                progress_callback(done, total, out)
+            continue
+
+        # Assemble (B, n, F) features and (B, n) targets on the suffix.
+        xs, ys, vols, prices = [], [], [], []
+        for i in idxs:
+            rows = np.nonzero(valid[i])[0]
+            lr = feats["log_ret"][i][rows]
+            target = make_target(lr, horizon)
+            ok = ~np.isnan(target)
+            xs.append(np.stack([feats[f][i][rows][ok]
+                                for f in FEATURE_COLS], axis=1))
+            ys.append(target[ok])
+            vols.append(float(feats["rvol_20"][i][rows][ok][-1]))
+            prices.append(float(feats["Close"][i][rows][ok][-1]))
+        x = jnp.asarray(np.stack(xs), jnp.float32)   # (B, n, F)
+        y = jnp.asarray(np.stack(ys), jnp.float32)   # (B, n)
+
+        n = y.shape[1]
+        bounds = split_bounds(n, config.cv_folds)
+        arange = np.arange(n)
+        fold_masks = np.stack([(arange < tr).astype(np.float32)
+                               for tr, _ in bounds])            # (K, n)
+        masks = jnp.asarray(np.broadcast_to(
+            fold_masks, (len(idxs),) + fold_masks.shape))       # (B, K, n)
+        cfg = _gbt_cfg(config)
+
+        preds = np.asarray(_fit_folds_tickers(x, y, masks, cfg))  # (B, K, n)
+        # Final models: one more vmapped fit with full-ones masks.
+        full = jnp.ones((len(idxs), 1, n), jnp.float32)
+        final_preds = np.asarray(_fit_folds_tickers(x, y, full, cfg))[:, 0]
+
+        y_np = np.asarray(y)
+        for b, t in enumerate(batch_names):
+            rmse, da = [], []
+            for k, (tr, te) in enumerate(bounds):
+                p, a = preds[b, k, tr:te], y_np[b, tr:te]
+                rmse.append(float(np.sqrt(np.mean((p - a) ** 2))))
+                da.append(float(np.mean(np.sign(p) == np.sign(a))))
+            avg_da = float(np.mean(da))
+            pred_log = float(final_preds[b, -1])
+            out.results.append({
+                "Ticker": t,
+                "Price": prices[b],
+                "Dir. Accuracy": avg_da * 100.0,
+                "Pred. Return": (np.exp(pred_log) - 1.0) * 100.0,
+                "Volatility": vols[b] * 100.0,
+                "Signal": signal_label(1 if pred_log > 0
+                                       else -1 if pred_log < 0 else 0),
+                "Edge": avg_da > 0.52,
+                "Confidence": min(1.0, (avg_da - 0.50) / 0.10) * 100.0,
+            })
+            done += 1
+            if progress_callback:
+                progress_callback(done, total, out)
+    return done

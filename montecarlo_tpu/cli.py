@@ -56,6 +56,9 @@ def _add_scan(sub):
                    choices=list(RELIABILITY_MODES))
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--sequential", action="store_true")
+    p.add_argument("--batched", action="store_true",
+                   help="vmapped device batching over the ticker axis "
+                        "(TPU fast path) instead of the thread pool")
     p.add_argument("--provider", default=None)
     p.add_argument("--json", action="store_true")
 
@@ -127,10 +130,19 @@ def cmd_scan(args) -> int:
         print(f"  scanned {done}/{total} | ok {len(out.results)} "
               f"| failed {len(out.failed)}", file=sys.stderr)
 
-    res = scan_tickers(
-        tickers, forecast_horizon=args.horizon, config=cfg, period=period,
-        provider=args.provider, parallel=not args.sequential,
-        n_workers=args.workers, progress_callback=progress)
+    if args.batched:
+        from montecarlo_tpu.api import scan_tickers_batched
+
+        res = scan_tickers_batched(
+            tickers, forecast_horizon=args.horizon, config=cfg,
+            period=period, provider=args.provider,
+            progress_callback=progress)
+    else:
+        res = scan_tickers(
+            tickers, forecast_horizon=args.horizon, config=cfg,
+            period=period, provider=args.provider,
+            parallel=not args.sequential, n_workers=args.workers,
+            progress_callback=progress)
     if args.json:
         print(json.dumps({"results": res.results,
                           "failed": res.failed,

@@ -117,5 +117,33 @@ def get_stock_data(ticker: str, period: str = "5y", *,
     return result
 
 
+def get_stock_ohlcv(ticker: str, period: str = "5y", *,
+                    provider: Optional[str] = None,
+                    data_dir: str = ".") -> Optional[Dict]:
+    """Raw (un-featurized) OHLCV — the batched scanner's input, so a whole
+    ticker batch can be featurized as one vmapped device program."""
+    provider = provider or default_provider()
+    key = ("raw", ticker, period, provider, data_dir)
+    hit = _CACHE.get(key)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < CACHE_TTL_SECONDS:
+        return hit[1]
+    try:
+        if provider == "synthetic":
+            ohlcv = _synthetic_ohlcv(ticker, period)
+        elif provider == "yfinance":
+            ohlcv = _yfinance_ohlcv(ticker, period)
+        elif provider == "csv":
+            ohlcv = _csv_ohlcv(ticker, data_dir)
+        else:
+            raise ValueError(f"unknown provider: {provider}")
+        if ohlcv is not None and len(ohlcv["Close"]) < MIN_ROWS:
+            ohlcv = None
+    except Exception:
+        ohlcv = None
+    _CACHE[key] = (now, ohlcv)
+    return ohlcv
+
+
 def clear_cache() -> None:
     _CACHE.clear()

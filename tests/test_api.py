@@ -76,3 +76,37 @@ def test_scanner_failure_taxonomy():
     assert len(res.failed) == 1
     s = res.summary(1, 52.0)
     assert sum(s["failure_reasons"].values()) == 1
+
+
+def test_batched_scanner_matches_threaded():
+    """The vmapped batch scanner agrees with the threaded scanner."""
+    from montecarlo_tpu.api import scan_tickers_batched
+
+    tickers = ["AAPL", "MSFT", "GOOGL", "AMZN", "NVDA"]
+    cfg = ModelConfig.fast()
+    threaded = scan_tickers(tickers, forecast_horizon=20, config=cfg,
+                            period="3y", provider="synthetic",
+                            parallel=False)
+    progress = []
+    batched = scan_tickers_batched(
+        tickers, forecast_horizon=20, config=cfg, period="3y",
+        provider="synthetic",
+        progress_callback=lambda d, t, o: progress.append(d))
+    assert len(batched.results) == len(threaded.results)
+    assert progress[-1] == len(tickers)
+    by_name = {r["Ticker"]: r for r in batched.results}
+    for r in threaded.results:
+        b = by_name[r["Ticker"]]
+        # f32 on-device features vs f64: accuracies match closely.
+        assert abs(b["Dir. Accuracy"] - r["Dir. Accuracy"]) < 3.0, r["Ticker"]
+        assert abs(b["Price"] - r["Price"]) < 0.01 * r["Price"]
+
+
+def test_batched_scanner_failure_records():
+    from montecarlo_tpu.api import scan_tickers_batched
+
+    res = scan_tickers_batched(["AAPL", "MSFT"], config=ModelConfig.full(),
+                               period="1y", provider="synthetic")
+    assert len(res.failed) == 2  # too short for the full preset
+    assert all("Insufficient" in f["Reason"] or "No data" in f["Reason"]
+               for f in res.failed)
