@@ -10,4 +10,9 @@ from montecarlo_tpu.engine.payoffs import (  # noqa: F401
     european_call,
     european_put,
 )
-from montecarlo_tpu.engine.pricing import mc_estimate  # noqa: F401
+from montecarlo_tpu.engine.pricing import mc_estimate, price_to_tolerance  # noqa: F401
+from montecarlo_tpu.engine.path_sketch import (  # noqa: F401
+    path_histograms,
+    percentiles_from_histograms,
+    sharded_path_percentiles,
+)

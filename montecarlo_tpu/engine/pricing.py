@@ -2,11 +2,15 @@
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.stats.welford import (
     MomentState,
     moments_from_array,
+    moments_merge,
     std_error,
 )
 
@@ -25,4 +29,48 @@ def mc_estimate(payoffs, discount=1.0) -> dict:
         "price": d * st.mean,
         "std_err": d * std_error(st),
         "n_paths": st.count,
+    }
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "chunk_paths", "n_steps",
+                                   "max_chunks", "use_fused"))
+def price_to_tolerance(process, payoff_fn, *, target_std_err, seed,
+                       chunk_paths: int = 1 << 22, n_steps: int = 252,
+                       discount=1.0, max_chunks: int = 1024,
+                       use_fused: bool = True):
+    """Price until the (discounted) standard error reaches the target —
+    entirely on device (`lax.while_loop` over path chunks), one host
+    round-trip total.  This is the driver metric's 'wall-clock to std-err
+    1e-3' mode; the checkpointable/bitwise-deterministic variant is
+    `engine.streaming.streaming_estimate(target_std_err=...)`.
+
+    Returns ``{"price", "std_err", "n_paths", "n_chunks"}``.
+    """
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+
+    d = jnp.asarray(discount, jnp.float32)
+    target = jnp.asarray(target_std_err, jnp.float32)
+
+    def chunk_stats(i):
+        terminal = terminal_prices(
+            process, chunk_paths, n_steps, seed=seed,
+            path_offset=i * chunk_paths, prefer_fused=use_fused)
+        return moments_from_array(payoff_fn(terminal), axis=0)
+
+    def cond(carry):
+        st, i = carry
+        return (i < max_chunks) & ((i < 1) | (d * std_error(st) > target))
+
+    def body(carry):
+        st, i = carry
+        return moments_merge(st, chunk_stats(i)), i + 1
+
+    z = jnp.float32(0.0)
+    st, n_chunks = jax.lax.while_loop(
+        cond, body, (MomentState(count=z, mean=z, m2=z), jnp.int32(0)))
+    return {
+        "price": d * st.mean,
+        "std_err": d * std_error(st),
+        "n_paths": st.count,
+        "n_chunks": n_chunks,
     }

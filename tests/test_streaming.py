@@ -128,3 +128,25 @@ def test_portfolio_var_sharded_vs_streaming():
     assert abs(a["var_95"] - b["var_95"]) < 1.0
     assert abs(a["prob_profit"] - b["prob_profit"]) < 0.5
     assert abs(a["expected_return"] - b["expected_return"]) < 1e-3
+
+
+def test_price_to_tolerance_on_device_loop():
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine import (
+        black_scholes_call,
+        european_call,
+        price_to_tolerance,
+    )
+
+    proc = _gbm()
+    out = price_to_tolerance(
+        proc, lambda s: european_call(s, 105.0), target_std_err=0.002,
+        seed=3, chunk_paths=1 << 13, n_steps=N_STEPS,
+        discount=float(np.exp(-0.03 * N_STEPS / 252)), max_chunks=512)
+    se = float(out["std_err"])
+    assert se <= 0.002
+    assert int(float(out["n_chunks"])) >= 2  # needed more than one chunk
+    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, N_STEPS / 252))
+    assert abs(float(out["price"]) - bs) < 5 * se
+    assert int(float(out["n_paths"])) == int(float(out["n_chunks"])) * (1 << 13)
