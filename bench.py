@@ -19,6 +19,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: cold Mosaic compiles dominate a fresh run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_PATH_STEPS_PER_SEC = 5e9  # BASELINE.json north_star target
 
 

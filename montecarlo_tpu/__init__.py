@@ -40,3 +40,18 @@ Subpackages
 __version__ = "0.1.0"
 
 from montecarlo_tpu.config import ModelConfig, TradingConfig  # noqa: F401
+
+# Convenience top-level re-exports of the most-used entry points.
+from montecarlo_tpu.processes import (  # noqa: F401
+    GBM,
+    GARCHBootstrap,
+    Heston,
+    MultiGBM,
+)
+from montecarlo_tpu.engine import (  # noqa: F401
+    mc_estimate,
+    price_to_tolerance,
+    simulate,
+    terminal_prices,
+)
+from montecarlo_tpu.parallel import make_mesh, sharded_mc_estimate  # noqa: F401

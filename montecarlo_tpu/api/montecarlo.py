@@ -52,6 +52,9 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
                          dtype=dtype)
         final_prices = paths[-1]
     else:
+        # No (n_days+1, n_sims) materialization: terminal prices from the
+        # fused kernel, percentile *curves* from streaming per-step
+        # histogram sketches (O(steps x bins) memory at any path count).
         paths = None
         final_prices = terminal_prices(proc, n_sims, n_days, seed=seed,
                                        dtype=dtype)
@@ -68,4 +71,18 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         out["paths"] = np.asarray(paths)
         out["path_percentiles"] = {
             k: np.asarray(v) for k, v in path_percentiles(paths).items()}
+    else:
+        from montecarlo_tpu.engine.path_sketch import (
+            path_histograms,
+            percentiles_from_histograms,
+        )
+
+        fp = np.asarray(final_prices)
+        span = float(fp.max() - fp.min()) + 1e-6
+        lo = min(float(fp.min()), current_price) - 0.25 * span
+        hi = max(float(fp.max()), current_price) + 0.25 * span
+        hists = path_histograms(proc, n_sims, n_days, seed=seed, lo=lo,
+                                hi=hi, bins=2048, dtype=dtype)
+        out["path_percentiles"] = percentiles_from_histograms(
+            np.asarray(hists), lo, hi)
     return out

@@ -9,6 +9,7 @@ Subcommands:
              fast/balanced/full reliability, workers)
   price    — Monte Carlo option pricing on the TPU engine (GBM/Heston,
              plain/antithetic/Sobol)
+  var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -192,6 +193,58 @@ def cmd_price(args) -> int:
     return 0
 
 
+def _add_var(sub):
+    p = sub.add_parser("var", help="portfolio VaR/CVaR at scale")
+    p.add_argument("--paths", type=int, default=1 << 22)
+    p.add_argument("--days", type=int, default=20)
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--mu", type=float, default=0.05)
+    p.add_argument("--sigma", type=float, default=0.25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bins", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="npz path for resume-able runs")
+    p.add_argument("--ticker", default=None,
+                   help="use a ticker's GARCH-bootstrap process instead of "
+                        "parametric GBM")
+    p.add_argument("--period", default="5y")
+    p.add_argument("--provider", default=None)
+
+
+def cmd_var(args) -> int:
+    import numpy as np
+    from montecarlo_tpu.api import portfolio_var
+    from montecarlo_tpu.processes import GBM, GARCHBootstrap
+
+    if args.ticker:
+        from montecarlo_tpu.data import get_stock_data
+
+        data = get_stock_data(args.ticker, args.period,
+                              provider=args.provider)
+        if data is None:
+            print(f"no data for {args.ticker}", file=sys.stderr)
+            return 1
+        s0 = float(data["Close"][-1])
+        returns = np.asarray(data["log_ret"])
+        proc = GARCHBootstrap.create(
+            returns[~np.isnan(returns)], s0=s0,
+            var0=float(data["rvol_20"][-1]) ** 2 / 252.0)
+    else:
+        s0 = args.s0
+        proc = GBM.create(s0=s0, mu=args.mu, sigma=args.sigma, dt=1 / 252)
+
+    out = portfolio_var(
+        proc, args.paths, args.days, s0, seed=args.seed, bins=args.bins,
+        chunk_paths=args.chunk or min(args.paths, 1 << 20),
+        checkpoint_path=args.checkpoint,
+        progress_callback=lambda done, total, se: print(
+            f"  {done:,}/{total:,} paths, std-err {se:.2e}",
+            file=sys.stderr))
+    print(json.dumps(out, default=float))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="montecarlo_tpu",
@@ -204,6 +257,7 @@ def main(argv=None) -> int:
     _add_analyze(sub)
     _add_scan(sub)
     _add_price(sub)
+    _add_var(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
 
@@ -217,6 +271,8 @@ def main(argv=None) -> int:
         return cmd_scan(args)
     if args.cmd == "price":
         return cmd_price(args)
+    if args.cmd == "var":
+        return cmd_var(args)
     if args.cmd == "bench":
         import bench
         bench.main()
