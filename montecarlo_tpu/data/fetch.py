@@ -71,9 +71,18 @@ def _yfinance_ohlcv(ticker: str, period: str) -> Optional[Dict]:
 
 
 def _csv_ohlcv(ticker: str, data_dir: str) -> Optional[Dict]:
+    path = f"{data_dir}/{ticker}.csv"
+    # Native mmap loader first (montecarlo_tpu/native/csv_loader.cc);
+    # pandas as the portable fallback.
+    from montecarlo_tpu.data._native import load_ohlcv_csv
+
+    native = load_ohlcv_csv(path)
+    if native is not None:
+        return native
+
     import pandas as pd
 
-    df = pd.read_csv(f"{data_dir}/{ticker}.csv")
+    df = pd.read_csv(path)
     cols = {c.lower(): c for c in df.columns}
     out = {name: df[cols[name.lower()]].to_numpy(np.float64)
            for name in ("Open", "High", "Low", "Close", "Volume")}

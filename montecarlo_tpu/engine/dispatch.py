@@ -18,6 +18,7 @@ from montecarlo_tpu.ops.fused_engine import LANES, fused_terminal_pallas
 from montecarlo_tpu.processes.garch import GARCHBootstrap
 from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
+from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston)
 _MIN_BLOCK_ROWS = 8
@@ -38,11 +39,14 @@ def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
     engine.  Identical draw streams either way."""
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     rows = _kernel_block_rows(n_paths)
-    if (prefer_fused and on_tpu and sampler is None
+    fusable_sampler = sampler is None or isinstance(sampler,
+                                                    AntitheticSampler)
+    if (prefer_fused and on_tpu and fusable_sampler
             and dtype == jnp.float32 and rows is not None
             and isinstance(process, _FUSABLE)):
-        return fused_terminal_pallas(process, n_paths, n_steps, seed=seed,
-                                     stream=stream, path_offset=path_offset,
-                                     block_rows=rows)
+        return fused_terminal_pallas(
+            process, n_paths, n_steps, seed=seed, stream=stream,
+            path_offset=path_offset, block_rows=rows,
+            antithetic=isinstance(sampler, AntitheticSampler))
     return simulate(process, n_paths, n_steps, seed=seed, stream=stream,
                     sampler=sampler, dtype=dtype, path_offset=path_offset)

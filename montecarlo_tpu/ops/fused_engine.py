@@ -37,7 +37,8 @@ def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
 
 
-def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int):
+def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int,
+                 antithetic: bool):
     def kernel(*refs):
         n_leaves = len(leaf_is_scalar)
         leaf_refs = refs[:n_leaves]
@@ -53,12 +54,30 @@ def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int):
         k0 = scalar_ref[0, 1].astype(jnp.uint32)
         k1 = scalar_ref[0, 2].astype(jnp.uint32)
 
+        if antithetic:
+            # Path 2k+1 mirrors path 2k (same global pair ids as the
+            # AntitheticSampler in the scan engine).
+            draw_ids = ids >> jnp.uint32(1)
+            odd = (ids & jnp.uint32(1)) == 1
+        else:
+            draw_ids = ids
+
+        def get_draws(j):
+            eps0, eps1 = proc.draws_pair(k0, k1, draw_ids, j, jnp.float32)
+            if antithetic:
+                m0, m1 = proc.antithetic(eps0), proc.antithetic(eps1)
+                eps0 = tuple(jnp.where(odd, m, e)
+                             for m, e in zip(m0, eps0))
+                eps1 = tuple(jnp.where(odd, m, e)
+                             for m, e in zip(m1, eps1))
+            return eps0, eps1
+
         state0 = proc.init_state(ids, jnp.float32)
 
         def body(j, state):
             # Both steps of a pair draw from the same cipher calls —
             # draws_pair makes the sharing explicit (no reliance on CSE).
-            eps0, eps1 = proc.draws_pair(k0, k1, ids, j, jnp.float32)
+            eps0, eps1 = get_draws(j)
             t0 = 2 * j
             state = proc.step(state, eps0, t0)
             t1 = 2 * j + 1
@@ -73,15 +92,16 @@ def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_paths", "n_steps", "block_rows", "interpret"))
+    "n_paths", "n_steps", "block_rows", "interpret", "antithetic"))
 def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
                           stream=0, path_offset=0, block_rows: int = 256,
-                          interpret: bool = False):
+                          interpret: bool = False, antithetic: bool = False):
     """Terminal prices for any scalar-state process via one fused kernel.
 
-    Same draw streams as ``simulate(process, ..., mode="terminal")``;
-    results agree with the scan engine to float32 round-off and are bitwise
-    reproducible across block sizes / path offsets / mesh shapes.
+    Same draw streams as ``simulate(process, ..., mode="terminal")`` (with
+    ``sampler=AntitheticSampler()`` when ``antithetic=True``); results agree
+    with the scan engine to float32 round-off and are bitwise reproducible
+    across block sizes / path offsets / mesh shapes.
     """
     block = block_rows * LANES
     if n_paths % block != 0:
@@ -116,7 +136,8 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
     ]).reshape(1, 3)
 
     out = pl.pallas_call(
-        _make_kernel(treedef, leaf_is_scalar, n_steps, block_rows),
+        _make_kernel(treedef, leaf_is_scalar, n_steps, block_rows,
+                     antithetic),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],

@@ -53,3 +53,15 @@ def test_draws_pair_matches_draws():
             for a, b in zip(e0 + e1, d0 + d1):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                               err_msg=name)
+
+
+def test_fused_antithetic_matches_scan_sampler():
+    from montecarlo_tpu.samplers import AntitheticSampler
+
+    proc = _procs()["gbm"]
+    ref = np.asarray(simulate(proc, N, 9, seed=5,
+                              sampler=AntitheticSampler()))
+    ker = np.asarray(fused_terminal_pallas(proc, N, 9, seed=5,
+                                           block_rows=128, interpret=True,
+                                           antithetic=True))
+    np.testing.assert_array_equal(ker, ref)
