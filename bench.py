@@ -7,12 +7,14 @@ TPU v5e.  Prints ONE JSON line.
 
 Methodology: REPS kernel invocations (different seeds) chained by a data
 dependency inside a single jit, timed with one host transfer at the end —
-device-side throughput, free of host<->device relay latency.
+device-side throughput, free of host<->device relay latency.  The same
+program also prices a 1-year European call (maturity folded into dt) as a
+Black-Scholes sanity gate, so the whole benchmark is ONE compiled program
+(cold Mosaic compiles through remote-compile relays are expensive).
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 
@@ -30,7 +32,7 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     if on_tpu:
-        n_paths, n_steps, reps, block_rows = 1 << 20, 1024, 8, 256
+        n_paths, n_steps, reps, block_rows = 1 << 20, 1024, 8, 128
         interpret = False
     else:  # CPU smoke fallback (interpret mode) — numbers not meaningful
         n_paths, n_steps, reps, block_rows = 1 << 15, 64, 2, 64
@@ -40,34 +42,36 @@ def main() -> None:
     from montecarlo_tpu.processes import GBM
     from montecarlo_tpu.engine.payoffs import black_scholes_call
 
-    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 252.0)
+    # Maturity T=1y folded into dt so the benchmark workload is also the
+    # sanity-check workload (one program).
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / n_steps)
+    strike = jnp.float32(105.0)
+    discount = jnp.float32(jnp.exp(-0.03))
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def bench(seed0):
-        def body(i, acc):
-            out = gbm_terminal_pallas(
+        def body(i, carry):
+            acc, _ = carry
+            terminal = gbm_terminal_pallas(
                 proc, n_paths, n_steps, seed=seed0 + i,
                 block_rows=block_rows, interpret=interpret)
-            return acc + out[0]
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+            return acc + terminal[0], terminal
+        z = jnp.float32(0.0)
+        acc, last = jax.lax.fori_loop(
+            0, reps, body, (z, jnp.zeros((n_paths,), jnp.float32)))
+        payoff = jnp.maximum(last - strike, 0.0)
+        return acc, discount * jnp.mean(payoff), discount * jnp.std(payoff)
 
     # Compile + warm up (also smokes the kernel end to end).
-    float(bench(jnp.int32(1)))
+    jax.block_until_ready(tuple(map(float, bench(jnp.int32(1)))))
 
     t0 = time.time()
-    float(bench(jnp.int32(1000)))
+    _, price, payoff_std = map(float, bench(jnp.int32(1000)))
     dt = (time.time() - t0) / reps
     path_steps_per_sec = n_paths * n_steps / dt
 
-    # Sanity: the kernel prices a European call within MC tolerance of
-    # Black-Scholes (T = n_steps/252 years). Guards against benchmarking
-    # garbage.
-    terminal = gbm_terminal_pallas(proc, n_paths, 252, seed=7,
-                                   block_rows=block_rows,
-                                   interpret=interpret)
-    payoff = jnp.maximum(terminal - 105.0, 0.0)
-    price = float(jnp.exp(-0.03) * jnp.mean(payoff))
-    se = float(jnp.exp(-0.03) * jnp.std(payoff) / jnp.sqrt(n_paths * 1.0))
+    # Black-Scholes sanity gate — guards against benchmarking garbage.
+    se = payoff_std / float(jnp.sqrt(n_paths * 1.0))
     bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
     assert abs(price - bs) < 5 * se + 1e-3, (price, bs, se)
 

@@ -25,8 +25,9 @@ _MIN_BLOCK_ROWS = 8
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:
-    """Largest supported block_rows (<=256) that divides the path count."""
-    for rows in (256, 128, 64, 32, 16, 8):
+    """Best block_rows that divides the path count (128 is the measured
+    v5e sweet spot; see README benchmarks)."""
+    for rows in (128, 64, 256, 32, 16, 8):
         if n_paths % (rows * LANES) == 0:
             return rows
     return None

@@ -94,7 +94,7 @@ def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int,
 @functools.partial(jax.jit, static_argnames=(
     "n_paths", "n_steps", "block_rows", "interpret", "antithetic"))
 def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
-                          stream=0, path_offset=0, block_rows: int = 256,
+                          stream=0, path_offset=0, block_rows: int = 128,
                           interpret: bool = False, antithetic: bool = False):
     """Terminal prices for any scalar-state process via one fused kernel.
 

@@ -109,7 +109,7 @@ def _gbm_kernel(params_ref, scalar_ref, out_ref, *, n_steps: int,
 @functools.partial(jax.jit, static_argnames=(
     "n_paths", "n_steps", "block_rows", "rng", "interpret"))
 def gbm_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
-                        stream=0, path_offset=0, block_rows: int = 256,
+                        stream=0, path_offset=0, block_rows: int = 128,
                         rng: str = "threefry", interpret: bool = False):
     """Terminal GBM prices via the fused Pallas kernel.
 
