@@ -1,0 +1,95 @@
+"""Report rendering and CLI plumbing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from montecarlo_tpu import report
+from montecarlo_tpu.api import analyze_ticker, scan_tickers
+from montecarlo_tpu.config import ModelConfig
+
+
+@pytest.fixture(scope="module")
+def analysis():
+    out = analyze_ticker("AAPL", forecast_horizon=20, n_sims=500,
+                         run_backtest=True, period="3y",
+                         model_config=ModelConfig.fast(),
+                         provider="synthetic")
+    assert out is not None
+    return out
+
+
+def test_analysis_report_contains_all_sections(analysis):
+    text = report.analysis_report(analysis)
+    for token in ("Direction Accuracy", "Monte Carlo", "Expected Return",
+                  "VaR 95%", "p50", "Backtest", "Sharpe Ratio",
+                  "Top Features", "CV Folds"):
+        assert token in text, token
+
+
+def test_report_edge_banner(analysis):
+    text = report.header_metrics(analysis["results"])
+    assert ("PREDICTIVE EDGE" in text) == analysis["results"]["has_edge"]
+
+
+def test_scan_report_sections():
+    scan = scan_tickers(["AAPL", "MSFT"], forecast_horizon=20,
+                        config=ModelConfig.fast(), period="3y",
+                        provider="synthetic", parallel=False)
+    text = report.scan_report(scan, 2, min_accuracy=50.0)
+    assert "Scan complete" in text
+    assert "attempted 2" in text
+
+
+def test_cli_price_json(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["price", "--paths", "16384", "--steps", "16",
+                   "--sampler", "antithetic"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["price"] - out["black_scholes"]) < 5 * out["std_err"] + 0.02
+    assert out["n_paths"] == 16384
+
+
+def test_cli_analyze_json(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["analyze", "GOOGL", "--json", "--provider", "synthetic",
+                   "--period", "3y", "--cv-folds", "3", "--estimators",
+                   "50", "--sims", "500", "--no-backtest"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ticker"] == "GOOGL"
+    assert "directional_accuracy" in out["results"]
+    assert "var_95" in out["mc"]
+
+
+def test_cli_scan_json(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["scan", "--tickers", "AAPL,MSFT", "--mode", "fast",
+                   "--provider", "synthetic", "--json", "--sequential"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["summary"]["attempted"] == 2
+
+
+def test_cli_analyze_failure_exit_code():
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["analyze", "SHORT", "--provider", "synthetic",
+                   "--period", "1y"])
+    assert rc == 1
+
+
+def test_dispatch_falls_back_on_cpu():
+    """On the CPU test platform the dispatcher must use the scan engine."""
+    from montecarlo_tpu.engine import simulate, terminal_prices
+    from montecarlo_tpu.processes import GBM
+
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1 / 252)
+    a = np.asarray(terminal_prices(proc, 2048, 8, seed=3))
+    b = np.asarray(simulate(proc, 2048, 8, seed=3))
+    np.testing.assert_array_equal(a, b)
