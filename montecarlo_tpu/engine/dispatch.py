@@ -18,9 +18,10 @@ from montecarlo_tpu.ops.fused_engine import LANES, fused_terminal_pallas
 from montecarlo_tpu.processes.garch import GARCHBootstrap
 from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
+from montecarlo_tpu.processes.basket import BasketGBM
 from montecarlo_tpu.samplers import AntitheticSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston)
+_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM)
 _MIN_BLOCK_ROWS = 8
 
 

@@ -11,3 +11,4 @@ from montecarlo_tpu.processes.garch import (  # noqa: F401
 )
 from montecarlo_tpu.processes.multi_gbm import MultiGBM, MultiGBMState  # noqa: F401
 from montecarlo_tpu.processes.heston import Heston, HestonState  # noqa: F401
+from montecarlo_tpu.processes.basket import BasketGBM  # noqa: F401

@@ -65,3 +65,27 @@ def test_fused_antithetic_matches_scan_sampler():
                                            block_rows=128, interpret=True,
                                            antithetic=True))
     np.testing.assert_array_equal(ker, ref)
+
+
+def test_basket_fused_matches_multigbm():
+    """BasketGBM (tuple state, unrolled Cholesky) vs MultiGBM (matmul)."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.processes import BasketGBM, MultiGBM
+
+    corr = np.array([[1.0, 0.5, 0.2], [0.5, 1.0, 0.4], [0.2, 0.4, 1.0]])
+    kw = dict(s0=[100.0, 50.0, 75.0], mu=[0.03, 0.02, 0.04],
+              sigma=[0.2, 0.3, 0.25], corr=corr, dt=1 / 252)
+    w = np.array([0.5, 0.3, 0.2])
+    basket = BasketGBM.create(weights=w, **kw)
+    multi = MultiGBM.create(**kw)
+
+    n, T = 128 * 128, 16
+    b_scan = np.asarray(simulate(basket, n, T, seed=5))
+    m_term = np.asarray(simulate(multi, n, T, seed=5))
+    np.testing.assert_allclose(b_scan, m_term @ w, rtol=2e-5)
+
+    b_fused = np.asarray(fused_terminal_pallas(basket, n, T, seed=5,
+                                               block_rows=128,
+                                               interpret=True))
+    np.testing.assert_array_equal(b_fused, b_scan)
