@@ -14,3 +14,8 @@ from montecarlo_tpu.rng.normal import (  # noqa: F401
     uniform_draw,
     uniform_from_bits,
 )
+from montecarlo_tpu.rng.sobol import (  # noqa: F401
+    SobolDeviceSampler,
+    direction_numbers,
+    sobol_bits,
+)

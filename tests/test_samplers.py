@@ -77,3 +77,46 @@ def test_antithetic_stream_shard_invariant():
     shard = np.asarray(sharded_terminal(_gbm(), n, 8, seed=2, mesh=mesh,
                                         sampler=AntitheticSampler()))
     np.testing.assert_array_equal(full, shard)
+
+
+def test_device_sobol_bits_match_scipy():
+    """On-device Gray-code construction == scipy's Sobol points, bitwise."""
+    import jax.numpy as jnp
+    from scipy.stats import qmc
+
+    from montecarlo_tpu.rng.sobol import BITS, direction_numbers, sobol_bits
+
+    dims, n = 5, 64
+    sv = direction_numbers(dims)
+    ref = qmc.Sobol(d=dims, scramble=False, bits=BITS).random(n)
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    for d in range(dims):
+        x = np.asarray(sobol_bits(jnp.asarray(sv[d]), ids))
+        np.testing.assert_allclose(x / 2.0**BITS, ref[:, d], atol=2**-BITS)
+
+
+def test_device_sobol_sampler_variance_reduction():
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    n, steps = 2048, N_STEPS
+    sob_ests = []
+    for rep in range(10):
+        sampler = SobolDeviceSampler.create(steps, 1)
+        s_t = simulate(_gbm(), n, steps, seed=100, stream=rep,
+                       sampler=sampler)
+        sob_ests.append(float(np.mean(np.asarray(european_call(s_t,
+                                                               STRIKE)))))
+    plain_std, plain_mean = _estimator_std(lambda r: PlainSampler(), n, 10)
+    assert np.std(sob_ests) < plain_std
+    assert abs(np.mean(sob_ests) - plain_mean) < 5 * (plain_std + 1e-9) + 0.05
+
+
+def test_device_sobol_shard_invariant():
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    sampler = SobolDeviceSampler.create(8, 1)
+    n = 4096
+    full = np.asarray(simulate(_gbm(), n, 8, seed=2, sampler=sampler))
+    parts = [np.asarray(simulate(_gbm(), n // 2, 8, seed=2, sampler=sampler,
+                                 path_offset=o)) for o in (0, n // 2)]
+    np.testing.assert_array_equal(full, np.concatenate(parts))
