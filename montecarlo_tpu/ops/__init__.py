@@ -3,3 +3,4 @@ XLA/Mosaic's C++ stack; the reference has no in-repo native code to mirror,
 see SURVEY.md §2.2)."""
 
 from montecarlo_tpu.ops.gbm_kernel import gbm_terminal_pallas  # noqa: F401
+from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas  # noqa: F401
