@@ -55,6 +55,7 @@ class GBTModel(NamedTuple):
     split_feature: jnp.ndarray  # (T, n_internal) int32
     split_bin: jnp.ndarray      # (T, n_internal) int32 (bin <= thr -> left)
     leaf_value: jnp.ndarray     # (T, n_leaves) f32, learning rate folded in
+    split_gain: jnp.ndarray     # (T, n_internal) f32, 0 where no split
 
 
 def _soft_threshold(g, alpha):
@@ -116,6 +117,7 @@ def _build_tree(xbin, g, h, feat_mask, cfg: GBTConfig):
 
     split_feature = jnp.zeros((n_internal,), jnp.int32)
     split_bin = jnp.full((n_internal,), N_BINS, jnp.int32)  # all -> left
+    split_gain = jnp.zeros((n_internal,), g.dtype)
     node = jnp.zeros((n,), jnp.int32)  # node id within the current level
 
     for depth in range(max_depth):
@@ -162,6 +164,8 @@ def _build_tree(xbin, g, h, feat_mask, cfg: GBTConfig):
         idx = level_base + jnp.arange(n_nodes)
         split_feature = split_feature.at[idx].set(best_feat)
         split_bin = split_bin.at[idx].set(best_bin)
+        split_gain = split_gain.at[idx].set(
+            jnp.where(no_split, 0.0, best_gain))
 
         # Route samples.
         sample_bin = jnp.take_along_axis(xbin, best_feat[node][:, None],
@@ -175,7 +179,7 @@ def _build_tree(xbin, g, h, feat_mask, cfg: GBTConfig):
     leaf_h = jax.ops.segment_sum(h, node, num_segments=n_leaves)
     leaf_value = (_leaf_weight(leaf_g, leaf_h, alpha, lam)
                   * cfg.learning_rate)
-    return split_feature, split_bin, leaf_value
+    return split_feature, split_bin, leaf_value, split_gain
 
 
 def _predict_binned(xbin, split_feature, split_bin, leaf_value,
@@ -232,17 +236,17 @@ def gbt_fit(x, y, cfg: GBTConfig, *, weights=None, seed=0) -> GBTModel:
 
         grad = (pred - y) * sub_w
         hess = sub_w
-        sf, sb, lv = _build_tree(xbin, grad, hess, feat_mask, cfg)
+        sf, sb, lv, sg = _build_tree(xbin, grad, hess, feat_mask, cfg)
         pred = pred + _predict_binned(xbin, sf, sb, lv, cfg.max_depth)
-        return pred, (sf, sb, lv)
+        return pred, (sf, sb, lv, sg)
 
     init_pred = jnp.full((n,), base, jnp.float32)
     # Fold the seed into the subsample streams via the tree index offset.
     t_idx = (jnp.arange(cfg.n_estimators, dtype=jnp.int32)
              + jnp.asarray(seed, jnp.int32) * 65536)
-    _, (sfs, sbs, lvs) = jax.lax.scan(boost, init_pred, t_idx)
+    _, (sfs, sbs, lvs, sgs) = jax.lax.scan(boost, init_pred, t_idx)
     return GBTModel(edges=edges, base=base, split_feature=sfs,
-                    split_bin=sbs, leaf_value=lvs)
+                    split_bin=sbs, leaf_value=lvs, split_gain=sgs)
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -262,13 +266,24 @@ def gbt_predict(model: GBTModel, x, *, max_depth: int = 3):
     return pred
 
 
-def gbt_feature_importance(model: GBTModel, n_features: int):
-    """Split-count importance, normalized — the shape XGBoost reports by
-    default (reference reads `.feature_importances_`, app.py:563-566)."""
+def gbt_feature_importance(model: GBTModel, n_features: int,
+                           kind: str = "gain"):
+    """Normalized feature importances (reference reads
+    `.feature_importances_`, app.py:563-566).
+
+    ``kind="gain"`` (total split gain, modern XGBoost's default) or
+    ``kind="split"`` (split counts).
+    """
     is_split = model.split_bin < N_BINS
+    if kind == "gain":
+        weight = jnp.where(is_split, model.split_gain, 0.0)
+    elif kind == "split":
+        weight = jnp.where(is_split, 1.0, 0.0)
+    else:
+        raise ValueError(f"unknown importance kind: {kind}")
     counts = jax.ops.segment_sum(
-        jnp.where(is_split, 1.0, 0.0).reshape(-1),
+        weight.reshape(-1),
         model.split_feature.reshape(-1).astype(jnp.int32),
         num_segments=n_features)
-    total = jnp.maximum(jnp.sum(counts), 1.0)
+    total = jnp.maximum(jnp.sum(counts), 1e-12)
     return counts / total

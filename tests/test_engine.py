@@ -129,3 +129,23 @@ def test_heston_reduces_to_gbm_when_xi_zero():
     log_ret = np.log(s_h / S0)
     assert abs(log_ret.mean() - (R - 0.5 * v0) * T_YEARS) < 4 * SIGMA / np.sqrt(n)
     assert abs(log_ret.std() - SIGMA) < 0.01
+
+
+def test_heston_matches_semianalytic_price():
+    """Full-truncation Euler vs the characteristic-function price."""
+    import warnings
+
+    from tests.oracles import heston_call_price
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # quad roundoff warning
+        analytic = heston_call_price(100.0, 105.0, 1.0, 0.03, 0.04,
+                                     2.0, 0.04, 0.5, -0.7)
+    n, steps = 1 << 16, 128
+    proc = Heston.create(s0=100.0, v0=0.04, mu=0.03, kappa=2.0, theta=0.04,
+                         xi=0.5, rho=-0.7, dt=1.0 / steps)
+    s_t = np.asarray(simulate(proc, n, steps, seed=21))
+    payoff = np.maximum(s_t - 105.0, 0.0) * np.exp(-0.03)
+    price, se = payoff.mean(), payoff.std() / np.sqrt(n)
+    # 4 sigma MC tolerance + a small Euler discretization-bias allowance.
+    assert abs(price - analytic) < 4 * se + 0.03, (price, analytic, se)
