@@ -16,3 +16,8 @@ from montecarlo_tpu.engine.path_sketch import (  # noqa: F401
     percentiles_from_histograms,
     sharded_path_percentiles,
 )
+from montecarlo_tpu.engine.greeks import (  # noqa: F401
+    black_scholes_delta,
+    black_scholes_vega,
+    price_and_greeks,
+)

@@ -62,7 +62,12 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
         z_v = rho * z1 + jnp.sqrt(1.0 - jnp.square(rho)) * z2
         dt = self.dt.astype(dtype)
         v_plus = jnp.maximum(state.v, 0.0)
-        sq_vdt = jnp.sqrt(v_plus * dt)
+        # Double-where guards the sqrt's gradient singularity at v == 0
+        # (pathwise Greeks differentiate through this step; sqrt'(0) = inf
+        # would poison the whole reverse pass with NaNs).
+        positive = v_plus > 0
+        v_safe = jnp.where(positive, v_plus, 1.0)
+        sq_vdt = jnp.where(positive, jnp.sqrt(v_safe * dt), 0.0)
         log_s = (state.log_s
                  + (self.mu.astype(dtype) - 0.5 * v_plus) * dt
                  + sq_vdt * z1)

@@ -1,0 +1,58 @@
+"""Pathwise Greeks via autodiff vs Black-Scholes closed forms."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.greeks import (
+    black_scholes_delta,
+    black_scholes_vega,
+    price_and_greeks,
+)
+from montecarlo_tpu.engine import black_scholes_call, european_call
+from montecarlo_tpu.processes import GBM, Heston
+
+S0, R, SIGMA, STRIKE = 100.0, 0.03, 0.2, 105.0
+N_STEPS = 64
+T = N_STEPS / 252.0
+
+
+def test_gbm_delta_vega_match_black_scholes():
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    n = 1 << 17
+    price, grads = price_and_greeks(
+        proc, lambda s: european_call(s, STRIKE), n, N_STEPS, seed=3,
+        discount=float(np.exp(-R * T)))
+    bs = float(black_scholes_call(S0, STRIKE, R, SIGMA, T))
+    assert abs(float(price) - bs) < 0.05
+    delta = float(grads.s0)
+    vega = float(grads.sigma)
+    bs_delta = float(black_scholes_delta(S0, STRIKE, R, SIGMA, T))
+    bs_vega = float(black_scholes_vega(S0, STRIKE, R, SIGMA, T))
+    assert abs(delta - bs_delta) < 0.01, (delta, bs_delta)
+    assert abs(vega - bs_vega) / bs_vega < 0.03, (vega, bs_vega)
+
+
+def test_greeks_use_common_random_numbers():
+    """Same seed -> the gradient is the derivative of THIS price estimate:
+    a tiny parameter bump reprices consistently (CRN pathwise property)."""
+    n, eps = 1 << 15, 1e-2
+    mk = lambda s0: GBM.create(s0=s0, mu=R, sigma=SIGMA, dt=1 / 252)
+    p0, grads = price_and_greeks(mk(S0), lambda s: european_call(s, STRIKE),
+                                 n, N_STEPS, seed=7)
+    p_up, _ = price_and_greeks(mk(S0 + eps),
+                               lambda s: european_call(s, STRIKE),
+                               n, N_STEPS, seed=7)
+    fd_delta = (float(p_up) - float(p0)) / eps
+    assert abs(fd_delta - float(grads.s0)) < 2e-3
+
+
+def test_heston_greeks_finite():
+    proc = Heston.create(s0=S0, v0=0.04, mu=R, kappa=2.0, theta=0.04,
+                         xi=0.5, rho=-0.7, dt=1 / 252)
+    price, grads = price_and_greeks(
+        proc, lambda s: european_call(s, STRIKE), 1 << 14, N_STEPS, seed=5)
+    assert float(price) > 0
+    # Delta in (0, 1) for a call; vega-like sensitivities finite.
+    assert 0.0 < float(grads.s0) < 1.0
+    for leaf in [grads.v0, grads.kappa, grads.theta, grads.xi, grads.rho]:
+        assert np.isfinite(float(leaf))
