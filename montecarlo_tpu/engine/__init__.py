@@ -21,3 +21,16 @@ from montecarlo_tpu.engine.greeks import (  # noqa: F401
     black_scholes_vega,
     price_and_greeks,
 )
+from montecarlo_tpu.engine.functionals import (  # noqa: F401
+    ARITH_MEAN,
+    GEO_MEAN,
+    RUNNING_MAX,
+    RUNNING_MIN,
+    PathFunctional,
+    asian_call,
+    down_and_out_call,
+    lookback_call_floating,
+    simulate_functionals,
+    up_and_out_call,
+)
+from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401

@@ -1,0 +1,159 @@
+"""Path functionals: running statistics accumulated inside the scan.
+
+Path-dependent payoffs (Asian averages, barrier breaches, lookbacks) need
+per-path running statistics over the whole trajectory.  Materializing the
+(T+1, N) path array for that is exactly the memory pattern this framework
+avoids — instead, functionals fold into the simulation scan and memory stays
+O(paths):
+
+    result = simulate_functionals(proc, N, T, seed=...,
+                                  functionals={"avg": ARITH_MEAN,
+                                               "max": RUNNING_MAX})
+    result["terminal"], result["avg"], result["max"]
+
+Each functional is (init, update, finalize) over per-step prices.  All are
+pure elementwise ops, so the whole thing stays one fused device program and
+inherits the engine's shard-invariance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.simulate import path_ids_for
+from montecarlo_tpu.samplers import PlainSampler
+
+
+class PathFunctional(NamedTuple):
+    """(init, update, finalize) fold over per-step prices.
+
+    init(s0_prices) -> acc;  update(acc, prices, t) -> acc;
+    finalize(acc, n_steps) -> value.  ``t`` is the 1-based step index of the
+    price being folded (the spot is folded by ``init``).
+    """
+
+    init: callable
+    update: callable
+    finalize: callable
+
+
+#: Arithmetic mean of the T+1 observations (spot included) — Asian options.
+ARITH_MEAN = PathFunctional(
+    init=lambda s: s,
+    update=lambda acc, s, t: acc + s,
+    finalize=lambda acc, n_steps: acc / (n_steps + 1.0),
+)
+
+#: Geometric mean of the T+1 observations — has a closed form under GBM.
+GEO_MEAN = PathFunctional(
+    init=lambda s: jnp.log(s),
+    update=lambda acc, s, t: acc + jnp.log(s),
+    finalize=lambda acc, n_steps: jnp.exp(acc / (n_steps + 1.0)),
+)
+
+#: Running maximum / minimum — barriers and lookbacks.
+RUNNING_MAX = PathFunctional(
+    init=lambda s: s,
+    update=lambda acc, s, t: jnp.maximum(acc, s),
+    finalize=lambda acc, n_steps: acc,
+)
+RUNNING_MIN = PathFunctional(
+    init=lambda s: s,
+    update=lambda acc, s, t: jnp.minimum(acc, s),
+    finalize=lambda acc, n_steps: acc,
+)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
+                                   "dtype", "functional_items"))
+def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
+                          dtype, path_offset, functional_items):
+    names = [k for k, _ in functional_items]
+    fns = [f for _, f in functional_items]
+    if sampler is None:
+        sampler = PlainSampler()
+    ids = path_ids_for(n_paths, path_offset)
+    state0 = process.init_state(ids, dtype)
+    s0_prices = process.prices(state0)
+    accs0 = tuple(f.init(s0_prices) for f in fns)
+
+    def body(carry, t):
+        state, accs = carry
+        eps = sampler.draws(process, seed, stream, ids, t, dtype)
+        state = process.step(state, eps, t)
+        prices = process.prices(state)
+        accs = tuple(f.update(a, prices, t + 1)
+                     for f, a in zip(fns, accs))
+        return (state, accs), None
+
+    (final_state, accs), _ = jax.lax.scan(
+        body, (state0, accs0), jnp.arange(n_steps, dtype=jnp.int32))
+    out = {"terminal": process.prices(final_state)}
+    for name, f, a in zip(names, fns, accs):
+        out[name] = f.finalize(a, float(n_steps))
+    return out
+
+
+def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
+                         functionals: Dict[str, PathFunctional],
+                         stream: int = 0, sampler=None, dtype=jnp.float32,
+                         path_offset=0):
+    """Terminal prices plus named path functionals, O(paths) memory."""
+    return _simulate_functionals(process, n_paths, n_steps, seed, stream,
+                                 sampler, dtype, path_offset,
+                                 tuple(functionals.items()))
+
+
+# --- payoffs over functionals ------------------------------------------------
+
+def asian_call(avg, strike):
+    return jnp.maximum(avg - strike, 0.0)
+
+
+def up_and_out_call(terminal, running_max, strike, barrier):
+    """Knocked out if the (discretely monitored) max breached the barrier."""
+    alive = running_max < barrier
+    return jnp.where(alive, jnp.maximum(terminal - strike, 0.0), 0.0)
+
+
+def down_and_out_call(terminal, running_min, strike, barrier):
+    alive = running_min > barrier
+    return jnp.where(alive, jnp.maximum(terminal - strike, 0.0), 0.0)
+
+
+def lookback_call_floating(terminal, running_min):
+    """Floating-strike lookback call: S_T - min S_t."""
+    return terminal - running_min
+
+
+def geometric_asian_call_closed_form(s0, strike, r, sigma, T, n_steps):
+    """Closed form for the discretely-monitored geometric Asian call under
+    GBM (the geometric mean of lognormals is lognormal).
+
+    Monitoring at the N+1 equally spaced times 0, T/N, ..., T (spot
+    included), matching GEO_MEAN over the engine's T+1 observations.
+    """
+    import numpy as np
+
+    n = n_steps
+    dt = T / n
+    times = np.arange(0, n + 1) * dt
+    m = len(times)
+    mu_g = (r - 0.5 * sigma**2) * times.mean()
+    # Var of mean of correlated BMs: cov(W_ti, W_tj) = min(ti, tj).
+    cov_sum = 0.0
+    for i in range(m):
+        for j in range(m):
+            cov_sum += min(times[i], times[j])
+    var_g = sigma**2 * cov_sum / m**2
+    sd_g = np.sqrt(var_g)
+    from scipy.stats import norm
+
+    d1 = (np.log(s0 / strike) + mu_g + var_g) / sd_g
+    d2 = d1 - sd_g
+    fwd = s0 * np.exp(mu_g + 0.5 * var_g)
+    return np.exp(-r * T) * (fwd * norm.cdf(d1) - strike * norm.cdf(d2))

@@ -1,0 +1,90 @@
+"""Path functionals, exotic payoffs, implied vol."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine import simulate
+from montecarlo_tpu.engine.functionals import (
+    ARITH_MEAN,
+    GEO_MEAN,
+    RUNNING_MAX,
+    RUNNING_MIN,
+    asian_call,
+    down_and_out_call,
+    geometric_asian_call_closed_form,
+    lookback_call_floating,
+    simulate_functionals,
+    up_and_out_call,
+)
+from montecarlo_tpu.engine.implied_vol import implied_vol_call
+from montecarlo_tpu.engine.payoffs import black_scholes_call
+from montecarlo_tpu.processes import GBM
+
+S0, R, SIGMA, STRIKE = 100.0, 0.03, 0.2, 100.0
+N_STEPS = 64
+T = N_STEPS / 252.0
+
+
+def _gbm():
+    return GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+
+
+def test_functionals_match_materialized_paths():
+    n = 4096
+    out = simulate_functionals(
+        _gbm(), n, N_STEPS, seed=5,
+        functionals={"avg": ARITH_MEAN, "geo": GEO_MEAN,
+                     "max": RUNNING_MAX, "min": RUNNING_MIN})
+    paths = np.asarray(simulate(_gbm(), n, N_STEPS, seed=5, mode="paths"))
+    np.testing.assert_array_equal(np.asarray(out["terminal"]), paths[-1])
+    np.testing.assert_allclose(np.asarray(out["avg"]), paths.mean(axis=0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["geo"]),
+                               np.exp(np.log(paths).mean(axis=0)), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["max"]), paths.max(axis=0))
+    np.testing.assert_array_equal(np.asarray(out["min"]), paths.min(axis=0))
+
+
+def test_geometric_asian_matches_closed_form():
+    n = 1 << 17
+    out = simulate_functionals(_gbm(), n, N_STEPS, seed=9,
+                               functionals={"geo": GEO_MEAN})
+    payoff = np.asarray(asian_call(out["geo"], STRIKE)) * np.exp(-R * T)
+    price, se = payoff.mean(), payoff.std() / np.sqrt(n)
+    analytic = geometric_asian_call_closed_form(S0, STRIKE, R, SIGMA, T,
+                                                N_STEPS)
+    assert abs(price - analytic) < 4 * se, (price, analytic, se)
+
+
+def test_barrier_payoffs_sane():
+    n = 1 << 15
+    out = simulate_functionals(
+        _gbm(), n, N_STEPS, seed=3,
+        functionals={"max": RUNNING_MAX, "min": RUNNING_MIN})
+    vanilla = np.asarray(jnp.maximum(out["terminal"] - STRIKE, 0.0))
+    uo = np.asarray(up_and_out_call(out["terminal"], out["max"], STRIKE,
+                                    barrier=115.0))
+    do = np.asarray(down_and_out_call(out["terminal"], out["min"], STRIKE,
+                                      barrier=90.0))
+    # Knocked-out payoffs are dominated by the vanilla, and the barriers
+    # actually bite.
+    assert np.all(uo <= vanilla + 1e-6) and uo.mean() < vanilla.mean()
+    assert np.all(do <= vanilla + 1e-6) and do.mean() < vanilla.mean()
+    # Up-and-out pays zero precisely on breached paths.
+    assert np.all(uo[np.asarray(out["max"]) >= 115.0] == 0.0)
+    lb = np.asarray(lookback_call_floating(out["terminal"], out["min"]))
+    assert np.all(lb >= -1e-5)
+    assert lb.mean() > vanilla.mean()  # floating lookback dominates ATM call
+
+
+def test_implied_vol_roundtrip():
+    sigmas = np.array([0.1, 0.2, 0.35, 0.6])
+    strikes = np.array([80.0, 100.0, 120.0, 95.0])
+    prices = np.asarray(black_scholes_call(S0, strikes, R, sigmas, 1.0))
+    iv = np.asarray(implied_vol_call(prices, S0, strikes, R, 1.0))
+    np.testing.assert_allclose(iv, sigmas, atol=1e-6)
+
+
+def test_implied_vol_rejects_arbitrage():
+    iv = implied_vol_call(jnp.asarray([0.0, 150.0]), S0, 100.0, R, 1.0)
+    assert np.all(np.isnan(np.asarray(iv)))
