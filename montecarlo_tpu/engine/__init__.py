@@ -34,3 +34,4 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     up_and_out_call,
 )
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
+from montecarlo_tpu.engine.american import binomial_american_put, lsm_price  # noqa: F401
