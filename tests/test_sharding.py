@@ -99,3 +99,15 @@ def test_sketch_bitwise_invariant_across_mesh_shapes():
     for counts, mean in results[1:]:
         np.testing.assert_array_equal(counts, results[0][0])
         assert mean == results[0][1]
+
+
+def test_two_axis_mesh_paths_sharding():
+    """A 2-D (paths x assets) mesh: estimates still bitwise-match 1-D."""
+    mesh2d = make_mesh(n_path_shards=4, n_asset_shards=2)
+    assert mesh2d.shape == {"paths": 4, "assets": 2}
+    est = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                              mesh=mesh2d, block_size=BLOCK)
+    ref = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                              mesh=make_mesh(1), block_size=BLOCK)
+    assert float(est["price"]) == float(ref["price"])
+    assert float(est["std_err"]) == float(ref["std_err"])
