@@ -29,12 +29,16 @@ from montecarlo_tpu.stats.risk import path_percentiles, terminal_statistics
 def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
                       current_price: float, progress_callback=None,
                       seed: int = 0, dtype=jnp.float32,
-                      keep_paths: bool = True) -> Optional[Dict]:
+                      keep_paths: bool = True,
+                      fit_params: bool = False) -> Optional[Dict]:
     """Bootstrap-GARCH Monte Carlo with the reference's result contract.
 
     Returns None when fewer than 100 return observations exist
     (app.py:594-595).  ``keep_paths=False`` skips materializing the full
     path array (terminal statistics only) for large ``n_sims``.
+    ``fit_params=True`` replaces the reference's hardcoded omega/alpha/beta
+    (app.py:601-603) with a Gaussian-QMLE fit to the return history
+    (processes/garch_fit.py).
     """
     returns = np.asarray(data["log_ret"], np.float64)
     returns = returns[~np.isnan(returns)]
@@ -44,8 +48,14 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         progress_callback("Running Monte Carlo simulation...")
 
     var0 = float(np.asarray(data["rvol_20"])[-1]) ** 2 / 252.0
+    garch_kw = {}
+    if fit_params:
+        from montecarlo_tpu.processes.garch_fit import fit_garch
+
+        est = fit_garch(returns)
+        garch_kw = dict(omega=est.omega, alpha=est.alpha, beta=est.beta)
     proc = GARCHBootstrap.create(returns, s0=current_price, var0=var0,
-                                 dtype=dtype)
+                                 dtype=dtype, **garch_kw)
 
     if keep_paths:
         paths = simulate(proc, n_sims, n_days, seed=seed, mode="paths",

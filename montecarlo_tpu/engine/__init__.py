@@ -1,6 +1,6 @@
 """Path-simulation engine, payoffs, and MC estimators."""
 
-from montecarlo_tpu.engine.simulate import path_ids_for, simulate  # noqa: F401
+from montecarlo_tpu.engine.simulate import path_ids_for, replay_paths, simulate  # noqa: F401
 from montecarlo_tpu.engine.dispatch import terminal_prices  # noqa: F401
 from montecarlo_tpu.engine.payoffs import (  # noqa: F401
     basket_call,

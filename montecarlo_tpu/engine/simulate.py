@@ -69,3 +69,34 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
         first = process.prices(state0)[None]
         return jnp.concatenate([first, outs], axis=0)
     return process.prices(final_state)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "seed", "stream", "mode",
+                                   "dtype"))
+def replay_paths(process, path_ids, n_steps: int, *, seed: int,
+                 stream: int = 0, sampler=None, mode: str = "terminal",
+                 dtype=jnp.float32):
+    """Re-simulate an *arbitrary set* of global path ids, bit-exactly.
+
+    The failure-recovery primitive: counter-based draws mean any subset of a
+    run (a failed shard, a suspicious outlier path, an audit sample) can be
+    regenerated independently, with no saved RNG state — pass the global ids
+    and the original seed.  Matches `simulate`'s values elementwise.
+    """
+    if sampler is None:
+        sampler = PlainSampler()
+    ids = jnp.asarray(path_ids, jnp.uint32)
+    state0 = process.init_state(ids, dtype)
+
+    def body(state, t):
+        eps = sampler.draws(process, seed, stream, ids, t, dtype)
+        new_state = process.step(state, eps, t)
+        out = process.prices(new_state) if mode == "paths" else None
+        return new_state, out
+
+    final_state, outs = jax.lax.scan(body, state0,
+                                     jnp.arange(n_steps, dtype=jnp.int32))
+    if mode == "paths":
+        first = process.prices(state0)[None]
+        return jnp.concatenate([first, outs], axis=0)
+    return process.prices(final_state)

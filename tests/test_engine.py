@@ -149,3 +149,14 @@ def test_heston_matches_semianalytic_price():
     price, se = payoff.mean(), payoff.std() / np.sqrt(n)
     # 4 sigma MC tolerance + a small Euler discretization-bias allowance.
     assert abs(price - analytic) < 4 * se + 0.03, (price, analytic, se)
+
+
+def test_replay_arbitrary_paths_bit_exact():
+    """Any subset of a run regenerates bit-exactly from ids + seed alone —
+    the failure-recovery / audit primitive."""
+    from montecarlo_tpu.engine import replay_paths
+
+    full = np.asarray(simulate(_gbm(), 4096, 16, seed=5))
+    ids = jnp.asarray([0, 17, 1000, 4095, 2048], jnp.uint32)
+    replayed = np.asarray(replay_paths(_gbm(), ids, 16, seed=5))
+    np.testing.assert_array_equal(replayed, full[np.asarray(ids)])
