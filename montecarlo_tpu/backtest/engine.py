@@ -141,81 +141,87 @@ class WalkForwardBacktester:
         # --- the event loop --------------------------------------------------
         outs = _trade_scan(jnp.asarray(close[test_days]),
                            jnp.asarray(signals), self.config)
-        (equity, returns, positions, closes, close_dir, entry_px, exit_px,
-         trade_ret, pnl, entry_day) = (np.asarray(o) for o in outs)
+        return assemble_results(outs, dates[test_days], self.config)
 
-        # --- trade log (app.py:787-795) --------------------------------------
-        trades = []
-        for i in np.nonzero(closes)[0]:
-            trades.append({
-                "entry_date": dates[test_days[int(entry_day[i])]],
-                "exit_date": dates[test_days[i]],
-                "direction": "LONG" if close_dir[i] == 1 else "SHORT",
-                "entry_price": float(entry_px[i]),
-                "exit_price": float(exit_px[i]),
-                "return": float(trade_ret[i]) * 100.0,
-                "pnl": float(pnl[i]),
-            })
 
-        # --- metrics (app.py:815-858) -----------------------------------------
-        current_capital = float(equity[-1])
-        returns_arr = returns.astype(np.float64)
-        equity_arr = equity.astype(np.float64)
+def assemble_results(outs, test_dates, config: TradingConfig) -> Dict:
+    """Trade log + the reference's risk-metric suite (app.py:787-882) from
+    the trade-scan outputs — shared by the single and batched backtests."""
+    (equity, returns, positions, closes, close_dir, entry_px, exit_px,
+     trade_ret, pnl, entry_day) = (np.asarray(o) for o in outs)
 
-        running_max = np.maximum.accumulate(equity_arr)
-        drawdowns = (running_max - equity_arr) / running_max
+    # --- trade log (app.py:787-795) --------------------------------------
+    trades = []
+    for i in np.nonzero(closes)[0]:
+        trades.append({
+            "entry_date": test_dates[int(entry_day[i])],
+            "exit_date": test_dates[i],
+            "direction": "LONG" if close_dir[i] == 1 else "SHORT",
+            "entry_price": float(entry_px[i]),
+            "exit_price": float(exit_px[i]),
+            "return": float(trade_ret[i]) * 100.0,
+            "pnl": float(pnl[i]),
+        })
 
-        total_days = len(returns_arr)
-        total_return = (current_capital / self.config.initial_capital
-                        - 1.0) * 100.0
-        ann_return = ((1.0 + total_return / 100.0)
-                      ** (252.0 / max(total_days, 1)) - 1.0) * 100.0
-        ann_vol = float(np.std(returns_arr)) * np.sqrt(252.0) * 100.0
-        sharpe = ann_return / ann_vol if ann_vol > 0 else 0.0
-        max_dd = float(np.max(drawdowns)) * 100.0 if len(drawdowns) else 0.0
+    # --- metrics (app.py:815-858) -----------------------------------------
+    current_capital = float(equity[-1])
+    returns_arr = returns.astype(np.float64)
+    equity_arr = equity.astype(np.float64)
 
-        if trades:
-            t_rets = [t["return"] for t in trades]
-            wins = [t for t in trades if t["return"] > 0]
-            losses = [t for t in trades if t["return"] <= 0]
-            win_rate = len(wins) / len(trades) * 100.0
-            avg_win = float(np.mean([t["return"] for t in wins])) if wins else 0.0
-            avg_loss = (float(np.mean([t["return"] for t in losses]))
-                        if losses else 0.0)
-            total_wins = sum(t["pnl"] for t in wins) if wins else 0.0
-            total_losses = sum(t["pnl"] for t in losses) if losses else 0.0
-            profit_factor = (abs(total_wins / total_losses)
-                             if total_losses != 0 else 0.0)
-            del t_rets
-        else:
-            win_rate = avg_win = avg_loss = profit_factor = 0.0
+    running_max = np.maximum.accumulate(equity_arr)
+    drawdowns = (running_max - equity_arr) / running_max
 
-        calmar = ann_return / max_dd if max_dd > 0 else 0.0
-        neg = returns_arr[returns_arr < 0]
-        downside_std = (float(np.std(neg)) * np.sqrt(252.0) * 100.0
-                        if len(neg) > 0 else 1.0)
-        sortino = ann_return / downside_std
+    total_days = len(returns_arr)
+    total_return = (current_capital / config.initial_capital
+                    - 1.0) * 100.0
+    ann_return = ((1.0 + total_return / 100.0)
+                  ** (252.0 / max(total_days, 1)) - 1.0) * 100.0
+    ann_vol = float(np.std(returns_arr)) * np.sqrt(252.0) * 100.0
+    sharpe = ann_return / ann_vol if ann_vol > 0 else 0.0
+    max_dd = float(np.max(drawdowns)) * 100.0 if len(drawdowns) else 0.0
 
-        return {
-            "dates": list(dates[test_days]),
-            "equity": equity_arr.tolist(),
-            "returns": returns_arr.tolist(),
-            "positions": positions.tolist(),
-            "drawdowns": drawdowns.tolist(),
-            "trades": trades,
-            "metrics": {
-                "total_return": total_return,
-                "annualized_return": ann_return,
-                "annualized_volatility": ann_vol,
-                "sharpe_ratio": sharpe,
-                "sortino_ratio": sortino,
-                "calmar_ratio": calmar,
-                "max_drawdown": max_dd,
-                "win_rate": win_rate,
-                "avg_win": avg_win,
-                "avg_loss": avg_loss,
-                "profit_factor": profit_factor,
-                "num_trades": len(trades),
-                "trading_days": total_days,
-            },
-        }
+    if trades:
+        t_rets = [t["return"] for t in trades]
+        wins = [t for t in trades if t["return"] > 0]
+        losses = [t for t in trades if t["return"] <= 0]
+        win_rate = len(wins) / len(trades) * 100.0
+        avg_win = float(np.mean([t["return"] for t in wins])) if wins else 0.0
+        avg_loss = (float(np.mean([t["return"] for t in losses]))
+                    if losses else 0.0)
+        total_wins = sum(t["pnl"] for t in wins) if wins else 0.0
+        total_losses = sum(t["pnl"] for t in losses) if losses else 0.0
+        profit_factor = (abs(total_wins / total_losses)
+                         if total_losses != 0 else 0.0)
+        del t_rets
+    else:
+        win_rate = avg_win = avg_loss = profit_factor = 0.0
+
+    calmar = ann_return / max_dd if max_dd > 0 else 0.0
+    neg = returns_arr[returns_arr < 0]
+    downside_std = (float(np.std(neg)) * np.sqrt(252.0) * 100.0
+                    if len(neg) > 0 else 1.0)
+    sortino = ann_return / downside_std
+
+    return {
+        "dates": list(test_dates),
+        "equity": equity_arr.tolist(),
+        "returns": returns_arr.tolist(),
+        "positions": positions.tolist(),
+        "drawdowns": drawdowns.tolist(),
+        "trades": trades,
+        "metrics": {
+            "total_return": total_return,
+            "annualized_return": ann_return,
+            "annualized_volatility": ann_vol,
+            "sharpe_ratio": sharpe,
+            "sortino_ratio": sortino,
+            "calmar_ratio": calmar,
+            "max_drawdown": max_dd,
+            "win_rate": win_rate,
+            "avg_win": avg_win,
+            "avg_loss": avg_loss,
+            "profit_factor": profit_factor,
+            "num_trades": len(trades),
+            "trading_days": total_days,
+        },
+    }

@@ -35,3 +35,4 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
 )
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
 from montecarlo_tpu.engine.american import binomial_american_put, lsm_price  # noqa: F401
+from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401

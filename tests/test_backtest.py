@@ -112,3 +112,39 @@ def test_backtester_insufficient_data_returns_none():
                              ohlcv["Close"], ohlcv["Volume"])
     bt = WalkForwardBacktester(TradingConfig(), ModelConfig.full())
     assert bt.run(data, forecast_horizon=20) is None
+
+
+def test_batched_backtest_matches_single(feature_data):
+    """Vmapped portfolio backtest == the single-ticker engine per ticker."""
+    from montecarlo_tpu.backtest import backtest_tickers_batched
+    from montecarlo_tpu.data import get_stock_data
+
+    data_by_ticker = {t: get_stock_data(t, "5y", provider="synthetic")
+                      for t in ("AAPL", "MSFT")}
+    cfg_t, cfg_m = TradingConfig(), ModelConfig.fast()
+    batched = backtest_tickers_batched(data_by_ticker, forecast_horizon=20,
+                                       retrain_frequency=60,
+                                       trading_config=cfg_t,
+                                       model_config=cfg_m)
+    single_engine = WalkForwardBacktester(cfg_t, cfg_m)
+    for t, data in data_by_ticker.items():
+        single = single_engine.run(data, 20, 60)
+        got = batched[t]
+        assert (got is None) == (single is None)
+        if single is None:
+            continue
+        for key in ("total_return", "num_trades", "win_rate",
+                    "sharpe_ratio", "max_drawdown"):
+            a, b = got["metrics"][key], single["metrics"][key]
+            assert abs(a - b) < max(1e-6 * max(abs(a), abs(b), 1.0), 1e-6), (
+                t, key, a, b)
+
+
+def test_batched_backtest_guards():
+    from montecarlo_tpu.backtest import backtest_tickers_batched
+    from montecarlo_tpu.data import get_stock_data
+
+    short = get_stock_data("TSLA", "2y", provider="synthetic")
+    out = backtest_tickers_batched({"TSLA": short},
+                                   model_config=ModelConfig.full())
+    assert out["TSLA"] is None
