@@ -274,7 +274,14 @@ def main(argv=None) -> int:
     if args.cmd == "var":
         return cmd_var(args)
     if args.cmd == "bench":
-        import bench
+        import importlib.util
+        import os
+
+        bench_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
         bench.main()
         return 0
     return 2
