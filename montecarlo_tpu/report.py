@@ -95,12 +95,16 @@ def importance_report(feature_importance: Dict, top: int = 15) -> str:
     return _table(rows, ["Feature", "Importance"])
 
 
-def cv_details_report(results: Dict) -> str:
-    """The details tab (app.py:1101-1120): per-fold RMSE / accuracy."""
+def cv_details_report(results: Dict, n_rows: int | None = None) -> str:
+    """The details tab (app.py:1101-1120): per-fold RMSE / accuracy and the
+    data span used for training."""
     rows = [[str(i + 1), f"{r:.4f}", f"{d * 100:.1f}%"]
             for i, (r, d) in enumerate(zip(results["rmse_scores"],
                                            results["da_scores"]))]
-    return _table(rows, ["Fold", "RMSE", "Dir. Accuracy"])
+    out = _table(rows, ["Fold", "RMSE", "Dir. Accuracy"])
+    if n_rows:
+        out += f"\n\nData span: {n_rows} trading days (~{n_rows / 252:.1f} years)"
+    return out
 
 
 def analysis_report(analysis: Dict) -> str:
@@ -117,7 +121,9 @@ def analysis_report(analysis: Dict) -> str:
     fi = getattr(analysis.get("model"), "feature_importance", None)
     if fi:
         parts += ["", "--- Top Features ---", importance_report(fi)]
-    parts += ["", "--- CV Folds ---", cv_details_report(analysis["results"])]
+    n_rows = len(analysis["data"]["Close"]) if analysis.get("data") else None
+    parts += ["", "--- CV Folds ---",
+              cv_details_report(analysis["results"], n_rows)]
     return "\n".join(parts)
 
 

@@ -37,6 +37,36 @@ class AntitheticSampler(NamedTuple("AntitheticFields", [])):
         return tuple(jnp.where(odd, m, e) for m, e in zip(mirrored, eps))
 
 
+def _brownian_bridge_increments(z: np.ndarray) -> np.ndarray:
+    """Map (n, T) i.i.d. normals to BM increments via the bridge ordering.
+
+    Dimension 0 sets W_T, then each next dimension fills the midpoint of the
+    widest remaining interval: W_m | (W_l, W_r) with the exact conditional
+    mean and variance.  Returns (n, T) increments scaled back to unit
+    variance — still i.i.d. N(0,1), but with the low-index (highest-quality)
+    Sobol dimensions carrying the path's coarse structure.
+    """
+    n, T = z.shape
+    w = np.zeros((n, T + 1))
+    w[:, T] = np.sqrt(float(T)) * z[:, 0]
+    k = 1
+    segments = [(0, T)]
+    while segments:
+        nxt = []
+        for (l, r) in segments:
+            if r - l <= 1:
+                continue
+            mid = (l + r) // 2
+            mean = ((r - mid) * w[:, l] + (mid - l) * w[:, r]) / (r - l)
+            std = np.sqrt((mid - l) * (r - mid) / (r - l))
+            w[:, mid] = mean + std * z[:, k]
+            k += 1
+            nxt += [(l, mid), (mid, r)]
+        segments = nxt
+    assert k == T, (k, T)
+    return np.diff(w, axis=1)  # unit-time steps -> N(0,1) increments
+
+
 class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
     """Scrambled Sobol quasi-Monte Carlo draws.
 
@@ -55,7 +85,13 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
 
     @classmethod
     def create(cls, n_paths: int, n_steps: int, n_draws: int, seed: int = 0,
-               dtype=jnp.float32) -> "SobolSampler":
+               dtype=jnp.float32, bridge: bool = False) -> "SobolSampler":
+        """``bridge=True`` applies the Brownian-bridge construction (single
+        draw dimension only): the best Sobol dimensions drive the coarse
+        structure of the path (endpoint, then midpoints, ...), which is
+        where most of the variance of path-dependent payoffs lives — the
+        standard QMC effectiveness trick for long horizons.  The increments
+        remain exactly i.i.d. standard normals."""
         from scipy.stats import qmc
         from scipy.special import ndtri
 
@@ -64,5 +100,10 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
         # Sobol balance: use the next power of two >= n_paths and truncate.
         m = max(1, int(np.ceil(np.log2(max(n_paths, 2)))))
         u = eng.random_base2(m=m)[:n_paths]
-        z = ndtri(u).reshape(n_paths, n_steps, n_draws)
+        z = ndtri(u)
+        if bridge:
+            if n_draws != 1:
+                raise ValueError("bridge construction supports n_draws=1")
+            z = _brownian_bridge_increments(z)
+        z = z.reshape(n_paths, n_steps, n_draws)
         return cls(z=jnp.asarray(z, dtype))

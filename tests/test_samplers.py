@@ -140,3 +140,41 @@ def test_control_variate_reduces_std_err():
     # Unbiasedness: both estimates agree within joint tolerance.
     assert abs(float(cv["price"]) - float(plain["price"])) < \
         4 * float(plain["std_err"])
+
+
+def test_brownian_bridge_increments_are_standard_normal():
+    from montecarlo_tpu.samplers import _brownian_bridge_increments
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(20000, 16))
+    inc = _brownian_bridge_increments(z)
+    assert inc.shape == z.shape
+    # Marginals ~ N(0,1), increments uncorrelated (BM property preserved).
+    assert np.abs(inc.mean(axis=0)).max() < 0.05
+    assert np.abs(inc.std(axis=0) - 1).max() < 0.05
+    cov = np.corrcoef(inc.T)
+    off = cov - np.eye(16)
+    assert np.abs(off).max() < 0.05
+
+
+def test_bridge_sobol_unbiased_and_effective_for_asian():
+    """Bridge-ordered Sobol prices the Asian call correctly and beats
+    plain MC variance at equal path counts."""
+    from montecarlo_tpu.engine.functionals import (
+        ARITH_MEAN, asian_call, simulate_functionals)
+
+    n, steps = 2048, 16
+    ests_bridge, ests_mc = [], []
+    for rep in range(10):
+        sob = SobolSampler.create(n, steps, 1, seed=rep, bridge=True)
+        out = simulate_functionals(_gbm(), n, steps, seed=0, sampler=sob,
+                                   functionals={"avg": ARITH_MEAN})
+        ests_bridge.append(float(np.mean(np.asarray(
+            asian_call(out["avg"], STRIKE)))))
+        out = simulate_functionals(_gbm(), n, steps, seed=0, stream=rep + 1,
+                                   functionals={"avg": ARITH_MEAN})
+        ests_mc.append(float(np.mean(np.asarray(
+            asian_call(out["avg"], STRIKE)))))
+    assert np.std(ests_bridge) < np.std(ests_mc)
+    assert abs(np.mean(ests_bridge) - np.mean(ests_mc)) < \
+        5 * (np.std(ests_mc) + np.std(ests_bridge)) + 1e-3
