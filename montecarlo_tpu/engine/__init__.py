@@ -36,3 +36,8 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
 from montecarlo_tpu.engine.american import binomial_american_put, lsm_price  # noqa: F401
 from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401
+from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
+    HestonParams,
+    calibrate_heston,
+    heston_call_cf,
+)
