@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,9 +70,10 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         final_prices = terminal_prices(proc, n_sims, n_days, seed=seed,
                                        dtype=dtype)
 
+    stats = jax.jit(terminal_statistics)(final_prices,
+                                         jnp.asarray(current_price))
     out = {k: (np.asarray(v) if hasattr(v, "shape") else v)
-           for k, v in terminal_statistics(final_prices,
-                                           current_price).items()}
+           for k, v in stats.items()}
     out["percentiles"] = {k: float(v) for k, v in out["percentiles"].items()}
     for k in ("expected_return", "expected_vol", "prob_profit", "var_95",
               "cvar_95"):
@@ -80,7 +82,8 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
     if keep_paths:
         out["paths"] = np.asarray(paths)
         out["path_percentiles"] = {
-            k: np.asarray(v) for k, v in path_percentiles(paths).items()}
+            k: np.asarray(v)
+            for k, v in jax.jit(path_percentiles)(paths).items()}
     else:
         from montecarlo_tpu.engine.path_sketch import (
             path_histograms,

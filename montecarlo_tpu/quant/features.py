@@ -9,8 +9,10 @@ factory into one batched TPU program (the scanner's fast path).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -167,9 +169,24 @@ def finalize(features: Dict[str, jnp.ndarray]):
     return clean, valid
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_pipeline(dtype_name: str):
+    """One fused program for compute_features+finalize per dtype — the whole
+    factory is a single device dispatch (hundreds of eager ops would each
+    pay a host<->device round-trip on remote TPU links)."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def run(o, h, l, c, v):
+        return finalize(compute_features(o, h, l, c, v, dtype))
+
+    return run
+
+
 def features_to_numpy(open_, high, low, close, volume, dtype=jnp.float64):
     """Host convenience: compute, finalize, and dropna -> dict of np arrays."""
-    feats = compute_features(open_, high, low, close, volume, dtype)
-    clean, valid = finalize(feats)
+    clean, valid = _jitted_pipeline(jnp.dtype(dtype).name)(
+        np.asarray(open_), np.asarray(high), np.asarray(low),
+        np.asarray(close), np.asarray(volume))
     mask = np.asarray(valid)
     return {k: np.asarray(v)[mask] for k, v in clean.items()}
