@@ -19,9 +19,10 @@ from montecarlo_tpu.processes.garch import GARCHBootstrap
 from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
 from montecarlo_tpu.processes.basket import BasketGBM
+from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.samplers import AntitheticSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM)
+_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton)
 _MIN_BLOCK_ROWS = 8
 
 
