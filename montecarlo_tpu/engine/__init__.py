@@ -19,6 +19,7 @@ from montecarlo_tpu.engine.path_sketch import (  # noqa: F401
 from montecarlo_tpu.engine.greeks import (  # noqa: F401
     black_scholes_delta,
     black_scholes_vega,
+    lr_greeks_gbm,
     price_and_greeks,
 )
 from montecarlo_tpu.engine.functionals import (  # noqa: F401

@@ -50,6 +50,50 @@ def price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
     return price, grads
 
 
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "stream", "dtype"))
+def lr_greeks_gbm(process, payoff_fn, n_paths: int, n_steps: int, *,
+                  seed: int, discount=1.0, stream: int = 0,
+                  dtype=jnp.float32):
+    """Likelihood-ratio delta and vega for GBM — valid for *any* terminal
+    payoff, including discontinuous ones (digitals, barriers at expiry)
+    where the pathwise estimator fails.
+
+    Under GBM, ln S_T ~ N(a, v) with a = ln S0 + (mu - sigma^2/2) T and
+    v = sigma^2 T; the score functions are
+
+        d ln p / d S0    = z / (S0 sigma sqrt(T))
+        d ln p / d sigma = (z^2 - 1)/sigma - z sqrt(T),
+        z = (ln S_T - a) / (sigma sqrt(T))
+
+    and greek = E[payoff * score].  Higher variance than pathwise —
+    prefer `price_and_greeks` for Lipschitz payoffs.
+    """
+    terminal = simulate(process, n_paths, n_steps, seed=seed, stream=stream,
+                        dtype=dtype)
+    d = jnp.asarray(discount, dtype)
+    t_total = (process.dt * n_steps).astype(dtype)
+    sqrt_t = jnp.sqrt(t_total)
+    sigma = process.sigma.astype(dtype)
+    a = (jnp.log(process.s0)
+         + (process.mu - 0.5 * jnp.square(process.sigma))
+         * process.dt * n_steps).astype(dtype)
+    z = (jnp.log(terminal) - a) / (sigma * sqrt_t)
+    f = payoff_fn(terminal)
+
+    score_s0 = z / (process.s0.astype(dtype) * sigma * sqrt_t)
+    score_sigma = (jnp.square(z) - 1.0) / sigma - z * sqrt_t
+    return {
+        "price": d * jnp.mean(f),
+        "delta": d * jnp.mean(f * score_s0),
+        "vega": d * jnp.mean(f * score_sigma),
+        "delta_std_err": d * jnp.std(f * score_s0)
+        / jnp.sqrt(jnp.asarray(n_paths, dtype)),
+        "vega_std_err": d * jnp.std(f * score_sigma)
+        / jnp.sqrt(jnp.asarray(n_paths, dtype)),
+    }
+
+
 def black_scholes_delta(s0, strike, r, sigma, T):
     """Closed-form call delta — the validation oracle."""
     from jax.scipy.stats import norm

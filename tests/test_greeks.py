@@ -56,3 +56,34 @@ def test_heston_greeks_finite():
     assert 0.0 < float(grads.s0) < 1.0
     for leaf in [grads.v0, grads.kappa, grads.theta, grads.xi, grads.rho]:
         assert np.isfinite(float(leaf))
+
+
+def test_lr_greeks_digital_call():
+    """LR delta/vega for a digital payoff vs closed forms (pathwise would
+    give zero gradients almost everywhere here)."""
+    from jax.scipy.stats import norm as jnorm
+
+    from montecarlo_tpu.engine.greeks import lr_greeks_gbm
+
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    n = 1 << 18
+    disc = float(np.exp(-R * T))
+    out = lr_greeks_gbm(proc, lambda s: (s > STRIKE).astype(jnp.float32),
+                        n, N_STEPS, seed=9, discount=disc)
+    d2 = ((np.log(S0 / STRIKE) + (R - 0.5 * SIGMA**2) * T)
+          / (SIGMA * np.sqrt(T)))
+    from scipy.stats import norm
+    price_cf = disc * norm.cdf(d2)
+    delta_cf = disc * norm.pdf(d2) / (S0 * SIGMA * np.sqrt(T))
+    assert abs(float(out["price"]) - price_cf) < 0.01
+    assert abs(float(out["delta"]) - delta_cf) < \
+        4 * float(out["delta_std_err"]) + 1e-4, (float(out["delta"]), delta_cf)
+    # Vega via central finite difference of the closed form.
+    eps = 1e-4
+    def digital_price(sig):
+        d2_ = ((np.log(S0 / STRIKE) + (R - 0.5 * sig**2) * T)
+               / (sig * np.sqrt(T)))
+        return disc * norm.cdf(d2_)
+    vega_cf = (digital_price(SIGMA + eps) - digital_price(SIGMA - eps)) / (2 * eps)
+    assert abs(float(out["vega"]) - vega_cf) < \
+        4 * float(out["vega_std_err"]) + 1e-3, (float(out["vega"]), vega_cf)
