@@ -50,27 +50,32 @@ def main() -> None:
 
     @jax.jit
     def bench(seed0):
-        def body(i, carry):
-            acc, _ = carry
+        # Kernel-only chained loop — the timed program.
+        def body(i, acc):
             terminal = gbm_terminal_pallas(
                 proc, n_paths, n_steps, seed=seed0 + i,
                 block_rows=block_rows, interpret=interpret)
-            return acc + terminal[0], terminal
-        z = jnp.float32(0.0)
-        acc, last = jax.lax.fori_loop(
-            0, reps, body, (z, jnp.zeros((n_paths,), jnp.float32)))
-        payoff = jnp.maximum(last - strike, 0.0)
-        return acc, discount * jnp.mean(payoff), discount * jnp.std(payoff)
+            return acc + terminal[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    @jax.jit
+    def sanity(seed0):
+        terminal = gbm_terminal_pallas(
+            proc, n_paths, n_steps, seed=seed0,
+            block_rows=block_rows, interpret=interpret)
+        payoff = jnp.maximum(terminal - strike, 0.0)
+        return discount * jnp.mean(payoff), discount * jnp.std(payoff)
 
     # Compile + warm up (also smokes the kernel end to end).
-    jax.block_until_ready(tuple(map(float, bench(jnp.int32(1)))))
+    float(bench(jnp.int32(1)))
 
     t0 = time.time()
-    _, price, payoff_std = map(float, bench(jnp.int32(1000)))
+    float(bench(jnp.int32(1000)))
     dt = (time.time() - t0) / reps
     path_steps_per_sec = n_paths * n_steps / dt
 
     # Black-Scholes sanity gate — guards against benchmarking garbage.
+    price, payoff_std = map(float, sanity(jnp.int32(7)))
     se = payoff_std / float(jnp.sqrt(n_paths * 1.0))
     bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
     assert abs(price - bs) < 5 * se + 1e-3, (price, bs, se)

@@ -23,7 +23,6 @@ from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton)
-_MIN_BLOCK_ROWS = 8
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:
