@@ -28,10 +28,10 @@ from montecarlo_tpu.engine.simulate import simulate
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
-                                   "seed", "stream", "dtype"))
+                                   "seed", "stream", "dtype", "remat"))
 def price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
                      seed: int, discount=1.0, stream: int = 0,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, remat: bool = False):
     """Discounted price and its gradient w.r.t. every process parameter.
 
     Returns ``(price, grads)`` where ``grads`` is a pytree shaped like
@@ -43,7 +43,7 @@ def price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
 
     def price_fn(proc):
         terminal = simulate(proc, n_paths, n_steps, seed=seed,
-                            stream=stream, dtype=dtype)
+                            stream=stream, dtype=dtype, remat=remat)
         return d * jnp.mean(payoff_fn(terminal))
 
     price, grads = jax.value_and_grad(price_fn)(process)

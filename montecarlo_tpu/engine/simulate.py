@@ -35,10 +35,10 @@ def path_ids_for(n_paths: int, path_offset=0):
 
 
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
-                                   "mode", "dtype"))
+                                   "mode", "dtype", "remat"))
 def simulate(process, n_paths: int, n_steps: int, *, seed: int,
              stream: int = 0, sampler=None, mode: str = "terminal",
-             dtype=jnp.float32, path_offset=0):
+             dtype=jnp.float32, path_offset=0, remat: bool = False):
     """Simulate ``n_paths`` paths for ``n_steps`` steps.
 
     Args:
@@ -47,6 +47,11 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
       path_offset: the global id of the first path — the sharding hook: a
         shard simulating paths [o, o+n) passes ``path_offset=o`` and gets the
         identical paths it would have produced inside a bigger unsharded run.
+      remat: checkpoint the scan body — reverse-mode differentiation
+        (pathwise Greeks) then recomputes each step's draws/state instead of
+        storing all T intermediate states: O(paths) residual memory instead
+        of O(paths * steps).  Counter-based draws make the recomputation
+        free of RNG state.
 
     Returns:
       ``mode="terminal"`` -> (n_paths,) (or (n_paths, n_assets)) prices at T.
@@ -63,6 +68,8 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
         out = process.prices(new_state) if mode == "paths" else None
         return new_state, out
 
+    if remat:
+        body = jax.checkpoint(body)
     final_state, outs = jax.lax.scan(body, state0,
                                      jnp.arange(n_steps, dtype=jnp.int32))
     if mode == "paths":

@@ -87,3 +87,19 @@ def test_lr_greeks_digital_call():
     vega_cf = (digital_price(SIGMA + eps) - digital_price(SIGMA - eps)) / (2 * eps)
     assert abs(float(out["vega"]) - vega_cf) < \
         4 * float(out["vega_std_err"]) + 1e-3, (float(out["vega"]), vega_cf)
+
+
+def test_remat_greeks_match_plain():
+    """jax.checkpoint'ed scan gives identical gradients with O(paths)
+    residual memory (draws recompute from counters)."""
+    from montecarlo_tpu.engine.greeks import price_and_greeks
+
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    n = 1 << 12
+    p0, g0 = price_and_greeks(proc, lambda s: european_call(s, STRIKE),
+                              n, 32, seed=3)
+    p1, g1 = price_and_greeks(proc, lambda s: european_call(s, STRIKE),
+                              n, 32, seed=3, remat=True)
+    assert float(p0) == float(p1)
+    np.testing.assert_allclose(float(g0.s0), float(g1.s0), rtol=1e-6)
+    np.testing.assert_allclose(float(g0.sigma), float(g1.sigma), rtol=1e-6)
