@@ -16,7 +16,7 @@ from montecarlo_tpu.stats import (
     variance,
 )
 
-_settings = settings(max_examples=25, deadline=None)
+_settings = settings(max_examples=10, deadline=None)
 
 
 @_settings
