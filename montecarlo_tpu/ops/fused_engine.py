@@ -99,9 +99,10 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
     """Terminal prices for any scalar-state process via one fused kernel.
 
     Same draw streams as ``simulate(process, ..., mode="terminal")`` (with
-    ``sampler=AntitheticSampler()`` when ``antithetic=True``); results agree
-    with the scan engine to float32 round-off and are bitwise reproducible
-    across block sizes / path offsets / mesh shapes.
+    ``sampler=AntitheticSampler()`` when ``antithetic=True``); verified
+    bitwise-identical to the scan engine for all five processes, both in
+    interpret mode and compiled on TPU v5e, and bitwise reproducible across
+    block sizes / path offsets / mesh shapes.
     """
     block = block_rows * LANES
     if n_paths % block != 0:
