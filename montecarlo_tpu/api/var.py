@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,3 +84,82 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
         block_size=block_size, lo=lo, hi=hi, bins=bins, mesh=mesh,
         checkpoint_path=checkpoint_path, progress_callback=progress_callback)
     return risk_from_state(state, current_value)
+
+
+def portfolio_var_on_device(process, n_paths: int, n_days: int,
+                            current_value: float, *, seed: int = 0,
+                            bins: int = 8192, lo: Optional[float] = None,
+                            hi: Optional[float] = None,
+                            chunk_paths: int = 1 << 24) -> dict:
+    """Billion-path VaR as ONE device program: a `lax.fori_loop` over
+    fused-kernel chunks accumulating the histogram sketch and moments
+    on-chip — a single host round-trip regardless of path count.  No
+    checkpointing (use `portfolio_var` for resumable runs).
+    """
+    import functools
+
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+    from montecarlo_tpu.stats.quantiles import (
+        HistogramSketch,
+        sketch_quantile,
+        sketch_tail_mean_below,
+    )
+
+    if n_paths % chunk_paths:
+        raise ValueError("n_paths must be a multiple of chunk_paths")
+    if lo is None or hi is None:
+        auto_lo, auto_hi = _pilot_range(process, n_days, seed)
+        lo = auto_lo if lo is None else lo
+        hi = auto_hi if hi is None else hi
+    n_chunks = n_paths // chunk_paths
+    width = (hi - lo) / bins
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(seed0):
+        def body(i, carry):
+            counts, total, mean, m2 = carry
+            term = terminal_prices(process, chunk_paths, n_days, seed=seed0,
+                                   path_offset=i * chunk_paths)
+            idx = jnp.clip(jnp.floor((term - lo) / width).astype(jnp.int32),
+                           0, bins - 1)
+            # int32 counts: exact to 2^31 (f32 would silently saturate
+            # precision at 2^24 per bin).
+            counts = counts + jax.ops.segment_sum(
+                jnp.ones(term.shape, jnp.int32), idx, num_segments=bins)
+            # Chan merge of the chunk moments into the running state.
+            c_n = jnp.float32(chunk_paths)
+            c_mean = jnp.mean(term)
+            c_m2 = jnp.sum(jnp.square(term - c_mean))
+            n_new = total + c_n
+            delta = c_mean - mean
+            mean_new = mean + delta * c_n / n_new
+            m2_new = m2 + c_m2 + jnp.square(delta) * total * c_n / n_new
+            return counts, n_new, mean_new, m2_new
+
+        init = (jnp.zeros((bins,), jnp.int32), jnp.float32(0.0),
+                jnp.float32(0.0), jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    counts, total, mean, m2 = run(jnp.int32(seed))
+    counts_np = np.asarray(counts).astype(np.float64)
+    total_f, mean_f, m2_f = float(total), float(mean), float(m2)
+
+    sketch = HistogramSketch(
+        lo=jnp.asarray(float(lo)), hi=jnp.asarray(float(hi)),
+        counts=jnp.asarray(counts_np), total=jnp.asarray(total_f),
+        underflow=jnp.asarray(0.0), overflow=jnp.asarray(0.0),
+        vmin=jnp.asarray(float(lo)), vmax=jnp.asarray(float(hi)))
+    s0 = float(current_value)
+    p = {f"p{q}": float(sketch_quantile(sketch, float(q)))
+         for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
+    tail = float(sketch_tail_mean_below(sketch, p["p5"]))
+    std = float(np.sqrt(m2_f / max(total_f, 1.0)))
+    return {
+        "percentiles": p,
+        "expected_return": (mean_f / s0 - 1.0) * 100.0,
+        "expected_vol": std / s0 * 100.0,
+        "var_95": (s0 - p["p5"]) / s0 * 100.0,
+        "cvar_95": (s0 - tail) / s0 * 100.0,
+        "std_err": std / np.sqrt(max(total_f, 1.0)),
+        "n_paths": int(total_f),
+    }

@@ -150,3 +150,19 @@ def test_price_to_tolerance_on_device_loop():
     bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, N_STEPS / 252))
     assert abs(float(out["price"]) - bs) < 5 * se
     assert int(float(out["n_paths"])) == int(float(out["n_chunks"])) * (1 << 13)
+
+
+def test_portfolio_var_on_device_matches_streaming():
+    from montecarlo_tpu.api import portfolio_var
+    from montecarlo_tpu.api.var import portfolio_var_on_device
+
+    a = portfolio_var_on_device(_gbm(), TOTAL, N_STEPS, 100.0, seed=5,
+                                bins=512, chunk_paths=CHUNK)
+    b = portfolio_var(_gbm(), TOTAL, N_STEPS, 100.0, seed=5, bins=512,
+                      block_size=BLOCK, chunk_paths=CHUNK)
+    assert a["n_paths"] == b["n_paths"] == TOTAL
+    bin_w = (a["percentiles"]["p99"] - a["percentiles"]["p1"]) / 50
+    for q in (5, 50, 95):
+        assert abs(a["percentiles"][f"p{q}"]
+                   - b["percentiles"][f"p{q}"]) < bin_w
+    assert abs(a["expected_return"] - b["expected_return"]) < 1e-3
