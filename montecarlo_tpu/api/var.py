@@ -99,11 +99,7 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
     import functools
 
     from montecarlo_tpu.engine.dispatch import terminal_prices
-    from montecarlo_tpu.stats.quantiles import (
-        HistogramSketch,
-        sketch_quantile,
-        sketch_tail_mean_below,
-    )
+    from montecarlo_tpu.stats.quantiles import HistogramSketch
 
     if n_paths % chunk_paths:
         raise ValueError("n_paths must be a multiple of chunk_paths")
@@ -158,6 +154,7 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
         "percentiles": p,
         "expected_return": (mean_f / s0 - 1.0) * 100.0,
         "expected_vol": std / s0 * 100.0,
+        "prob_profit": (1.0 - float(sketch_cdf(sketch, s0))) * 100.0,
         "var_95": (s0 - p["p5"]) / s0 * 100.0,
         "cvar_95": (s0 - tail) / s0 * 100.0,
         "std_err": std / np.sqrt(max(total_f, 1.0)),
