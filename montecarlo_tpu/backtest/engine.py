@@ -181,7 +181,6 @@ def assemble_results(outs, test_dates, config: TradingConfig) -> Dict:
     max_dd = float(np.max(drawdowns)) * 100.0 if len(drawdowns) else 0.0
 
     if trades:
-        t_rets = [t["return"] for t in trades]
         wins = [t for t in trades if t["return"] > 0]
         losses = [t for t in trades if t["return"] <= 0]
         win_rate = len(wins) / len(trades) * 100.0
@@ -192,7 +191,6 @@ def assemble_results(outs, test_dates, config: TradingConfig) -> Dict:
         total_losses = sum(t["pnl"] for t in losses) if losses else 0.0
         profit_factor = (abs(total_wins / total_losses)
                          if total_losses != 0 else 0.0)
-        del t_rets
     else:
         win_rate = avg_win = avg_loss = profit_factor = 0.0
 

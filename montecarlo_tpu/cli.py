@@ -205,6 +205,8 @@ def _add_var(sub):
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="npz path for resume-able runs")
+    p.add_argument("--on-device", action="store_true",
+                   help="single device program (fastest; no checkpointing)")
     p.add_argument("--ticker", default=None,
                    help="use a ticker's GARCH-bootstrap process instead of "
                         "parametric GBM")
@@ -234,13 +236,21 @@ def cmd_var(args) -> int:
         s0 = args.s0
         proc = GBM.create(s0=s0, mu=args.mu, sigma=args.sigma, dt=1 / 252)
 
-    out = portfolio_var(
-        proc, args.paths, args.days, s0, seed=args.seed, bins=args.bins,
-        chunk_paths=args.chunk or min(args.paths, 1 << 20),
-        checkpoint_path=args.checkpoint,
-        progress_callback=lambda done, total, se: print(
-            f"  {done:,}/{total:,} paths, std-err {se:.2e}",
-            file=sys.stderr))
+    if args.on_device:
+        from montecarlo_tpu.api import portfolio_var_on_device
+
+        out = portfolio_var_on_device(
+            proc, args.paths, args.days, s0, seed=args.seed,
+            bins=args.bins,
+            chunk_paths=args.chunk or min(args.paths, 1 << 20))
+    else:
+        out = portfolio_var(
+            proc, args.paths, args.days, s0, seed=args.seed, bins=args.bins,
+            chunk_paths=args.chunk or min(args.paths, 1 << 20),
+            checkpoint_path=args.checkpoint,
+            progress_callback=lambda done, total, se: print(
+                f"  {done:,}/{total:,} paths, std-err {se:.2e}",
+                file=sys.stderr))
     print(json.dumps(out, default=float))
     return 0
 

@@ -22,10 +22,7 @@ def test_timer_sections_and_summary():
 def test_throughput_harness_runs():
     proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1 / 252)
 
-    def fn(n_paths, n_steps, *, seed):
-        return simulate(proc, n_paths, n_steps, seed=0, stream=0)
-
-    # Harness needs a seed-varying callable; wrap stream through seed.
+    # Harness needs a seed-varying callable; keep the dependency via seed.
     def fn2(n_paths, n_steps, *, seed):
         return simulate(proc, n_paths, n_steps, seed=3, stream=0) + 0 * seed
 
