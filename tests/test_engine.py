@@ -160,3 +160,12 @@ def test_replay_arbitrary_paths_bit_exact():
     ids = jnp.asarray([0, 17, 1000, 4095, 2048], jnp.uint32)
     replayed = np.asarray(replay_paths(_gbm(), ids, 16, seed=5))
     np.testing.assert_array_equal(replayed, full[np.asarray(ids)])
+
+
+def test_zero_steps_and_tiny_counts():
+    proc = _gbm()
+    paths = np.asarray(simulate(proc, 8, 0, seed=1, mode="paths"))
+    assert paths.shape == (1, 8)
+    np.testing.assert_allclose(paths[0], S0, rtol=1e-4)
+    term = np.asarray(simulate(proc, 1, 5, seed=1))
+    assert term.shape == (1,) and np.isfinite(term[0])
