@@ -119,9 +119,12 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
             idx = jnp.clip(jnp.floor((term - lo) / width).astype(jnp.int32),
                            0, bins - 1)
             # int32 counts: exact to 2^31 (f32 would silently saturate
-            # precision at 2^24 per bin).
-            counts = counts + jax.ops.segment_sum(
-                jnp.ones(term.shape, jnp.int32), idx, num_segments=bins)
+            # precision at 2^24 per bin); MXU one-hot histogram (scatter is
+            # ~7x slower on TPU).
+            from montecarlo_tpu.stats.quantiles import histogram_counts
+
+            counts = counts + histogram_counts(idx, bins,
+                                               jnp.float32).astype(jnp.int32)
             # Chan merge of the chunk moments into the running state.
             c_n = jnp.float32(chunk_paths)
             c_mean = jnp.mean(term)

