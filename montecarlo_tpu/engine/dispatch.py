@@ -20,9 +20,10 @@ from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
 from montecarlo_tpu.processes.basket import BasketGBM
 from montecarlo_tpu.processes.merton import Merton
+from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.samplers import AntitheticSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton)
+_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch)
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:

@@ -24,6 +24,7 @@ import numpy as np
 from montecarlo_tpu.engine.simulate import path_ids_for
 from montecarlo_tpu.parallel.mesh import PATHS_AXIS
 from montecarlo_tpu.samplers import PlainSampler
+from montecarlo_tpu.stats.quantiles import histogram_counts
 from montecarlo_tpu.stats.risk import PATH_PERCENTILES
 
 
@@ -47,8 +48,7 @@ def path_histograms(process, n_paths: int, n_steps: int, *, seed: int,
     def hist(prices):
         idx = jnp.clip(jnp.floor((prices - lo) / width).astype(jnp.int32),
                        0, bins - 1)
-        return jax.ops.segment_sum(jnp.ones_like(prices), idx,
-                                   num_segments=bins)
+        return histogram_counts(idx, bins, prices.dtype)
 
     def body(state, t):
         eps = sampler.draws(process, seed, stream, ids, t, dtype)

@@ -8,10 +8,12 @@ conventional `models/` entry point resolves.
 
 from montecarlo_tpu.processes import (  # noqa: F401
     BasketGBM,
+    CCCGarch,
     GARCHBootstrap,
     GARCHParams,
     GBM,
     Heston,
+    Merton,
     MultiGBM,
     fit_garch,
 )
