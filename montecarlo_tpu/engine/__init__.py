@@ -42,3 +42,7 @@ from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
     calibrate_heston,
     heston_call_cf,
 )
+from montecarlo_tpu.engine.importance import (  # noqa: F401
+    importance_sampled_estimate,
+    shift_to_strike,
+)

@@ -178,3 +178,69 @@ def test_bridge_sobol_unbiased_and_effective_for_asian():
     assert np.std(ests_bridge) < np.std(ests_mc)
     assert abs(np.mean(ests_bridge) - np.mean(ests_mc)) < \
         5 * (np.std(ests_mc) + np.std(ests_bridge)) + 1e-3
+
+
+def test_importance_sampling_otm_variance_reduction():
+    """OTM call (~2.6 sigma): IS matches Black-Scholes with a fraction of
+    the plain-MC error."""
+    from montecarlo_tpu.engine import black_scholes_call, mc_estimate
+    from montecarlo_tpu.engine.importance import (
+        importance_sampled_estimate,
+        shift_to_strike,
+    )
+
+    strike, steps = 130.0, 64
+    T = steps / 252.0
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    disc = float(np.exp(-R * T))
+    bs = float(black_scholes_call(S0, strike, R, SIGMA, T))
+    n = 1 << 16
+
+    plain_t = simulate(proc, n, steps, seed=3)
+    plain = mc_estimate(european_call(plain_t, strike), disc)
+
+    shift = float(shift_to_strike(proc, strike, steps))
+    is_est = importance_sampled_estimate(
+        proc, lambda s: european_call(s, strike), n, steps, seed=3,
+        shift=shift, discount=disc)
+    assert float(is_est["std_err"]) < 0.3 * float(plain["std_err"])
+    assert abs(float(is_est["price"]) - bs) < 5 * float(is_est["std_err"])
+
+
+def test_importance_sampling_extreme_tail():
+    """5.9-sigma OTM (K=1.8*S0): plain MC sees ZERO payoffs at 65k paths;
+    IS prices it within MC tolerance of Black-Scholes (~1e-8)."""
+    from montecarlo_tpu.engine import black_scholes_call
+    from montecarlo_tpu.engine.importance import (
+        importance_sampled_estimate,
+        shift_to_strike,
+    )
+
+    strike, steps = 180.0, 64
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    disc = float(np.exp(-R * steps / 252))
+    plain_t = np.asarray(simulate(proc, 1 << 16, steps, seed=3))
+    assert np.max(plain_t) < strike  # plain MC is hopeless here
+    shift = float(shift_to_strike(proc, strike, steps))
+    out = importance_sampled_estimate(
+        proc, lambda s: european_call(s, strike), 1 << 16, steps, seed=3,
+        shift=shift, discount=disc)
+    bs = float(black_scholes_call(S0, strike, R, SIGMA, steps / 252))
+    assert abs(float(out["price"]) - bs) < 5 * float(out["std_err"])
+    assert float(out["std_err"]) < 0.1 * bs
+
+
+def test_importance_sampling_unbiased_atm():
+    """Zero shift reduces to the plain estimator exactly."""
+    from montecarlo_tpu.engine import mc_estimate
+    from montecarlo_tpu.engine.importance import importance_sampled_estimate
+
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    n, steps = 1 << 14, 16
+    plain_t = simulate(proc, n, steps, seed=5)
+    plain = mc_estimate(european_call(plain_t, STRIKE))
+    is0 = importance_sampled_estimate(
+        proc, lambda s: european_call(s, STRIKE), n, steps, seed=5,
+        shift=0.0)
+    np.testing.assert_allclose(float(is0["price"]), float(plain["price"]),
+                               rtol=1e-5)
