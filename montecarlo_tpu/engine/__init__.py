@@ -45,4 +45,5 @@ from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
 from montecarlo_tpu.engine.importance import (  # noqa: F401
     importance_sampled_estimate,
     shift_to_strike,
+    stratified_terminal_estimate,
 )

@@ -244,3 +244,23 @@ def test_importance_sampling_unbiased_atm():
         shift=0.0)
     np.testing.assert_allclose(float(is0["price"]), float(plain["price"]),
                                rtol=1e-5)
+
+
+def test_stratified_terminal_estimate():
+    """Stratified terminal sampling: unbiased and far tighter than plain MC."""
+    from montecarlo_tpu.engine import black_scholes_call, mc_estimate
+    from montecarlo_tpu.engine.importance import stratified_terminal_estimate
+
+    steps = 64
+    T = steps / 252.0
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    disc = float(np.exp(-R * T))
+    n = 1 << 14
+    strat = stratified_terminal_estimate(
+        proc, lambda s: european_call(s, STRIKE), n, seed=3, t_years=T,
+        discount=disc)
+    bs = float(black_scholes_call(S0, STRIKE, R, SIGMA, T))
+    assert abs(float(strat["price"]) - bs) < 5 * float(strat["std_err"]) + 1e-4
+    plain_t = simulate(proc, n, steps, seed=3)
+    plain = mc_estimate(european_call(plain_t, STRIKE), disc)
+    assert float(strat["std_err"]) < 0.1 * float(plain["std_err"])
