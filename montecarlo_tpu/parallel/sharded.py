@@ -125,6 +125,96 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
     }
 
 
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "stream", "dtype", "block_size",
+                                   "mesh"))
+def sharded_basket_estimate(basket, payoff_fn, n_paths: int, n_steps: int,
+                            *, seed: int, mesh, discount=1.0,
+                            stream: int = 0, dtype=jnp.float32,
+                            block_size: int = DEFAULT_BLOCK):
+    """2-D sharding for large correlated baskets: paths x assets.
+
+    The trick counter-based RNG buys: correlating asset shards needs the
+    *full* shock vector z, but every shard can regenerate all of z locally
+    from (seed, global path id, t) — **zero communication** inside the time
+    loop.  Each device updates only its asset slice (its rows of the
+    Cholesky factor: an (A_local, A) x (A, paths) matmul on the MXU); the
+    only collectives are one `psum` of partial basket values over the asset
+    axis at the end, and the usual tiny block-stat `all_gather` over paths.
+
+    Takes a `BasketGBM`; requires mesh axes ("paths", "assets") with
+    n_assets % asset_shards == 0.  Matches the unsharded engine to float
+    round-off; bitwise invariant across *path* shardings at a fixed asset
+    sharding.
+    """
+    from montecarlo_tpu.parallel.mesh import ASSETS_AXIS
+    from montecarlo_tpu.rng.normal import normal_draw
+
+    n_shards_p = mesh.shape[PATHS_AXIS]
+    n_shards_a = mesh.shape.get(ASSETS_AXIS, 1)
+    a_total = basket.n_assets
+    if a_total % n_shards_a or n_paths % (n_shards_p * block_size):
+        raise ValueError("shape not divisible by mesh/block")
+    a_local = a_total // n_shards_a
+    local_n = n_paths // n_shards_p
+
+    def shard_fn(proc):
+        p_idx = jax.lax.axis_index(PATHS_AXIS)
+        a_idx = (jax.lax.axis_index(ASSETS_AXIS) if n_shards_a > 1
+                 else jnp.int32(0))
+        offset = p_idx * local_n
+        a0 = a_idx * a_local
+        ids = (jnp.asarray(offset).astype(jnp.uint32)
+               + jnp.arange(local_n, dtype=jnp.uint32))
+
+        s0_l = jax.lax.dynamic_slice(proc.s0, (a0,), (a_local,))
+        mu_l = jax.lax.dynamic_slice(proc.mu, (a0,), (a_local,))
+        sig_l = jax.lax.dynamic_slice(proc.sigma, (a0,), (a_local,))
+        w_l = jax.lax.dynamic_slice(proc.weights, (a0,), (a_local,))
+        chol_rows = jax.lax.dynamic_slice(
+            proc.chol_flat.reshape(a_total, a_total),
+            (a0, jnp.zeros_like(a0)), (a_local, a_total))
+        drift = ((mu_l - 0.5 * jnp.square(sig_l)) * proc.dt).astype(dtype)
+        scale = (sig_l * jnp.sqrt(proc.dt)).astype(dtype)
+
+        state0 = jnp.broadcast_to(jnp.log(s0_l).astype(dtype)[:, None],
+                                  (a_local, local_n))
+
+        def body(state, t):
+            # Full shock vector regenerated locally — no collective.
+            z = jnp.stack([
+                normal_draw(seed, stream, ids,
+                            jnp.asarray(t).astype(jnp.uint32)
+                            * jnp.uint32(a_total) + jnp.uint32(d), dtype)
+                for d in range(a_total)])  # (A, local_n)
+            zc = jnp.dot(chol_rows.astype(dtype), z,
+                         preferred_element_type=jnp.float32).astype(dtype)
+            return state + drift[:, None] + scale[:, None] * zc, None
+
+        state, _ = jax.lax.scan(body, state0,
+                                jnp.arange(n_steps, dtype=jnp.int32))
+        partial_value = jnp.sum(w_l.astype(dtype)[:, None]
+                                * jnp.exp(state), axis=0)
+        basket_vals = (jax.lax.psum(partial_value, ASSETS_AXIS)
+                       if n_shards_a > 1 else partial_value)
+        payoffs = payoff_fn(basket_vals)
+        local_stats = block_moments(payoffs, block_size)
+        return jax.tree.map(
+            lambda x: jax.lax.all_gather(x, PATHS_AXIS, axis=0, tiled=True),
+            local_stats)
+
+    spec_in = jax.tree.map(lambda _: P(), basket)
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,),
+                          out_specs=P(), check_vma=False)(basket)
+    total = moments_reduce(stats)
+    d = jnp.asarray(discount, total.mean.dtype)
+    return {
+        "price": d * total.mean,
+        "std_err": d * std_error(total),
+        "n_paths": total.count,
+    }
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
                                    "dtype", "block_size", "axis", "mesh",
                                    "bins", "lo", "hi"))
