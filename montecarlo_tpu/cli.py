@@ -66,7 +66,8 @@ def _add_scan(sub):
 
 def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
-    p.add_argument("--process", default="gbm", choices=["gbm", "heston"])
+    p.add_argument("--process", default="gbm",
+                   choices=["gbm", "heston", "merton"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -83,6 +84,10 @@ def _add_price(sub):
     p.add_argument("--theta", type=float, default=0.04)
     p.add_argument("--xi", type=float, default=0.5)
     p.add_argument("--rho", type=float, default=-0.7)
+    # Merton extras
+    p.add_argument("--jump-intensity", type=float, default=1.0)
+    p.add_argument("--jump-mean", type=float, default=-0.05)
+    p.add_argument("--jump-std", type=float, default=0.1)
 
 
 def cmd_analyze(args) -> int:
@@ -161,7 +166,7 @@ def cmd_price(args) -> int:
         discount_factor, european_call, mc_estimate, simulate,
         black_scholes_call,
     )
-    from montecarlo_tpu.processes import GBM, Heston
+    from montecarlo_tpu.processes import GBM, Heston, Merton
     from montecarlo_tpu.samplers import (
         AntitheticSampler, PlainSampler, SobolSampler,
     )
@@ -169,6 +174,11 @@ def cmd_price(args) -> int:
     dt = args.maturity / args.steps
     if args.process == "gbm":
         proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
+    elif args.process == "merton":
+        proc = Merton.create(s0=args.s0, mu=args.rate, sigma=args.sigma,
+                             lam=args.jump_intensity,
+                             jump_mean=args.jump_mean,
+                             jump_std=args.jump_std, dt=dt)
     else:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,

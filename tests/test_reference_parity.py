@@ -119,3 +119,24 @@ def test_reproducible_at_fixed_seed(setup):
 def test_insufficient_history_returns_none():
     data = {"log_ret": np.full(50, 0.01), "rvol_20": np.full(50, 0.2)}
     assert garch_monte_carlo(data, 100, 10, 100.0) is None
+
+
+def test_keep_paths_false_preserves_contract(setup):
+    """keep_paths=False must still return percentile curves (sketch-based)
+    matching the materialized ones within sketch resolution."""
+    _, _, s0 = setup
+    ohlcv = generate_ohlcv(n_days=800, seed=21)
+    data = features_to_numpy(ohlcv["Open"], ohlcv["High"], ohlcv["Low"],
+                             ohlcv["Close"], ohlcv["Volume"])
+    full = garch_monte_carlo(data, 4096, N_DAYS, s0, seed=4, keep_paths=True)
+    lean = garch_monte_carlo(data, 4096, N_DAYS, s0, seed=4,
+                             keep_paths=False)
+    assert "paths" not in lean
+    np.testing.assert_array_equal(lean["final_prices"],
+                                  full["final_prices"])
+    for q in ("p5", "p50", "p95"):
+        ref_curve = full["path_percentiles"][q]
+        got_curve = lean["path_percentiles"][q]
+        # Sketch bins are fine; allow a small relative tolerance.
+        np.testing.assert_allclose(got_curve, ref_curve, rtol=5e-3,
+                                   err_msg=q)
