@@ -32,9 +32,15 @@ Subpackages
 - ``quant``      feature engineering (the reference's ~60 columns) in JAX
 - ``ml``         StandardScaler, TimeSeriesSplit, a JAX histogram-GBT
                  regressor, and the walk-forward-validated forecast model
-- ``backtest``   walk-forward backtesting engine + risk metrics
-- ``data``       ticker universes, data fetching (gated), synthetic OHLCV
-- ``api``        single-ticker analysis pipeline and multi-ticker scanner
+- ``backtest``   walk-forward backtesting engine + risk metrics (single and
+                 vmapped multi-ticker)
+- ``data``       ticker universes, data fetching (gated), synthetic OHLCV,
+                 native C++ CSV loader
+- ``api``        single-ticker analysis, scanners (threaded and batched),
+                 Monte Carlo and portfolio-VaR entry points
+- ``models``     alias namespace re-exporting the market models + ML model
+- ``native``     C++ sources for the runtime pieces (ctypes-bridged)
+- ``utils``      profiling/tracing and timing helpers
 """
 
 __version__ = "0.1.0"

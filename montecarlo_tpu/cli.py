@@ -77,6 +77,14 @@ def _add_price(sub):
     p.add_argument("--steps", type=int, default=252)
     p.add_argument("--sampler", default="plain",
                    choices=["plain", "antithetic", "sobol"])
+    p.add_argument("--payoff", default="call",
+                   choices=["call", "put", "asian", "lookback",
+                            "up-and-out"])
+    p.add_argument("--barrier", type=float, default=None,
+                   help="barrier level for up-and-out (default 1.2*strike)")
+    p.add_argument("--american", action="store_true",
+                   help="American exercise via Longstaff-Schwartz "
+                        "(call/put payoffs)")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -190,13 +198,52 @@ def cmd_price(args) -> int:
     else:
         sampler = SobolSampler.create(args.paths, args.steps,
                                       proc.n_draws, seed=args.seed)
-    terminal = simulate(proc, args.paths, args.steps, seed=args.seed,
-                        sampler=sampler)
-    est = mc_estimate(european_call(terminal, args.strike),
-                      discount_factor(args.rate, args.maturity))
+
+    disc = discount_factor(args.rate, args.maturity)
+    if args.american:
+        from montecarlo_tpu.engine import lsm_price
+
+        payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
+                  if args.payoff == "call"
+                  else (lambda s: jnp.maximum(args.strike - s, 0.0)))
+        est = lsm_price(proc, payoff, args.paths, args.steps,
+                        seed=args.seed, rate=args.rate, dt=dt, degree=3)
+    elif args.payoff in ("asian", "lookback", "up-and-out"):
+        from montecarlo_tpu.engine import (
+            ARITH_MEAN,
+            RUNNING_MAX,
+            RUNNING_MIN,
+            asian_call,
+            lookback_call_floating,
+            simulate_functionals,
+            up_and_out_call,
+        )
+
+        out_f = simulate_functionals(
+            proc, args.paths, args.steps, seed=args.seed, sampler=sampler,
+            functionals={"avg": ARITH_MEAN, "max": RUNNING_MAX,
+                         "min": RUNNING_MIN})
+        if args.payoff == "asian":
+            payoffs = asian_call(out_f["avg"], args.strike)
+        elif args.payoff == "lookback":
+            payoffs = lookback_call_floating(out_f["terminal"],
+                                             out_f["min"])
+        else:
+            barrier = args.barrier or 1.2 * args.strike
+            payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
+                                      args.strike, barrier)
+        est = mc_estimate(payoffs, disc)
+    else:
+        terminal = simulate(proc, args.paths, args.steps, seed=args.seed,
+                            sampler=sampler)
+        payoffs = (european_call(terminal, args.strike)
+                   if args.payoff == "call"
+                   else jnp.maximum(args.strike - terminal, 0.0))
+        est = mc_estimate(payoffs, disc)
+
     out = {"price": float(est["price"]), "std_err": float(est["std_err"]),
            "n_paths": int(est["n_paths"])}
-    if args.process == "gbm":
+    if args.process == "gbm" and args.payoff == "call" and not args.american:
         out["black_scholes"] = float(black_scholes_call(
             args.s0, args.strike, args.rate, args.sigma, args.maturity))
     print(json.dumps(out))
