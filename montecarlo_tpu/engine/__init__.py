@@ -21,6 +21,7 @@ from montecarlo_tpu.engine.greeks import (  # noqa: F401
     black_scholes_vega,
     lr_greeks_gbm,
     price_and_greeks,
+    smoothed_digital,
 )
 from montecarlo_tpu.engine.functionals import (  # noqa: F401
     ARITH_MEAN,

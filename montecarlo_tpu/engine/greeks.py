@@ -94,6 +94,21 @@ def lr_greeks_gbm(process, payoff_fn, n_paths: int, n_steps: int, *,
     }
 
 
+def smoothed_digital(strike, width=0.5):
+    """A differentiable surrogate for the digital payoff 1{S_T > K}:
+    sigmoid((S-K)/width).
+
+    Makes `price_and_greeks` usable for digital-style payoffs under ANY
+    process (the LR estimator covers GBM only); bias is O(width * density
+    curvature) — shrink ``width`` with the path count.  Returns a payoff
+    callable.
+    """
+    def payoff(s):
+        return jax.nn.sigmoid((s - strike) / width)
+
+    return payoff
+
+
 def black_scholes_delta(s0, strike, r, sigma, T):
     """Closed-form call delta — the validation oracle."""
     from jax.scipy.stats import norm

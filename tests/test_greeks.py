@@ -103,3 +103,21 @@ def test_remat_greeks_match_plain():
     assert float(p0) == float(p1)
     np.testing.assert_allclose(float(g0.s0), float(g1.s0), rtol=1e-6)
     np.testing.assert_allclose(float(g0.sigma), float(g1.sigma), rtol=1e-6)
+
+
+def test_smoothed_digital_delta_close_to_lr():
+    """Smoothed-payoff pathwise delta agrees with the LR estimator (and the
+    closed form) for a digital call — the process-agnostic fallback."""
+    from scipy.stats import norm
+
+    from montecarlo_tpu.engine.greeks import smoothed_digital
+
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=1 / 252)
+    disc = float(np.exp(-R * T))
+    n = 1 << 17
+    price, grads = price_and_greeks(proc, smoothed_digital(STRIKE, 0.8),
+                                    n, N_STEPS, seed=9, discount=disc)
+    d2 = ((np.log(S0 / STRIKE) + (R - 0.5 * SIGMA**2) * T)
+          / (SIGMA * np.sqrt(T)))
+    delta_cf = disc * norm.pdf(d2) / (S0 * SIGMA * np.sqrt(T))
+    assert abs(float(grads.s0) - delta_cf) < 0.2 * delta_cf + 5e-4
