@@ -119,6 +119,17 @@ def streaming_estimate(
         if (state.seed, state.n_steps, state.block_size) != (
                 seed, n_steps, block_size):
             raise ValueError("checkpoint does not match this run's config")
+        if (state.sketch.counts.shape[0] != bins
+                or float(state.sketch.lo) != float(lo)
+                or float(state.sketch.hi) != float(hi)):
+            raise ValueError(
+                "checkpoint sketch grid (lo/hi/bins) does not match this "
+                "run — merged quantiles would be silently wrong")
+        if state.paths_done % chunk_paths:
+            raise ValueError(
+                f"resumed paths_done={state.paths_done} is not a multiple "
+                f"of chunk_paths={chunk_paths}; resume with the original "
+                "chunk size (or a divisor of paths_done)")
     if state is None:
         empty = sketch_empty(lo, hi, bins, jnp.float64)
         state = StreamingState(

@@ -166,3 +166,25 @@ def test_portfolio_var_on_device_matches_streaming():
         assert abs(a["percentiles"][f"p{q}"]
                    - b["percentiles"][f"p{q}"]) < bin_w
     assert abs(a["expected_return"] - b["expected_return"]) < 1e-3
+
+
+def test_resume_rejects_mismatched_sketch_grid(tmp_path):
+    ckpt = str(tmp_path / "grid.npz")
+    _run(checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        streaming_estimate(_gbm(), TOTAL, N_STEPS, seed=5,
+                           chunk_paths=CHUNK, block_size=BLOCK,
+                           lo=40.0, hi=300.0, bins=512,  # different grid
+                           checkpoint_path=ckpt, resume=True)
+
+
+def test_resume_rejects_misaligned_chunk(tmp_path):
+    ckpt = str(tmp_path / "chunk.npz")
+    streaming_estimate(_gbm(), CHUNK, N_STEPS, seed=5, chunk_paths=CHUNK,
+                       block_size=BLOCK, lo=40.0, hi=260.0, bins=512,
+                       checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        streaming_estimate(_gbm(), 4 * CHUNK, N_STEPS, seed=5,
+                           chunk_paths=CHUNK + BLOCK,  # misaligned
+                           block_size=BLOCK, lo=40.0, hi=260.0, bins=512,
+                           checkpoint_path=ckpt, resume=True)
