@@ -148,3 +148,20 @@ def test_batched_backtest_guards():
     out = backtest_tickers_batched({"TSLA": short},
                                    model_config=ModelConfig.full())
     assert out["TSLA"] is None
+
+
+def test_zero_trades_metrics():
+    """All-flat signals: no trades, flat equity, zeroed trade statistics."""
+    from montecarlo_tpu.backtest.engine import assemble_results
+
+    prices = np.linspace(100, 110, 50).astype(np.float32)
+    signals = np.zeros(50, np.int32)
+    cfg = TradingConfig()
+    outs = _trade_scan(jnp.asarray(prices), jnp.asarray(signals), cfg)
+    res = assemble_results(outs, np.arange(50), cfg)
+    m = res["metrics"]
+    assert m["num_trades"] == 0
+    assert m["total_return"] == 0.0
+    assert m["win_rate"] == 0.0 and m["profit_factor"] == 0.0
+    assert m["max_drawdown"] == 0.0
+    assert all(e == cfg.initial_capital for e in res["equity"])

@@ -93,3 +93,12 @@ def test_dispatch_falls_back_on_cpu():
     a = np.asarray(terminal_prices(proc, 2048, 8, seed=3))
     b = np.asarray(simulate(proc, 2048, 8, seed=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_analysis_report_without_mc_or_backtest(analysis):
+    partial = dict(analysis)
+    partial["mc_results"] = None
+    partial["backtest_results"] = None
+    text = report.analysis_report(partial)
+    assert "Monte Carlo" not in text and "Backtest" not in text
+    assert "Direction Accuracy" in text and "CV Folds" in text
