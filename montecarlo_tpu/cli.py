@@ -9,6 +9,7 @@ Subcommands:
              fast/balanced/full reliability, workers)
   price    — Monte Carlo option pricing on the TPU engine (GBM/Heston,
              plain/antithetic/Sobol)
+  greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   bench    — the headline GBM throughput benchmark
 
@@ -250,6 +251,77 @@ def cmd_price(args) -> int:
     return 0
 
 
+def _add_greeks(sub):
+    p = sub.add_parser("greeks", help="option sensitivities")
+    p.add_argument("--process", default="gbm", choices=["gbm", "heston"])
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=105.0)
+    p.add_argument("--rate", type=float, default=0.03)
+    p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--paths", type=int, default=200_000)
+    p.add_argument("--steps", type=int, default=252)
+    p.add_argument("--payoff", default="call", choices=["call", "put",
+                                                        "digital"])
+    p.add_argument("--method", default="pathwise",
+                   choices=["pathwise", "lr"],
+                   help="pathwise autodiff (Lipschitz payoffs) or "
+                        "likelihood-ratio (any payoff, GBM only)")
+    p.add_argument("--seed", type=int, default=0)
+    # Heston extras
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=-0.7)
+
+
+def cmd_greeks(args) -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.greeks import lr_greeks_gbm, price_and_greeks
+    from montecarlo_tpu.processes import GBM, Heston
+
+    dt = args.maturity / args.steps
+    disc = float(np.exp(-args.rate * args.maturity))
+    if args.payoff == "call":
+        payoff = lambda s: jnp.maximum(s - args.strike, 0.0)
+    elif args.payoff == "put":
+        payoff = lambda s: jnp.maximum(args.strike - s, 0.0)
+    else:
+        payoff = lambda s: (s > args.strike).astype(jnp.float32)
+
+    if args.process == "gbm":
+        proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
+    else:
+        proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                             kappa=args.kappa, theta=args.theta,
+                             xi=args.xi, rho=args.rho, dt=dt)
+
+    if args.method == "lr":
+        if args.process != "gbm":
+            print("likelihood-ratio greeks support GBM only",
+                  file=sys.stderr)
+            return 2
+        out = lr_greeks_gbm(proc, payoff, args.paths, args.steps,
+                            seed=args.seed, discount=disc)
+        print(json.dumps({k: float(v) for k, v in out.items()}))
+        return 0
+
+    if args.payoff == "digital":
+        print("note: pathwise gradients of a hard digital are ~0; use "
+              "--method lr or a smoothed payoff", file=sys.stderr)
+    price, grads = price_and_greeks(proc, payoff, args.paths, args.steps,
+                                    seed=args.seed, discount=disc)
+    out = {"price": float(price)}
+    out.update({f"d_{k}": float(v)
+                for k, v in grads._asdict().items()})
+    print(json.dumps(out))
+    return 0
+
+
 def _add_var(sub):
     p = sub.add_parser("var", help="portfolio VaR/CVaR at scale")
     p.add_argument("--paths", type=int, default=1 << 22)
@@ -324,6 +396,7 @@ def main(argv=None) -> int:
     _add_analyze(sub)
     _add_scan(sub)
     _add_price(sub)
+    _add_greeks(sub)
     _add_var(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
@@ -338,6 +411,8 @@ def main(argv=None) -> int:
         return cmd_scan(args)
     if args.cmd == "price":
         return cmd_price(args)
+    if args.cmd == "greeks":
+        return cmd_greeks(args)
     if args.cmd == "var":
         return cmd_var(args)
     if args.cmd == "bench":

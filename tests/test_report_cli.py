@@ -102,3 +102,20 @@ def test_analysis_report_without_mc_or_backtest(analysis):
     text = report.analysis_report(partial)
     assert "Monte Carlo" not in text and "Backtest" not in text
     assert "Direction Accuracy" in text and "CV Folds" in text
+
+
+def test_cli_greeks_pathwise_and_lr(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["greeks", "--paths", "32768", "--steps", "32",
+                   "--maturity", "0.127"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert 0.0 < out["d_s0"] < 1.0  # call delta
+
+    rc = cli.main(["greeks", "--method", "lr", "--payoff", "digital",
+                   "--paths", "32768", "--steps", "32",
+                   "--maturity", "0.127"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["delta"] > 0
