@@ -123,8 +123,7 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
             # ~7x slower on TPU).
             from montecarlo_tpu.stats.quantiles import histogram_counts
 
-            counts = counts + histogram_counts(idx, bins,
-                                               jnp.float32).astype(jnp.int32)
+            counts = counts + histogram_counts(idx, bins, jnp.int32)
             # Chan merge of the chunk moments into the running state.
             c_n = jnp.float32(chunk_paths)
             c_mean = jnp.mean(term)

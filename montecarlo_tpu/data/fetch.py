@@ -40,13 +40,15 @@ def _featurize(ohlcv: Dict[str, np.ndarray]) -> Optional[Dict]:
         return None
     extras = {k: v for k, v in ohlcv.items()
               if k not in ("Open", "High", "Low", "Close", "Volume")}
-    out = features_to_numpy(ohlcv["Open"], ohlcv["High"], ohlcv["Low"],
-                            ohlcv["Close"], ohlcv["Volume"])
-    if extras:
-        # Re-apply the dropna mask to passthrough columns (e.g. Date).
-        n_dropped = len(ohlcv["Close"]) - len(out["Close"])
-        for k, v in extras.items():
-            out[k] = np.asarray(v)[n_dropped:]
+    out, mask = features_to_numpy(ohlcv["Open"], ohlcv["High"], ohlcv["Low"],
+                                  ohlcv["Close"], ohlcv["Volume"],
+                                  return_mask=True)
+    # Apply the exact dropna mask to passthrough columns (e.g. Date): the
+    # dropped rows are usually a warm-up prefix, but a mid-series NaN
+    # (halted ticker, zero volume) drops interior rows too — a prefix slice
+    # would silently misalign dates against prices in trade logs.
+    for k, v in extras.items():
+        out[k] = np.asarray(v)[mask]
     return out
 
 
@@ -70,6 +72,25 @@ def _yfinance_ohlcv(ticker: str, period: str) -> Optional[Dict]:
     }
 
 
+def _read_date_column(path: str) -> Optional[np.ndarray]:
+    """Date column with the native loader's row semantics (header row, then
+    every non-blank line in file order) so the two stay aligned."""
+    with open(path, "r") as f:
+        header = f.readline().rstrip("\r\n").split(",")
+        names = [h.strip().strip('"').lower() for h in header]
+        if "date" not in names:
+            return None
+        col = names.index("date")
+        dates = []
+        for line in f:
+            if line.strip() == "":
+                continue
+            cells = line.rstrip("\r\n").split(",")
+            dates.append(cells[col].strip().strip('"') if col < len(cells)
+                         else "")
+        return np.asarray(dates)
+
+
 def _csv_ohlcv(ticker: str, data_dir: str) -> Optional[Dict]:
     path = f"{data_dir}/{ticker}.csv"
     # Native mmap loader first (montecarlo_tpu/native/csv_loader.cc);
@@ -78,6 +99,11 @@ def _csv_ohlcv(ticker: str, data_dir: str) -> Optional[Dict]:
 
     native = load_ohlcv_csv(path)
     if native is not None:
+        # The native loader returns only the numeric columns; pull Date
+        # host-side so both csv paths carry the same passthrough columns.
+        dates = _read_date_column(path)
+        if dates is not None and len(dates) == len(native["Close"]):
+            native["Date"] = dates
         return native
 
     import pandas as pd

@@ -48,7 +48,7 @@ def path_histograms(process, n_paths: int, n_steps: int, *, seed: int,
     def hist(prices):
         idx = jnp.clip(jnp.floor((prices - lo) / width).astype(jnp.int32),
                        0, bins - 1)
-        return histogram_counts(idx, bins, prices.dtype)
+        return histogram_counts(idx, bins, jnp.int32)
 
     def body(state, t):
         eps = sampler.draws(process, seed, stream, ids, t, dtype)

@@ -34,9 +34,6 @@ from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.stats.quantiles import (
     HistogramSketch,
     sketch_cdf,
-    sketch_empty,
-    sketch_from_array,
-    sketch_merge,
     sketch_quantile,
     sketch_tail_mean_below,
 )
@@ -131,12 +128,19 @@ def streaming_estimate(
                 f"of chunk_paths={chunk_paths}; resume with the original "
                 "chunk size (or a divisor of paths_done)")
     if state is None:
-        empty = sketch_empty(lo, hi, bins, jnp.float64)
+        # Host-side np.float64 count carrier: exact adds to 2^53 regardless
+        # of jax_enable_x64 (a jnp f64 sketch silently truncates to f32
+        # without x64 — the 2^24-count wrongness this layer must never have).
+        z64 = np.float64(0.0)
         state = StreamingState(
             seed=seed, n_steps=n_steps, block_size=block_size, paths_done=0,
             block_count=np.zeros((0,)), block_mean=np.zeros((0,)),
             block_m2=np.zeros((0,)),
-            sketch=HistogramSketch(*(np.asarray(v) for v in empty)),
+            sketch=HistogramSketch(
+                lo=np.float64(lo), hi=np.float64(hi),
+                counts=np.zeros((bins,), np.float64), total=z64,
+                underflow=z64, overflow=z64,
+                vmin=np.float64(np.inf), vmax=np.float64(-np.inf)),
         )
 
     chunk_idx = state.paths_done // chunk_paths
@@ -161,19 +165,34 @@ def streaming_estimate(
         payoffs = payoff_fn(terminal)
         blocks = moments_from_array(
             jnp.reshape(payoffs, (-1, block_size)), axis=-1)
-        chunk_sketch = sketch_from_array(
-            jnp.asarray(terminal, jnp.float64), lo, hi, bins, jnp.float64)
-
         state.block_count = np.concatenate(
             [state.block_count, np.asarray(blocks.count, np.float64)])
         state.block_mean = np.concatenate(
             [state.block_mean, np.asarray(blocks.mean, np.float64)])
         state.block_m2 = np.concatenate(
             [state.block_m2, np.asarray(blocks.m2, np.float64)])
-        merged = sketch_merge(
-            HistogramSketch(*(jnp.asarray(v) for v in state.sketch)),
-            chunk_sketch)
-        state.sketch = HistogramSketch(*(np.asarray(v) for v in merged))
+        # Chunk binning + merge on host in np.float64: the f64 grid bins
+        # identically whether x64 is on or off, and f64 count adds are exact
+        # to 2^53 (a jnp f64 sketch would silently truncate to f32 without
+        # x64 — the 2^24-count wrongness this layer must never have).  The
+        # fully on-device pod path is sharded_terminal_sketch (int32 psum).
+        term64 = np.asarray(terminal, np.float64)
+        width = (np.float64(hi) - np.float64(lo)) / bins
+        idx = np.floor((term64 - np.float64(lo)) / width).astype(np.int64)
+        under = int(np.sum(idx < 0))
+        over = int(np.sum(idx >= bins))
+        cnts = np.bincount(idx[(idx >= 0) & (idx < bins)],
+                           minlength=bins).astype(np.float64)
+        s = state.sketch
+        state.sketch = HistogramSketch(
+            lo=s.lo, hi=s.hi,
+            counts=s.counts + cnts,
+            total=s.total + np.float64(term64.size),
+            underflow=s.underflow + np.float64(under),
+            overflow=s.overflow + np.float64(over),
+            vmin=np.minimum(s.vmin, term64.min()),
+            vmax=np.maximum(s.vmax, term64.max()),
+        )
         state.paths_done += chunk_paths
         chunk_idx += 1
 
@@ -195,10 +214,13 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
     sketch-based quantiles instead of exact sort (error <= one bin width)."""
     m = state.moments()
     s0 = float(current_price)
-    p = {f"p{q}": float(sketch_quantile(
-        HistogramSketch(*(jnp.asarray(v) for v in state.sketch)), float(q)))
-        for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
-    sk = HistogramSketch(*(jnp.asarray(v) for v in state.sketch))
+    # Explicit dtype: device reads use the widest float available so the
+    # host f64 state doesn't trip implicit-downcast warnings without x64.
+    vdt = jnp.result_type(float)
+    sk = HistogramSketch(*(jnp.asarray(np.asarray(v, vdt))
+                           for v in state.sketch))
+    p = {f"p{q}": float(sketch_quantile(sk, float(q)))
+         for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
     tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
     mean = float(m.mean)
     std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))

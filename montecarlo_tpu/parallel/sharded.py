@@ -228,8 +228,9 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
     prices plus exact moments — O(bins) memory per device regardless of path
     count (BASELINE.json config 5).
 
-    Counts are exact integers (held in f32/f64 lanes), so `psum`-merging is
-    exact and mesh-shape invariant.
+    Counts are int32 (exact adds to 2^31 per bin), so `psum`-merging is
+    exact and mesh-shape invariant; f32 lanes would silently lose counts
+    past 2^24 per bin at pod-scale path counts.
     """
     n_shards = mesh.shape[axis]
     _check_divisible(n_paths, n_shards, block_size)

@@ -183,10 +183,18 @@ def _jitted_pipeline(dtype_name: str):
     return run
 
 
-def features_to_numpy(open_, high, low, close, volume, dtype=jnp.float64):
-    """Host convenience: compute, finalize, and dropna -> dict of np arrays."""
+def features_to_numpy(open_, high, low, close, volume, dtype=jnp.float64,
+                      return_mask: bool = False):
+    """Host convenience: compute, finalize, and dropna -> dict of np arrays.
+
+    With ``return_mask=True`` also returns the (T,) bool dropna mask so
+    callers can align passthrough columns (e.g. dates) exactly — the mask is
+    NOT always a leading prefix (a mid-series NaN from a halted ticker or
+    zero volume drops interior rows too).
+    """
     clean, valid = _jitted_pipeline(jnp.dtype(dtype).name)(
         np.asarray(open_), np.asarray(high), np.asarray(low),
         np.asarray(close), np.asarray(volume))
     mask = np.asarray(valid)
-    return {k: np.asarray(v)[mask] for k, v in clean.items()}
+    out = {k: np.asarray(v)[mask] for k, v in clean.items()}
+    return (out, mask) if return_mask else out

@@ -27,13 +27,17 @@ def percentile_linear(x, q, axis=None):
 _HIST_SLICE = 1 << 20
 
 
-def histogram_counts(idx, bins: int, dtype=jnp.float32):
-    """Counts of int32 bin indices in [0, bins) — TPU-fast.
+def histogram_counts(idx, bins: int, dtype=jnp.int32):
+    """Counts of int32 bin indices in [0, bins) — TPU-fast and **exact**.
 
     XLA's scatter is slow on TPU (~300 ms per 16M elements); when ``bins``
     is a multiple of 64 this instead splits each index into (coarse, offset)
     and contracts two one-hot matrices on the MXU — measured 7.4x faster and
     exactly equal.  Falls back to `segment_sum` on CPU or awkward bin counts.
+
+    Accumulation is integer (each 2^20-element MXU slice is exact in f32,
+    then added in int32), so counts are exact up to 2^31 per bin regardless
+    of the requested output ``dtype``.
     """
     import jax
 
@@ -41,17 +45,18 @@ def histogram_counts(idx, bins: int, dtype=jnp.float32):
     n = idx.shape[0]
     on_accel = jax.devices()[0].platform != "cpu"
     if not on_accel or bins % 64 != 0 or n < _HIST_SLICE:
-        return jax.ops.segment_sum(jnp.ones((n,), dtype), idx,
-                                   num_segments=bins)
+        return jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), idx, num_segments=bins).astype(dtype)
 
     n_coarse = bins // 64
 
     def partial_counts(part):
+        # Exact: per-slice per-bin counts <= 2^20 < 2^24 (f32 integer range).
         oh_c = jax.nn.one_hot(part >> 6, n_coarse, dtype=jnp.bfloat16)
         oh_o = jax.nn.one_hot(part & 63, 64, dtype=jnp.bfloat16)
         return jax.lax.dot_general(
             oh_o, oh_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (64, n_coarse)
+            preferred_element_type=jnp.float32).astype(jnp.int32)
 
     n_full = n // _HIST_SLICE
 
@@ -60,7 +65,7 @@ def histogram_counts(idx, bins: int, dtype=jnp.float32):
         return acc + partial_counts(part)
 
     acc = jax.lax.fori_loop(0, n_full, body,
-                            jnp.zeros((64, n_coarse), jnp.float32))
+                            jnp.zeros((64, n_coarse), jnp.int32))
     if n % _HIST_SLICE:
         acc = acc + partial_counts(idx[n_full * _HIST_SLICE:])
     # bin = coarse * 64 + offset  ->  counts[bin] = acc[offset, coarse]
@@ -78,9 +83,9 @@ class HistogramSketch(NamedTuple):
     psum-ed, checkpointed with orbax, and merged exactly (integer adds).
     """
 
-    lo: jnp.ndarray        # scalar f32/f64
-    hi: jnp.ndarray        # scalar
-    counts: jnp.ndarray    # (bins,) float (exact for counts < 2^24 per bin in f32; use f64/int on CPU)
+    lo: jnp.ndarray        # scalar f32/f64 (value dtype)
+    hi: jnp.ndarray        # scalar (value dtype)
+    counts: jnp.ndarray    # (bins,) count dtype — int32 default: exact adds
     total: jnp.ndarray     # scalar — includes under/overflow
     underflow: jnp.ndarray
     overflow: jnp.ndarray
@@ -88,13 +93,20 @@ class HistogramSketch(NamedTuple):
     vmax: jnp.ndarray
 
 
+#: Default count carrier: int32 — exact to 2^31 per bin (f32 silently loses
+#: counts past 2^24).  Beyond-2^31 accumulation (host streaming) passes
+#: float64 (exact to 2^53).
+DEFAULT_COUNT_DTYPE = jnp.int32
+
+
 def sketch_empty(lo: float, hi: float, bins: int = 4096,
-                 dtype=jnp.float32) -> HistogramSketch:
-    z = jnp.zeros((), dtype)
+                 dtype=jnp.float32,
+                 count_dtype=DEFAULT_COUNT_DTYPE) -> HistogramSketch:
+    z = jnp.zeros((), count_dtype)
     return HistogramSketch(
         lo=jnp.asarray(lo, dtype),
         hi=jnp.asarray(hi, dtype),
-        counts=jnp.zeros((bins,), dtype),
+        counts=jnp.zeros((bins,), count_dtype),
         total=z,
         underflow=z,
         overflow=z,
@@ -105,7 +117,8 @@ def sketch_empty(lo: float, hi: float, bins: int = 4096,
 
 def sketch_add(s: HistogramSketch, x) -> HistogramSketch:
     """Absorb a batch of values (any shape) into the sketch."""
-    x = jnp.ravel(jnp.asarray(x, s.counts.dtype))
+    cdt = s.counts.dtype
+    x = jnp.ravel(jnp.asarray(x, s.lo.dtype))
     bins = s.counts.shape[0]
     width = (s.hi - s.lo) / bins
     idx = jnp.floor((x - s.lo) / width).astype(jnp.int32)
@@ -115,25 +128,27 @@ def sketch_add(s: HistogramSketch, x) -> HistogramSketch:
     # Route out-of-range values to bin 0 and subtract them afterwards
     # (histogram_counts counts everything it is given).
     idx = jnp.where(in_range, jnp.clip(idx, 0, bins - 1), 0)
-    batch = histogram_counts(idx, bins, s.counts.dtype)
-    n_oob = jnp.sum((~in_range).astype(s.counts.dtype))
+    batch = histogram_counts(idx, bins, cdt)
+    # dtype=cdt: jnp.sum would otherwise promote int32 -> int64 under x64.
+    n_oob = jnp.sum(~in_range, dtype=cdt)
     batch = batch.at[0].add(-n_oob)
     counts = s.counts + batch
     return HistogramSketch(
         lo=s.lo,
         hi=s.hi,
         counts=counts,
-        total=s.total + x.size,
-        underflow=s.underflow + jnp.sum(under.astype(s.counts.dtype)),
-        overflow=s.overflow + jnp.sum(over.astype(s.counts.dtype)),
+        total=s.total + jnp.asarray(x.size, cdt),
+        underflow=s.underflow + jnp.sum(under, dtype=cdt),
+        overflow=s.overflow + jnp.sum(over, dtype=cdt),
         vmin=jnp.minimum(s.vmin, jnp.min(x)),
         vmax=jnp.maximum(s.vmax, jnp.max(x)),
     )
 
 
 def sketch_from_array(x, lo: float, hi: float, bins: int = 4096,
-                      dtype=jnp.float32) -> HistogramSketch:
-    return sketch_add(sketch_empty(lo, hi, bins, dtype), x)
+                      dtype=jnp.float32,
+                      count_dtype=DEFAULT_COUNT_DTYPE) -> HistogramSketch:
+    return sketch_add(sketch_empty(lo, hi, bins, dtype, count_dtype), x)
 
 
 def sketch_merge(a: HistogramSketch, b: HistogramSketch) -> HistogramSketch:
@@ -156,35 +171,40 @@ def sketch_quantile(s: HistogramSketch, q):
     ``q`` in [0, 100] (percentile convention, matching the reference and
     `np.percentile`).  Error <= one bin width for in-range quantiles.
     """
-    q = jnp.asarray(q, s.counts.dtype) / 100.0
+    vdt = s.lo.dtype
+    q = jnp.asarray(q, vdt) / 100.0
     bins = s.counts.shape[0]
     width = (s.hi - s.lo) / bins
-    # CDF at the right edge of each bin (underflow counts first).
-    cdf = s.underflow + jnp.cumsum(s.counts)
-    target = q * s.total
+    # CDF at the right edge of each bin (underflow counts first); integer
+    # cumsum is exact, float math only for the interpolation.
+    cdf = (s.underflow + jnp.cumsum(s.counts)).astype(vdt)
+    target = q * s.total.astype(vdt)
     # First bin whose right-edge CDF reaches the target.
     k = jnp.searchsorted(cdf, target, side="left")
     k = jnp.clip(k, 0, bins - 1)
-    cdf_left = jnp.where(k > 0, cdf[jnp.maximum(k - 1, 0)], s.underflow)
+    cdf_left = jnp.where(k > 0, cdf[jnp.maximum(k - 1, 0)],
+                         s.underflow.astype(vdt))
     in_bin = jnp.maximum(cdf[k] - cdf_left, 1e-12)
     frac = jnp.clip((target - cdf_left) / in_bin, 0.0, 1.0)
-    est = s.lo + (k.astype(s.counts.dtype) + frac) * width
+    est = s.lo + (k.astype(vdt) + frac) * width
     # Clamp to the observed range; exact at the extremes.
     return jnp.clip(est, s.vmin, s.vmax)
 
 
 def sketch_cdf(s: HistogramSketch, x):
     """P(value <= x) with within-bin linear interpolation."""
+    vdt = s.lo.dtype
+    counts = s.counts.astype(vdt)
     bins = s.counts.shape[0]
     width = (s.hi - s.lo) / bins
-    k = jnp.clip(jnp.floor((jnp.asarray(x, s.counts.dtype) - s.lo) / width)
+    k = jnp.clip(jnp.floor((jnp.asarray(x, vdt) - s.lo) / width)
                  .astype(jnp.int32), 0, bins - 1)
     below = jnp.sum(jnp.where(
-        jnp.arange(bins) < k, s.counts, 0.0)) + s.underflow
-    frac = jnp.clip((x - (s.lo + k.astype(s.counts.dtype) * width)) / width,
+        jnp.arange(bins) < k, counts, 0.0)) + s.underflow.astype(vdt)
+    frac = jnp.clip((x - (s.lo + k.astype(vdt) * width)) / width,
                     0.0, 1.0)
-    below = below + s.counts[k] * frac
-    return below / jnp.maximum(s.total, 1.0)
+    below = below + counts[k] * frac
+    return below / jnp.maximum(s.total.astype(vdt), 1.0)
 
 
 def sketch_tail_mean_below(s: HistogramSketch, threshold):
@@ -193,18 +213,21 @@ def sketch_tail_mean_below(s: HistogramSketch, threshold):
     Used for CVaR at pod scale; the exact path (`masked tail mean`, reference
     app.py:656) is preferred whenever the sample fits on-chip.
     """
+    vdt = s.lo.dtype
+    counts = s.counts.astype(vdt)
     bins = s.counts.shape[0]
     width = (s.hi - s.lo) / bins
-    mids = s.lo + (jnp.arange(bins, dtype=s.counts.dtype) + 0.5) * width
-    right_edges = s.lo + (jnp.arange(1, bins + 1, dtype=s.counts.dtype)) * width
-    w = jnp.where(right_edges <= threshold, s.counts, 0.0)
+    mids = s.lo + (jnp.arange(bins, dtype=vdt) + 0.5) * width
+    right_edges = s.lo + (jnp.arange(1, bins + 1, dtype=vdt)) * width
+    w = jnp.where(right_edges <= threshold, counts, 0.0)
     # Partial bin containing the threshold: include proportionally.
     k = jnp.clip(jnp.floor((threshold - s.lo) / width).astype(jnp.int32),
                  0, bins - 1)
-    frac = jnp.clip((threshold - (s.lo + k.astype(s.counts.dtype) * width))
+    frac = jnp.clip((threshold - (s.lo + k.astype(vdt) * width))
                     / width, 0.0, 1.0)
-    w = w.at[k].set(s.counts[k] * frac)
+    w = w.at[k].set(counts[k] * frac)
     # Underflow mass: approximate at vmin.
-    tot = jnp.sum(w) + s.underflow
-    acc = jnp.sum(w * mids) + s.underflow * s.vmin
+    under = s.underflow.astype(vdt)
+    tot = jnp.sum(w) + under
+    acc = jnp.sum(w * mids) + under * s.vmin
     return acc / jnp.maximum(tot, 1e-12)

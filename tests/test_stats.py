@@ -123,3 +123,39 @@ def test_path_percentiles_layout():
     for p in (5, 25, 50, 75, 95):
         np.testing.assert_allclose(np.asarray(out[f"p{p}"]),
                                    np.percentile(paths, p, axis=1), rtol=1e-10)
+
+
+def test_sketch_counts_exact_past_f32_precision():
+    """Counts are integer by default: adding one value to a bin already at
+    2^24 must increment it (f32 lanes would silently drop it — the round-1
+    silent-wrongness bug at pod-scale path counts)."""
+    from montecarlo_tpu.stats.quantiles import HistogramSketch, sketch_add
+
+    bins = 64
+    big = 1 << 24
+    s = HistogramSketch(
+        lo=jnp.float32(0.0), hi=jnp.float32(64.0),
+        counts=jnp.zeros((bins,), jnp.int32).at[3].set(big),
+        total=jnp.int32(big), underflow=jnp.int32(0), overflow=jnp.int32(0),
+        vmin=jnp.float32(3.0), vmax=jnp.float32(3.9),
+    )
+    s2 = sketch_add(s, jnp.asarray([3.5], jnp.float32))
+    assert int(s2.counts[3]) == big + 1
+    assert int(s2.total) == big + 1
+    # Default construction carries integer counts.
+    fresh = sketch_from_array(jnp.asarray([1.0, 2.0]), 0.0, 64.0, bins)
+    assert jnp.issubdtype(fresh.counts.dtype, jnp.integer)
+    assert jnp.issubdtype(fresh.total.dtype, jnp.integer)
+
+
+def test_sketch_int_counts_quantile_math_still_float():
+    rng = np.random.default_rng(7)
+    x = rng.normal(100.0, 10.0, size=50_000)
+    s = sketch_from_array(jnp.asarray(x, jnp.float64), 50.0, 150.0, 4096,
+                          jnp.float64)
+    for q in (5.0, 50.0, 95.0):
+        exact = np.percentile(x, q)
+        assert abs(float(sketch_quantile(s, q)) - exact) < 0.1
+    thr = float(np.percentile(x, 5.0))
+    tail = x[x <= thr].mean()
+    assert abs(float(sketch_tail_mean_below(s, thr)) - tail) < 0.1
