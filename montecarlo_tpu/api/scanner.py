@@ -15,6 +15,7 @@ compile over the whole universe.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -136,20 +137,41 @@ def scan_tickers(tickers: List[str], *, forecast_horizon: int = 20,
               period=period, provider=provider)
 
     if parallel and len(tickers) > 1:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            futures = {pool.submit(scan_single_ticker, t, **kw): t
-                       for t in tickers}
+        # Per-ticker deadline (the reference's per-future 120 s timeout,
+        # app.py:1399): each ticker's clock starts when its task starts
+        # executing — a global stall window would never trip on a
+        # slow-but-alive universe where *something* keeps completing.
+        starts: Dict = {}
+
+        def timed(ticker: str):
+            starts[ticker] = time.monotonic()
+            return scan_single_ticker(ticker, **kw)
+
+        pool = ThreadPoolExecutor(max_workers=n_workers)
+        try:
+            futures = {pool.submit(timed, t): t for t in tickers}
             pending = set(futures)
             done_count = 0
             while pending:
-                done, pending = wait(pending, timeout=timeout,
+                done, pending = wait(pending, timeout=min(timeout, 1.0),
                                      return_when=FIRST_COMPLETED)
-                if not done:  # global stall — record remaining as timeouts
-                    for fut in pending:
-                        handle({"ticker": futures[fut], "success": False,
-                                "error": "Timeout"})
-                        fut.cancel()
-                    break
+                now = time.monotonic()
+                expired = {
+                    fut for fut in pending
+                    if starts.get(futures[fut]) is not None
+                    and now - starts[futures[fut]] > timeout
+                }
+                for fut in expired:
+                    # The worker thread can't be killed (same as the
+                    # reference's TimeoutError path); record and abandon —
+                    # its eventual result is ignored.
+                    handle({"ticker": futures[fut], "success": False,
+                            "error": "Timeout"})
+                    fut.cancel()
+                    done_count += 1
+                    if progress_callback:
+                        progress_callback(done_count, len(tickers), out)
+                pending -= expired
                 for fut in done:
                     try:
                         handle(fut.result())
@@ -159,6 +181,10 @@ def scan_tickers(tickers: List[str], *, forecast_horizon: int = 20,
                     done_count += 1
                     if progress_callback:
                         progress_callback(done_count, len(tickers), out)
+        finally:
+            # Do not block on abandoned (timed-out) workers; they unwind in
+            # the background and their results are dropped.
+            pool.shutdown(wait=False, cancel_futures=True)
     else:
         for i, t in enumerate(tickers):
             handle(scan_single_ticker(t, **kw))

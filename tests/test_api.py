@@ -110,3 +110,37 @@ def test_batched_scanner_failure_records():
     assert len(res.failed) == 2  # too short for the full preset
     assert all("Insufficient" in f["Reason"] or "No data" in f["Reason"]
                for f in res.failed)
+
+
+def test_scanner_per_ticker_timeout(monkeypatch):
+    """One stuck ticker times out while others (still completing) finish —
+    a global stall window would never trip here because completions keep
+    resetting it (round-1 weak spot; reference app.py:1399 semantics)."""
+    import time as _time
+
+    import montecarlo_tpu.api.scanner as scanner_mod
+
+    def fake_scan(ticker, **kw):
+        if ticker == "STUCK":
+            _time.sleep(8.0)  # far past the 1.5 s deadline
+        else:
+            _time.sleep(0.3)  # alive and completing — resets a stall window
+        return {"success": True, "ticker": ticker, "data": {
+            "Ticker": ticker, "Price": 100.0, "Dir. Accuracy": 55.0,
+            "Pred. Return": 1.0, "Volatility": 20.0, "Signal": "LONG",
+            "Edge": True, "Confidence": 50.0}}
+
+    monkeypatch.setattr(scanner_mod, "scan_single_ticker", fake_scan)
+    t0 = _time.monotonic()
+    res = scanner_mod.scan_tickers(
+        ["SYN_A", "STUCK", "SYN_B", "SYN_C", "SYN_D", "SYN_E"],
+        forecast_horizon=20, config=ModelConfig.fast(), period="2y",
+        provider="synthetic", parallel=True, n_workers=2, timeout=1.5)
+    elapsed = _time.monotonic() - t0
+    failed = {f["Ticker"]: f["Reason"] for f in res.failed}
+    assert failed.get("STUCK") == "Timeout"
+    done = {r["Ticker"] for r in res.results}
+    assert {"SYN_A", "SYN_B", "SYN_C", "SYN_D", "SYN_E"} <= done
+    # The scan returns as soon as the deadline trips — it must not wait out
+    # the stuck worker's full 8 s sleep.
+    assert elapsed < 7.5, elapsed
