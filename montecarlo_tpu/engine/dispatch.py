@@ -55,3 +55,36 @@ def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
             antithetic=isinstance(sampler, AntitheticSampler))
     return simulate(process, n_paths, n_steps, seed=seed, stream=stream,
                     sampler=sampler, dtype=dtype, path_offset=path_offset)
+
+
+def payoff_block_moments(process, payoff_fn, n_paths: int, n_steps: int, *,
+                         seed, stream=0, sampler=None, path_offset=0,
+                         stats_block: int = 4096,
+                         prefer_fused: bool = True):
+    """Per-block payoff moments, never materializing terminals when fused.
+
+    On TPU for fusable processes this runs the payoff+stats kernel
+    (`ops.fused_engine.fused_block_moments_pallas`): the HBM write per
+    kernel block is (rows, 2) stats instead of (rows, 128) prices.
+    Elsewhere it falls back to terminal simulation + `moments_from_array`
+    (the bitwise-deterministic block contract).
+    """
+    from montecarlo_tpu.ops.fused_engine import fused_block_moments_pallas
+    from montecarlo_tpu.stats.welford import moments_from_array
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    rows = _kernel_block_rows(n_paths)
+    fusable_sampler = sampler is None or isinstance(sampler,
+                                                    AntitheticSampler)
+    if (prefer_fused and on_tpu and fusable_sampler and rows is not None
+            and rows * LANES % stats_block == 0
+            and isinstance(process, _FUSABLE)):
+        return fused_block_moments_pallas(
+            process, payoff_fn, n_paths, n_steps, seed=seed, stream=stream,
+            path_offset=path_offset, block_rows=rows,
+            stats_block=stats_block,
+            antithetic=isinstance(sampler, AntitheticSampler))
+    terminal = simulate(process, n_paths, n_steps, seed=seed, stream=stream,
+                        sampler=sampler, path_offset=path_offset)
+    return moments_from_array(
+        jnp.reshape(payoff_fn(terminal), (-1, stats_block)), axis=-1)

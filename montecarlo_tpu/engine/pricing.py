@@ -46,16 +46,19 @@ def price_to_tolerance(process, payoff_fn, *, target_std_err, seed,
 
     Returns ``{"price", "std_err", "n_paths", "n_chunks"}``.
     """
-    from montecarlo_tpu.engine.dispatch import terminal_prices
+    from montecarlo_tpu.engine.dispatch import payoff_block_moments
+    from montecarlo_tpu.stats.welford import moments_reduce
 
     d = jnp.asarray(discount, jnp.float32)
     target = jnp.asarray(target_std_err, jnp.float32)
 
     def chunk_stats(i):
-        terminal = terminal_prices(
-            process, chunk_paths, n_steps, seed=seed,
+        # Payoff + block stats fused into the path kernel when eligible —
+        # the (chunk_paths,) terminal array never reaches HBM.
+        blocks = payoff_block_moments(
+            process, payoff_fn, chunk_paths, n_steps, seed=seed,
             path_offset=i * chunk_paths, prefer_fused=use_fused)
-        return moments_from_array(payoff_fn(terminal), axis=0)
+        return moments_reduce(blocks)
 
     def cond(carry):
         st, i = carry

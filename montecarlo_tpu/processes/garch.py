@@ -77,7 +77,12 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
             )
         std_returns = returns / (returns.std() + 1e-10)
         if pad_to is None:
-            pad_to = 1 << int(np.ceil(np.log2(max(n, 1))))
+            # Smallest multiple of 128 (the gather decomposes into 128-lane
+            # rows; cost is linear in rows, so never round up to a power of
+            # two — 5y history: 1260 -> 1280 = 10 rows, not 2048 = 16).
+            pad_to = ((n + 127) // 128) * 128
+        if pad_to % 128 != 0:
+            raise ValueError(f"pad_to={pad_to} must be a multiple of 128")
         table = np.zeros(pad_to, np.float64)
         table[:n] = std_returns
         as_ = lambda v: jnp.asarray(v, dtype)
@@ -101,24 +106,35 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         return jnp.minimum(idx, self.n_table - 1)
 
     def _gather(self, idx, dtype):
+        return self._gather_many((idx,), dtype)[0]
+
+    def _gather_many(self, idxs, dtype):
+        """Gather several index arrays in one pass over the table rows.
+
+        Pallas block layout (rows, 128): Mosaic lowers only same-shape
+        gathers (indices.shape == operand.shape), so the table decomposes
+        into 128-lane rows — one lane-gather + masked-add per (table row,
+        index array).  Cost is linear in table rows (~4 ps/path-step/row on
+        v5e, measured in experiments/garch_profile.py), hence the
+        multiple-of-128 padding in ``create``.  Sharing the row loop across
+        both halves of a step pair keeps each table row broadcast live for
+        every pending draw (neutral-to-slightly-positive; the gathers
+        themselves dominate).
+        """
         table = self.table.astype(dtype)
-        if idx.ndim == 2:
-            # Pallas block layout (rows, 128). Mosaic lowers only same-shape
-            # gathers (indices.shape == operand.shape), so decompose the
-            # table into 128-lane rows: one lane-gather + select per table
-            # row.  pad_to is a power of two >= 128, so this is exact.
-            n_rows = table.shape[0] // 128
-            table2d = table.reshape(n_rows, 128)
-            row = (idx >> 7).astype(jnp.int32)
-            col = (idx & 127).astype(jnp.int32)
-            shock = jnp.zeros(idx.shape, dtype)
-            for r in range(n_rows):
-                vals = jnp.broadcast_to(table2d[r][None, :], idx.shape)
-                g = jnp.take_along_axis(vals, col, axis=1)
-                shock = jnp.where(row == r, g, shock)
-        else:
-            shock = table[idx]
-        return shock
+        if idxs[0].ndim != 2:
+            return tuple(table[idx] for idx in idxs)
+        n_rows = table.shape[0] // 128
+        table2d = table.reshape(n_rows, 128)
+        rows = [(idx >> 7).astype(jnp.int32) for idx in idxs]
+        cols = [(idx & 127).astype(jnp.int32) for idx in idxs]
+        shocks = [jnp.zeros(idx.shape, dtype) for idx in idxs]
+        for r in range(n_rows):
+            vals = jnp.broadcast_to(table2d[r][None, :], idxs[0].shape)
+            for i in range(len(idxs)):
+                g = jnp.take_along_axis(vals, cols[i], axis=1)
+                shocks[i] = jnp.where(rows[i] == r, g, shocks[i])
+        return tuple(shocks)
 
     def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
         """Bootstrap shocks: a uniform index per (path, t) gathered from the
@@ -136,8 +152,9 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         b0, b1 = random_bits(seed, stream, path_ids, j)
         u0 = uniform_from_bits(b0, jnp.float32)
         u1 = uniform_from_bits(b1, jnp.float32)
-        return ((self._gather(self._index_of(u0), dtype),),
-                (self._gather(self._index_of(u1), dtype),))
+        s0, s1 = self._gather_many(
+            (self._index_of(u0), self._index_of(u1)), dtype)
+        return ((s0,), (s1,))
 
     def antithetic(self, eps):
         return tuple(-e for e in eps)

@@ -89,3 +89,73 @@ def test_basket_fused_matches_multigbm():
                                                block_rows=128,
                                                interpret=True))
     np.testing.assert_array_equal(b_fused, b_scan)
+
+
+class TestFusedBlockMoments:
+    """Payoff+stats fused output (the terminal array never leaves VMEM)."""
+
+    def _proc(self):
+        from montecarlo_tpu.processes import GBM
+        return GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 252.0)
+
+    def test_matches_materializing_path(self):
+        import jax.numpy as jnp
+        from montecarlo_tpu.engine.simulate import simulate
+        from montecarlo_tpu.ops.fused_engine import fused_block_moments_pallas
+        from montecarlo_tpu.stats.welford import (moments_from_array,
+                                                  moments_reduce, std_error)
+
+        proc = self._proc()
+        payoff = lambda s: jnp.maximum(s - 105.0, 0.0)
+        n = 32768
+        blocks = fused_block_moments_pallas(
+            proc, payoff, n, 16, seed=9, block_rows=64, interpret=True)
+        assert blocks.count.shape == (n // 4096,)
+        assert float(jnp.sum(blocks.count)) == n
+
+        terminal = simulate(proc, n, 16, seed=9)
+        ref = moments_from_array(jnp.reshape(payoff(terminal), (-1, 4096)),
+                                 axis=-1)
+        # Same draws, different (deterministic) reduction order: equality to
+        # float tolerance, not bitwise.
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(blocks.mean),
+                                   np.asarray(ref.mean), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(blocks.m2),
+                                   np.asarray(ref.m2), rtol=1e-4)
+        tot_a, tot_b = moments_reduce(blocks), moments_reduce(ref)
+        assert abs(float(tot_a.mean) - float(tot_b.mean)) < 1e-5
+        assert abs(float(std_error(tot_a)) - float(std_error(tot_b))) < 1e-7
+
+    def test_block_states_offset_invariant(self):
+        """Block states depend only on global path ids: computing the second
+        half via path_offset yields the same states as the full run."""
+        import jax.numpy as jnp
+        import numpy as np
+        from montecarlo_tpu.ops.fused_engine import fused_block_moments_pallas
+
+        proc = self._proc()
+        payoff = lambda s: jnp.maximum(s - 105.0, 0.0)
+        full = fused_block_moments_pallas(
+            proc, payoff, 16384, 8, seed=4, block_rows=64, interpret=True)
+        half2 = fused_block_moments_pallas(
+            proc, payoff, 8192, 8, seed=4, path_offset=8192, block_rows=64,
+            interpret=True)
+        for a, b in zip(full, half2):
+            np.testing.assert_array_equal(np.asarray(a)[2:], np.asarray(b))
+
+    def test_antithetic_mode(self):
+        import jax.numpy as jnp
+        from montecarlo_tpu.ops.fused_engine import fused_block_moments_pallas
+        from montecarlo_tpu.engine.simulate import simulate
+        from montecarlo_tpu.samplers import AntitheticSampler
+        from montecarlo_tpu.stats.welford import moments_reduce
+
+        proc = self._proc()
+        payoff = lambda s: s  # identity: antithetic pairs cancel variance
+        blocks = fused_block_moments_pallas(
+            proc, payoff, 16384, 8, seed=4, block_rows=64, interpret=True,
+            antithetic=True)
+        tot = moments_reduce(blocks)
+        term = simulate(proc, 16384, 8, seed=4, sampler=AntitheticSampler())
+        assert abs(float(tot.mean) - float(jnp.mean(term))) < 1e-5
