@@ -141,3 +141,38 @@ def test_asset_axis_sharded_basket():
     est2 = sharded_basket_estimate(basket, payoff, n, steps, seed=9,
                                    mesh=mesh1, block_size=512)
     assert float(est["price"]) == float(est2["price"])
+
+
+def test_asset_axis_sharded_large_basket():
+    """16 assets over 4 asset shards x 2 path shards — the ASSETS_AXIS path
+    beyond the small 4-asset case (each shard owns 4 Cholesky rows)."""
+    from montecarlo_tpu.engine import simulate
+    from montecarlo_tpu.parallel import sharded_basket_estimate
+    from montecarlo_tpu.processes import BasketGBM
+
+    rng = np.random.default_rng(3)
+    a_n = 16
+    q = rng.normal(size=(a_n, a_n))
+    corr = q @ q.T
+    d = np.sqrt(np.diag(corr))
+    basket = BasketGBM.create(
+        s0=rng.uniform(50, 150, a_n), mu=[0.03] * a_n,
+        sigma=rng.uniform(0.1, 0.4, a_n), corr=corr / np.outer(d, d),
+        weights=np.full(a_n, 1.0 / a_n), dt=1 / 252)
+    n, steps = 1 << 13, 8
+    payoff = lambda v: jnp.maximum(v - 90.0, 0.0)
+
+    mesh = make_mesh(n_path_shards=2, n_asset_shards=4)
+    est = sharded_basket_estimate(basket, payoff, n, steps, seed=21,
+                                  mesh=mesh, block_size=512)
+    vals = np.asarray(payoff(simulate(basket, n, steps, seed=21)))
+    se = vals.std(ddof=1) / np.sqrt(n)
+    assert abs(float(est["price"]) - vals.mean()) < max(5e-3, 0.1 * se)
+    assert int(est["n_paths"]) == n
+
+    # Invariance across asset-shard counts (1 vs 4) at fixed path sharding.
+    est1 = sharded_basket_estimate(basket, payoff, n, steps, seed=21,
+                                   mesh=make_mesh(n_path_shards=2,
+                                                  n_asset_shards=1),
+                                   block_size=512)
+    assert abs(float(est["price"]) - float(est1["price"])) < 1e-5
