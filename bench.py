@@ -28,6 +28,79 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BASELINE_PATH_STEPS_PER_SEC = 5e9  # BASELINE.json north_star target
 
 
+def sharded_main() -> None:
+    """`bench.py --sharded`: the full sharded estimator (shard_map -> fused
+    kernel -> payoff -> block stats -> all_gather -> fixed-tree merge) on a
+    1-device mesh, vs the raw-kernel headline — quantifies the collective /
+    shard_map overhead the linear-scaling claim rides on (BASELINE.md row 3).
+
+    Chained by path_offset (seed is static in the sharded API): REPS
+    disjoint path ranges inside one jit, one host transfer at the end.
+    """
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.payoffs import black_scholes_call
+    from montecarlo_tpu.parallel import make_mesh, sharded_mc_estimate
+    from montecarlo_tpu.processes import GBM
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    if on_tpu:
+        n_paths, n_steps, reps = 1 << 20, 1024, 8
+    else:
+        n_paths, n_steps, reps = 1 << 15, 64, 2
+
+    mesh = make_mesh(1)
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / n_steps)
+    strike = 105.0
+    payoff = lambda s: jnp.maximum(s - strike, 0.0)
+
+    @jax.jit
+    def bench(_seed0):
+        def body(i, acc):
+            est = sharded_mc_estimate(
+                proc, payoff, n_paths, n_steps, seed=7, mesh=mesh,
+                path_offset=i * n_paths)
+            return acc + est["price"]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(bench(jnp.int32(1)))  # compile + warm
+    t0 = time.time()
+    total = float(bench(jnp.int32(2)))
+    dt = (time.time() - t0) / reps
+    sharded_tp = n_paths * n_steps / dt
+
+    # Raw kernel reference (same shapes, same methodology).
+    from montecarlo_tpu.ops.gbm_kernel import gbm_terminal_pallas
+
+    @jax.jit
+    def raw(seed0):
+        def body(i, acc):
+            terminal = gbm_terminal_pallas(
+                proc, n_paths, n_steps, seed=seed0 + i, block_rows=128,
+                interpret=not on_tpu)
+            return acc + terminal[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(raw(jnp.int32(1)))
+    t0 = time.time()
+    float(raw(jnp.int32(1000)))
+    raw_tp = n_paths * n_steps / ((time.time() - t0) / reps)
+
+    # Sanity: the chained prices average to the Black-Scholes value.
+    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
+    mean_price = total / reps * float(jnp.exp(-0.03))  # apply 1y discount
+    assert abs(mean_price - bs) < 0.05, (mean_price, bs)
+
+    print(json.dumps({
+        "metric": "sharded_gbm_path_steps_per_sec_per_chip",
+        "value": sharded_tp,
+        "unit": "path_steps/s",
+        "vs_baseline": sharded_tp / BASELINE_PATH_STEPS_PER_SEC,
+        "overhead_vs_raw_kernel": 1.0 - sharded_tp / raw_tp,
+    }))
+
+
 def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -89,4 +162,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sharded" in sys.argv:
+        sharded_main()
+    else:
+        main()

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.engine.dispatch import terminal_prices
 from montecarlo_tpu.parallel.mesh import PATHS_AXIS
 from montecarlo_tpu.stats.welford import (
     MomentState,
@@ -64,8 +64,9 @@ def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
 
     def shard_fn():
         offset = path_offset + jax.lax.axis_index(axis) * local_n
-        return simulate(process, local_n, n_steps, seed=seed, stream=stream,
-                        sampler=sampler, dtype=dtype, path_offset=offset)
+        return terminal_prices(process, local_n, n_steps, seed=seed,
+                               stream=stream, sampler=sampler, dtype=dtype,
+                               path_offset=offset)
 
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(), out_specs=P(axis),
                        check_vma=False)
@@ -86,20 +87,26 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
                         seed: int, mesh, discount=1.0, stream: int = 0,
                         sampler=None, dtype=jnp.float32,
                         block_size: int = DEFAULT_BLOCK,
-                        axis: str = PATHS_AXIS):
+                        axis: str = PATHS_AXIS, path_offset=0):
     """Sharded MC mean/std-err of ``payoff_fn(terminal_prices)``.
 
     Returns ``{"price", "std_err", "n_paths"}`` — bitwise identical for any
     mesh shape (given the same backend), replicated on every device.
+    ``path_offset`` (traced ok) starts the global path ids — the pod-scale
+    chunking hook.
     """
     n_shards = mesh.shape[axis]
     _check_divisible(n_paths, n_shards, block_size)
     local_n = n_paths // n_shards
 
-    def shard_fn(proc, sampler_):
-        offset = jax.lax.axis_index(axis) * local_n
-        terminal = simulate(proc, local_n, n_steps, seed=seed, stream=stream,
-                            sampler=sampler_, dtype=dtype, path_offset=offset)
+    def shard_fn(proc, sampler_, off0):
+        offset = off0 + jax.lax.axis_index(axis) * local_n
+        # Dispatch: fused Pallas kernel on TPU (same draw streams), scan
+        # engine elsewhere — per-shard work is the single-chip fast path,
+        # collectives only touch the tiny block stats.
+        terminal = terminal_prices(proc, local_n, n_steps, seed=seed,
+                                   stream=stream, sampler=sampler_,
+                                   dtype=dtype, path_offset=offset)
         payoffs = payoff_fn(terminal)
         local_stats = block_moments(payoffs, block_size)
         # Gather per-block stats in global block order; the merge below is
@@ -110,12 +117,13 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
         )
         return gathered
 
-    spec_in = jax.tree.map(lambda _: P(), (process, sampler))
+    off0 = jnp.asarray(path_offset, jnp.int32)
+    spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
     stats = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=spec_in, out_specs=P(),
         check_vma=False,
-    )(process, sampler)
+    )(process, sampler, off0)
     total = moments_reduce(stats)
     d = jnp.asarray(discount, total.mean.dtype)
     return {
@@ -238,8 +246,9 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
 
     def shard_fn(proc, sampler_):
         offset = jax.lax.axis_index(axis) * local_n
-        terminal = simulate(proc, local_n, n_steps, seed=seed, stream=stream,
-                            sampler=sampler_, dtype=dtype, path_offset=offset)
+        terminal = terminal_prices(proc, local_n, n_steps, seed=seed,
+                                   stream=stream, sampler=sampler_,
+                                   dtype=dtype, path_offset=offset)
         sketch = sketch_from_array(terminal, lo, hi, bins, dtype)
         moments = block_moments(terminal, block_size)
         # Sketch counts: exact integer adds -> psum is safe and exact.

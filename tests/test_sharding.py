@@ -176,3 +176,47 @@ def test_asset_axis_sharded_large_basket():
                                                   n_asset_shards=1),
                                    block_size=512)
     assert abs(float(est["price"]) - float(est1["price"])) < 1e-5
+
+
+def test_weak_scaling_structure():
+    """Weak-scaling structure: fixed per-device path count, growing mesh —
+    per-shard programs are identical (same local shapes), only the
+    all_gather width grows.  Estimates across mesh sizes must agree within
+    MC error and report the right global path counts; the 8-device case is
+    the virtual stand-in for the pod-scale claim (BASELINE.md row 3)."""
+    from montecarlo_tpu.parallel import sharded_mc_estimate
+
+    local_n = 4096
+    prices = {}
+    for n_dev in (1, 2, 4, 8):
+        est = sharded_mc_estimate(
+            _gbm(), _payoff, local_n * n_dev, N_STEPS, seed=13,
+            mesh=make_mesh(n_dev), block_size=BLOCK)
+        assert int(est["n_paths"]) == local_n * n_dev
+        prices[n_dev] = (float(est["price"]), float(est["std_err"]))
+    # All estimates consistent within joint MC error.
+    for n_dev, (p, se) in prices.items():
+        p1, se1 = prices[1]
+        assert abs(p - p1) < 5 * (se + se1), (n_dev, prices)
+    # More devices -> more paths -> tighter estimate.
+    assert prices[8][1] < prices[1][1]
+
+
+def test_sharded_estimate_path_offset_chunking():
+    """path_offset chunks compose: two disjoint half-runs merge to the
+    full-run estimate (the pod-scale chunking hook)."""
+    from montecarlo_tpu.parallel import sharded_mc_estimate
+    from montecarlo_tpu.stats.welford import moments_merge, std_error
+
+    mesh = make_mesh(4)
+    full = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=17,
+                               mesh=mesh, block_size=BLOCK)
+    a = sharded_mc_estimate(_gbm(), _payoff, N_PATHS // 2, N_STEPS, seed=17,
+                            mesh=mesh, block_size=BLOCK)
+    b = sharded_mc_estimate(_gbm(), _payoff, N_PATHS // 2, N_STEPS, seed=17,
+                            mesh=mesh, block_size=BLOCK,
+                            path_offset=N_PATHS // 2)
+    # Chunk means combine to the full mean (same paths, same payoffs).
+    n = N_PATHS // 2
+    combined = (float(a["price"]) + float(b["price"])) / 2.0
+    assert abs(combined - float(full["price"])) < 1e-5
