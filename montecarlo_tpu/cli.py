@@ -77,7 +77,8 @@ def _add_price(sub):
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=252)
     p.add_argument("--sampler", default="plain",
-                   choices=["plain", "antithetic", "sobol"])
+                   choices=["plain", "antithetic", "sobol",
+                            "sobol-bridge"])
     p.add_argument("--payoff", default="call",
                    choices=["call", "put", "asian", "lookback",
                             "up-and-out"])
@@ -196,6 +197,16 @@ def cmd_price(args) -> int:
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
         sampler = AntitheticSampler()
+    elif args.sampler == "sobol-bridge":
+        # Device-native randomized Sobol with Brownian-bridge ordering —
+        # O(log T) on-the-fly dimension evaluations per step, no
+        # (paths, steps) draw array (pod-scale QMC).
+        from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+
+        if proc.n_draws != 1:
+            raise SystemExit("--sampler sobol-bridge requires a single-draw "
+                             "process (gbm)")
+        sampler = SobolBridgeDeviceSampler.create(args.steps)
     else:
         sampler = SobolSampler.create(args.paths, args.steps,
                                       proc.n_draws, seed=args.seed)

@@ -15,7 +15,9 @@ from montecarlo_tpu.rng.normal import (  # noqa: F401
     uniform_from_bits,
 )
 from montecarlo_tpu.rng.sobol import (  # noqa: F401
+    SobolBridgeDeviceSampler,
     SobolDeviceSampler,
+    brownian_bridge_matrix,
     direction_numbers,
     sobol_bits,
 )

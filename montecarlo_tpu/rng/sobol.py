@@ -38,6 +38,30 @@ def direction_numbers(n_dims: int) -> np.ndarray:
     return np.asarray(eng._sv, np.uint32)
 
 
+def lms_scramble(sv: np.ndarray, seed: int) -> np.ndarray:
+    """Matousek linear matrix scramble of Sobol direction numbers.
+
+    Left-multiplies each dimension's generating matrix by a random
+    nonsingular lower-triangular bit matrix (ones on the diagonal), host-
+    side and once per sampler — Owen-like equidistribution quality with
+    zero extra device cost (the device kernel XORs the scrambled direction
+    numbers exactly as the plain ones).  Pair with a per-dimension digital
+    shift for unbiased randomized QMC.
+    """
+    rng = np.random.default_rng(seed)
+    d, n_bits = sv.shape
+    # bits[dim, k, i] = bit i (MSB-first) of direction number k.
+    shifts = (n_bits - 1 - np.arange(n_bits, dtype=np.uint32))
+    bits = (sv[:, :, None] >> shifts[None, None, :]) & 1  # (d, 30, 30)
+    # Random lower-triangular M per dim (MSB-first ordering, unit diagonal).
+    m = rng.integers(0, 2, size=(d, n_bits, n_bits), dtype=np.uint32)
+    tril = np.tril(np.ones((n_bits, n_bits), np.uint32), -1)
+    m = m * tril + np.eye(n_bits, dtype=np.uint32)
+    # v'[i] = XOR_j m[i, j] & v[j]  (GF(2) matvec per direction number).
+    out_bits = (np.einsum("dij,dkj->dki", m, bits) & 1).astype(np.uint32)
+    return (out_bits << shifts[None, None, :]).sum(axis=2).astype(np.uint32)
+
+
 def sobol_bits(sv_rows, path_ids):
     """Raw Sobol integers in [0, 2^30) for one dimension.
 
@@ -80,6 +104,98 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
         return tuple(out)
 
     @classmethod
-    def create(cls, n_steps: int, n_draws: int = 1) -> "SobolDeviceSampler":
+    def create(cls, n_steps: int, n_draws: int = 1,
+               scramble_seed: int | None = 0) -> "SobolDeviceSampler":
+        """``scramble_seed`` applies a linear matrix scramble to the
+        direction numbers (None disables it — raw Joe-Kuo)."""
         sv = direction_numbers(n_steps * n_draws)
+        if scramble_seed is not None:
+            sv = lms_scramble(sv, scramble_seed)
         return cls(sv=jnp.asarray(sv))
+
+
+def brownian_bridge_matrix(n_steps: int) -> np.ndarray:
+    """(T, T) matrix B with ``increments = z @ B.T`` for the bridge ordering.
+
+    Row t of B expresses increment W_{t+1} - W_t as a linear combination of
+    the bridge normals z_0..z_{T-1} (z_0 sets the endpoint, then midpoints
+    of the widest remaining intervals — the same ordering as
+    ``samplers._brownian_bridge_increments``).  Each row has O(log T)
+    nonzeros, and the rows are orthonormal (increments stay i.i.d. N(0,1)).
+    """
+    T = n_steps
+    a = np.zeros((T + 1, T))
+    a[T, 0] = np.sqrt(float(T))
+    k = 1
+    segments = [(0, T)]
+    while segments:
+        nxt = []
+        for (l, r) in segments:
+            if r - l <= 1:
+                continue
+            mid = (l + r) // 2
+            a[mid] = ((r - mid) * a[l] + (mid - l) * a[r]) / (r - l)
+            a[mid, k] += np.sqrt((mid - l) * (r - mid) / (r - l))
+            k += 1
+            nxt += [(l, mid), (mid, r)]
+        segments = nxt
+    assert k == T, (k, T)
+    return np.diff(a, axis=0)
+
+
+class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
+        ("sv", jnp.ndarray),      # (T, 30) uint32 direction numbers
+        ("dims", jnp.ndarray),    # (T, L) int32 contributing bridge dims
+        ("coeffs", jnp.ndarray),  # (T, L) f32 combination weights
+])):
+    """Device-native Sobol with Brownian-bridge ordering (TODO perf item 2).
+
+    The host-precomputed ``SobolSampler(bridge=True)`` materializes the full
+    (n_paths, n_steps) draw array; this sampler instead evaluates, at step
+    t, only the O(log T) bridge normals that increment t actually depends
+    on — each regenerated from the global path id (shard-invariant), mapped
+    through the inverse CDF, and combined with the static bridge weights:
+
+        eps_t = sum_j coeffs[t, j] * ndtri(sobol_dim(dims[t, j], path_id))
+
+    The low-index (highest-quality) Sobol dimensions carry the path's
+    coarse structure exactly as in the host bridge; randomization is the
+    same per-dimension digital shift as :class:`SobolDeviceSampler`.
+    Single-draw processes only (n_draws == 1).
+    """
+
+    def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
+        if process.n_draws != 1:
+            raise ValueError("bridge sampler supports n_draws == 1")
+        t = jnp.asarray(t).astype(jnp.int32)
+        dims_t = self.dims[t]      # (L,)
+        coeffs_t = self.coeffs[t]  # (L,)
+        L = self.dims.shape[1]
+        eps = jnp.zeros(path_ids.shape, dtype)
+        for j in range(L):
+            dim = dims_t[j]
+            rows = self.sv[dim]
+            x = sobol_bits(rows, path_ids)
+            s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
+                                jnp.uint32(0x50B0))
+            x = x ^ (s0 & jnp.uint32((1 << BITS) - 1))
+            u = (x.astype(jnp.int32).astype(dtype) + 0.5) * (2.0 ** -BITS)
+            eps = eps + coeffs_t[j].astype(dtype) * ndtri(u).astype(dtype)
+        return (eps,)
+
+    @classmethod
+    def create(cls, n_steps: int,
+               scramble_seed: int | None = 0) -> "SobolBridgeDeviceSampler":
+        b = brownian_bridge_matrix(n_steps)
+        nnz = [np.nonzero(row)[0] for row in b]
+        width = max(len(ix) for ix in nnz)
+        dims = np.zeros((n_steps, width), np.int32)
+        coeffs = np.zeros((n_steps, width), np.float32)
+        for t, ix in enumerate(nnz):
+            dims[t, :len(ix)] = ix
+            coeffs[t, :len(ix)] = b[t, ix]
+        sv = direction_numbers(n_steps)
+        if scramble_seed is not None:
+            sv = lms_scramble(sv, scramble_seed)
+        return cls(sv=jnp.asarray(sv), dims=jnp.asarray(dims),
+                   coeffs=jnp.asarray(coeffs))

@@ -4,6 +4,7 @@ Antithetic and Sobol QMC must *reduce the standard error* of the European
 call estimator vs. plain MC at equal path counts.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -264,3 +265,72 @@ def test_stratified_terminal_estimate():
     plain_t = simulate(proc, n, steps, seed=3)
     plain = mc_estimate(european_call(plain_t, STRIKE), disc)
     assert float(strat["std_err"]) < 0.1 * float(plain["std_err"])
+
+
+def test_brownian_bridge_matrix_matches_host_construction():
+    """B @ z must equal the host bridge's increments for arbitrary z, and
+    rows must be orthonormal (increments stay i.i.d. N(0,1))."""
+    from montecarlo_tpu.rng.sobol import brownian_bridge_matrix
+    from montecarlo_tpu.samplers import _brownian_bridge_increments
+
+    for T in (4, 7, 16, 63):
+        b = brownian_bridge_matrix(T)
+        rng = np.random.default_rng(T)
+        z = rng.normal(size=(5, T))
+        np.testing.assert_allclose(z @ b.T,
+                                   _brownian_bridge_increments(z),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(b @ b.T, np.eye(T), atol=1e-12)
+
+
+def test_device_bridge_sampler_increment_distribution():
+    """Marginals of the device bridged draws are standard normal (mean/var)
+    and each step's increment has unit variance — the combination weights
+    and dimension bookkeeping are easy to get silently wrong."""
+    from montecarlo_tpu.rng.sobol import SobolBridgeDeviceSampler
+    from montecarlo_tpu.processes import GBM
+
+    T, n = 16, 4096
+    proc = GBM.create(s0=100.0, mu=0.0, sigma=0.2, dt=1.0 / T)
+    sampler = SobolBridgeDeviceSampler.create(T)
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    for t in (0, 7, 15):
+        (eps,) = sampler.draws(proc, 3, 0, ids, t)
+        e = np.asarray(eps, np.float64)
+        assert abs(e.mean()) < 0.05, (t, e.mean())
+        assert abs(e.std() - 1.0) < 0.05, (t, e.std())
+
+
+def test_device_bridge_variance_reduction_matches_host_bridge():
+    """The device-native bridged Sobol must beat plain MC on the European
+    call like the host-precomputed bridge does (VERDICT item 9's 'done'
+    criterion): RMSE over seeds within 2x of the host bridge and well
+    under plain MC."""
+    from montecarlo_tpu.engine.simulate import simulate
+    from montecarlo_tpu.engine.payoffs import black_scholes_call
+    from montecarlo_tpu.rng.sobol import SobolBridgeDeviceSampler
+    from montecarlo_tpu.processes import GBM
+
+    T, n = 32, 2048
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / T)
+    strike, disc = 105.0, float(np.exp(-0.03))
+    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
+
+    def price(sampler, seed):
+        term = simulate(proc, n, T, seed=seed, sampler=sampler)
+        return disc * float(jnp.mean(jnp.maximum(term - strike, 0.0)))
+
+    seeds = range(8)
+    # Fresh LMS scramble + digital shift per replication (like the host's
+    # per-seed Owen scrambling).
+    err_dev = [price(SobolBridgeDeviceSampler.create(T, scramble_seed=s), s)
+               - bs for s in seeds]
+    err_host = [price(SobolSampler.create(n, T, 1, seed=s, bridge=True), s)
+                - bs for s in seeds]
+    err_plain = [price(PlainSampler(), s) - bs for s in seeds]
+
+    rmse = lambda e: float(np.sqrt(np.mean(np.square(e))))
+    assert rmse(err_dev) < 0.5 * rmse(err_plain), (
+        rmse(err_dev), rmse(err_plain))
+    assert rmse(err_dev) < 2.0 * rmse(err_host), (
+        rmse(err_dev), rmse(err_host))
