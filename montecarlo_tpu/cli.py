@@ -87,6 +87,9 @@ def _add_price(sub):
     p.add_argument("--american", action="store_true",
                    help="American exercise via Longstaff-Schwartz "
                         "(call/put payoffs)")
+    p.add_argument("--american-bound", action="store_true",
+                   help="with --american: also report the Andersen-Broadie "
+                        "duality upper bound (brackets the true price)")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -213,13 +216,23 @@ def cmd_price(args) -> int:
 
     disc = discount_factor(args.rate, args.maturity)
     if args.american:
-        from montecarlo_tpu.engine import lsm_price
+        from montecarlo_tpu.engine.american import (
+            andersen_broadie_bound, lsm_policy)
 
         payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
                   if args.payoff == "call"
                   else (lambda s: jnp.maximum(args.strike - s, 0.0)))
-        est = lsm_price(proc, payoff, args.paths, args.steps,
-                        seed=args.seed, rate=args.rate, dt=dt, degree=3)
+        est, policy = lsm_policy(proc, payoff, args.paths, args.steps,
+                                 seed=args.seed, rate=args.rate, dt=dt,
+                                 degree=3)
+        if args.american_bound:
+            ab = andersen_broadie_bound(
+                proc, payoff, policy, min(args.paths, 4096), 512,
+                args.steps, seed=args.seed + 1, rate=args.rate, dt=dt,
+                degree=3)
+            est = dict(est)
+            est["upper_bound"] = ab["upper"]
+            est["upper_bound_std_err"] = ab["std_err"]
     elif args.payoff in ("asian", "lookback", "up-and-out"):
         from montecarlo_tpu.engine import (
             ARITH_MEAN,
@@ -255,6 +268,9 @@ def cmd_price(args) -> int:
 
     out = {"price": float(est["price"]), "std_err": float(est["std_err"]),
            "n_paths": int(est["n_paths"])}
+    if "upper_bound" in est:
+        out["upper_bound"] = float(est["upper_bound"])
+        out["upper_bound_std_err"] = float(est["upper_bound_std_err"])
     if args.process == "gbm" and args.payoff == "call" and not args.american:
         out["black_scholes"] = float(black_scholes_call(
             args.s0, args.strike, args.rate, args.sigma, args.maturity))

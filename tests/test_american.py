@@ -40,3 +40,59 @@ def test_american_call_no_dividends_equals_european():
                     1 << 16, N_EX, seed=5, rate=R, dt=T / N_EX)
     euro = float(black_scholes_call(s0, 105.0, R, SIGMA, T))
     assert abs(float(out["price"]) - euro) < 4 * float(out["std_err"]) + 0.03
+
+
+def test_andersen_broadie_brackets_binomial():
+    """LSM (low-biased) and the AB dual (high-biased) must bracket the CRR
+    binomial price, and the gap must be tight for a good policy."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.american import (
+        andersen_broadie_bound,
+        binomial_american_put,
+        lsm_policy,
+    )
+    from montecarlo_tpu.processes import GBM
+
+    s0, strike, r, sigma, T = 100.0, 105.0, 0.05, 0.2, 0.5
+    steps = 32
+    dt = T / steps
+    proc = GBM.create(s0=s0, mu=r, sigma=sigma, dt=dt)
+    payoff = lambda s: jnp.maximum(strike - s, 0.0)
+
+    lsm, policy = lsm_policy(proc, payoff, 1 << 15, steps, seed=5,
+                             rate=r, dt=dt, degree=3)
+    ab = andersen_broadie_bound(proc, payoff, policy, 2048, 512, steps,
+                                seed=99, rate=r, dt=dt, degree=3)
+    exact = binomial_american_put(s0, strike, r, sigma, T, n_steps=2000)
+
+    lo, lo_se = float(lsm["price"]), float(lsm["std_err"])
+    hi, hi_se = float(ab["upper"]), float(ab["std_err"])
+    assert lo - 4 * lo_se < exact, (lo, exact)
+    assert hi + 4 * hi_se > exact, (hi, exact)
+    assert lo < hi + 4 * (lo_se + hi_se)
+    # Tight bracket: ~0.1 duality gap for the degree-7 value surrogate at
+    # n_inner=512 (the dual's positive bias shrinks with inner samples).
+    assert hi - lo < 0.2, (lo, hi, exact)
+
+
+def test_andersen_broadie_upper_is_above_european():
+    """Sanity: the American upper bound dominates the European value."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.american import (
+        andersen_broadie_bound, lsm_policy)
+    from montecarlo_tpu.engine.payoffs import black_scholes_put
+    from montecarlo_tpu.processes import GBM
+
+    s0, strike, r, sigma, T = 100.0, 110.0, 0.05, 0.25, 1.0
+    steps = 16
+    dt = T / steps
+    proc = GBM.create(s0=s0, mu=r, sigma=sigma, dt=dt)
+    payoff = lambda s: jnp.maximum(strike - s, 0.0)
+    _, policy = lsm_policy(proc, payoff, 1 << 14, steps, seed=2,
+                           rate=r, dt=dt, degree=3)
+    ab = andersen_broadie_bound(proc, payoff, policy, 2048, 32, steps,
+                                seed=3, rate=r, dt=dt, degree=3)
+    euro = float(black_scholes_put(s0, strike, r, sigma, T))
+    assert float(ab["upper"]) + 4 * float(ab["std_err"]) > euro
