@@ -1,0 +1,159 @@
+"""DCC-GARCH portfolio process: per-asset GARCH(1,1) volatilities with
+*dynamic* conditional correlations (Engle 2002).
+
+Extends :class:`~montecarlo_tpu.processes.ccc_garch.CCCGarch` (the constant-
+correlation base) with the DCC recursion
+
+    Q_{t+1} = (1 - a - b) Qbar + a eta_t eta_t' + b Q_t
+    R_t     = diag(Q_t)^{-1/2} Q_t diag(Q_t)^{-1/2}
+
+where eta are the standardized shocks.  Every path carries its own Q_t, so
+each step factorizes a per-path correlation matrix: the Cholesky is
+unrolled over the (small, static) asset count in pure elementwise ops —
+A(A+1)(A+2)/6 fused mul-adds per step, 2-D arrays only, so the process runs
+in the scan engine *and* the fused Pallas kernel unchanged.
+
+The reference has no multivariate volatility model at all (single-asset
+GARCH bootstrap, reference app.py:586-657); CCC/DCC are the portfolio-risk
+extension of its namesake recurrence (app.py:633).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.processes.base import NormalDrawsMixin
+
+_EPS = 1e-12
+
+
+def _chol_unrolled(r, a_n: int, dtype):
+    """Per-element Cholesky of symmetric matrices given as nested lists.
+
+    ``r[i][j]`` are arrays (any broadcastable shape); returns lower-
+    triangular ``l[i][j]`` of the same shapes.  Unrolled at trace time —
+    static asset counts only (the intended regime: small portfolios).
+    """
+    l = [[None] * (i + 1) for i in range(a_n)]
+    for i in range(a_n):
+        for j in range(i + 1):
+            s = r[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if j == i:
+                l[i][j] = jnp.sqrt(jnp.maximum(s, _EPS))
+            else:
+                l[i][j] = s / l[j][j]
+    return l
+
+
+class DCCGarch(NormalDrawsMixin, NamedTuple("DCCGarchFields", [
+        ("s0", jnp.ndarray),        # (A,)
+        ("var0", jnp.ndarray),      # (A,) initial daily variances
+        ("omega", jnp.ndarray),     # (A,)
+        ("alpha", jnp.ndarray),     # (A,)
+        ("beta", jnp.ndarray),      # (A,)
+        ("qbar_flat", jnp.ndarray),  # (A*A,) unconditional correlation
+        ("a_dcc", jnp.ndarray),     # scalar — shock loading
+        ("b_dcc", jnp.ndarray),     # scalar — persistence
+        ("weights", jnp.ndarray),   # (A,)
+])):
+    """Dynamic-conditional-correlation multivariate GARCH(1,1)."""
+
+    @classmethod
+    def create(cls, s0, var0, omega, alpha, beta, qbar, weights,
+               a_dcc=0.03, b_dcc=0.95, dtype=jnp.float32):
+        qbar = np.asarray(qbar, np.float64)
+        if not np.allclose(qbar, qbar.T) or np.any(np.diag(qbar) != 1.0):
+            raise ValueError("qbar must be a correlation matrix")
+        if float(a_dcc) + float(b_dcc) >= 1.0:
+            raise ValueError("need a_dcc + b_dcc < 1 for stationarity")
+        as_ = lambda v: jnp.asarray(v, dtype)
+        return cls(s0=as_(s0), var0=as_(var0), omega=as_(omega),
+                   alpha=as_(alpha), beta=as_(beta),
+                   qbar_flat=as_(qbar.reshape(-1)),
+                   a_dcc=as_(a_dcc), b_dcc=as_(b_dcc), weights=as_(weights))
+
+    @property
+    def n_assets(self) -> int:
+        return self.s0.shape[0]
+
+    @property
+    def n_draws(self) -> int:
+        return self.n_assets
+
+    def init_state(self, path_ids, dtype=jnp.float32):
+        a_n = self.n_assets
+        log_s = tuple(jnp.full(path_ids.shape,
+                               jnp.log(self.s0[a]).astype(dtype), dtype)
+                      for a in range(a_n))
+        var = tuple(jnp.full(path_ids.shape, self.var0[a].astype(dtype),
+                             dtype)
+                    for a in range(a_n))
+        # Lower triangle of Q (row-major pairs i >= j), per path.
+        q = tuple(
+            jnp.full(path_ids.shape,
+                     self.qbar_flat[i * a_n + j].astype(dtype), dtype)
+            for i in range(a_n) for j in range(i + 1))
+        return (log_s, var, q)
+
+    def _q_lists(self, q):
+        """Unpack the flat lower-triangle tuple into nested [i][j] lists."""
+        a_n = self.n_assets
+        out = [[None] * (i + 1) for i in range(a_n)]
+        k = 0
+        for i in range(a_n):
+            for j in range(i + 1):
+                out[i][j] = q[k]
+                k += 1
+        return out
+
+    def step(self, state, eps, t):
+        log_s, var, q = state
+        a_n = self.n_assets
+        dtype = log_s[0].dtype
+        ql = self._q_lists(q)
+
+        # R_t = normalized Q_t, then its per-path Cholesky.
+        dinv = [1.0 / jnp.sqrt(jnp.maximum(ql[i][i], _EPS))
+                for i in range(a_n)]
+        r = [[ql[i][j] * dinv[i] * dinv[j] for j in range(i + 1)]
+             for i in range(a_n)]
+        chol = _chol_unrolled(r, a_n, dtype)
+
+        # Correlated standardized shocks eta, returns, variance updates.
+        eta, new_log_s, new_var = [], [], []
+        for a in range(a_n):
+            zc = chol[a][0] * eps[0]
+            for b in range(1, a + 1):
+                zc = zc + chol[a][b] * eps[b]
+            eta.append(zc)
+            ret = jnp.sqrt(var[a]) * zc
+            new_log_s.append(log_s[a] + ret)
+            new_var.append(self.omega[a].astype(dtype)
+                           + self.alpha[a].astype(dtype) * jnp.square(ret)
+                           + self.beta[a].astype(dtype) * var[a])
+
+        # DCC recursion on the lower triangle.
+        a_d = self.a_dcc.astype(dtype)
+        b_d = self.b_dcc.astype(dtype)
+        c_d = (1.0 - a_d - b_d)
+        new_q = []
+        for i in range(a_n):
+            for j in range(i + 1):
+                qbar_ij = self.qbar_flat[i * a_n + j].astype(dtype)
+                new_q.append(c_d * qbar_ij + a_d * eta[i] * eta[j]
+                             + b_d * ql[i][j])
+        return (tuple(new_log_s), tuple(new_var), tuple(new_q))
+
+    def prices(self, state):
+        log_s, _, _ = state
+        dtype = log_s[0].dtype
+        w = self.weights.astype(dtype)
+        out = w[0] * jnp.exp(log_s[0])
+        for a in range(1, self.n_assets):
+            out = out + w[a] * jnp.exp(log_s[a])
+        return out
