@@ -41,6 +41,7 @@ from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401
 from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
     HestonParams,
     calibrate_heston,
+    calibrate_heston_to_ivs,
     heston_call_cf,
 )
 from montecarlo_tpu.engine.importance import (  # noqa: F401

@@ -120,3 +120,52 @@ def calibrate_heston(strikes, maturities, prices, *, s0, r,
                              jnp.asarray(prices), s0, r, raw0, n_iters,
                              n_quad, lr)
     return jax.tree.map(float, _constrain(raw))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_quad"))
+def _calibrate_iv(strikes, maturities, ivs, s0, r, raw0, n_iters: int,
+                  n_quad: int, lr: float):
+    import optax
+
+    from montecarlo_tpu.engine.implied_vol import implied_vol_call
+
+    lower = jnp.maximum(s0 - strikes * jnp.exp(-r * maturities), 0.0)
+
+    def loss_fn(raw):
+        p = _constrain(raw)
+        model = heston_call_cf(s0, strikes, maturities, r, p, n_quad=n_quad)
+        # Clamp into the no-arbitrage band so the inversion never NaNs
+        # while the optimizer is far from the data.
+        model = jnp.clip(model, lower + 1e-6, s0 * (1.0 - 1e-6))
+        model_iv = implied_vol_call(model, s0, strikes, r, maturities)
+        return jnp.mean(jnp.square(model_iv - ivs))
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        raw, opt_state = carry
+        loss, g = grad_fn(raw)
+        updates, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(raw, updates), opt_state), loss
+
+    (raw, _), losses = jax.lax.scan(step, (raw0, opt.init(raw0)), None,
+                                    length=n_iters)
+    return raw, losses
+
+
+def calibrate_heston_to_ivs(strikes, maturities, ivs, *, s0, r,
+                            n_iters: int = 800, n_quad: int = 96,
+                            lr: float = 0.05) -> HestonParams:
+    """Fit Heston parameters to a market **implied-vol** surface.
+
+    The loss lives in IV space (differentiating through the vectorized
+    Newton BS inversion of the model prices), which is how desks quote
+    calibration quality: wings and short maturities get their natural
+    weight instead of being drowned by deep-ITM dollar prices.
+    """
+    raw0 = jnp.asarray([1.0, 0.5, 1.0, 1.0, 0.0], jnp.float32)
+    raw, losses = _calibrate_iv(jnp.asarray(strikes),
+                                jnp.asarray(maturities), jnp.asarray(ivs),
+                                s0, r, raw0, n_iters, n_quad, lr)
+    return jax.tree.map(float, _constrain(raw))

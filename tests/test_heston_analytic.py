@@ -56,3 +56,29 @@ def test_calibration_recovers_parameters():
     assert np.abs(repriced - market).max() < 0.05, est
     assert abs(est.rho - TRUE["rho"]) < 0.25
     assert abs(est.v0 - TRUE["v0"]) < 0.02
+
+
+def test_calibrate_to_implied_vols_recovers_surface():
+    """IV-space calibration: generate the IV surface of known params,
+    recalibrate from a different start, and demand the repriced IV surface
+    matches within a few vol bps."""
+    import numpy as np
+
+    from montecarlo_tpu.engine.heston_analytic import calibrate_heston_to_ivs
+    from montecarlo_tpu.engine.implied_vol import implied_vol_call
+
+    strikes = jnp.asarray([80.0, 90.0, 100.0, 110.0, 120.0] * 2)
+    mats = jnp.asarray([0.5] * 5 + [1.5] * 5)
+    market_px = heston_call_cf(S0, strikes, mats, R, _params())
+    market_iv = implied_vol_call(market_px, S0, strikes, R, mats)
+    assert bool(jnp.all(jnp.isfinite(market_iv)))
+
+    est = calibrate_heston_to_ivs(strikes, mats, market_iv, s0=S0, r=R,
+                                  n_iters=600)
+    repriced = heston_call_cf(
+        S0, strikes, mats, R,
+        HestonParams(**{k: jnp.asarray(v) for k, v in est._asdict().items()}))
+    fit_iv = implied_vol_call(repriced, S0, strikes, R, mats)
+    err = np.abs(np.asarray(fit_iv) - np.asarray(market_iv))
+    assert err.max() < 0.004, (err.max(), est)  # 40 vol bps worst-case
+    assert abs(est.v0 - TRUE["v0"]) < 0.02
