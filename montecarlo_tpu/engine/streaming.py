@@ -61,27 +61,65 @@ class StreamingState:
     sketch: HistogramSketch   # numpy-leaved
 
     def save(self, path: str) -> None:
-        tmp = tempfile.mktemp(dir=os.path.dirname(os.path.abspath(path)))
-        np.savez(
-            tmp, seed=self.seed, n_steps=self.n_steps,
-            block_size=self.block_size, paths_done=self.paths_done,
-            block_count=self.block_count, block_mean=self.block_mean,
-            block_m2=self.block_m2,
-            **{f"sk_{k}": np.asarray(v)
-               for k, v in self.sketch._asdict().items()},
-        )
-        os.replace(tmp + ".npz", path)
+        """Checkpoint to ``path``: atomic .npz for ``*.npz`` paths (simple,
+        single-file), orbax otherwise (directory; async-capable, the JAX
+        ecosystem's standard checkpoint format)."""
+        if path.endswith(".npz"):
+            tmp = tempfile.mktemp(dir=os.path.dirname(os.path.abspath(path)))
+            np.savez(
+                tmp, seed=self.seed, n_steps=self.n_steps,
+                block_size=self.block_size, paths_done=self.paths_done,
+                block_count=self.block_count, block_mean=self.block_mean,
+                block_m2=self.block_m2,
+                **{f"sk_{k}": np.asarray(v)
+                   for k, v in self.sketch._asdict().items()},
+            )
+            os.replace(tmp + ".npz", path)
+            return
+        import orbax.checkpoint as ocp
+
+        tree = {
+            "seed": self.seed, "n_steps": self.n_steps,
+            "block_size": self.block_size, "paths_done": self.paths_done,
+            "block_count": self.block_count, "block_mean": self.block_mean,
+            "block_m2": self.block_m2,
+            "sketch": {k: np.asarray(v)
+                       for k, v in self.sketch._asdict().items()},
+        }
+        # Synchronous checkpointer: the save must be durable before the
+        # next chunk runs (StandardCheckpointer is async under the hood and
+        # may never finalize if the process moves on).
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+            ck.save(os.path.abspath(path), args=ocp.args.StandardSave(tree),
+                    force=True)
 
     @classmethod
     def load(cls, path: str) -> "StreamingState":
-        z = np.load(path)
-        sketch = HistogramSketch(**{k: z[f"sk_{k}"]
-                                    for k in HistogramSketch._fields})
+        if path.endswith(".npz"):
+            z = np.load(path)
+            sketch = HistogramSketch(**{k: z[f"sk_{k}"]
+                                        for k in HistogramSketch._fields})
+            return cls(
+                seed=int(z["seed"]), n_steps=int(z["n_steps"]),
+                block_size=int(z["block_size"]),
+                paths_done=int(z["paths_done"]),
+                block_count=z["block_count"], block_mean=z["block_mean"],
+                block_m2=z["block_m2"], sketch=sketch,
+            )
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+            t = ck.restore(os.path.abspath(path))
+        sketch = HistogramSketch(
+            **{k: np.asarray(t["sketch"][k])
+               for k in HistogramSketch._fields})
         return cls(
-            seed=int(z["seed"]), n_steps=int(z["n_steps"]),
-            block_size=int(z["block_size"]), paths_done=int(z["paths_done"]),
-            block_count=z["block_count"], block_mean=z["block_mean"],
-            block_m2=z["block_m2"], sketch=sketch,
+            seed=int(t["seed"]), n_steps=int(t["n_steps"]),
+            block_size=int(t["block_size"]),
+            paths_done=int(t["paths_done"]),
+            block_count=np.asarray(t["block_count"]),
+            block_mean=np.asarray(t["block_mean"]),
+            block_m2=np.asarray(t["block_m2"]), sketch=sketch,
         )
 
     def moments(self) -> MomentState:

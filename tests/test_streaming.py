@@ -188,3 +188,29 @@ def test_resume_rejects_misaligned_chunk(tmp_path):
                            chunk_paths=CHUNK + BLOCK,  # misaligned
                            block_size=BLOCK, lo=40.0, hi=260.0, bins=512,
                            checkpoint_path=ckpt, resume=True)
+
+
+def test_orbax_checkpoint_resume_equals_npz(tmp_path):
+    """Non-.npz checkpoint paths use the orbax backend; resume must be
+    bitwise identical to the npz path and to the uninterrupted run."""
+    ck_orbax = str(tmp_path / "orbax_ckpt")
+    half = streaming_estimate(_gbm(), TOTAL // 2, N_STEPS, seed=5,
+                              chunk_paths=CHUNK, block_size=BLOCK,
+                              lo=40.0, hi=260.0, bins=512,
+                              checkpoint_path=ck_orbax)
+    assert half.paths_done == TOTAL // 2
+    assert os.path.isdir(ck_orbax)  # orbax checkpoints are directories
+
+    loaded = StreamingState.load(ck_orbax)
+    assert loaded.paths_done == half.paths_done
+    np.testing.assert_array_equal(loaded.block_mean, half.block_mean)
+    np.testing.assert_array_equal(np.asarray(loaded.sketch.counts),
+                                  np.asarray(half.sketch.counts))
+
+    resumed = _run(checkpoint_path=ck_orbax, resume=True)
+    uninterrupted = _run()
+    assert resumed.paths_done == TOTAL
+    assert float(resumed.moments().mean) == float(
+        uninterrupted.moments().mean)
+    np.testing.assert_array_equal(np.asarray(resumed.sketch.counts),
+                                  np.asarray(uninterrupted.sketch.counts))
