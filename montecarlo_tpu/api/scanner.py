@@ -139,48 +139,65 @@ def scan_tickers(tickers: List[str], *, forecast_horizon: int = 20,
     if parallel and len(tickers) > 1:
         # Per-ticker deadline (the reference's per-future 120 s timeout,
         # app.py:1399): each ticker's clock starts when its task starts
-        # executing — a global stall window would never trip on a
+        # executing — a global stall window alone would never trip on a
         # slow-but-alive universe where *something* keeps completing.
-        starts: Dict = {}
+        # Deadlines are keyed per submission (not per ticker string:
+        # duplicate tickers must not share a clock).
+        starts: Dict[int, float] = {}
 
-        def timed(ticker: str):
-            starts[ticker] = time.monotonic()
+        def timed(idx: int, ticker: str):
+            starts[idx] = time.monotonic()
             return scan_single_ticker(ticker, **kw)
 
         pool = ThreadPoolExecutor(max_workers=n_workers)
         try:
-            futures = {pool.submit(timed, t): t for t in tickers}
+            futures = {pool.submit(timed, i, t): (i, t)
+                       for i, t in enumerate(tickers)}
             pending = set(futures)
             done_count = 0
+            # Liveness guard: if every worker is wedged on an abandoned
+            # task, queued tickers can neither start nor expire — a stall
+            # window with no completion AND no new start for `timeout`
+            # seconds times out everything left (the old global-stall
+            # semantics, kept as the termination guarantee).
+            last_progress = time.monotonic()
+            started_seen = 0
+
+            def finish(result):
+                nonlocal done_count
+                handle(result)
+                done_count += 1
+                if progress_callback:
+                    progress_callback(done_count, len(tickers), out)
+
             while pending:
                 done, pending = wait(pending, timeout=min(timeout, 1.0),
                                      return_when=FIRST_COMPLETED)
                 now = time.monotonic()
+                if done or len(starts) > started_seen:
+                    started_seen = len(starts)
+                    last_progress = now
                 expired = {
                     fut for fut in pending
-                    if starts.get(futures[fut]) is not None
-                    and now - starts[futures[fut]] > timeout
+                    if starts.get(futures[fut][0]) is not None
+                    and now - starts[futures[fut][0]] > timeout
                 }
+                if not done and not expired and now - last_progress > timeout:
+                    expired = set(pending)  # wedged pool: drain everything
                 for fut in expired:
                     # The worker thread can't be killed (same as the
                     # reference's TimeoutError path); record and abandon —
                     # its eventual result is ignored.
-                    handle({"ticker": futures[fut], "success": False,
-                            "error": "Timeout"})
+                    finish({"ticker": futures[fut][1],
+                            "success": False, "error": "Timeout"})
                     fut.cancel()
-                    done_count += 1
-                    if progress_callback:
-                        progress_callback(done_count, len(tickers), out)
                 pending -= expired
                 for fut in done:
                     try:
-                        handle(fut.result())
+                        finish(fut.result())
                     except Exception as e:
-                        handle({"ticker": futures[fut], "success": False,
-                                "error": str(e)[:50]})
-                    done_count += 1
-                    if progress_callback:
-                        progress_callback(done_count, len(tickers), out)
+                        finish({"ticker": futures[fut][1],
+                                "success": False, "error": str(e)[:50]})
         finally:
             # Do not block on abandoned (timed-out) workers; they unwind in
             # the background and their results are dropped.

@@ -152,8 +152,12 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
     state0 = process.init_state(ids, dtype)
     df_t = jnp.exp(jnp.asarray(-rate * dt, dtype))
 
-    # Inner ids: disjoint per (outer path, inner sample); a separate stream
-    # (the 0xAB51 offset) keeps them independent of every other draw.
+    # Dedicated streams: the outer paths must NOT reuse stream 0, or a
+    # caller passing the same seed as lsm_policy would evaluate the dual on
+    # the exact training paths — in-sample surrogate bias silently breaks
+    # the upper-bound guarantee.  Inner ids are disjoint per (outer path,
+    # inner sample) on a third stream.
+    outer_stream = 0xAB50
     inner_ids = (ids[:, None] * jnp.uint32(n_inner)
                  + jnp.arange(n_inner, dtype=jnp.uint32)[None, :])
     inner_stream = 0xAB51
@@ -184,7 +188,7 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
         vbar = jnp.mean(v_in, axis=1)
 
         # Outer step (the actual path).
-        eps = sampler.draws(process, seed, 0, ids, t, dtype)
+        eps = sampler.draws(process, seed, outer_stream, ids, t, dtype)
         state = process.step(state, eps, t)
         v_out, h_out = surrogate(process.prices(state), beta, m, sd, disc,
                                  is_last)

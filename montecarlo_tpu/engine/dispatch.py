@@ -87,5 +87,10 @@ def payoff_block_moments(process, payoff_fn, n_paths: int, n_steps: int, *,
             antithetic=isinstance(sampler, AntitheticSampler))
     terminal = simulate(process, n_paths, n_steps, seed=seed, stream=stream,
                         sampler=sampler, path_offset=path_offset)
+    payoffs = payoff_fn(terminal)
+    if n_paths % stats_block:
+        # Path count not block-aligned: one state over the whole chunk
+        # (any chunk size works, like the pre-fused estimator did).
+        return moments_from_array(payoffs[None, :], axis=-1)
     return moments_from_array(
-        jnp.reshape(payoff_fn(terminal), (-1, stats_block)), axis=-1)
+        jnp.reshape(payoffs, (-1, stats_block)), axis=-1)

@@ -86,9 +86,9 @@ class HistogramSketch(NamedTuple):
     lo: jnp.ndarray        # scalar f32/f64 (value dtype)
     hi: jnp.ndarray        # scalar (value dtype)
     counts: jnp.ndarray    # (bins,) count dtype — int32 default: exact adds
-    total: jnp.ndarray     # scalar — includes under/overflow
-    underflow: jnp.ndarray
-    overflow: jnp.ndarray
+    total: jnp.ndarray     # scalar float — includes under/overflow
+    underflow: jnp.ndarray  # scalar float
+    overflow: jnp.ndarray   # scalar float
     vmin: jnp.ndarray      # running min/max for exact tail endpoints
     vmax: jnp.ndarray
 
@@ -102,7 +102,16 @@ DEFAULT_COUNT_DTYPE = jnp.int32
 def sketch_empty(lo: float, hi: float, bins: int = 4096,
                  dtype=jnp.float32,
                  count_dtype=DEFAULT_COUNT_DTYPE) -> HistogramSketch:
-    z = jnp.zeros((), count_dtype)
+    """Empty sketch.
+
+    Per-bin ``counts`` carry ``count_dtype`` (int32 default — exact integer
+    adds and exact psum merges to 2^31 per bin).  The scalar totals carry
+    the float value dtype instead: integer scalars would *wrap* past 2^31
+    at pod-scale path counts and corrupt every quantile silently, while a
+    float total only loses relative precision (2^-24 in f32), which moves a
+    quantile target by far less than a bin width.
+    """
+    z = jnp.zeros((), dtype)
     return HistogramSketch(
         lo=jnp.asarray(lo, dtype),
         hi=jnp.asarray(hi, dtype),
@@ -133,13 +142,14 @@ def sketch_add(s: HistogramSketch, x) -> HistogramSketch:
     n_oob = jnp.sum(~in_range, dtype=cdt)
     batch = batch.at[0].add(-n_oob)
     counts = s.counts + batch
+    tdt = s.total.dtype  # float scalar totals: wrap-free (see sketch_empty)
     return HistogramSketch(
         lo=s.lo,
         hi=s.hi,
         counts=counts,
-        total=s.total + jnp.asarray(x.size, cdt),
-        underflow=s.underflow + jnp.sum(under, dtype=cdt),
-        overflow=s.overflow + jnp.sum(over, dtype=cdt),
+        total=s.total + jnp.asarray(x.size, tdt),
+        underflow=s.underflow + jnp.sum(under, dtype=cdt).astype(tdt),
+        overflow=s.overflow + jnp.sum(over, dtype=cdt).astype(tdt),
         vmin=jnp.minimum(s.vmin, jnp.min(x)),
         vmax=jnp.maximum(s.vmax, jnp.max(x)),
     )
@@ -175,9 +185,11 @@ def sketch_quantile(s: HistogramSketch, q):
     q = jnp.asarray(q, vdt) / 100.0
     bins = s.counts.shape[0]
     width = (s.hi - s.lo) / bins
-    # CDF at the right edge of each bin (underflow counts first); integer
-    # cumsum is exact, float math only for the interpolation.
-    cdf = (s.underflow + jnp.cumsum(s.counts)).astype(vdt)
+    # CDF at the right edge of each bin (underflow counts first).  The
+    # cumsum runs in float: an int32 cumsum would wrap past 2^31 total
+    # samples and make the CDF non-monotone; float partial sums only lose
+    # relative precision and stay monotone (adding non-negatives).
+    cdf = s.underflow.astype(vdt) + jnp.cumsum(s.counts.astype(vdt))
     target = q * s.total.astype(vdt)
     # First bin whose right-edge CDF reaches the target.
     k = jnp.searchsorted(cdf, target, side="left")

@@ -96,3 +96,30 @@ def test_andersen_broadie_upper_is_above_european():
                                 seed=3, rate=r, dt=dt, degree=3)
     euro = float(black_scholes_put(s0, strike, r, sigma, T))
     assert float(ab["upper"]) + 4 * float(ab["std_err"]) > euro
+
+
+def test_andersen_broadie_same_seed_as_policy_stays_upper():
+    """The dual's outer paths live on a dedicated stream, so even passing
+    the SAME seed as lsm_policy cannot evaluate the surrogate in-sample
+    (code-review finding: stream-0 reuse made the 'upper bound' train-set
+    biased and silently below the true price)."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.american import (
+        andersen_broadie_bound,
+        binomial_american_put,
+        lsm_policy,
+    )
+    from montecarlo_tpu.processes import GBM
+
+    s0, strike, r, sigma, T = 100.0, 105.0, 0.05, 0.2, 0.5
+    steps = 32
+    dt = T / steps
+    proc = GBM.create(s0=s0, mu=r, sigma=sigma, dt=dt)
+    payoff = lambda s: jnp.maximum(strike - s, 0.0)
+    _, policy = lsm_policy(proc, payoff, 1 << 15, steps, seed=5,
+                           rate=r, dt=dt, degree=3)
+    ab = andersen_broadie_bound(proc, payoff, policy, 2048, 256, steps,
+                                seed=5, rate=r, dt=dt, degree=3)  # same seed
+    exact = binomial_american_put(s0, strike, r, sigma, T, n_steps=2000)
+    assert float(ab["upper"]) + 4 * float(ab["std_err"]) > exact

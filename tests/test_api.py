@@ -144,3 +144,53 @@ def test_scanner_per_ticker_timeout(monkeypatch):
     # The scan returns as soon as the deadline trips — it must not wait out
     # the stuck worker's full 8 s sleep.
     assert elapsed < 7.5, elapsed
+
+
+def test_scanner_terminates_when_pool_is_wedged(monkeypatch):
+    """All workers stuck on hung tasks: queued tickers can never start, so
+    the liveness guard must drain them as timeouts instead of spinning
+    forever (code-review finding: the per-ticker deadline alone deadlocks
+    here because queued futures never get a start time)."""
+    import time as _time
+
+    import montecarlo_tpu.api.scanner as scanner_mod
+
+    def hung_scan(ticker, **kw):
+        _time.sleep(60.0)  # far beyond the test's patience
+        return {"ticker": ticker, "success": False, "error": "late"}
+
+    monkeypatch.setattr(scanner_mod, "scan_single_ticker", hung_scan)
+    t0 = _time.monotonic()
+    res = scanner_mod.scan_tickers(
+        ["A", "B", "C", "D"], config=ModelConfig.fast(), period="2y",
+        provider="synthetic", parallel=True, n_workers=2, timeout=1.5)
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 15.0, elapsed
+    failed = {f["Ticker"] for f in res.failed}
+    assert failed == {"A", "B", "C", "D"}
+    assert all(f["Reason"] == "Timeout" for f in res.failed)
+
+
+def test_scanner_duplicate_tickers_have_independent_deadlines(monkeypatch):
+    """Duplicate tickers must not share a timeout clock (deadlines are
+    keyed per submission, not per ticker string)."""
+    import time as _time
+
+    import montecarlo_tpu.api.scanner as scanner_mod
+
+    def ok_scan(ticker, **kw):
+        _time.sleep(0.8)
+        return {"success": True, "ticker": ticker, "data": {
+            "Ticker": ticker, "Price": 1.0, "Dir. Accuracy": 55.0,
+            "Pred. Return": 0.0, "Volatility": 1.0, "Signal": "FLAT",
+            "Edge": False, "Confidence": 0.0}}
+
+    monkeypatch.setattr(scanner_mod, "scan_single_ticker", ok_scan)
+    # n_workers=1: the second DUP is queued while the first runs.  With
+    # ticker-keyed clocks the queued copy inherits the first's start time
+    # and gets falsely expired (timeout < 2 * task time).
+    res = scanner_mod.scan_tickers(
+        ["DUP", "DUP", "DUP"], config=ModelConfig.fast(), period="2y",
+        provider="synthetic", parallel=True, n_workers=1, timeout=1.2)
+    assert len(res.results) == 3, (res.results, res.failed)
+    assert not res.failed

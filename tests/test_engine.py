@@ -169,3 +169,18 @@ def test_zero_steps_and_tiny_counts():
     np.testing.assert_allclose(paths[0], S0, rtol=1e-4)
     term = np.asarray(simulate(proc, 1, 5, seed=1))
     assert term.shape == (1,) and np.isfinite(term[0])
+
+
+def test_price_to_tolerance_non_block_aligned_chunks():
+    """chunk_paths need not be a multiple of the 4096 stats block — the
+    fallback path computes one state per chunk (code-review regression)."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.pricing import price_to_tolerance
+
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 16.0)
+    out = price_to_tolerance(
+        proc, lambda s: jnp.maximum(s - 105.0, 0.0), target_std_err=0.5,
+        seed=0, chunk_paths=100_000, n_steps=16)
+    assert float(out["std_err"]) > 0
+    assert int(out["n_paths"]) % 100_000 == 0

@@ -142,10 +142,30 @@ def test_sketch_counts_exact_past_f32_precision():
     s2 = sketch_add(s, jnp.asarray([3.5], jnp.float32))
     assert int(s2.counts[3]) == big + 1
     assert int(s2.total) == big + 1
-    # Default construction carries integer counts.
+    # Default construction: integer per-bin counts (exact adds), float
+    # scalar totals (an int total would WRAP past 2^31 at pod scale; float
+    # only loses relative precision and stays monotone).
     fresh = sketch_from_array(jnp.asarray([1.0, 2.0]), 0.0, 64.0, bins)
     assert jnp.issubdtype(fresh.counts.dtype, jnp.integer)
-    assert jnp.issubdtype(fresh.total.dtype, jnp.integer)
+    assert jnp.issubdtype(fresh.total.dtype, jnp.floating)
+
+
+def test_sketch_quantile_survives_past_int32_total():
+    """Quantiles stay correct when the accumulated total exceeds 2^31 —
+    an int32 total/cdf would wrap negative and return garbage."""
+    from montecarlo_tpu.stats.quantiles import HistogramSketch
+
+    bins = 64
+    per_bin = (1 << 31) // 16  # 32 hot bins -> total = 2^32 > int32 max
+    counts = jnp.zeros((bins,), jnp.int32).at[16:48].set(per_bin)
+    total = jnp.float64(32.0 * per_bin)
+    s = HistogramSketch(
+        lo=jnp.float64(0.0), hi=jnp.float64(64.0), counts=counts,
+        total=total, underflow=jnp.float64(0.0), overflow=jnp.float64(0.0),
+        vmin=jnp.float64(16.0), vmax=jnp.float64(48.0))
+    # Uniform mass over [16, 48): the median is 32, p25 is 24.
+    assert abs(float(sketch_quantile(s, 50.0)) - 32.0) < 1.1
+    assert abs(float(sketch_quantile(s, 25.0)) - 24.0) < 1.1
 
 
 def test_sketch_int_counts_quantile_math_still_float():
