@@ -57,6 +57,8 @@ def _add_scan(sub):
     p.add_argument("--mode", default="balanced",
                    choices=list(RELIABILITY_MODES))
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--timeout", type=float, default=120.0,
+                   help="per-ticker deadline in seconds (reference: 120)")
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--batched", action="store_true",
                    help="vmapped device batching over the ticker axis "
@@ -68,11 +70,13 @@ def _add_scan(sub):
 def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
-                   choices=["gbm", "heston", "merton"])
+                   choices=["gbm", "cev", "heston", "merton"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
     p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--beta", type=float, default=0.7,
+                   help="CEV elasticity (--process cev)")
     p.add_argument("--maturity", type=float, default=1.0, help="years")
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=252)
@@ -161,7 +165,7 @@ def cmd_scan(args) -> int:
             tickers, forecast_horizon=args.horizon, config=cfg,
             period=period, provider=args.provider,
             parallel=not args.sequential, n_workers=args.workers,
-            progress_callback=progress)
+            timeout=args.timeout, progress_callback=progress)
     if args.json:
         print(json.dumps({"results": res.results,
                           "failed": res.failed,
@@ -179,7 +183,7 @@ def cmd_price(args) -> int:
         discount_factor, european_call, mc_estimate, simulate,
         black_scholes_call,
     )
-    from montecarlo_tpu.processes import GBM, Heston, Merton
+    from montecarlo_tpu.processes import GBM, Heston, LocalVolGBM, Merton
     from montecarlo_tpu.samplers import (
         AntitheticSampler, PlainSampler, SobolSampler,
     )
@@ -187,6 +191,16 @@ def cmd_price(args) -> int:
     dt = args.maturity / args.steps
     if args.process == "gbm":
         proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
+    elif args.process == "cev":
+        # Constant elasticity of variance via the local-vol surface:
+        # sigma_LN(S) = sigma * (S/S0)^(beta-1).
+        import numpy as _np
+
+        sigma, beta, s0 = args.sigma, args.beta, args.s0
+        proc = LocalVolGBM.create(
+            s0, args.rate, dt, args.steps,
+            lambda t, s: _np.clip(sigma * (s / s0) ** (beta - 1.0),
+                                  1e-4, 4.0))
     elif args.process == "merton":
         proc = Merton.create(s0=args.s0, mu=args.rate, sigma=args.sigma,
                              lam=args.jump_intensity,

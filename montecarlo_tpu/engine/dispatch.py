@@ -22,11 +22,12 @@ from montecarlo_tpu.processes.basket import BasketGBM
 from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.processes.dcc_garch import DCCGarch
+from montecarlo_tpu.processes.local_vol import LocalVolGBM
 from montecarlo_tpu.processes.term_gbm import TermStructureGBM
 from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
-            DCCGarch, TermStructureGBM)
+            DCCGarch, LocalVolGBM, TermStructureGBM)
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:

@@ -16,4 +16,5 @@ from montecarlo_tpu.processes.garch_fit import GARCHParams, fit_garch  # noqa: F
 from montecarlo_tpu.processes.merton import Merton, MertonState, merton_call_series  # noqa: F401
 from montecarlo_tpu.processes.ccc_garch import CCCGarch  # noqa: F401
 from montecarlo_tpu.processes.dcc_garch import DCCGarch  # noqa: F401
+from montecarlo_tpu.processes.local_vol import LocalVolGBM  # noqa: F401
 from montecarlo_tpu.processes.term_gbm import TermStructureGBM  # noqa: F401
