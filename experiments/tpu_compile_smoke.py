@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Compiled-on-TPU smoke over every _FUSABLE process.
+
+Interpret-mode tests cannot catch Mosaic lowering failures (the interpreter
+supports primitives Mosaic does not — dynamic_slice bit the local-vol
+process exactly this way).  Run this on the real chip after touching any
+process or the fused engine:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python experiments/tpu_compile_smoke.py
+"""
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+
+from montecarlo_tpu.engine.dispatch import terminal_prices
+from montecarlo_tpu.processes import (BasketGBM, CCCGarch, DCCGarch, GBM,
+                                      GARCHBootstrap, Heston, LocalVolGBM,
+                                      Merton, TermStructureGBM)
+
+
+def all_fusable_processes():
+    rng = np.random.default_rng(0)
+    corr3 = np.eye(3) * 0.5 + 0.5
+    return {
+        "GBM": GBM.create(s0=100., mu=.03, sigma=.2, dt=1 / 252),
+        "GARCH": GARCHBootstrap.create(rng.normal(0, .02, 500), s0=100.,
+                                       var0=1e-4),
+        "Heston": Heston.create(s0=100., v0=.04, mu=.03, kappa=2.,
+                                theta=.04, xi=.5, rho=-.7, dt=1 / 252),
+        "BasketGBM": BasketGBM.create(s0=[100., 50., 75.], mu=[.03] * 3,
+                                      sigma=[.2, .3, .25], corr=corr3,
+                                      weights=[1 / 3] * 3, dt=1 / 252),
+        "Merton": Merton.create(s0=100., mu=.03, sigma=.2, lam=1.,
+                                jump_mean=-.05, jump_std=.1, dt=1 / 252),
+        "CCC": CCCGarch.create(s0=[100., 50., 75.], var0=[2e-4] * 3,
+                               omega=[1e-5] * 3, alpha=[.1] * 3,
+                               beta=[.85] * 3, corr=corr3,
+                               weights=[1 / 3] * 3),
+        "DCC": DCCGarch.create(s0=[100., 50., 75.], var0=[2e-4] * 3,
+                               omega=[1e-5] * 3, alpha=[.1] * 3,
+                               beta=[.85] * 3, qbar=corr3,
+                               weights=[1 / 3] * 3),
+        "LocalVol": LocalVolGBM.create(
+            100., .03, 1 / 64, 32,
+            lambda t, s: np.clip(.2 * (s / 100) ** -.3, 1e-3, 2.)),
+        "TermGBM": TermStructureGBM.from_curves(
+            100., np.full(32, .03), np.full(32, .2), 1 / 64),
+    }
+
+
+if __name__ == "__main__":
+    print("platform:", jax.devices()[0].platform)
+    bad = []
+    for name, p in all_fusable_processes().items():
+        vals = np.asarray(terminal_prices(p, 1 << 15, 32, seed=3))
+        ok = bool(np.isfinite(vals).all()) and vals.min() > 0
+        print(f"{name:10s} {'OK' if ok else 'BAD'} median={np.median(vals):.2f}")
+        if not ok:
+            bad.append(name)
+    raise SystemExit(1 if bad else 0)
