@@ -94,6 +94,12 @@ def _add_price(sub):
     p.add_argument("--american-bound", action="store_true",
                    help="with --american: also report the Andersen-Broadie "
                         "duality upper bound (brackets the true price)")
+    p.add_argument("--mlmc", action="store_true",
+                   help="multilevel Monte Carlo (Giles) over a geometric "
+                        "step ladder — Euler-discretized gbm or heston, "
+                        "European call/put; prices to --mlmc-rmse")
+    p.add_argument("--mlmc-rmse", type=float, default=0.01,
+                   help="total RMSE target for --mlmc (bias + statistical)")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -210,6 +216,46 @@ def cmd_price(args) -> int:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    if args.mlmc:
+        from montecarlo_tpu.engine.mlmc import mlmc_estimate
+        from montecarlo_tpu.processes import EulerGBM
+
+        if args.american or args.payoff not in ("call", "put"):
+            raise SystemExit("--mlmc supports European call/put payoffs")
+        if args.process == "gbm":
+            def make(n):
+                return EulerGBM.create(args.s0, args.rate, args.sigma,
+                                       args.maturity / n)
+        elif args.process == "heston":
+            def make(n):
+                return Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                                     kappa=args.kappa, theta=args.theta,
+                                     xi=args.xi, rho=args.rho,
+                                     dt=args.maturity / n)
+        else:
+            raise SystemExit("--mlmc supports gbm (Euler scheme) and heston")
+        payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
+                  if args.payoff == "call"
+                  else (lambda s: jnp.maximum(args.strike - s, 0.0)))
+        res = mlmc_estimate(make, payoff, target_rmse=args.mlmc_rmse,
+                            seed=args.seed, n0_steps=4,
+                            discount=float(discount_factor(args.rate,
+                                                           args.maturity)))
+        out = {"price": float(res["price"]),
+               "std_err": float(res["std_err"]),
+               "bias_est": float(res["bias_est"]),
+               "rmse_est": float(res["rmse_est"]),
+               "n_levels": res["n_levels"],
+               "level_paths": [l.n_paths for l in res["levels"]],
+               "cost_path_steps": res["cost_path_steps"],
+               "vs_single_level_cost": res["single_level_cost_est"]
+               / max(res["cost_path_steps"], 1.0)}
+        if args.process == "gbm" and args.payoff == "call":
+            out["black_scholes"] = float(black_scholes_call(
+                args.s0, args.strike, args.rate, args.sigma, args.maturity))
+        print(json.dumps(out))
+        return 0
+
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
@@ -425,6 +471,81 @@ def cmd_var(args) -> int:
     return 0
 
 
+def _add_bond(sub):
+    p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
+    p.add_argument("--model", default="vasicek",
+                   choices=["vasicek", "cir", "hullwhite"])
+    p.add_argument("--r0", type=float, default=0.03)
+    p.add_argument("--kappa", type=float, default=0.8,
+                   help="mean-reversion speed (a for hullwhite)")
+    p.add_argument("--theta", type=float, default=0.05,
+                   help="long-run level (vasicek/cir)")
+    p.add_argument("--sigma", type=float, default=0.015)
+    p.add_argument("--maturity", type=float, default=2.0, help="years")
+    p.add_argument("--paths", type=int, default=1 << 16)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--option", action="store_true",
+                   help="European call on a bond: expiry --t1, bond "
+                        "maturity --maturity (vasicek only)")
+    p.add_argument("--t1", type=float, default=1.0)
+    p.add_argument("--option-strike", type=float, default=None,
+                   help="default: ATM forward bond price")
+    p.add_argument("--fwd-slope", type=float, default=0.005,
+                   help="hullwhite: slope of the synthetic forward curve")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_bond(args) -> int:
+    import numpy as np
+
+    from montecarlo_tpu.engine.rates import (
+        bond_option_mc, cir_zcb, vasicek_bond_option, vasicek_zcb,
+        zcb_price_mc)
+    from montecarlo_tpu.processes import CIR, HullWhite, Vasicek
+
+    T, n_steps = args.maturity, args.steps
+    dt = T / n_steps
+    if args.model == "vasicek":
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              dt)
+        cf = vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+    elif args.model == "cir":
+        proc = CIR.create(args.r0, args.kappa, args.theta, args.sigma, dt)
+        cf = cir_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+    else:
+        t_grid = np.arange(n_steps + 1) * dt
+        fwd = args.r0 + args.fwd_slope * t_grid
+        proc = HullWhite.from_forward_curve(fwd, a=args.kappa,
+                                            sigma=args.sigma, dt=dt)
+        cf = float(np.exp(-np.trapezoid(fwd, t_grid)))
+
+    if args.option:
+        if args.model != "vasicek":
+            raise SystemExit("--option requires --model vasicek (affine "
+                             "closed-form bond at expiry)")
+        t1 = args.t1
+        strike = args.option_strike or (
+            vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+            / vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, t1))
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              t1 / n_steps)
+        est = bond_option_mc(proc, t1, T, strike, n_steps, args.paths,
+                             seed=args.seed)
+        out = {"bond_option_price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "strike": strike,
+               "jamshidian": vasicek_bond_option(
+                   args.r0, args.kappa, args.theta, args.sigma, t1, T,
+                   strike)}
+    else:
+        est = zcb_price_mc(proc, T, n_steps, args.paths, seed=args.seed)
+        out = {"zcb_price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "closed_form": cf}
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="montecarlo_tpu",
@@ -439,6 +560,7 @@ def main(argv=None) -> int:
     _add_price(sub)
     _add_greeks(sub)
     _add_var(sub)
+    _add_bond(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
 
@@ -456,6 +578,8 @@ def main(argv=None) -> int:
         return cmd_greeks(args)
     if args.cmd == "var":
         return cmd_var(args)
+    if args.cmd == "bond":
+        return cmd_bond(args)
     if args.cmd == "bench":
         import importlib.util
         import os

@@ -33,7 +33,15 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     down_and_out_call,
     lookback_call_floating,
     simulate_functionals,
+    trapezoid_integral,
     up_and_out_call,
+)
+from montecarlo_tpu.engine.rates import (  # noqa: F401
+    bond_option_mc,
+    cir_zcb,
+    vasicek_bond_option,
+    vasicek_zcb,
+    zcb_price_mc,
 )
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
 from montecarlo_tpu.engine.american import binomial_american_put, lsm_price  # noqa: F401
@@ -43,6 +51,11 @@ from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
     calibrate_heston,
     calibrate_heston_to_ivs,
     heston_call_cf,
+)
+from montecarlo_tpu.engine.mlmc import (  # noqa: F401
+    MLMCLevel,
+    mlmc_estimate,
+    mlmc_level_moments,
 )
 from montecarlo_tpu.engine.importance import (  # noqa: F401
     importance_sampled_estimate,

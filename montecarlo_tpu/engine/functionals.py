@@ -68,6 +68,21 @@ RUNNING_MIN = PathFunctional(
 )
 
 
+def trapezoid_integral(dt: float) -> PathFunctional:
+    """Pathwise trapezoid rule: int_0^T x_t dt over the step grid.
+
+    The discount integral of short-rate models (``exp(-int r dt)`` — see
+    :mod:`montecarlo_tpu.engine.rates`); O(dt^2) weak error vs the left
+    rule's O(dt).  The accumulator carries (running sum, previous value).
+    """
+    half_dt = 0.5 * float(dt)
+    return PathFunctional(
+        init=lambda s: (jnp.zeros_like(s), s),
+        update=lambda acc, s, t: (acc[0] + (acc[1] + s) * half_dt, s),
+        finalize=lambda acc, n_steps: acc[0],
+    )
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
                                    "dtype", "functional_items"))
 def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
