@@ -70,7 +70,8 @@ def _add_scan(sub):
 def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
-                   choices=["gbm", "cev", "heston", "merton"])
+                   choices=["gbm", "cev", "heston", "merton", "kou",
+                            "sabr"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -107,10 +108,19 @@ def _add_price(sub):
     p.add_argument("--theta", type=float, default=0.04)
     p.add_argument("--xi", type=float, default=0.5)
     p.add_argument("--rho", type=float, default=-0.7)
-    # Merton extras
+    # Merton/Kou extras
     p.add_argument("--jump-intensity", type=float, default=1.0)
     p.add_argument("--jump-mean", type=float, default=-0.05)
     p.add_argument("--jump-std", type=float, default=0.1)
+    p.add_argument("--p-up", type=float, default=0.4,
+                   help="Kou: probability a jump is upward")
+    p.add_argument("--eta1", type=float, default=10.0,
+                   help="Kou: up-jump decay (>1)")
+    p.add_argument("--eta2", type=float, default=5.0,
+                   help="Kou: down-jump decay")
+    # SABR extras (--sigma is alpha, --beta the CEV exponent, --rho the corr)
+    p.add_argument("--nu", type=float, default=0.3,
+                   help="SABR vol-of-vol")
 
 
 def cmd_analyze(args) -> int:
@@ -212,6 +222,20 @@ def cmd_price(args) -> int:
                              lam=args.jump_intensity,
                              jump_mean=args.jump_mean,
                              jump_std=args.jump_std, dt=dt)
+    elif args.process == "kou":
+        from montecarlo_tpu.processes import Kou
+
+        proc = Kou.create(s0=args.s0, mu=args.rate, sigma=args.sigma,
+                          lam=args.jump_intensity, p_up=args.p_up,
+                          eta1=args.eta1, eta2=args.eta2, dt=dt)
+    elif args.process == "sabr":
+        from montecarlo_tpu.processes import SABR
+
+        # Forward-measure dynamics (driftless F); --sigma is the lognormal
+        # ATM alpha, rescaled by F0^(1-beta) to CEV units.
+        proc = SABR.create(f0=args.s0,
+                           alpha=args.sigma * args.s0 ** (1.0 - args.beta),
+                           beta=args.beta, nu=args.nu, rho=args.rho, dt=dt)
     else:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
@@ -334,6 +358,13 @@ def cmd_price(args) -> int:
     if args.process == "gbm" and args.payoff == "call" and not args.american:
         out["black_scholes"] = float(black_scholes_call(
             args.s0, args.strike, args.rate, args.sigma, args.maturity))
+    if args.process == "kou" and args.payoff == "call" and not args.american:
+        from montecarlo_tpu.engine.cf_pricing import cf_call_price, kou_log_cf
+
+        out["cf_price"] = float(cf_call_price(
+            kou_log_cf(args.s0, args.rate, args.sigma, args.jump_intensity,
+                       args.p_up, args.eta1, args.eta2, args.maturity),
+            args.s0, args.strike, args.maturity, args.rate))
     print(json.dumps(out))
     return 0
 

@@ -36,6 +36,11 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     trapezoid_integral,
     up_and_out_call,
 )
+from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
+    cf_call_price,
+    kou_log_cf,
+    merton_log_cf,
+)
 from montecarlo_tpu.engine.rates import (  # noqa: F401
     bond_option_mc,
     cir_zcb,

@@ -1,0 +1,88 @@
+"""Generic characteristic-function option pricing (Gil-Pelaez / Heston form).
+
+One jittable Gauss-Legendre pricer for ANY model whose log-price
+characteristic function is known in closed form:
+
+    C = S0 * P1 - K e^{-rT} * P2
+    P2 = 1/2 + 1/pi int Re[ e^{-iu ln K} phi(u)   / (iu)          ] du
+    P1 = 1/2 + 1/pi int Re[ e^{-iu ln K} phi(u-i) / (iu phi(-i))  ] du
+
+(the same machinery as :mod:`montecarlo_tpu.engine.heston_analytic`, here
+factored over a caller-supplied phi).  Shipped CFs: Merton lognormal jumps
+and Kou double-exponential jumps — the semi-analytic validation oracles for
+the corresponding Monte Carlo processes, and cross-checks of each other
+(the Merton CF price must reproduce the Merton 1976 series).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _quad_nodes(n_quad: int, u_max: float):
+    x, w = np.polynomial.legendre.leggauss(n_quad)
+    return (jnp.asarray(0.5 * u_max * (x + 1.0)),
+            jnp.asarray(0.5 * u_max * w))
+
+
+@partial(jax.jit, static_argnames=("phi", "n_quad"))
+def cf_call_price(phi, s0, strike, T, r, *, n_quad: int = 256,
+                  u_max: float = 200.0):
+    """European call from a log-price characteristic function.
+
+    ``phi(u)`` must be the risk-neutral CF of ln S_T evaluated at complex
+    ``u`` (vectorized over a 1-D array).  Scalar or broadcast batches of
+    strike/T follow the Heston pricer's convention.
+    """
+    u, w = _quad_nodes(n_quad, u_max)
+    s0 = jnp.asarray(s0)
+    strike = jnp.asarray(strike)
+    lnk = jnp.log(strike)
+    disc = jnp.exp(-r * T)
+
+    phi_m_i = phi(jnp.asarray(-1j))  # = E[S_T] (forward)
+
+    def p_term(us, denom_phi):
+        def integrand(ui):
+            return jnp.real(jnp.exp(-1j * ui * lnk) * phi(us(ui))
+                            / (1j * ui * denom_phi))
+        vals = jax.vmap(integrand)(u)
+        return 0.5 + jnp.tensordot(w, vals, axes=1) / jnp.pi
+
+    p1 = p_term(lambda ui: ui - 1j, phi_m_i)
+    p2 = p_term(lambda ui: ui, 1.0)
+    return disc * (jnp.real(phi_m_i) * p1 - strike * p2)
+
+
+def merton_log_cf(s0, r, sigma, lam, jump_mean, jump_std, T):
+    """Risk-neutral CF of ln S_T under Merton jump-diffusion."""
+    m = jnp.exp(jump_mean + 0.5 * jump_std**2) - 1.0
+    drift = jnp.log(s0) + (r - lam * m - 0.5 * sigma**2) * T
+
+    def phi(us):
+        iu = 1j * us
+        jump_cf = jnp.exp(iu * jump_mean - 0.5 * jump_std**2 * us * us)
+        return jnp.exp(iu * drift - 0.5 * sigma**2 * us * us * T
+                       + lam * T * (jump_cf - 1.0))
+    return phi
+
+
+def kou_log_cf(s0, r, sigma, lam, p_up, eta1, eta2, T):
+    """Risk-neutral CF of ln S_T under Kou double-exponential jumps."""
+    m = p_up * eta1 / (eta1 - 1.0) + (1.0 - p_up) * eta2 / (eta2 + 1.0) - 1.0
+    drift = jnp.log(s0) + (r - lam * m - 0.5 * sigma**2) * T
+
+    def phi(us):
+        iu = 1j * us
+        jump_cf = (p_up * eta1 / (eta1 - iu)
+                   + (1.0 - p_up) * eta2 / (eta2 + iu))
+        return jnp.exp(iu * drift - 0.5 * sigma**2 * us * us * T
+                       + lam * T * (jump_cf - 1.0))
+    return phi
+
+
+__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf"]

@@ -24,10 +24,15 @@ from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.processes.dcc_garch import DCCGarch
 from montecarlo_tpu.processes.local_vol import LocalVolGBM
 from montecarlo_tpu.processes.term_gbm import TermStructureGBM
+from montecarlo_tpu.processes.euler_gbm import EulerGBM
+from montecarlo_tpu.processes.kou import Kou
+from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
+from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
-            DCCGarch, LocalVolGBM, TermStructureGBM)
+            DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou,
+            Vasicek, CIR, HullWhite, SABR)
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:

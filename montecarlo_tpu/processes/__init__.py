@@ -19,4 +19,6 @@ from montecarlo_tpu.processes.dcc_garch import DCCGarch  # noqa: F401
 from montecarlo_tpu.processes.local_vol import LocalVolGBM  # noqa: F401
 from montecarlo_tpu.processes.euler_gbm import EulerGBM, EulerGBMState  # noqa: F401
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
+from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
+from montecarlo_tpu.processes.sabr import SABR, SABRState, sabr_hagan_iv  # noqa: F401
 from montecarlo_tpu.processes.term_gbm import TermStructureGBM  # noqa: F401

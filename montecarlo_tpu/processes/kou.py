@@ -1,0 +1,140 @@
+"""Kou double-exponential jump-diffusion (Kou 2002).
+
+    dS/S = (mu - lambda*m) dt + sigma dW + (e^J - 1) dN
+    N ~ Poisson(lambda);  J ~ asymmetric Laplace:
+        +Exp(eta1) with prob p   (up-jumps,  eta1 > 1)
+        -Exp(eta2) with prob 1-p (down-jumps)
+    m = E[e^J] - 1 = p*eta1/(eta1-1) + (1-p)*eta2/(eta2+1) - 1
+
+Heavier-than-Gaussian jump tails with separate up/down decay — the standard
+equity-desk refinement of Merton's lognormal jumps.  Per step (log-Euler,
+exact for the diffusion; compound Poisson sampled exactly on a truncated
+support like :mod:`montecarlo_tpu.processes.merton`):
+
+    log S += (mu - lambda*m - sigma^2/2) dt + sigma sqrt(dt) z
+             + sum_{k<=N} J_k,    J_k by inverse-CDF from one uniform each.
+
+Draw layout per step: one normal (diffusion, main stream; consecutive draw
+indices so both Box-Muller halves are consumed) and 1 + K_MAX uniforms
+(count + jump sizes) on a separate key stream — a Box-Muller normal consumes
+both halves of its cipher call, so uniforms never share ciphers with normals
+(see DEVNOTES "RNG convention trap").
+
+Scalar state + elementwise ops only: fused-Pallas-kernel eligible.
+Validated against the characteristic-function price
+(:mod:`montecarlo_tpu.engine.cf_pricing`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from montecarlo_tpu.processes.merton import K_MAX, _JUMP_STREAM
+from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
+
+
+class KouState(NamedTuple):
+    log_s: jnp.ndarray
+
+
+class Kou(NamedTuple("KouFields", [
+        ("s0", jnp.ndarray),
+        ("mu", jnp.ndarray),
+        ("sigma", jnp.ndarray),
+        ("lam", jnp.ndarray),    # jump intensity per unit time
+        ("p_up", jnp.ndarray),   # probability a jump is upward
+        ("eta1", jnp.ndarray),   # up-jump decay (> 1 for finite E[e^J])
+        ("eta2", jnp.ndarray),   # down-jump decay (> 0)
+        ("dt", jnp.ndarray),
+])):
+    """Kou double-exponential jump-diffusion with risk-drift compensation."""
+
+    n_draws = 2 + K_MAX  # z, u_count, u_jump[0..K_MAX-1]
+
+    @classmethod
+    def create(cls, s0, mu, sigma, lam, p_up, eta1, eta2, dt,
+               dtype=jnp.float32):
+        if float(eta1) <= 1.0:
+            raise ValueError("eta1 must exceed 1 (finite E[e^J])")
+        as_ = lambda v: jnp.asarray(v, dtype)
+        return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), lam=as_(lam),
+                   p_up=as_(p_up), eta1=as_(eta1), eta2=as_(eta2),
+                   dt=as_(dt))
+
+    def init_state(self, path_ids, dtype=jnp.float32) -> KouState:
+        return KouState(log_s=jnp.full(path_ids.shape,
+                                       jnp.log(self.s0).astype(dtype),
+                                       dtype))
+
+    def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
+        tt = jnp.asarray(t).astype(jnp.uint32)
+        z = normal_draw(seed, stream, path_ids, tt, dtype)
+        base = tt * jnp.uint32(1 + K_MAX)
+        us = tuple(
+            uniform_draw(seed, stream ^ _JUMP_STREAM, path_ids,
+                         base + jnp.uint32(k), dtype)
+            for k in range(1 + K_MAX))
+        return (z,) + us
+
+    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
+        """Mixed-type draws straddle ciphers; delegate (fused kernel only)."""
+        j2 = 2 * jnp.asarray(j).astype(jnp.uint32)
+        return (self.draws(seed, stream, path_ids, j2, dtype),
+                self.draws(seed, stream, path_ids, j2 + jnp.uint32(1),
+                           dtype))
+
+    def antithetic(self, eps):
+        z, u_count = eps[0], eps[1]
+        # Mirror the normal, reflect every uniform (keeps them uniform and
+        # anticorrelates count and jump directions/magnitudes).
+        return (-z, 1.0 - u_count) + tuple(1.0 - u for u in eps[2:])
+
+    def _poisson_count(self, u, dtype):
+        """Inverse-CDF Poisson(lambda*dt) on support {0..K_MAX}."""
+        rate = (self.lam * self.dt).astype(dtype)
+        pmf = jnp.exp(-rate)
+        cdf = pmf
+        count = jnp.zeros_like(u)
+        for k in range(1, K_MAX + 1):
+            pmf = pmf * rate / k
+            count = jnp.where(u > cdf, jnp.asarray(float(k), dtype), count)
+            cdf = cdf + pmf
+        return count
+
+    def _jump_size(self, u, dtype):
+        """Inverse CDF of the asymmetric double exponential.
+
+        F(x) = (1-p) e^{eta2 x} for x < 0;  1 - p e^{-eta1 x} for x >= 0.
+        """
+        p = self.p_up.astype(dtype)
+        eta1 = self.eta1.astype(dtype)
+        eta2 = self.eta2.astype(dtype)
+        q = 1.0 - p
+        # u in (0,1) open interval (never 0/1), so both logs are finite.
+        down = jnp.log(jnp.maximum(u / q, 1e-38)) / eta2      # < 0 branch
+        up = -jnp.log(jnp.maximum((1.0 - u) / p, 1e-38)) / eta1
+        return jnp.where(u <= q, down, up)
+
+    def mean_jump_factor(self):
+        """m + 1 = E[e^J] (used for the compensator and in tests)."""
+        return (self.p_up * self.eta1 / (self.eta1 - 1.0)
+                + (1.0 - self.p_up) * self.eta2 / (self.eta2 + 1.0))
+
+    def step(self, state: KouState, eps, t) -> KouState:
+        dtype = state.log_s.dtype
+        z, u_count = eps[0], eps[1]
+        n = self._poisson_count(u_count, dtype)
+        jump = jnp.zeros_like(state.log_s)
+        for k in range(K_MAX):
+            size = self._jump_size(eps[2 + k], dtype)
+            jump = jump + jnp.where(n > float(k), size, 0.0)
+        m = self.mean_jump_factor() - 1.0
+        drift = ((self.mu - self.lam * m - 0.5 * jnp.square(self.sigma))
+                 * self.dt).astype(dtype)
+        scale = (self.sigma * jnp.sqrt(self.dt)).astype(dtype)
+        return KouState(log_s=state.log_s + drift + scale * z + jump)
+
+    def prices(self, state: KouState):
+        return jnp.exp(state.log_s)
