@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Fused-kernel throughput for the round-2 process additions.
+
+Chained-single-jit methodology (DEVNOTES "axon relay"); run on the real
+chip:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python experiments/new_process_bench.py
+"""
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+
+from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
+from montecarlo_tpu.processes import (CIR, SABR, EulerGBM, HullWhite, Kou,
+                                      Vasicek)
+from montecarlo_tpu.utils.profiling import throughput_path_steps
+
+N_PATHS, N_STEPS = 1 << 20, 1024
+
+PROCS = {
+    "EulerGBM": EulerGBM.create(s0=100., mu=.03, sigma=.2, dt=1 / 252),
+    "Kou": Kou.create(s0=100., mu=.03, sigma=.2, lam=1., p_up=.4, eta1=10.,
+                      eta2=5., dt=1 / 252),
+    "SABR": SABR.create(f0=100., alpha=.2 * 100. ** .3, beta=.7, nu=.3,
+                        rho=-.3, dt=1 / 252),
+    "Vasicek": Vasicek.create(.03, .8, .05, .015, 1 / 252),
+    "CIR": CIR.create(.03, .8, .05, .015, 1 / 252),
+    "HullWhite": HullWhite.from_forward_curve(
+        .02 + .005 * np.arange(N_STEPS + 1) / N_STEPS, a=.6, sigma=.012,
+        dt=1 / 252),
+}
+
+
+if __name__ == "__main__":
+    print("platform:", jax.devices()[0].platform)
+    for name, proc in PROCS.items():
+        def run(n_paths, n_steps, seed):
+            return fused_terminal_pallas(proc, n_paths, n_steps, seed=seed,
+                                         block_rows=128)
+        rate = throughput_path_steps(run, N_PATHS, N_STEPS)
+        print(f"{name:10s} {rate / 1e9:6.1f}e9 path-steps/s")

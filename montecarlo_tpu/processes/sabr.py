@@ -78,22 +78,75 @@ def sabr_hagan_iv(f0, strike, T, alpha, beta, nu, rho):
 
     The standard quoting approximation, accurate to O(nu^2 T) for moderate
     parameters — the validation oracle for the MC process (tests price the
-    smile both ways and compare).  Broadcasts over strike arrays.
+    smile both ways and compare), and the model function smile calibration
+    fits (:func:`calibrate_sabr`).  Pure jnp: jits, vmaps over strike
+    arrays, and differentiates w.r.t. (alpha, nu, rho).
     """
-    import numpy as np
-
-    f0, k = np.asarray(f0, np.float64), np.asarray(strike, np.float64)
+    f0, k = jnp.asarray(f0), jnp.asarray(strike)
+    alpha, nu, rho = jnp.asarray(alpha), jnp.asarray(nu), jnp.asarray(rho)
     one_m_b = 1.0 - beta
     fk_mid = (f0 * k) ** (one_m_b / 2.0)
-    log_fk = np.log(f0 / k)
+    log_fk = jnp.log(f0 / k)
     z = (nu / alpha) * fk_mid * log_fk
-    x = np.log((np.sqrt(1.0 - 2.0 * rho * z + z * z) + z - rho)
-               / (1.0 - rho))
-    z_over_x = np.where(np.abs(z) < 1e-8, 1.0 - rho * z / 2.0,
-                        z / np.where(np.abs(x) < 1e-300, 1.0, x))
+    # Guard the removable singularity at z -> 0 (ATM): evaluate x at a z
+    # bounded away from 0, then select the series limit there instead.
+    near0 = jnp.abs(z) < 1e-6
+    z_safe = jnp.where(near0, 1.0, z)
+    x = jnp.log((jnp.sqrt(1.0 - 2.0 * rho * z_safe + z_safe * z_safe)
+                 + z_safe - rho) / (1.0 - rho))
+    z_over_x = jnp.where(near0, 1.0 - rho * z / 2.0, z_safe / x)
     denom = fk_mid * (1.0 + one_m_b**2 / 24.0 * log_fk**2
                       + one_m_b**4 / 1920.0 * log_fk**4)
     correction = (1.0 + (one_m_b**2 / 24.0 * alpha**2 / fk_mid**2
                          + 0.25 * rho * beta * nu * alpha / fk_mid
                          + (2.0 - 3.0 * rho**2) / 24.0 * nu**2) * T)
     return alpha / denom * z_over_x * correction
+
+
+def _constrain_sabr(raw):
+    import jax
+
+    return (jax.nn.softplus(raw[0]) * 0.5,   # alpha (CEV units)
+            jax.nn.softplus(raw[1]) * 0.5,   # nu
+            jnp.tanh(raw[2]))                # rho
+
+
+def calibrate_sabr(strikes, ivs, *, f0, T, beta: float = 0.7,
+                   n_iters: int = 3000, lr: float = 0.05):
+    """Fit (alpha, nu, rho) to a market smile of Black implied vols by Adam
+    on the exact gradient of the Hagan expansion (beta fixed by convention).
+
+    Returns ``{"alpha", "nu", "rho", "rmse_vol"}`` — the same
+    gradient-descent-on-TPU pattern as
+    :func:`montecarlo_tpu.engine.heston_analytic.calibrate_heston`.
+    """
+    import jax
+    import optax
+
+    strikes = jnp.asarray(strikes, jnp.float32)
+    ivs = jnp.asarray(ivs, jnp.float32)
+
+    def loss_fn(raw):
+        alpha, nu, rho = _constrain_sabr(raw)
+        model = sabr_hagan_iv(f0, strikes, T, alpha, beta, nu, rho)
+        return jnp.mean(jnp.square(model - ivs))
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def run(raw0):
+        def step(carry, _):
+            raw, opt_state = carry
+            loss, g = grad_fn(raw)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(raw, updates), opt_state), loss
+        (raw, _), losses = jax.lax.scan(step, (raw0, opt.init(raw0)), None,
+                                        length=n_iters)
+        return raw, losses
+
+    raw0 = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    raw, losses = run(raw0)
+    alpha, nu, rho = (float(v) for v in _constrain_sabr(raw))
+    return {"alpha": alpha, "nu": nu, "rho": rho,
+            "rmse_vol": float(jnp.sqrt(losses[-1]))}
