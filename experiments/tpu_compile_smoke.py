@@ -19,7 +19,8 @@ from montecarlo_tpu.processes import (CIR, SABR, BasketGBM, CCCGarch,
                                       DCCGarch, EulerGBM, GBM,
                                       GARCHBootstrap, Heston, HullWhite,
                                       Kou, LocalVolGBM, Merton,
-                                      TermStructureGBM, Vasicek)
+                                      TermBasketGBM, TermStructureGBM,
+                                      Vasicek)
 
 # Short-rate observables may legitimately cross zero.
 MAY_BE_NEGATIVE = {"Vasicek", "CIR", "HullWhite"}
@@ -61,6 +62,11 @@ def all_fusable_processes():
             .02 + .005 * np.arange(33) / 16, a=.6, sigma=.012, dt=1 / 64),
         "SABR": SABR.create(f0=100., alpha=.2 * 100. ** .3, beta=.7, nu=.3,
                             rho=-.3, dt=1 / 64),
+        "TermBasket": TermBasketGBM.create(
+            np.array([100., 50., 75.]),
+            np.tile([[.03], [.02], [.04]], (1, 32)),
+            np.tile([[.2], [.3], [.25]], (1, 32)), corr3, [1 / 3] * 3,
+            1 / 64),
     }
 
 

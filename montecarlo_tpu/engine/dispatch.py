@@ -28,11 +28,12 @@ from montecarlo_tpu.processes.euler_gbm import EulerGBM
 from montecarlo_tpu.processes.kou import Kou
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
+from montecarlo_tpu.processes.term_basket import TermBasketGBM
 from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou,
-            Vasicek, CIR, HullWhite, SABR)
+            Vasicek, CIR, HullWhite, SABR, TermBasketGBM)
 
 
 def _kernel_block_rows(n_paths: int) -> int | None:

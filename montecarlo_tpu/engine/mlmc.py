@@ -52,50 +52,79 @@ from montecarlo_tpu.stats.welford import (
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_coarse_steps",
-                                   "m_refine", "seed", "stream", "dtype"))
+                                   "m_refine", "seed", "stream", "dtype",
+                                   "payoff_on"))
 def _coupled_moments(fine, coarse, payoff_fn, n_paths: int,
                      n_coarse_steps: int, m_refine: int, seed: int,
-                     stream: int, dtype, path_offset):
+                     stream: int, dtype, path_offset,
+                     payoff_on: str = "terminal"):
     """Moments of Y = P(fine) - P(coarse) under the level coupling.
 
     The fine path takes ``m_refine`` sub-steps per coarse step using its own
     draw schedule; the coarse step consumes the *sum* of those Gaussian
     innovations rescaled by 1/sqrt(M) — the exact distributional coupling of
     the underlying Brownian increments.
+
+    ``payoff_on="mean"`` feeds the payoff each grid's *own* discretely
+    monitored arithmetic average (spot included) instead of the terminal —
+    the Asian-option telescoping where each level refines the monitoring
+    grid itself.
     """
     ids = path_ids_for(n_paths, path_offset)
     f_state = fine.init_state(ids, dtype)
     c_state = coarse.init_state(ids, dtype)
     inv_sqrt_m = jnp.asarray(1.0 / math.sqrt(m_refine), dtype)
+    track_mean = payoff_on == "mean"
+    f_acc = fine.prices(f_state) if track_mean else jnp.zeros((), dtype)
+    c_acc = coarse.prices(c_state) if track_mean else jnp.zeros((), dtype)
 
     def body(carry, j):
-        fs, cs = carry
+        fs, cs, fa, ca = carry
         t0 = j * m_refine
         sums = None
         for m in range(m_refine):
             eps = fine.draws(seed, stream, ids, t0 + m, dtype)
             fs = fine.step(fs, eps, t0 + m)
+            if track_mean:
+                fa = fa + fine.prices(fs)
             sums = eps if sums is None else tuple(
                 a + b for a, b in zip(sums, eps))
         eps_c = tuple(s * inv_sqrt_m for s in sums)
         cs = coarse.step(cs, eps_c, j)
-        return (fs, cs), None
+        if track_mean:
+            ca = ca + coarse.prices(cs)
+        return (fs, cs, fa, ca), None
 
-    (f_state, c_state), _ = jax.lax.scan(
-        body, (f_state, c_state),
+    (f_state, c_state, f_acc, c_acc), _ = jax.lax.scan(
+        body, (f_state, c_state, f_acc, c_acc),
         jnp.arange(n_coarse_steps, dtype=jnp.int32))
-    p_fine = payoff_fn(fine.prices(f_state))
-    p_coarse = payoff_fn(coarse.prices(c_state))
+    if track_mean:
+        n_fine = n_coarse_steps * m_refine
+        p_fine = payoff_fn(f_acc / (n_fine + 1.0))
+        p_coarse = payoff_fn(c_acc / (n_coarse_steps + 1.0))
+    else:
+        p_fine = payoff_fn(fine.prices(f_state))
+        p_coarse = payoff_fn(coarse.prices(c_state))
     return (moments_from_array(p_fine - p_coarse, axis=0),
             moments_from_array(p_fine, axis=0))
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps", "seed",
-                                   "stream", "dtype"))
+                                   "stream", "dtype", "payoff_on"))
 def _level0_moments(proc, payoff_fn, n_paths: int, n_steps: int, seed: int,
-                    stream: int, dtype, path_offset):
-    p = payoff_fn(simulate(proc, n_paths, n_steps, seed=seed, stream=stream,
-                           dtype=dtype, path_offset=path_offset))
+                    stream: int, dtype, path_offset,
+                    payoff_on: str = "terminal"):
+    if payoff_on == "mean":
+        from montecarlo_tpu.engine.functionals import (
+            ARITH_MEAN, _simulate_functionals)
+        out = _simulate_functionals(proc, n_paths, n_steps, seed, stream,
+                                    None, dtype, path_offset,
+                                    (("avg", ARITH_MEAN),))
+        p = payoff_fn(out["avg"])
+    else:
+        p = payoff_fn(simulate(proc, n_paths, n_steps, seed=seed,
+                               stream=stream, dtype=dtype,
+                               path_offset=path_offset))
     st = moments_from_array(p, axis=0)
     return st, st
 
@@ -104,12 +133,17 @@ def mlmc_level_moments(make_process: Callable[[int], object], payoff_fn,
                        level: int, n_paths: int, *, seed: int = 0,
                        n0_steps: int = 1, m_refine: int = 2,
                        stream_base: int = 0, dtype=jnp.float32,
-                       path_offset: int = 0):
+                       path_offset: int = 0, payoff_on: str = "terminal"):
     """(moments of Y_l, moments of P_l-fine) for one MLMC level.
 
     ``make_process(n_steps)`` must return the process discretized with
     ``dt = T / n_steps`` — the ladder builds fine/coarse pairs from it.
+    ``payoff_on``: "terminal" or "mean" (Asian: each level refines the
+    monitoring grid, the coarse average matching the previous level's fine
+    convention so the telescope is exact).
     """
+    if payoff_on not in ("terminal", "mean"):
+        raise ValueError(f"unknown payoff_on={payoff_on!r}")
     n_fine = n0_steps * m_refine**level
     fine = make_process(n_fine)
     if not isinstance(fine, NormalDrawsMixin):
@@ -119,11 +153,11 @@ def mlmc_level_moments(make_process: Callable[[int], object], payoff_fn,
     stream = stream_base + level
     if level == 0:
         return _level0_moments(fine, payoff_fn, n_paths, n_fine, seed,
-                               stream, dtype, path_offset)
+                               stream, dtype, path_offset, payoff_on)
     coarse = make_process(n_fine // m_refine)
     return _coupled_moments(fine, coarse, payoff_fn, n_paths,
                             n_fine // m_refine, m_refine, seed, stream,
-                            dtype, path_offset)
+                            dtype, path_offset, payoff_on)
 
 
 class MLMCLevel(NamedTuple):
@@ -157,7 +191,7 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
                   m_refine: int = 2, min_levels: int = 3,
                   max_levels: int = 12, n_warmup: int = 4096,
                   chunk_paths: int = 1 << 16, discount=1.0,
-                  dtype=jnp.float32) -> dict:
+                  dtype=jnp.float32, payoff_on: str = "terminal") -> dict:
     """Adaptive MLMC (Giles 2008 algorithm): estimate E[payoff] to RMSE
     ``target_rmse``, splitting the error budget evenly between statistical
     error and discretization bias.
@@ -189,7 +223,7 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
             st_y, _ = mlmc_level_moments(
                 make_process, payoff_fn, l, chunk, seed=seed,
                 n0_steps=n0_steps, m_refine=m_refine, dtype=dtype,
-                path_offset=sampled[l])
+                path_offset=sampled[l], payoff_on=payoff_on)
             states[l] = (st_y if sampled[l] == 0
                          else moments_merge(states[l], st_y))
             sampled[l] += chunk

@@ -37,16 +37,19 @@ def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
 
 
-def _make_kernel(treedef, leaf_is_scalar, n_steps: int, block_rows: int,
+def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
                  antithetic: bool, payoff_fn=None):
     def kernel(*refs):
-        n_leaves = len(leaf_is_scalar)
+        n_leaves = len(leaf_ndims)
         leaf_refs = refs[:n_leaves]
         scalar_ref = refs[n_leaves]
         out_ref = refs[n_leaves + 1]
 
-        leaves = [r[0, 0] if is_scalar else r[0, :]
-                  for r, is_scalar in zip(leaf_refs, leaf_is_scalar)]
+        # Rebuild leaves at their original ranks: scalars from SMEM, 1-D
+        # vectors from their (1, n) VMEM row, 2-D matrices (e.g. per-asset
+        # term-structure curves) whole.
+        leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
+                  for r, nd in zip(leaf_refs, leaf_ndims)]
         proc = jax.tree.unflatten(treedef, leaves)
 
         b = pl.program_id(0)
@@ -121,12 +124,12 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
                          f"block_rows*128={block}")
     num_blocks = n_paths // block
 
-    leaf_inputs, leaf_specs, treedef, leaf_is_scalar = _flatten_process(
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(
         process)
     scalars = _scalar_row(seed, stream, path_offset)
 
     out = pl.pallas_call(
-        _make_kernel(treedef, leaf_is_scalar, n_steps, block_rows,
+        _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
                      antithetic),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
@@ -142,26 +145,27 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
 
 def _flatten_process(process):
     """Flatten a process pytree into pallas inputs: scalars ride SMEM, 1-D
-    array leaves (e.g. the GARCH shock table) ride VMEM."""
+    and 2-D array leaves (e.g. the GARCH shock table, per-asset curve
+    matrices) ride VMEM."""
     leaves, treedef = jax.tree.flatten(process)
-    leaf_is_scalar = [jnp.ndim(l) == 0 for l in leaves]
+    leaf_ndims = [jnp.ndim(l) for l in leaves]
     leaf_inputs = []
     leaf_specs = []
-    for leaf, is_scalar in zip(leaves, leaf_is_scalar):
-        if is_scalar:
+    for leaf, nd in zip(leaves, leaf_ndims):
+        if nd == 0:
             leaf_inputs.append(jnp.reshape(leaf, (1, 1)))
             leaf_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                            memory_space=pltpu.SMEM))
-        else:
-            if jnp.ndim(leaf) != 1:
-                raise ValueError(
-                    "fused kernels support scalar and 1-D process "
-                    f"leaves, got shape {jnp.shape(leaf)}")
-            arr = jnp.reshape(leaf, (1, -1))
+        elif nd <= 2:
+            arr = jnp.reshape(leaf, (1, -1)) if nd == 1 else leaf
             leaf_inputs.append(arr)
             leaf_specs.append(pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                            memory_space=pltpu.VMEM))
-    return leaf_inputs, leaf_specs, treedef, leaf_is_scalar
+        else:
+            raise ValueError(
+                "fused kernels support scalar, 1-D, and 2-D process "
+                f"leaves, got shape {jnp.shape(leaf)}")
+    return leaf_inputs, leaf_specs, treedef, leaf_ndims
 
 
 def _scalar_row(seed, stream, path_offset):
@@ -210,12 +214,12 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
     num_blocks = n_paths // block
     rows_per_stat = stats_block // LANES
 
-    leaf_inputs, leaf_specs, treedef, leaf_is_scalar = _flatten_process(
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(
         process)
     scalars = _scalar_row(seed, stream, path_offset)
 
     rows = pl.pallas_call(
-        _make_kernel(treedef, leaf_is_scalar, n_steps, block_rows,
+        _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
                      antithetic, payoff_fn=payoff_fn),
         grid=(num_blocks,),
         in_specs=leaf_specs + [

@@ -111,6 +111,41 @@ def test_mlmc_heston_couples():
     assert vs[1] < 0.5 * vs[0], vs
 
 
+def test_mlmc_asian_variance_decay_exact_scheme():
+    """payoff_on='mean': with the exact GBM scheme the only level difference
+    is the monitoring grid itself, so Y_l variance decays fast (beta ~ 2)."""
+    vs = []
+    for level in (1, 2, 3):
+        st_y, _ = mlmc_level_moments(
+            _exact, lambda a: jnp.maximum(a - STRIKE, 0.0), level,
+            n_paths=1 << 14, seed=21, n0_steps=4, dtype=jnp.float64,
+            payoff_on="mean")
+        vs.append(float(variance(st_y, ddof=1)))
+    assert vs[1] < 0.5 * vs[0], vs
+    assert vs[2] < 0.5 * vs[1], vs
+
+
+def test_mlmc_asian_price_matches_fine_grid_oracle():
+    """MLMC Asian telescopes to the fine-monitoring price: compare against
+    a direct fixed-grid MC at the (dense) finest grid."""
+    from montecarlo_tpu.engine.functionals import (
+        ARITH_MEAN, simulate_functionals)
+
+    payoff = lambda a: jnp.maximum(a - STRIKE, 0.0)
+    res = mlmc_estimate(_exact, payoff, target_rmse=0.02, seed=5,
+                        n0_steps=4, payoff_on="mean", dtype=jnp.float64,
+                        discount=math.exp(-R * T))
+    # dense-grid oracle (256 monitoring steps, well past the MLMC ladder)
+    out = simulate_functionals(_exact(256), 1 << 17, 256, seed=99,
+                               dtype=jnp.float64,
+                               functionals={"avg": ARITH_MEAN})
+    pay = np.maximum(np.asarray(out["avg"]) - STRIKE, 0.0)
+    oracle = math.exp(-R * T) * pay.mean()
+    oracle_se = math.exp(-R * T) * pay.std() / math.sqrt(pay.size)
+    assert abs(res["price"] - oracle) < 4 * (0.02 + oracle_se), (
+        res["price"], oracle)
+
+
 def test_mlmc_rejects_bootstrap_draws():
     rng = np.random.default_rng(0)
     rets = rng.normal(0, 0.01, size=300)
