@@ -523,6 +523,16 @@ def _add_bond(sub):
                    help="default: ATM forward bond price")
     p.add_argument("--fwd-slope", type=float, default=0.005,
                    help="hullwhite: slope of the synthetic forward curve")
+    p.add_argument("--swaption", action="store_true",
+                   help="Bermudan payer swaption by pathwise-discounted "
+                        "LSM (vasicek; n_exercise=1 prints the Jamshidian "
+                        "European closed form too)")
+    p.add_argument("--swap-strike", type=float, default=None,
+                   help="fixed rate (default: ~par)")
+    p.add_argument("--periods", type=int, default=8,
+                   help="swaption: quarterly payment count")
+    p.add_argument("--n-exercise", type=int, default=4,
+                   help="swaption: number of Bermudan exercise dates")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -549,6 +559,40 @@ def cmd_bond(args) -> int:
         proc = HullWhite.from_forward_curve(fwd, a=args.kappa,
                                             sigma=args.sigma, dt=dt)
         cf = float(np.exp(-np.trapezoid(fwd, t_grid)))
+
+    if args.swaption:
+        import jax.numpy as jnp
+
+        from montecarlo_tpu.engine.bermudan import (
+            bermudan_swaption_lsm, vasicek_swaption_jamshidian)
+        from montecarlo_tpu.engine.rates import vasicek_zcb as _zcb
+
+        if args.model != "vasicek":
+            raise SystemExit("--swaption requires --model vasicek")
+        delta, spp = 0.25, 16
+        if args.swap_strike is None:
+            ps = [_zcb(args.r0, args.kappa, args.theta, args.sigma,
+                       i * delta) for i in range(2, args.periods + 1)]
+            strike = (ps[0] - ps[-1]) / (delta * sum(ps)) if len(ps) > 1 \
+                else args.theta
+        else:
+            strike = args.swap_strike
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              delta / spp, dtype=jnp.float64)
+        res = bermudan_swaption_lsm(
+            proc, strike, n_paths=args.paths, steps_per_period=spp,
+            n_periods=args.periods, n_exercise=args.n_exercise,
+            seed=args.seed)
+        out = {"bermudan_swaption": float(res["price"]),
+               "std_err": float(res["std_err"]),
+               "strike": float(strike),
+               "n_exercise": args.n_exercise}
+        if args.n_exercise == 1:
+            out["jamshidian_european"] = vasicek_swaption_jamshidian(
+                (args.kappa, args.theta, args.sigma), strike, t0=delta,
+                delta=delta, n_periods=args.periods - 1, r0=args.r0)
+        print(json.dumps(out))
+        return 0
 
     if args.option:
         if args.model != "vasicek":

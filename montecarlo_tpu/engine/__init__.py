@@ -41,6 +41,10 @@ from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     kou_log_cf,
     merton_log_cf,
 )
+from montecarlo_tpu.engine.bermudan import (  # noqa: F401
+    bermudan_swaption_lsm,
+    vasicek_swaption_jamshidian,
+)
 from montecarlo_tpu.engine.rates import (  # noqa: F401
     bond_option_mc,
     cir_zcb,

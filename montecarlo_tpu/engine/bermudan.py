@@ -1,0 +1,154 @@
+"""Bermudan swaptions under Vasicek: pathwise-discounted LSM.
+
+Extends the equity LSM (:mod:`montecarlo_tpu.engine.american` — constant
+discount rate, time-independent payoff) to the rates asset class, where
+both are stochastic: the numeraire is the bank account (per-step discount
+``exp(-(r_t + r_{t+1})/2 dt)`` along each path) and the exercise value at a
+reset date is the remaining swap's value, affine in the short rate through
+the Vasicek zero-coupon closed form.
+
+    payer swap value at t_j = 1 - P(t_j, T_N) - K Delta sum_{i>j} P(t_j, T_i)
+
+Backward induction regresses the (pathwise-discounted) continuation value
+on a polynomial basis of r_t over ITM paths, exactly the Longstaff-Schwartz
+recipe; everything is one jitted program with static shapes.
+
+Validation: with a single exercise date the Bermudan *is* the European
+payer swaption, priced in closed form by Jamshidian's (1989) decomposition
+(:func:`vasicek_swaption_jamshidian`); more dates can only add value.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.engine.rates import vasicek_bond_from_rate, vasicek_zcb
+from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.processes.shortrate import Vasicek
+
+
+def _swap_value(r, model: Vasicek, taus, strike, delta):
+    """Payer swap value at a reset date, remaining payments at ``taus``.
+
+    ``taus``: (n_pay,) year fractions from the valuation date to each
+    remaining payment; broadcasts over the path array ``r``.
+    """
+    p = vasicek_bond_from_rate(r[..., None], model.kappa, model.theta,
+                               model.sigma, jnp.asarray(taus))
+    float_leg = 1.0 - p[..., -1]
+    fixed_leg = strike * delta * jnp.sum(p, axis=-1)
+    return float_leg - fixed_leg
+
+
+def _basis(x, degree: int):
+    cols = [jnp.ones_like(x)]
+    for _ in range(degree):
+        cols.append(cols[-1] * x)
+    return jnp.stack(cols, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "steps_per_period",
+                                   "n_periods", "n_exercise", "seed",
+                                   "degree", "dtype"))
+def bermudan_swaption_lsm(model: Vasicek, strike: float, *, n_paths: int,
+                          steps_per_period: int, n_periods: int,
+                          n_exercise: int, seed: int, degree: int = 3,
+                          dtype=jnp.float64) -> dict:
+    """Bermudan payer swaption by LSM with pathwise discounting.
+
+    The underlying swap pays at the ``n_periods`` period ends (period
+    length ``delta = steps_per_period * model.dt``); exercise is allowed at
+    the first ``n_exercise`` reset dates (period starts, the first at one
+    period from today).  ``n_exercise=1`` is the European case.
+
+    Returns ``{"price", "std_err", "n_paths"}``.
+    """
+    dt = jnp.asarray(model.dt, dtype)
+    delta = steps_per_period * dt
+    n_steps = steps_per_period * (n_exercise)  # simulate to the last reset
+    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)  # (n_steps+1, n_paths) short-rate paths
+
+    # Pathwise discount factors to each reset date (trapezoid integral).
+    mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+    cum = jnp.concatenate([jnp.zeros((1, n_paths), dtype),
+                           jnp.cumsum(mid, axis=0)], axis=0)
+    disc_to = jnp.exp(-cum)  # (n_steps+1, n_paths), row k = D(0, t_k)
+
+    def exercise_value(j):
+        """Swap value at reset j (1-based period index) on all paths."""
+        step = j * steps_per_period
+        r = paths[step]
+        taus = (jnp.arange(1, n_periods - (j - 1) + 0, dtype=dtype)) * delta
+        return r, _swap_value(r, model, taus, strike, delta), disc_to[step]
+
+    # Backward induction over the exercise dates (a static python loop —
+    # n_exercise is small; each iteration is fully vectorized over paths).
+    r, ex, d = exercise_value(n_exercise)
+    cash = jnp.maximum(ex, 0.0) * d  # discounted-to-0 cashflow
+    for j in range(n_exercise - 1, 0, -1):
+        r, ex, d = exercise_value(j)
+        itm = ex > 0
+        w = itm.astype(dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        m = jnp.sum(w * r) / wsum
+        sd = jnp.sqrt(jnp.sum(w * jnp.square(r - m)) / wsum + 1e-12)
+        x = _basis((r - m) / sd, degree)
+        xw = x * w[:, None]
+        a = xw.T @ x / wsum + 1e-8 * jnp.eye(degree + 1, dtype=dtype)
+        b = xw.T @ (cash / jnp.maximum(d, 1e-30)) / wsum
+        beta = jnp.linalg.solve(a, b)
+        continuation = x @ beta  # in t_j dollars
+        take = itm & (ex >= continuation)
+        cash = jnp.where(take, ex * d, cash)
+    n = jnp.asarray(n_paths, dtype)
+    return {
+        "price": jnp.mean(cash),
+        "std_err": jnp.std(cash, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_paths,
+    }
+
+
+def vasicek_swaption_jamshidian(model_params, strike: float, t0: float,
+                                delta: float, n_periods: int,
+                                r0: float) -> float:
+    """European payer swaption in closed form (Jamshidian 1989).
+
+    Exercise at ``t0`` into a payer swap with payments at
+    ``t0 + delta, ..., t0 + n_periods*delta``.  Decomposition: find r* at
+    which the coupon bond (fixed leg + final notional) is at par, then the
+    swaption is a portfolio of zero-coupon bond *puts* struck at each
+    bond's value under r*.
+    """
+    from scipy.optimize import brentq
+
+    from montecarlo_tpu.engine.rates import vasicek_bond_option
+
+    kappa, theta, sigma = model_params
+    times = t0 + delta * np.arange(1, n_periods + 1)
+    coupons = np.full(n_periods, strike * delta)
+    coupons[-1] += 1.0
+
+    def p_t0(tau, r):
+        b = (1.0 - np.exp(-kappa * tau)) / kappa
+        a = np.exp((theta - sigma**2 / (2 * kappa**2)) * (b - tau)
+                   - sigma**2 * b * b / (4 * kappa))
+        return a * np.exp(-b * r)
+
+    def par_gap(r):
+        return sum(c * p_t0(t - t0, r) for c, t in zip(coupons, times)) - 1.0
+
+    r_star = brentq(par_gap, -2.0, 3.0, xtol=1e-14)
+    total = 0.0
+    for c, t in zip(coupons, times):
+        k_i = p_t0(t - t0, r_star)
+        total += c * vasicek_bond_option(r0, kappa, theta, sigma, t0, t,
+                                         k_i, call=False)
+    return total
+
+
+__all__ = ["bermudan_swaption_lsm", "vasicek_swaption_jamshidian"]
