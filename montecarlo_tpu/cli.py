@@ -71,7 +71,7 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "merton", "kou",
-                            "sabr"])
+                            "sabr", "rbergomi"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -121,6 +121,11 @@ def _add_price(sub):
     # SABR extras (--sigma is alpha, --beta the CEV exponent, --rho the corr)
     p.add_argument("--nu", type=float, default=0.3,
                    help="SABR vol-of-vol")
+    # rough Bergomi extras (--v0 is xi0, --rho the spot-vol corr)
+    p.add_argument("--hurst", type=float, default=0.1,
+                   help="rough Bergomi Hurst exponent (< 0.5 = rough)")
+    p.add_argument("--eta", type=float, default=1.5,
+                   help="rough Bergomi vol-of-vol")
 
 
 def cmd_analyze(args) -> int:
@@ -240,6 +245,26 @@ def cmd_price(args) -> int:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    if args.process == "rbergomi":
+        from montecarlo_tpu.processes import RoughBergomi, rbergomi_simulate
+
+        if args.american or args.payoff not in ("call", "put"):
+            raise SystemExit("--process rbergomi prices European call/put")
+        # forward-measure dynamics (driftless); discount by --rate
+        model = RoughBergomi.create(
+            s0=args.s0, xi0=args.v0, eta=args.eta, rho=args.rho,
+            h=args.hurst, n_steps=args.steps, T=args.maturity)
+        s_t = rbergomi_simulate(model, args.paths, seed=args.seed)
+        payoffs = (european_call(s_t, args.strike) if args.payoff == "call"
+                   else jnp.maximum(args.strike - s_t, 0.0))
+        est = mc_estimate(payoffs, discount_factor(args.rate,
+                                                   args.maturity))
+        print(json.dumps({"price": float(est["price"]),
+                          "std_err": float(est["std_err"]),
+                          "n_paths": int(est["n_paths"]),
+                          "hurst": args.hurst}))
+        return 0
+
     if args.mlmc:
         from montecarlo_tpu.engine.mlmc import mlmc_estimate
         from montecarlo_tpu.processes import EulerGBM
