@@ -32,9 +32,15 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     asian_call,
     down_and_out_call,
     lookback_call_floating,
+    realized_variance,
     simulate_functionals,
     trapezoid_integral,
     up_and_out_call,
+    variance_swap_strike_mc,
+)
+from montecarlo_tpu.engine.exposure import (  # noqa: F401
+    exposure_profile,
+    swap_value_fn,
 )
 from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     cf_call_price,

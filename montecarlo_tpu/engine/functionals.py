@@ -68,6 +68,18 @@ RUNNING_MIN = PathFunctional(
 )
 
 
+def realized_variance() -> PathFunctional:
+    """Sum of squared log returns over the step grid — the variance-swap
+    payoff leg.  Annualize with 1/T: fair strike = E[sum] / T.  The
+    accumulator carries (running sum, previous log price)."""
+    return PathFunctional(
+        init=lambda s: (jnp.zeros_like(s), jnp.log(s)),
+        update=lambda acc, s, t: (
+            acc[0] + jnp.square(jnp.log(s) - acc[1]), jnp.log(s)),
+        finalize=lambda acc, n_steps: acc[0],
+    )
+
+
 def trapezoid_integral(dt: float) -> PathFunctional:
     """Pathwise trapezoid rule: int_0^T x_t dt over the step grid.
 
@@ -143,6 +155,28 @@ def down_and_out_call(terminal, running_min, strike, barrier):
 def lookback_call_floating(terminal, running_min):
     """Floating-strike lookback call: S_T - min S_t."""
     return terminal - running_min
+
+
+def variance_swap_strike_mc(process, n_paths: int, n_steps: int, *,
+                            T: float, seed: int, dtype=jnp.float32,
+                            **sim_kw) -> dict:
+    """Fair variance-swap strike (annualized) by simulation.
+
+    K_var = E[sum (log S_{t+1}/S_t)^2] / T — discretely monitored realized
+    variance, the standard OTC contract.  Under Heston the continuous limit
+    has the closed form E[int v dt]/T = theta + (v0-theta)(1-e^{-kT})/(kT),
+    the validation oracle in tests.
+    """
+    out = simulate_functionals(process, n_paths, n_steps, seed=seed,
+                               dtype=dtype,
+                               functionals={"rv": realized_variance()},
+                               **sim_kw)
+    rv = out["rv"] / T
+    from montecarlo_tpu.engine.pricing import mc_estimate
+
+    est = mc_estimate(rv)
+    return {"strike": est["price"], "std_err": est["std_err"],
+            "n_paths": est["n_paths"]}
 
 
 def geometric_asian_call_closed_form(s0, strike, r, sigma, T, n_steps):
