@@ -20,6 +20,7 @@ from montecarlo_tpu.parallel.sharded import sharded_terminal_sketch
 from montecarlo_tpu.stats.quantiles import (
     sketch_cdf,
     sketch_quantile,
+    sketch_quantile_std_err,
     sketch_tail_mean_below,
 )
 from montecarlo_tpu.stats.welford import std_error
@@ -73,6 +74,8 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
             "expected_vol": std / s0 * 100.0,
             "prob_profit": (1.0 - cdf_at_s0) * 100.0,
             "var_95": (s0 - p["p5"]) / s0 * 100.0,
+            "var_95_std_err": float(sketch_quantile_std_err(sketch, 5.0))
+            / s0 * 100.0,
             "cvar_95": (s0 - tail) / s0 * 100.0,
             "std_err": float(std_error(moments)),
             "n_paths": int(float(moments.count)),
@@ -158,6 +161,8 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
         "expected_vol": std / s0 * 100.0,
         "prob_profit": (1.0 - float(sketch_cdf(sketch, s0))) * 100.0,
         "var_95": (s0 - p["p5"]) / s0 * 100.0,
+        "var_95_std_err": float(sketch_quantile_std_err(sketch, 5.0))
+        / s0 * 100.0,
         "cvar_95": (s0 - tail) / s0 * 100.0,
         "std_err": std / np.sqrt(max(total_f, 1.0)),
         "n_paths": int(total_f),

@@ -35,6 +35,7 @@ from montecarlo_tpu.stats.quantiles import (
     HistogramSketch,
     sketch_cdf,
     sketch_quantile,
+    sketch_quantile_std_err,
     sketch_tail_mean_below,
 )
 from montecarlo_tpu.stats.welford import (
@@ -269,6 +270,8 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
         "expected_vol": std / s0 * 100.0,
         "prob_profit": prob_profit,
         "var_95": (s0 - p["p5"]) / s0 * 100.0,
+        "var_95_std_err": float(sketch_quantile_std_err(sk, 5.0))
+        / s0 * 100.0,
         "cvar_95": (s0 - tail_mean) / s0 * 100.0,
         "std_err": float(std_error(m)),
         "n_paths": int(float(m.count)),

@@ -18,6 +18,7 @@ from montecarlo_tpu.stats.quantiles import (  # noqa: F401
     sketch_from_array,
     sketch_merge,
     sketch_quantile,
+    sketch_quantile_std_err,
     sketch_tail_mean_below,
 )
 from montecarlo_tpu.stats.risk import (  # noqa: F401

@@ -203,6 +203,30 @@ def sketch_quantile(s: HistogramSketch, q):
     return jnp.clip(est, s.vmin, s.vmax)
 
 
+def sketch_quantile_std_err(s: HistogramSketch, q, smooth_bins: int = 9):
+    """Asymptotic standard error of the q-th percentile estimate.
+
+    se(x_q) = sqrt(q(1-q)/n) / f(x_q) — the density at the quantile is
+    estimated from the histogram itself (counts in a ``smooth_bins`` window
+    around the quantile's bin).  This is the error of the *estimator* given
+    n samples; the sketch's own grid error (<= one bin width) is separate
+    and usually far smaller.
+    """
+    vdt = s.lo.dtype
+    qf = jnp.asarray(q, vdt) / 100.0
+    bins = s.counts.shape[0]
+    width = (s.hi - s.lo) / bins
+    x_q = sketch_quantile(s, q)
+    k = jnp.clip(jnp.floor((x_q - s.lo) / width).astype(jnp.int32),
+                 0, bins - 1)
+    h = smooth_bins // 2
+    idx = jnp.clip(k + jnp.arange(-h, h + 1), 0, bins - 1)
+    win = jnp.sum(s.counts[idx].astype(vdt))
+    n = jnp.maximum(s.total.astype(vdt), 1.0)
+    dens = jnp.maximum(win / (n * (2 * h + 1) * width), 1e-30)
+    return jnp.sqrt(qf * (1.0 - qf) / n) / dens
+
+
 def sketch_cdf(s: HistogramSketch, x):
     """P(value <= x) with within-bin linear interpolation."""
     vdt = s.lo.dtype

@@ -123,3 +123,27 @@ def test_andersen_broadie_same_seed_as_policy_stays_upper():
                                 seed=5, rate=r, dt=dt, degree=3)  # same seed
     exact = binomial_american_put(s0, strike, r, sigma, T, n_steps=2000)
     assert float(ab["upper"]) + 4 * float(ab["std_err"]) > exact
+
+
+def test_lsm_is_process_generic_heston():
+    """LSM works for any process in the protocol: under Heston the American
+    put must dominate the European (CF-priced) and stay below strike."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.heston_analytic import HestonParams, heston_call_cf
+    from montecarlo_tpu.processes import Heston
+
+    s0, k, r, T, n_steps = 100.0, 100.0, 0.05, 0.5, 50
+    hp = dict(v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.6)
+    proc = Heston.create(s0=s0, mu=r, dt=T / n_steps, **hp)
+    res = lsm_price(proc, lambda s: jnp.maximum(k - s, 0.0), 1 << 15,
+                    n_steps, seed=5, rate=r, dt=T / n_steps, degree=3)
+    # European put via CF call + parity
+    call = float(heston_call_cf(s0, k, T, r, HestonParams(
+        hp["v0"], hp["kappa"], hp["theta"], hp["xi"], hp["rho"])))
+    euro_put = call - s0 + k * np.exp(-r * T)
+    price, se = float(res["price"]), float(res["std_err"])
+    assert price > euro_put - 3 * se - 0.02, (price, euro_put)
+    assert price < k
+    # the early-exercise premium should be visibly positive at these params
+    assert price > euro_put + 0.01, (price, euro_put)

@@ -179,3 +179,25 @@ def test_sketch_int_counts_quantile_math_still_float():
     thr = float(np.percentile(x, 5.0))
     tail = x[x <= thr].mean()
     assert abs(float(sketch_tail_mean_below(s, thr)) - tail) < 0.1
+
+
+def test_sketch_quantile_std_err_calibrated():
+    """The reported asymptotic quantile se must match the empirical spread
+    of the estimator across independent replications (factor < ~1.7)."""
+    from montecarlo_tpu.stats import sketch_from_array, sketch_quantile_std_err
+
+    rng = np.random.default_rng(0)
+    n = 1 << 14
+    ests, ses = [], []
+    for _ in range(24):
+        x = rng.normal(0.0, 1.0, n)
+        sk = sketch_from_array(x, -6.0, 6.0, bins=2048)
+        ests.append(float(sketch_quantile(sk, 5.0)))
+        ses.append(float(sketch_quantile_std_err(sk, 5.0)))
+    emp = np.std(ests, ddof=1)
+    rep = np.mean(ses)
+    assert 0.6 < rep / emp < 1.7, (rep, emp)
+    # and the magnitude matches the normal-theory value
+    from scipy.stats import norm
+    theory = np.sqrt(0.05 * 0.95 / n) / norm.pdf(norm.ppf(0.05))
+    assert 0.7 < rep / theory < 1.4, (rep, theory)
