@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Derivatives-desk tour: the surfaces beyond the reference app.
+
+Run: python examples/derivatives_desk.py [--cpu]
+
+Covers: fixed income (bonds, bond options, Bermudan swaptions, duration by
+autodiff), multilevel Monte Carlo, jump models vs their characteristic-
+function prices, SABR smile calibration, rough Bergomi, variance swaps,
+and counterparty exposure (EPE/PFE/CVA).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+# Some fixed-income pieces default to float64 accumulators.
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    print(f"platform: {jax.devices()[0].platform}\n")
+
+    # --- fixed income -------------------------------------------------------
+    from montecarlo_tpu.engine import (bond_option_mc, cir_zcb,
+                                       vasicek_bond_option, vasicek_zcb,
+                                       zcb_price_mc)
+    from montecarlo_tpu.processes import CIR, Vasicek
+
+    vas = Vasicek.create(0.03, 0.8, 0.05, 0.015, 2.0 / 128)
+    zcb = zcb_price_mc(vas, 2.0, 128, 1 << 15, seed=3)
+    print(f"Vasicek 2y ZCB   MC {float(zcb['price']):.6f}  "
+          f"closed form {vasicek_zcb(0.03, 0.8, 0.05, 0.015, 2.0):.6f}")
+    cir = CIR.create(0.03, 0.8, 0.05, 0.015, 2.0 / 128)
+    zcb_c = zcb_price_mc(cir, 2.0, 128, 1 << 15, seed=3)
+    print(f"CIR 2y ZCB       MC {float(zcb_c['price']):.6f}  "
+          f"closed form {cir_zcb(0.03, 0.8, 0.05, 0.015, 2.0):.6f}")
+    opt = bond_option_mc(Vasicek.create(0.03, 0.8, 0.05, 0.015, 1.0 / 64),
+                         1.0, 3.0, 0.957, 64, 1 << 15, seed=5)
+    print(f"1y option on 3y bond  MC {float(opt['price']):.6f}  Jamshidian "
+          f"{vasicek_bond_option(0.03, .8, .05, .015, 1., 3., 0.957):.6f}")
+
+    from montecarlo_tpu.engine import bermudan_swaption_lsm
+    berm = bermudan_swaption_lsm(
+        Vasicek.create(0.03, 0.5, 0.04, 0.012, 0.25 / 16, dtype=jnp.float64),
+        0.036, n_paths=1 << 14, steps_per_period=16, n_periods=8,
+        n_exercise=4, seed=7)
+    print(f"Bermudan payer swaption (4 rights): "
+          f"{float(berm['price']):.6f} ± {float(berm['std_err']):.1e}")
+
+    # --- multilevel Monte Carlo --------------------------------------------
+    import math
+
+    from montecarlo_tpu.engine import european_call
+    from montecarlo_tpu.engine.mlmc import mlmc_estimate
+    from montecarlo_tpu.processes import EulerGBM
+
+    res = mlmc_estimate(
+        lambda n: EulerGBM.create(100., 0.05, 0.2, 1.0 / n),
+        lambda s: european_call(s, 100.), target_rmse=0.02, seed=3,
+        n0_steps=4, discount=math.exp(-0.05))
+    print(f"\nMLMC call: {res['price']:.4f} (rmse<= {res['rmse_est']:.3f}, "
+          f"{res['n_levels']} levels, "
+          f"{res['single_level_cost_est'] / res['cost_path_steps']:.1f}x "
+          f"cheaper than single-level)")
+
+    # --- jumps vs characteristic functions ----------------------------------
+    from montecarlo_tpu.engine import mc_estimate, simulate
+    from montecarlo_tpu.engine.cf_pricing import cf_call_price, kou_log_cf
+    from montecarlo_tpu.processes import Kou
+
+    kou = Kou.create(100., 0.03, 0.2, 1.0, 0.4, 10., 5., 1 / 252)
+    s_t = simulate(kou, 1 << 16, 252, seed=7)
+    est = mc_estimate(european_call(s_t, 105.), math.exp(-0.03))
+    cf = float(cf_call_price(kou_log_cf(100., .03, .2, 1., .4, 10., 5., 1.),
+                             100., 105., 1.0, 0.03))
+    print(f"Kou call:  MC {float(est['price']):.4f} vs CF {cf:.4f}")
+
+    # --- SABR smile calibration ----------------------------------------------
+    from montecarlo_tpu.processes import calibrate_sabr, sabr_hagan_iv
+
+    ks = np.linspace(80., 125., 10)
+    market = np.asarray(sabr_hagan_iv(100., jnp.asarray(ks), 1.0,
+                                      0.2 * 100. ** 0.3, 0.7, 0.35, -0.4))
+    fit = calibrate_sabr(ks, market, f0=100., T=1.0, beta=0.7)
+    print(f"SABR fit:  nu {fit['nu']:.3f} rho {fit['rho']:.3f} "
+          f"(rmse {fit['rmse_vol']:.1e} vols)")
+
+    # --- rough Bergomi --------------------------------------------------------
+    from montecarlo_tpu.processes import RoughBergomi, rbergomi_simulate
+
+    rb = RoughBergomi.create(s0=100., xi0=0.04, eta=1.5, rho=-0.7, h=0.1,
+                             n_steps=64, T=0.5)
+    s_rb = rbergomi_simulate(rb, 1 << 15, seed=11)
+    est_rb = mc_estimate(european_call(s_rb, 100.))
+    print(f"rBergomi (H=0.1) ATM call: {float(est_rb['price']):.4f} "
+          f"± {float(est_rb['std_err']):.4f}")
+
+    # --- variance swap + counterparty exposure -------------------------------
+    from montecarlo_tpu.engine import (exposure_profile, swap_value_fn,
+                                       variance_swap_strike_mc)
+    from montecarlo_tpu.processes import Heston
+
+    hest = Heston.create(s0=100., v0=0.09, mu=0., kappa=2., theta=0.04,
+                         xi=0.3, rho=-0.5, dt=1 / 256)
+    vs = variance_swap_strike_mc(hest, 1 << 15, 256, T=1.0, seed=5)
+    print(f"\nVariance-swap strike (Heston): {float(vs['strike']):.4f} "
+          f"(closed form 0.0614)")
+
+    vfn = swap_value_fn(vas, 0.035, np.arange(1, 5) * 0.5, 0.5)
+    prof = exposure_profile(vas, vfn, 1 << 13, 64, T=2.0, seed=7,
+                            hazard_rate=0.01, dtype=jnp.float32)
+    print(f"Swap EPE peak {float(max(prof['epe'])):.5f}, "
+          f"CVA(1% hazard) {float(prof['cva']):.2e}")
+
+
+if __name__ == "__main__":
+    main()
