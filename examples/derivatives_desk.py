@@ -46,10 +46,12 @@ def main():
     zcb_c = zcb_price_mc(cir, 2.0, 128, 1 << 15, seed=3)
     print(f"CIR 2y ZCB       MC {float(zcb_c['price']):.6f}  "
           f"closed form {cir_zcb(0.03, 0.8, 0.05, 0.015, 2.0):.6f}")
+    k_atm = (vasicek_zcb(0.03, .8, .05, .015, 3.0)
+             / vasicek_zcb(0.03, .8, .05, .015, 1.0))  # ATM forward
     opt = bond_option_mc(Vasicek.create(0.03, 0.8, 0.05, 0.015, 1.0 / 64),
-                         1.0, 3.0, 0.957, 64, 1 << 15, seed=5)
+                         1.0, 3.0, k_atm, 64, 1 << 15, seed=5)
     print(f"1y option on 3y bond  MC {float(opt['price']):.6f}  Jamshidian "
-          f"{vasicek_bond_option(0.03, .8, .05, .015, 1., 3., 0.957):.6f}")
+          f"{vasicek_bond_option(0.03, .8, .05, .015, 1., 3., k_atm):.6f}")
 
     from montecarlo_tpu.engine import bermudan_swaption_lsm
     berm = bermudan_swaption_lsm(
