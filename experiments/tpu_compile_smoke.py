@@ -70,14 +70,43 @@ def all_fusable_processes():
     }
 
 
+# Rate-process steps pick up different FMA contraction between the scan and
+# kernel compilations (1-2 ULP), and DCC's per-path per-step Cholesky chain
+# accumulates contraction differences to ~1e-6 relative when compiled;
+# everything else must match bitwise.
+ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC"}
+
+
 if __name__ == "__main__":
+    from montecarlo_tpu.engine import simulate
+    from montecarlo_tpu.engine.functionals import (ARITH_MEAN, RUNNING_MAX,
+                                                   simulate_functionals)
+
     print("platform:", jax.devices()[0].platform)
     bad = []
     for name, p in all_fusable_processes().items():
         vals = np.asarray(terminal_prices(p, 1 << 15, 32, seed=3))
         ok = bool(np.isfinite(vals).all()) and (
             name in MAY_BE_NEGATIVE or vals.min() > 0)
-        print(f"{name:10s} {'OK' if ok else 'BAD'} median={np.median(vals):.2f}")
-        if not ok:
+        # Compiled-on-TPU engine parity: fused kernel vs lax.scan.
+        ref = np.asarray(simulate(p, 1 << 15, 32, seed=3))
+        if name in ULP_TOLERANCE:
+            match = np.allclose(vals, ref, rtol=2e-6, atol=2e-8)
+        else:
+            match = (vals == ref).all()
+        print(f"{name:10s} {'OK' if ok else 'BAD'} "
+              f"median={np.median(vals):.2f} "
+              f"parity={'OK' if match else 'FAIL'}")
+        if not (ok and match):
             bad.append(name)
+
+    # Fused path functionals (Asian mean / barrier max) compile too.
+    f = simulate_functionals(all_fusable_processes()["GBM"], 1 << 15, 32,
+                             seed=3, functionals={"avg": ARITH_MEAN,
+                                                  "mx": RUNNING_MAX})
+    ok_f = bool(np.isfinite(np.asarray(f["avg"])).all()
+                and np.isfinite(np.asarray(f["mx"])).all())
+    print(f"{'Functional':10s} {'OK' if ok_f else 'BAD'}")
+    if not ok_f:
+        bad.append("Functional")
     raise SystemExit(1 if bad else 0)

@@ -128,11 +128,39 @@ def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
 def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
                          functionals: Dict[str, PathFunctional],
                          stream: int = 0, sampler=None, dtype=jnp.float32,
-                         path_offset=0):
-    """Terminal prices plus named path functionals, O(paths) memory."""
+                         path_offset=0, prefer_fused: bool = True):
+    """Terminal prices plus named path functionals, O(paths) memory.
+
+    On TPU, eligible runs (fusable process, plain/antithetic sampling, f32,
+    kernel-compatible path counts) fold the functional updates into the
+    fused Pallas time loop (`ops.fused_engine.fused_functionals_pallas`) —
+    bitwise-identical results at kernel throughput; everything else takes
+    the `lax.scan` engine.
+    """
+    items = tuple(functionals.items())
+    if prefer_fused:
+        import jax
+
+        from montecarlo_tpu.engine.dispatch import (_FUSABLE,
+                                                    _kernel_block_rows)
+        from montecarlo_tpu.samplers import AntitheticSampler
+
+        rows = _kernel_block_rows(n_paths)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        fusable_sampler = sampler is None or isinstance(sampler,
+                                                        AntitheticSampler)
+        if (on_tpu and fusable_sampler and dtype == jnp.float32
+                and rows is not None and isinstance(process, _FUSABLE)):
+            from montecarlo_tpu.ops.fused_engine import (
+                fused_functionals_pallas)
+
+            return fused_functionals_pallas(
+                process, n_paths, n_steps, seed=seed,
+                functional_items=items, stream=stream,
+                path_offset=path_offset, block_rows=rows,
+                antithetic=isinstance(sampler, AntitheticSampler))
     return _simulate_functionals(process, n_paths, n_steps, seed, stream,
-                                 sampler, dtype, path_offset,
-                                 tuple(functionals.items()))
+                                 sampler, dtype, path_offset, items)
 
 
 # --- payoffs over functionals ------------------------------------------------

@@ -143,6 +143,121 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
     return out.reshape(-1)
 
 
+def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
+                            block_rows: int, antithetic: bool,
+                            functionals):
+    """Kernel variant folding path functionals (Asian means, barrier
+    running max/min, discount integrals) into the time loop: the full
+    trajectory is observed on-chip, only terminals + finalized functionals
+    are written to HBM — the scan engine's `simulate_functionals`
+    semantics at fused-kernel throughput."""
+    def kernel(*refs):
+        n_leaves = len(leaf_ndims)
+        leaf_refs = refs[:n_leaves]
+        scalar_ref = refs[n_leaves]
+        out_refs = refs[n_leaves + 1:]
+
+        leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
+                  for r, nd in zip(leaf_refs, leaf_ndims)]
+        proc = jax.tree.unflatten(treedef, leaves)
+
+        b = pl.program_id(0)
+        ids = _block_path_ids(b, block_rows, scalar_ref[0, 0])
+        k0 = scalar_ref[0, 1].astype(jnp.uint32)
+        k1 = scalar_ref[0, 2].astype(jnp.uint32)
+
+        if antithetic:
+            draw_ids = ids >> jnp.uint32(1)
+            odd = (ids & jnp.uint32(1)) == 1
+        else:
+            draw_ids = ids
+
+        def get_draws(j):
+            eps0, eps1 = proc.draws_pair(k0, k1, draw_ids, j, jnp.float32)
+            if antithetic:
+                m0, m1 = proc.antithetic(eps0), proc.antithetic(eps1)
+                eps0 = tuple(jnp.where(odd, m, e)
+                             for m, e in zip(m0, eps0))
+                eps1 = tuple(jnp.where(odd, m, e)
+                             for m, e in zip(m1, eps1))
+            return eps0, eps1
+
+        state0 = proc.init_state(ids, jnp.float32)
+        p0 = proc.prices(state0)
+        accs0 = tuple(f.init(p0) for f in functionals)
+
+        def body(j, carry):
+            state, accs = carry
+            eps0, eps1 = get_draws(j)
+            t0 = 2 * j
+            # Step t0 is always a real step (n_pairs = ceil(n_steps/2)).
+            state = proc.step(state, eps0, t0)
+            prices0 = proc.prices(state)
+            accs = tuple(f.update(a, prices0, t0 + 1)
+                         for f, a in zip(functionals, accs))
+            t1 = 2 * j + 1
+            stepped = proc.step(state, eps1, t1)
+            prices1 = proc.prices(stepped)
+            live = t1 < n_steps
+            new_accs = tuple(f.update(a, prices1, t1 + 1)
+                             for f, a in zip(functionals, accs))
+            accs = tuple(_tree_where(live, na, a)
+                         for na, a in zip(new_accs, accs))
+            return _tree_where(live, stepped, state), accs
+
+        n_pairs = (n_steps + 1) // 2
+        final, accs = jax.lax.fori_loop(0, n_pairs, body, (state0, accs0))
+        out_refs[0][:] = proc.prices(final)
+        for k, (f, a) in enumerate(zip(functionals, accs)):
+            out_refs[k + 1][:] = f.finalize(a, float(n_steps))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "block_rows", "interpret", "antithetic",
+    "functional_items"))
+def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
+                             functional_items, stream=0, path_offset=0,
+                             block_rows: int = 128, interpret: bool = False,
+                             antithetic: bool = False) -> dict:
+    """Terminal prices plus named path functionals via one fused kernel.
+
+    ``functional_items``: tuple of (name, PathFunctional) pairs (hashable —
+    use the module-level functional constants / factories once).  Bitwise
+    identical to ``engine.functionals.simulate_functionals`` (same update
+    order: spot folded by init, one update per step).
+    """
+    block = block_rows * LANES
+    if n_paths % block != 0:
+        raise ValueError(f"n_paths={n_paths} must be a multiple of "
+                         f"block_rows*128={block}")
+    num_blocks = n_paths // block
+    names = [k for k, _ in functional_items]
+    fns = tuple(f for _, f in functional_items)
+
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(process)
+    scalars = _scalar_row(seed, stream, path_offset)
+
+    n_out = 1 + len(fns)
+    outs = pl.pallas_call(
+        _make_functional_kernel(treedef, leaf_ndims, n_steps, block_rows,
+                                antithetic, fns),
+        grid=(num_blocks,),
+        in_specs=leaf_specs + [
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((num_blocks * block_rows, LANES),
+                                        jnp.float32)] * n_out,
+        interpret=interpret,
+    )(*leaf_inputs, scalars)
+    result = {"terminal": outs[0].reshape(-1)}
+    for name, arr in zip(names, outs[1:]):
+        result[name] = arr.reshape(-1)
+    return result
+
+
 def _flatten_process(process):
     """Flatten a process pytree into pallas inputs: scalars ride SMEM, 1-D
     and 2-D array leaves (e.g. the GARCH shock table, per-asset curve
