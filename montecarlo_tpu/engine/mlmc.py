@@ -51,14 +51,11 @@ from montecarlo_tpu.stats.welford import (
 )
 
 
-@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_coarse_steps",
-                                   "m_refine", "seed", "stream", "dtype",
-                                   "payoff_on"))
-def _coupled_moments(fine, coarse, payoff_fn, n_paths: int,
-                     n_coarse_steps: int, m_refine: int, seed: int,
-                     stream: int, dtype, path_offset,
-                     payoff_on: str = "terminal"):
-    """Moments of Y = P(fine) - P(coarse) under the level coupling.
+def _coupled_values(fine, coarse, payoff_fn, n_paths: int,
+                    n_coarse_steps: int, m_refine: int, seed: int,
+                    stream: int, dtype, path_offset,
+                    payoff_on: str = "terminal"):
+    """Per-path (Y, P_fine) under the level coupling.
 
     The fine path takes ``m_refine`` sub-steps per coarse step using its own
     draw schedule; the coarse step consumes the *sum* of those Gaussian
@@ -105,7 +102,20 @@ def _coupled_moments(fine, coarse, payoff_fn, n_paths: int,
     else:
         p_fine = payoff_fn(fine.prices(f_state))
         p_coarse = payoff_fn(coarse.prices(c_state))
-    return (moments_from_array(p_fine - p_coarse, axis=0),
+    return p_fine - p_coarse, p_fine
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_coarse_steps",
+                                   "m_refine", "seed", "stream", "dtype",
+                                   "payoff_on"))
+def _coupled_moments(fine, coarse, payoff_fn, n_paths: int,
+                     n_coarse_steps: int, m_refine: int, seed: int,
+                     stream: int, dtype, path_offset,
+                     payoff_on: str = "terminal"):
+    y, p_fine = _coupled_values(fine, coarse, payoff_fn, n_paths,
+                                n_coarse_steps, m_refine, seed, stream,
+                                dtype, path_offset, payoff_on)
+    return (moments_from_array(y, axis=0),
             moments_from_array(p_fine, axis=0))
 
 
@@ -133,14 +143,16 @@ def mlmc_level_moments(make_process: Callable[[int], object], payoff_fn,
                        level: int, n_paths: int, *, seed: int = 0,
                        n0_steps: int = 1, m_refine: int = 2,
                        stream_base: int = 0, dtype=jnp.float32,
-                       path_offset: int = 0, payoff_on: str = "terminal"):
+                       path_offset: int = 0, payoff_on: str = "terminal",
+                       mesh=None):
     """(moments of Y_l, moments of P_l-fine) for one MLMC level.
 
     ``make_process(n_steps)`` must return the process discretized with
     ``dt = T / n_steps`` — the ladder builds fine/coarse pairs from it.
     ``payoff_on``: "terminal" or "mean" (Asian: each level refines the
     monitoring grid, the coarse average matching the previous level's fine
-    convention so the telescope is exact).
+    convention so the telescope is exact).  With ``mesh`` the level shards
+    over the path axis (bitwise mesh-shape-invariant block reduction).
     """
     if payoff_on not in ("terminal", "mean"):
         raise ValueError(f"unknown payoff_on={payoff_on!r}")
@@ -150,6 +162,11 @@ def mlmc_level_moments(make_process: Callable[[int], object], payoff_fn,
         raise TypeError(
             "MLMC coupling needs Gaussian innovations (NormalDrawsMixin); "
             f"{type(fine).__name__} draws do not telescope across grids")
+    if mesh is not None:
+        return _sharded_level_moments(make_process, payoff_fn, level,
+                                      n_paths, seed, n0_steps, m_refine,
+                                      stream_base, dtype, path_offset,
+                                      payoff_on, mesh)
     stream = stream_base + level
     if level == 0:
         return _level0_moments(fine, payoff_fn, n_paths, n_fine, seed,
@@ -158,6 +175,69 @@ def mlmc_level_moments(make_process: Callable[[int], object], payoff_fn,
     return _coupled_moments(fine, coarse, payoff_fn, n_paths,
                             n_fine // m_refine, m_refine, seed, stream,
                             dtype, path_offset, payoff_on)
+
+
+@partial(jax.jit, static_argnames=("make_process", "payoff_fn", "level",
+                                   "n_paths", "seed", "n0_steps",
+                                   "m_refine", "stream_base", "dtype",
+                                   "payoff_on", "mesh", "block_size"))
+def _sharded_level_moments(make_process, payoff_fn, level: int,
+                           n_paths: int, seed: int, n0_steps: int,
+                           m_refine: int, stream_base: int, dtype,
+                           path_offset, payoff_on: str, mesh,
+                           block_size: int = 4096):
+    """One MLMC level over a device mesh.
+
+    Per-shard coupled simulation of a contiguous global-path block, per
+    fixed-size-block moment states all_gathered in global order and merged
+    by the standard fixed pairwise tree — the same reduction contract as
+    `parallel.sharded.sharded_mc_estimate`, so the level estimate is
+    bitwise identical across mesh shapes.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from montecarlo_tpu.parallel.mesh import PATHS_AXIS
+    from montecarlo_tpu.stats.welford import moments_reduce
+
+    n_shards = mesh.shape[PATHS_AXIS]
+    if n_paths % (n_shards * block_size) != 0:
+        raise ValueError(
+            f"n_paths={n_paths} must be divisible by n_shards*block_size="
+            f"{n_shards}*{block_size}")
+    local_n = n_paths // n_shards
+    n_fine = n0_steps * m_refine**level
+    fine = make_process(n_fine)
+    coarse = make_process(n_fine // m_refine) if level > 0 else None
+    stream = stream_base + level
+
+    def shard_fn(off0):
+        offset = off0 + jax.lax.axis_index(PATHS_AXIS) * local_n
+        if level == 0:
+            if payoff_on == "mean":
+                from montecarlo_tpu.engine.functionals import (
+                    ARITH_MEAN, _simulate_functionals)
+                out = _simulate_functionals(fine, local_n, n_fine, seed,
+                                            stream, None, dtype, offset,
+                                            (("avg", ARITH_MEAN),))
+                y = payoff_fn(out["avg"])
+            else:
+                y = payoff_fn(simulate(fine, local_n, n_fine, seed=seed,
+                                       stream=stream, dtype=dtype,
+                                       path_offset=offset))
+            p_fine = y
+        else:
+            y, p_fine = _coupled_values(
+                fine, coarse, payoff_fn, local_n, n_fine // m_refine,
+                m_refine, seed, stream, dtype, offset, payoff_on)
+        gather = lambda v: jax.tree.map(
+            lambda x: jax.lax.all_gather(x, PATHS_AXIS, axis=0, tiled=True),
+            moments_from_array(v.reshape(-1, block_size), axis=-1))
+        return gather(y), gather(p_fine)
+
+    off0 = jnp.asarray(path_offset, jnp.int32)
+    g_y, g_p = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                             out_specs=(P(), P()), check_vma=False)(off0)
+    return moments_reduce(g_y), moments_reduce(g_p)
 
 
 class MLMCLevel(NamedTuple):
@@ -191,7 +271,8 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
                   m_refine: int = 2, min_levels: int = 3,
                   max_levels: int = 12, n_warmup: int = 4096,
                   chunk_paths: int = 1 << 16, discount=1.0,
-                  dtype=jnp.float32, payoff_on: str = "terminal") -> dict:
+                  dtype=jnp.float32, payoff_on: str = "terminal",
+                  mesh=None) -> dict:
     """Adaptive MLMC (Giles 2008 algorithm): estimate E[payoff] to RMSE
     ``target_rmse``, splitting the error budget evenly between statistical
     error and discretization bias.
@@ -219,11 +300,15 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
     def ensure(l, n_target):
         """Sample level l up to >= n_target paths (whole chunks)."""
         chunk = max(chunk_paths >> l, 2048)
+        if mesh is not None:
+            from montecarlo_tpu.parallel.mesh import PATHS_AXIS
+
+            chunk = max(chunk, mesh.shape[PATHS_AXIS] * 4096)
         while sampled[l] < n_target:
             st_y, _ = mlmc_level_moments(
                 make_process, payoff_fn, l, chunk, seed=seed,
                 n0_steps=n0_steps, m_refine=m_refine, dtype=dtype,
-                path_offset=sampled[l], payoff_on=payoff_on)
+                path_offset=sampled[l], payoff_on=payoff_on, mesh=mesh)
             states[l] = (st_y if sampled[l] == 0
                          else moments_merge(states[l], st_y))
             sampled[l] += chunk

@@ -146,6 +146,32 @@ def test_mlmc_asian_price_matches_fine_grid_oracle():
         res["price"], oracle)
 
 
+def test_mlmc_sharded_level_mesh_invariant():
+    """Sharded level moments are bitwise identical across mesh shapes."""
+    from montecarlo_tpu.parallel import make_mesh
+
+    outs = []
+    for n_dev in (1, 2, 4):
+        mesh = make_mesh(n_dev)
+        st_y, st_p = mlmc_level_moments(
+            _euler, _payoff, level=2, n_paths=1 << 15, seed=31, n0_steps=4,
+            dtype=jnp.float64, mesh=mesh)
+        outs.append((float(st_y.mean), float(variance(st_y, ddof=1)),
+                     float(st_p.mean)))
+    assert outs[0] == outs[1] == outs[2], outs
+
+
+def test_mlmc_estimate_sharded_runs():
+    from montecarlo_tpu.parallel import make_mesh
+
+    res = mlmc_estimate(_euler, _payoff, target_rmse=0.05, seed=17,
+                        n0_steps=4, dtype=jnp.float64,
+                        discount=math.exp(-R * T), mesh=make_mesh(4))
+    bs = black_scholes_call(S0, STRIKE, R, SIGMA, T)
+    assert abs(res["price"] - bs) < 4 * 0.05, (res["price"], bs)
+    assert res["std_err"] <= 0.05
+
+
 def test_mlmc_rejects_bootstrap_draws():
     rng = np.random.default_rng(0)
     rets = rng.normal(0, 0.01, size=300)
