@@ -276,15 +276,112 @@ def _scanner_page():
                 st.write(f"- {reason}: {count} tickers")
 
 
+def _derivatives_page():
+    """Pricing lab over the derivatives engine (beyond the reference app:
+    process families, exotics, Greeks, and fixed income, all on the fused
+    TPU path where eligible)."""
+    import jax.numpy as jnp
+
+    st.sidebar.header("Pricing Settings")
+    process = st.sidebar.selectbox(
+        "Process", ["GBM", "Heston", "Merton", "Kou", "SABR"])
+    payoff = st.sidebar.selectbox(
+        "Payoff", ["European call", "European put", "Asian call",
+                   "Lookback", "Up-and-out call"])
+    s0 = st.sidebar.slider("Spot", 50.0, 200.0, 100.0)
+    strike = st.sidebar.slider("Strike", 50.0, 200.0, 105.0)
+    rate = st.sidebar.slider("Rate (%)", 0.0, 10.0, 3.0) / 100.0
+    sigma = st.sidebar.slider("Volatility (%)", 5.0, 80.0, 20.0) / 100.0
+    maturity = st.sidebar.slider("Maturity (years)", 0.25, 3.0, 1.0)
+    log2_paths = st.sidebar.slider("log2(paths)", 14, 20, 16)
+    if not st.sidebar.button("Price", type="primary"):
+        st.info("Configure the instrument and press Price.")
+        return
+
+    from montecarlo_tpu.engine import (
+        ARITH_MEAN, RUNNING_MAX, RUNNING_MIN, asian_call,
+        black_scholes_call, black_scholes_put, discount_factor,
+        european_call, european_put, lookback_call_floating, mc_estimate,
+        price_and_greeks, simulate, simulate_functionals, up_and_out_call)
+    from montecarlo_tpu.processes import GBM, Heston, Kou, Merton, SABR
+
+    n_paths, n_steps = 1 << log2_paths, 128
+    dt = maturity / n_steps
+    if process == "GBM":
+        proc = GBM.create(s0=s0, mu=rate, sigma=sigma, dt=dt)
+    elif process == "Heston":
+        proc = Heston.create(s0=s0, v0=sigma**2, mu=rate, kappa=2.0,
+                             theta=sigma**2, xi=0.5, rho=-0.7, dt=dt)
+    elif process == "Merton":
+        proc = Merton.create(s0=s0, mu=rate, sigma=sigma, lam=1.0,
+                             jump_mean=-0.05, jump_std=0.1, dt=dt)
+    elif process == "Kou":
+        proc = Kou.create(s0=s0, mu=rate, sigma=sigma, lam=1.0, p_up=0.4,
+                          eta1=10.0, eta2=5.0, dt=dt)
+    else:
+        proc = SABR.create(f0=s0, alpha=sigma * s0 ** 0.3, beta=0.7,
+                           nu=0.3, rho=-0.3, dt=dt)
+
+    disc = float(discount_factor(rate, maturity))
+    if payoff in ("European call", "European put"):
+        terminal = simulate(proc, n_paths, n_steps, seed=0)
+        pay = (european_call(terminal, strike) if "call" in payoff
+               else european_put(terminal, strike))
+        est = mc_estimate(pay, disc)
+    else:
+        out = simulate_functionals(
+            proc, n_paths, n_steps, seed=0,
+            functionals={"avg": ARITH_MEAN, "mx": RUNNING_MAX,
+                         "mn": RUNNING_MIN})
+        if payoff == "Asian call":
+            pay = asian_call(out["avg"], strike)
+        elif payoff == "Lookback":
+            pay = lookback_call_floating(out["terminal"], out["mn"])
+        else:
+            pay = up_and_out_call(out["terminal"], out["mx"], strike,
+                                  1.2 * strike)
+        est = mc_estimate(pay, disc)
+
+    cols = st.columns(4)
+    cols[0].metric("Price", f"{float(est['price']):.4f}")
+    cols[1].metric("Std err", f"{float(est['std_err']):.2e}")
+    cols[2].metric("Paths", f"{n_paths:,}")
+    if process == "GBM" and payoff.startswith("European"):
+        bs = (black_scholes_call if "call" in payoff
+              else black_scholes_put)(s0, strike, rate, sigma, maturity)
+        cols[3].metric("Black-Scholes", f"{float(bs):.4f}")
+        price, greeks = price_and_greeks(
+            proc, lambda s: european_call(s, strike)
+            if "call" in payoff else european_put(s, strike),
+            n_paths, n_steps, seed=0, discount=disc)
+        g1, g2, _, _ = st.columns(4)
+        g1.metric("Delta (pathwise)", f"{float(greeks.s0):.4f}")
+        g2.metric("Vega (pathwise)", f"{float(greeks.sigma):.4f}")
+    st.success(f"{process} {payoff}: {float(est['price']):.4f} "
+               f"± {float(est['std_err']):.4f}")
+
+    with st.expander("Fixed income (Vasicek)"):
+        from montecarlo_tpu.engine import vasicek_zcb, zcb_price_mc
+        from montecarlo_tpu.processes import Vasicek
+
+        vas = Vasicek.create(rate, 0.8, rate + 0.01, 0.015, maturity / 128)
+        zcb = zcb_price_mc(vas, maturity, 128, 1 << 14, seed=0)
+        st.metric("Zero-coupon bond (MC)", f"{float(zcb['price']):.6f}")
+        st.write(f"Affine closed form: "
+                 f"{vasicek_zcb(rate, 0.8, rate + 0.01, 0.015, maturity):.6f}")
+
+
 def main():
-    mode = st.sidebar.radio("Mode", ["About", "Single Stock", "Scanner"],
-                            index=1)
+    mode = st.sidebar.radio("Mode", ["About", "Single Stock", "Scanner",
+                                     "Derivatives Lab"], index=1)
     if mode == "About":
         _about_page()
     elif mode == "Single Stock":
         _single_stock_page()
-    else:
+    elif mode == "Scanner":
         _scanner_page()
+    else:
+        _derivatives_page()
 
 
 if __name__ == "__main__":

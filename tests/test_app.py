@@ -103,3 +103,28 @@ def test_scanner_page_custom_universe(app_with):
     # Custom ticker parsing: 3 tickers attempted.
     assert any("Scanning 3 stocks" in str(label)
                for m, label in calls if m == "info")
+
+
+def test_derivatives_lab_gbm_call(app_with):
+    app, calls = app_with({"Mode": "Derivatives Lab", "log2(paths)": 14})
+    app.main()
+    methods = _methods(calls)
+    # price tiles + BS reference + pathwise greeks + fixed-income expander
+    assert methods.count("metric") >= 7
+    assert "expander" in methods
+    assert "success" in methods
+
+
+def test_derivatives_lab_exotic_heston(app_with):
+    app, calls = app_with({"Mode": "Derivatives Lab", "Process": "Heston",
+                           "Payoff": "Asian call", "log2(paths)": 14})
+    app.main()
+    methods = _methods(calls)
+    assert methods.count("metric") >= 4
+    assert "success" in methods
+
+
+def test_derivatives_lab_not_pressed(app_with):
+    app, calls = app_with({"Mode": "Derivatives Lab", "Price": False})
+    app.main()
+    assert "info" in _methods(calls)
