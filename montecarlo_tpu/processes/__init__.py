@@ -21,6 +21,10 @@ from montecarlo_tpu.processes.euler_gbm import EulerGBM, EulerGBMState  # noqa: 
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
 from montecarlo_tpu.processes.term_basket import TermBasketGBM  # noqa: F401
+from montecarlo_tpu.processes.dupire import (  # noqa: F401
+    dupire_local_vol_grid,
+    local_vol_fn_from_ivs,
+)
 from montecarlo_tpu.processes.rough_bergomi import (  # noqa: F401
     RoughBergomi,
     rbergomi_simulate,
