@@ -89,6 +89,9 @@ def _add_price(sub):
                             "up-and-out"])
     p.add_argument("--barrier", type=float, default=None,
                    help="barrier level for up-and-out (default 1.2*strike)")
+    p.add_argument("--bridge", action="store_true",
+                   help="up-and-out: Brownian-bridge continuous-barrier "
+                        "correction (monitoring-frequency-unbiased; gbm)")
     p.add_argument("--american", action="store_true",
                    help="American exercise via Longstaff-Schwartz "
                         "(call/put payoffs)")
@@ -353,17 +356,29 @@ def cmd_price(args) -> int:
             up_and_out_call,
         )
 
+        functionals = {"avg": ARITH_MEAN, "max": RUNNING_MAX,
+                       "min": RUNNING_MIN}
+        barrier = args.barrier or 1.2 * args.strike
+        if args.payoff == "up-and-out" and args.bridge:
+            if args.process != "gbm":
+                raise SystemExit("--bridge requires --process gbm "
+                                 "(constant vol for the bridge law)")
+            from montecarlo_tpu.engine import barrier_survival_up
+
+            functionals["surv"] = barrier_survival_up(barrier, args.sigma,
+                                                      dt)
         out_f = simulate_functionals(
             proc, args.paths, args.steps, seed=args.seed, sampler=sampler,
-            functionals={"avg": ARITH_MEAN, "max": RUNNING_MAX,
-                         "min": RUNNING_MIN})
+            functionals=functionals)
         if args.payoff == "asian":
             payoffs = asian_call(out_f["avg"], args.strike)
         elif args.payoff == "lookback":
             payoffs = lookback_call_floating(out_f["terminal"],
                                              out_f["min"])
+        elif args.bridge:
+            payoffs = european_call(out_f["terminal"],
+                                    args.strike) * out_f["surv"]
         else:
-            barrier = args.barrier or 1.2 * args.strike
             payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
                                       args.strike, barrier)
         est = mc_estimate(payoffs, disc)

@@ -18,6 +18,7 @@ inherits the engine's shard-invariance.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Dict, NamedTuple
 
@@ -66,6 +67,47 @@ RUNNING_MIN = PathFunctional(
     update=lambda acc, s, t: jnp.minimum(acc, s),
     finalize=lambda acc, n_steps: acc,
 )
+
+
+def barrier_survival_up(barrier: float, sigma: float, dt: float
+                        ) -> PathFunctional:
+    """Probability the *continuous* path stayed below an up barrier.
+
+    Discretely monitored barriers systematically underestimate knockouts;
+    the Brownian-bridge correction multiplies, per step, the exact
+    conditional crossing probability of log-GBM between grid points,
+
+        P(cross | S_t, S_{t+1}) = exp(-2 a b / (sigma^2 dt)),
+        a = log(B/S_t), b = log(B/S_{t+1})   (both > 0 below the barrier),
+
+    which makes the up-and-out price *unbiased for the continuous barrier
+    at any monitoring frequency* (exact under GBM, where log S is Brownian
+    with drift between grid points; for state-dependent vol pass the
+    near-barrier vol).  Use as
+
+        E[payoff(S_T) * survival]        (knock-out)
+        E[payoff(S_T) * (1 - survival)]  (knock-in, same run)
+
+    The accumulator carries (survival probability, previous log price).
+    """
+    log_b = math.log(barrier)
+    inv = 1.0 / (float(sigma) ** 2 * float(dt))
+
+    def update(acc, s, t):
+        surv, prev = acc
+        log_s = jnp.log(s)
+        a = log_b - prev
+        b = log_b - log_s
+        p_cross = jnp.exp(-2.0 * a * b * inv)
+        alive = (a > 0) & (b > 0)
+        return (surv * jnp.where(alive, 1.0 - p_cross, 0.0), log_s)
+
+    return PathFunctional(
+        init=lambda s: (jnp.where(jnp.log(s) < log_b, 1.0, 0.0),
+                        jnp.log(s)),
+        update=update,
+        finalize=lambda acc, n_steps: acc[0],
+    )
 
 
 def realized_variance() -> PathFunctional:
