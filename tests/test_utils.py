@@ -29,9 +29,3 @@ def test_throughput_harness_runs():
     rate = throughput_path_steps(fn2, 2048, 8, reps=2, warmup=1)
     assert rate > 0
 
-
-def test_models_alias_namespace():
-    from montecarlo_tpu import models
-
-    assert models.GBM is not None
-    assert models.ForecastModel is not None
