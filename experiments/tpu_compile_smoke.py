@@ -109,4 +109,22 @@ if __name__ == "__main__":
     print(f"{'Functional':10s} {'OK' if ok_f else 'BAD'}")
     if not ok_f:
         bad.append("Functional")
+
+    # Device-Sobol draws inside the kernel (one-hot table reads + ndtri32).
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    procs = all_fusable_processes()
+    for name, n_steps in (("GBM", 32), ("Heston", 32)):
+        p = procs[name]
+        smp = SobolDeviceSampler.create(n_steps, p.n_draws)
+        vals = np.asarray(terminal_prices(p, 1 << 15, n_steps, seed=3,
+                                          sampler=smp))
+        ref = np.asarray(simulate(p, 1 << 15, n_steps, seed=3, sampler=smp))
+        ok_s = bool(np.isfinite(vals).all()) and vals.min() > 0
+        match = np.allclose(vals, ref, rtol=2e-6, atol=2e-8)
+        print(f"{'Sobol-' + name:10s} {'OK' if ok_s else 'BAD'} "
+              f"median={np.median(vals):.2f} "
+              f"parity={'OK' if match else 'FAIL'}")
+        if not (ok_s and match):
+            bad.append("Sobol-" + name)
     raise SystemExit(1 if bad else 0)

@@ -83,7 +83,7 @@ def _add_price(sub):
     p.add_argument("--steps", type=int, default=252)
     p.add_argument("--sampler", default="plain",
                    choices=["plain", "antithetic", "sobol",
-                            "sobol-bridge"])
+                            "sobol-device", "sobol-bridge"])
     p.add_argument("--payoff", default="call",
                    choices=["call", "put", "asian", "lookback",
                             "up-and-out"])
@@ -204,7 +204,7 @@ def cmd_scan(args) -> int:
 def cmd_price(args) -> int:
     import jax.numpy as jnp
     from montecarlo_tpu.engine import (
-        discount_factor, european_call, mc_estimate, simulate,
+        discount_factor, european_call, mc_estimate,
         black_scholes_call,
     )
     from montecarlo_tpu.processes import GBM, Heston, LocalVolGBM, Merton
@@ -322,6 +322,12 @@ def cmd_price(args) -> int:
             raise SystemExit("--sampler sobol-bridge requires a single-draw "
                              "process (gbm)")
         sampler = SobolBridgeDeviceSampler.create(args.steps)
+    elif args.sampler == "sobol-device":
+        # Device-native randomized Sobol: no (paths, steps) draw array, and
+        # on TPU the draws run *inside* the fused Pallas kernel.
+        from montecarlo_tpu.rng import SobolDeviceSampler
+
+        sampler = SobolDeviceSampler.create(args.steps, proc.n_draws)
     else:
         sampler = SobolSampler.create(args.paths, args.steps,
                                       proc.n_draws, seed=args.seed)
@@ -383,8 +389,10 @@ def cmd_price(args) -> int:
                                       args.strike, barrier)
         est = mc_estimate(payoffs, disc)
     else:
-        terminal = simulate(proc, args.paths, args.steps, seed=args.seed,
-                            sampler=sampler)
+        from montecarlo_tpu.engine.dispatch import terminal_prices
+
+        terminal = terminal_prices(proc, args.paths, args.steps,
+                                   seed=args.seed, sampler=sampler)
         payoffs = (european_call(terminal, args.strike)
                    if args.payoff == "call"
                    else jnp.maximum(args.strike - terminal, 0.0))

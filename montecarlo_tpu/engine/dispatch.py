@@ -29,6 +29,7 @@ from montecarlo_tpu.processes.kou import Kou
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.processes.term_basket import TermBasketGBM
+from montecarlo_tpu.rng.sobol import SobolDeviceSampler
 from montecarlo_tpu.samplers import AntitheticSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
@@ -45,6 +46,19 @@ def _kernel_block_rows(n_paths: int) -> int | None:
     return None
 
 
+def _fusable_sampler(sampler, process, n_steps: int) -> bool:
+    """Samplers the fused kernels can run: default Threefry, antithetic
+    mirroring, or device Sobol (whose table must cover every dimension)."""
+    if sampler is None or isinstance(sampler, AntitheticSampler):
+        return True
+    return (isinstance(sampler, SobolDeviceSampler)
+            and sampler.n_dims >= n_steps * process.n_draws)
+
+
+def _kernel_sampler(sampler):
+    return sampler if isinstance(sampler, SobolDeviceSampler) else None
+
+
 def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
                     stream=0, sampler=None, dtype=jnp.float32,
                     path_offset=0, prefer_fused: bool = True):
@@ -52,15 +66,15 @@ def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
     engine.  Identical draw streams either way."""
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     rows = _kernel_block_rows(n_paths)
-    fusable_sampler = sampler is None or isinstance(sampler,
-                                                    AntitheticSampler)
-    if (prefer_fused and on_tpu and fusable_sampler
+    if (prefer_fused and on_tpu
+            and _fusable_sampler(sampler, process, n_steps)
             and dtype == jnp.float32 and rows is not None
             and isinstance(process, _FUSABLE)):
         return fused_terminal_pallas(
             process, n_paths, n_steps, seed=seed, stream=stream,
             path_offset=path_offset, block_rows=rows,
-            antithetic=isinstance(sampler, AntitheticSampler))
+            antithetic=isinstance(sampler, AntitheticSampler),
+            sampler=_kernel_sampler(sampler))
     return simulate(process, n_paths, n_steps, seed=seed, stream=stream,
                     sampler=sampler, dtype=dtype, path_offset=path_offset)
 
@@ -82,16 +96,17 @@ def payoff_block_moments(process, payoff_fn, n_paths: int, n_steps: int, *,
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     rows = _kernel_block_rows(n_paths)
-    fusable_sampler = sampler is None or isinstance(sampler,
-                                                    AntitheticSampler)
-    if (prefer_fused and on_tpu and fusable_sampler and rows is not None
+    if (prefer_fused and on_tpu
+            and _fusable_sampler(sampler, process, n_steps)
+            and rows is not None
             and rows * LANES % stats_block == 0
             and isinstance(process, _FUSABLE)):
         return fused_block_moments_pallas(
             process, payoff_fn, n_paths, n_steps, seed=seed, stream=stream,
             path_offset=path_offset, block_rows=rows,
             stats_block=stats_block,
-            antithetic=isinstance(sampler, AntitheticSampler))
+            antithetic=isinstance(sampler, AntitheticSampler),
+            sampler=_kernel_sampler(sampler))
     terminal = simulate(process, n_paths, n_steps, seed=seed, stream=stream,
                         sampler=sampler, path_offset=path_offset)
     payoffs = payoff_fn(terminal)

@@ -184,14 +184,15 @@ def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
         import jax
 
         from montecarlo_tpu.engine.dispatch import (_FUSABLE,
-                                                    _kernel_block_rows)
+                                                    _fusable_sampler,
+                                                    _kernel_block_rows,
+                                                    _kernel_sampler)
         from montecarlo_tpu.samplers import AntitheticSampler
 
         rows = _kernel_block_rows(n_paths)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
-        fusable_sampler = sampler is None or isinstance(sampler,
-                                                        AntitheticSampler)
-        if (on_tpu and fusable_sampler and dtype == jnp.float32
+        if (on_tpu and _fusable_sampler(sampler, process, n_steps)
+                and dtype == jnp.float32
                 and rows is not None and isinstance(process, _FUSABLE)):
             from montecarlo_tpu.ops.fused_engine import (
                 fused_functionals_pallas)
@@ -200,7 +201,8 @@ def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
                 process, n_paths, n_steps, seed=seed,
                 functional_items=items, stream=stream,
                 path_offset=path_offset, block_rows=rows,
-                antithetic=isinstance(sampler, AntitheticSampler))
+                antithetic=isinstance(sampler, AntitheticSampler),
+                sampler=_kernel_sampler(sampler))
     return _simulate_functionals(process, n_paths, n_steps, seed, stream,
                                  sampler, dtype, path_offset, items)
 

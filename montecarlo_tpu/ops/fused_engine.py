@@ -38,7 +38,7 @@ def _tree_where(cond, a, b):
 
 
 def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
-                 antithetic: bool, payoff_fn=None):
+                 antithetic: bool, payoff_fn=None, has_sampler: bool = False):
     def kernel(*refs):
         n_leaves = len(leaf_ndims)
         leaf_refs = refs[:n_leaves]
@@ -50,7 +50,8 @@ def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
         # term-structure curves) whole.
         leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
                   for r, nd in zip(leaf_refs, leaf_ndims)]
-        proc = jax.tree.unflatten(treedef, leaves)
+        obj = jax.tree.unflatten(treedef, leaves)
+        proc, smp = obj if has_sampler else (obj, None)
 
         b = pl.program_id(0)
         ids = _block_path_ids(b, block_rows, scalar_ref[0, 0])
@@ -66,6 +67,14 @@ def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
             draw_ids = ids
 
         def get_draws(j):
+            if smp is not None:
+                # Custom sampler (device Sobol): one call per step — the
+                # pair-sharing of the Threefry cipher does not apply.
+                eps0 = smp.draws_kernel(proc, k0, k1, draw_ids, 2 * j,
+                                        jnp.float32)
+                eps1 = smp.draws_kernel(proc, k0, k1, draw_ids, 2 * j + 1,
+                                        jnp.float32)
+                return eps0, eps1
             eps0, eps1 = proc.draws_pair(k0, k1, draw_ids, j, jnp.float32)
             if antithetic:
                 m0, m1 = proc.antithetic(eps0), proc.antithetic(eps1)
@@ -109,7 +118,8 @@ def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
     "n_paths", "n_steps", "block_rows", "interpret", "antithetic"))
 def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
                           stream=0, path_offset=0, block_rows: int = 128,
-                          interpret: bool = False, antithetic: bool = False):
+                          interpret: bool = False, antithetic: bool = False,
+                          sampler=None):
     """Terminal prices for any scalar-state process via one fused kernel.
 
     Same draw streams as ``simulate(process, ..., mode="terminal")`` (with
@@ -117,20 +127,25 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
     bitwise-identical to the scan engine for all five processes, both in
     interpret mode and compiled on TPU v5e, and bitwise reproducible across
     block sizes / path offsets / mesh shapes.
+
+    ``sampler``: an in-kernel draw provider exposing ``draws_kernel`` (the
+    device Sobol sampler) — its tables ride VMEM next to the process leaves.
     """
     block = block_rows * LANES
     if n_paths % block != 0:
         raise ValueError(f"n_paths={n_paths} must be a multiple of "
                          f"block_rows*128={block}")
     num_blocks = n_paths // block
+    if sampler is not None and antithetic:
+        raise ValueError("antithetic composes with the default draws only")
 
-    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(
-        process)
+    tree = (process, sampler) if sampler is not None else process
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(tree)
     scalars = _scalar_row(seed, stream, path_offset)
 
     out = pl.pallas_call(
         _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
-                     antithetic),
+                     antithetic, has_sampler=sampler is not None),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
@@ -145,7 +160,7 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
 
 def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
                             block_rows: int, antithetic: bool,
-                            functionals):
+                            functionals, has_sampler: bool = False):
     """Kernel variant folding path functionals (Asian means, barrier
     running max/min, discount integrals) into the time loop: the full
     trajectory is observed on-chip, only terminals + finalized functionals
@@ -159,7 +174,8 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
 
         leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
                   for r, nd in zip(leaf_refs, leaf_ndims)]
-        proc = jax.tree.unflatten(treedef, leaves)
+        obj = jax.tree.unflatten(treedef, leaves)
+        proc, smp = obj if has_sampler else (obj, None)
 
         b = pl.program_id(0)
         ids = _block_path_ids(b, block_rows, scalar_ref[0, 0])
@@ -173,6 +189,12 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
             draw_ids = ids
 
         def get_draws(j):
+            if smp is not None:
+                eps0 = smp.draws_kernel(proc, k0, k1, draw_ids, 2 * j,
+                                        jnp.float32)
+                eps1 = smp.draws_kernel(proc, k0, k1, draw_ids, 2 * j + 1,
+                                        jnp.float32)
+                return eps0, eps1
             eps0, eps1 = proc.draws_pair(k0, k1, draw_ids, j, jnp.float32)
             if antithetic:
                 m0, m1 = proc.antithetic(eps0), proc.antithetic(eps1)
@@ -220,7 +242,7 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
 def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
                              functional_items, stream=0, path_offset=0,
                              block_rows: int = 128, interpret: bool = False,
-                             antithetic: bool = False) -> dict:
+                             antithetic: bool = False, sampler=None) -> dict:
     """Terminal prices plus named path functionals via one fused kernel.
 
     ``functional_items``: tuple of (name, PathFunctional) pairs (hashable —
@@ -233,16 +255,20 @@ def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
         raise ValueError(f"n_paths={n_paths} must be a multiple of "
                          f"block_rows*128={block}")
     num_blocks = n_paths // block
+    if sampler is not None and antithetic:
+        raise ValueError("antithetic composes with the default draws only")
     names = [k for k, _ in functional_items]
     fns = tuple(f for _, f in functional_items)
 
-    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(process)
+    tree = (process, sampler) if sampler is not None else process
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(tree)
     scalars = _scalar_row(seed, stream, path_offset)
 
     n_out = 1 + len(fns)
     outs = pl.pallas_call(
         _make_functional_kernel(treedef, leaf_ndims, n_steps, block_rows,
-                                antithetic, fns),
+                                antithetic, fns,
+                                has_sampler=sampler is not None),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
@@ -300,7 +326,7 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
                                path_offset=0, block_rows: int = 128,
                                stats_block: int = 4096,
                                interpret: bool = False,
-                               antithetic: bool = False):
+                               antithetic: bool = False, sampler=None):
     """Per-block payoff moments with the terminal array never leaving VMEM.
 
     The kernel applies ``payoff_fn`` to the terminal prices and writes one
@@ -328,14 +354,17 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
             f"and be a multiple of {LANES}")
     num_blocks = n_paths // block
     rows_per_stat = stats_block // LANES
+    if sampler is not None and antithetic:
+        raise ValueError("antithetic composes with the default draws only")
 
-    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(
-        process)
+    tree = (process, sampler) if sampler is not None else process
+    leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(tree)
     scalars = _scalar_row(seed, stream, path_offset)
 
     rows = pl.pallas_call(
         _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
-                     antithetic, payoff_fn=payoff_fn),
+                     antithetic, payoff_fn=payoff_fn,
+                     has_sampler=sampler is not None),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],

@@ -90,6 +90,64 @@ def uniform_draw(seed: int, stream: int, path_ids, draw_index,
     return uniform_from_bits(bits, dtype)
 
 
+def ndtri32(u, dtype=jnp.float32):
+    """Inverse standard-normal CDF, Pallas-lowerable.
+
+    Wichura's AS241 PPND7 rational approximation (~1e-7 absolute error —
+    below float32 round-off for the QMC use) written with *scalar* python
+    constants: `jax.scipy.special.ndtri` captures constant coefficient
+    arrays, which `pallas_call` rejects, so the device-Sobol samplers use
+    this everywhere (scan engine AND fused kernel) — one implementation,
+    bitwise-consistent streams.  Input must be in the open interval (0, 1).
+    """
+    dtype = jnp.dtype(dtype)
+    u = jnp.asarray(u, dtype)
+    q = u - dtype.type(0.5)
+
+    # Central region |q| <= 0.425.
+    r_c = dtype.type(0.180625) - q * q
+    num_c = q * (((dtype.type(59.109374720) * r_c
+                   + dtype.type(159.29113202)) * r_c
+                  + dtype.type(50.434271938)) * r_c
+                 + dtype.type(3.3871327179))
+    den_c = (((dtype.type(67.187563600) * r_c
+               + dtype.type(78.757757664)) * r_c
+              + dtype.type(17.895169469)) * r_c
+             + dtype.type(1.0))
+    central = num_c / den_c
+
+    # Tails: r = sqrt(-log(min(u, 1-u))), guarded so the unselected branch
+    # never produces NaN (min(u,1-u) <= 0.5 in reality).
+    p_tail = jnp.minimum(jnp.minimum(u, dtype.type(1.0) - u),
+                         dtype.type(0.5))
+    # Floor keeps log finite even for u rounding to exactly 0 or 1 (must
+    # stay in the *normal* f32 range — subnormals flush to zero on TPU).
+    p_tail = jnp.maximum(p_tail, dtype.type(1e-30))
+    r_t = jnp.sqrt(-jnp.log(p_tail))
+
+    r1 = r_t - dtype.type(1.6)
+    num_m = (((dtype.type(0.17023821103) * r1
+               + dtype.type(1.3067284816)) * r1
+              + dtype.type(2.7568153900)) * r1
+             + dtype.type(1.4234372777))
+    den_m = ((dtype.type(0.12021132975) * r1
+              + dtype.type(0.73700164250)) * r1
+             + dtype.type(1.0))
+
+    r2 = r_t - dtype.type(5.0)
+    num_f = (((dtype.type(0.017337203997) * r2
+               + dtype.type(0.42868294337)) * r2
+              + dtype.type(3.0812263860)) * r2
+             + dtype.type(6.6579051150))
+    den_f = ((dtype.type(0.012258202635) * r2
+              + dtype.type(0.24197894225)) * r2
+             + dtype.type(1.0))
+
+    tail = jnp.where(r_t <= dtype.type(5.0), num_m / den_m, num_f / den_f)
+    tail = jnp.where(q < 0, -tail, tail)
+    return jnp.where(jnp.abs(q) <= dtype.type(0.425), central, tail)
+
+
 def categorical_draw(seed: int, stream: int, path_ids, draw_index, n: int):
     """A uniform integer index in [0, n) per (path, draw) — used for the
     GARCH bootstrap's resampling of historical shocks (the TPU-native

@@ -21,10 +21,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import ndtri
 
+from montecarlo_tpu.rng.normal import ndtri32
 from montecarlo_tpu.rng.threefry import random_bits
 
 BITS = 30
@@ -77,14 +78,50 @@ def sobol_bits(sv_rows, path_ids):
     return x
 
 
+def _shifted_normal(x, shift_bits, dtype):
+    """Digital-shifted Sobol integer -> standard normal.
+
+    The uniform takes the top 23 bits with a half-ulp center, so the
+    arithmetic is *exact* in float32 and u ∈ [2⁻²⁴, 1 − 2⁻²⁴] — the naive
+    ``(x + 0.5) * 2^-30`` rounds to exactly 1.0f for the largest values and
+    ndtri returns NaN.  Bits below 23 move the point by < 2⁻²³, invisible at
+    f32 resolution.  Shared by the scan-engine and Pallas-kernel paths, so
+    their streams are identical by construction.
+    """
+    x = x ^ (shift_bits & jnp.uint32((1 << BITS) - 1))
+    hi = (x >> jnp.uint32(BITS - 23)).astype(jnp.int32).astype(jnp.float32)
+    u = (hi + jnp.float32(0.5)) * jnp.float32(2.0 ** -23)
+    return ndtri32(u, jnp.float32).astype(dtype)
+
+
+def _sv_scalar_onehot(sv_t, dim, k: int):
+    """Direction number ``sv[dim, k]`` without dynamic indexing.
+
+    Mosaic lowers neither `dynamic_slice` on values nor 1-D iota; the proven
+    pattern (processes/term_gbm.py::_curve_at) is a static row slice plus a
+    one-hot masked lane reduction to a scalar.
+    """
+    row = sv_t[k:k + 1, :]  # (1, n_dims) static slice
+    pos = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    val = jnp.sum(jnp.where(pos == dim, row, jnp.int32(0)),
+                  dtype=jnp.int32)
+    return val.astype(jnp.uint32)
+
+
 class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
-        ("sv", jnp.ndarray),  # (n_dims, 30) uint32 direction numbers
+        ("sv", jnp.ndarray),    # (n_dims, 30) uint32 direction numbers
+        ("sv_t", jnp.ndarray),  # (30, n_dims) int32 transpose (kernel layout)
 ])):
     """Drop-in sampler generating randomized Sobol normals on device.
 
     Dimension of (step t, draw d) is ``t * n_draws + d``; the digital-shift
     word comes from Threefry keyed by (seed, stream, dim), so different
     seeds give independent randomizations of the same point set.
+
+    Runs in the `lax.scan` engine (``draws``) and inside the fused Pallas
+    kernels (``draws_kernel`` — direction numbers read via one-hot masked
+    reductions from the transposed table, everything else shared), with
+    identical draw streams.
     """
 
     def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
@@ -97,11 +134,29 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
             # Digital shift: one 30-bit word per dimension.
             s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
                                 jnp.uint32(0x50B0))
-            x = x ^ (s0 & jnp.uint32((1 << BITS) - 1))
-            # 30-bit values fit int32 exactly (Mosaic-safe cast path too).
-            u = (x.astype(jnp.int32).astype(dtype) + 0.5) * (2.0 ** -BITS)
-            out.append(ndtri(u).astype(dtype))
+            out.append(_shifted_normal(x, s0, dtype))
         return tuple(out)
+
+    def draws_kernel(self, process, seed, stream, path_ids, t,
+                     dtype=jnp.float32):
+        """Pallas-kernel variant of :meth:`draws` — same stream, Mosaic-safe
+        table reads.  ``seed``/``stream`` are the traced key words the fused
+        kernels carry (see rng/threefry.py key convention)."""
+        D = process.n_draws
+        t = jnp.asarray(t).astype(jnp.int32)
+        out = []
+        for d in range(D):
+            dim = t * D + d
+            vks = [_sv_scalar_onehot(self.sv_t, dim, k) for k in range(BITS)]
+            x = sobol_bits(vks, path_ids)
+            s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
+                                jnp.uint32(0x50B0))
+            out.append(_shifted_normal(x, s0, dtype))
+        return tuple(out)
+
+    @property
+    def n_dims(self) -> int:
+        return self.sv.shape[0]
 
     @classmethod
     def create(cls, n_steps: int, n_draws: int = 1,
@@ -111,7 +166,8 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
         sv = direction_numbers(n_steps * n_draws)
         if scramble_seed is not None:
             sv = lms_scramble(sv, scramble_seed)
-        return cls(sv=jnp.asarray(sv))
+        return cls(sv=jnp.asarray(sv),
+                   sv_t=jnp.asarray(sv.astype(np.int64).T.astype(np.int32)))
 
 
 def brownian_bridge_matrix(n_steps: int) -> np.ndarray:
@@ -178,9 +234,8 @@ class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
             x = sobol_bits(rows, path_ids)
             s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
                                 jnp.uint32(0x50B0))
-            x = x ^ (s0 & jnp.uint32((1 << BITS) - 1))
-            u = (x.astype(jnp.int32).astype(dtype) + 0.5) * (2.0 ** -BITS)
-            eps = eps + coeffs_t[j].astype(dtype) * ndtri(u).astype(dtype)
+            z = _shifted_normal(x, s0, dtype)
+            eps = eps + coeffs_t[j].astype(dtype) * z
         return (eps,)
 
     @classmethod

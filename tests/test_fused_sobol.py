@@ -1,0 +1,108 @@
+"""Device-Sobol draws inside the fused Pallas kernels (interpret mode):
+parity with the scan engine, table-read equivalence, dispatch eligibility,
+and the ndtri32 approximation quality."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_tpu.engine import simulate
+from montecarlo_tpu.engine.functionals import (ARITH_MEAN, RUNNING_MAX,
+                                               _simulate_functionals)
+from montecarlo_tpu.ops.fused_engine import (fused_functionals_pallas,
+                                             fused_terminal_pallas)
+from montecarlo_tpu.processes import GBM, Heston
+from montecarlo_tpu.rng.sobol import SobolDeviceSampler, _shifted_normal
+
+N = 128 * 128
+
+
+def _procs():
+    return {
+        "gbm": GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1 / 252),
+        "heston": Heston.create(s0=100.0, v0=0.04, mu=0.03, kappa=2.0,
+                                theta=0.04, xi=0.5, rho=-0.7, dt=1 / 252),
+    }
+
+
+@pytest.mark.parametrize("name,n_draws", [("gbm", 1), ("heston", 2)])
+@pytest.mark.parametrize("n_steps", [8, 9])
+def test_fused_sobol_matches_scan_engine(name, n_draws, n_steps):
+    proc = _procs()[name]
+    sampler = SobolDeviceSampler.create(n_steps + 1, n_draws)
+    ref = np.asarray(simulate(proc, N, n_steps, seed=5, sampler=sampler))
+    ker = np.asarray(fused_terminal_pallas(
+        proc, N, n_steps, seed=5, block_rows=128, interpret=True,
+        sampler=sampler))
+    # Same values read through one-hot vs dynamic-index table loads; only
+    # FMA re-association can differ (same ULP budget as the rate processes).
+    np.testing.assert_allclose(ker, ref, rtol=2e-6)
+
+
+def test_fused_sobol_functionals_match_scan():
+    proc = _procs()["gbm"]
+    n_steps = 16
+    sampler = SobolDeviceSampler.create(n_steps, 1)
+    items = (("avg", ARITH_MEAN), ("mx", RUNNING_MAX))
+    ref = _simulate_functionals(proc, N, n_steps, 7, 0, sampler,
+                                jnp.float32, 0, items)
+    ker = fused_functionals_pallas(proc, N, n_steps, seed=7,
+                                   functional_items=items, block_rows=128,
+                                   interpret=True, sampler=sampler)
+    for key in ("terminal", "avg", "mx"):
+        np.testing.assert_allclose(np.asarray(ker[key]),
+                                   np.asarray(ref[key]), rtol=2e-6,
+                                   err_msg=key)
+
+
+def test_fused_sobol_path_offset_invariance():
+    proc = _procs()["gbm"]
+    sampler = SobolDeviceSampler.create(8, 1)
+    full = np.asarray(fused_terminal_pallas(
+        proc, N, 8, seed=3, block_rows=64, interpret=True, sampler=sampler))
+    halves = [np.asarray(fused_terminal_pallas(
+        proc, N // 2, 8, seed=3, path_offset=o, block_rows=64,
+        interpret=True, sampler=sampler)) for o in (0, N // 2)]
+    np.testing.assert_array_equal(full, np.concatenate(halves))
+
+
+def test_dispatch_eligibility():
+    from montecarlo_tpu.engine.dispatch import _fusable_sampler
+
+    gbm = _procs()["gbm"]
+    heston = _procs()["heston"]
+    ok = SobolDeviceSampler.create(16, 1)
+    assert _fusable_sampler(ok, gbm, 16)
+    assert not _fusable_sampler(ok, gbm, 17)       # table too small
+    assert not _fusable_sampler(ok, heston, 16)    # needs 2 draws/step
+    assert _fusable_sampler(SobolDeviceSampler.create(16, 2), heston, 16)
+    assert _fusable_sampler(None, gbm, 1000)
+
+
+def test_antithetic_plus_sampler_rejected():
+    proc = _procs()["gbm"]
+    sampler = SobolDeviceSampler.create(8, 1)
+    with pytest.raises(ValueError):
+        fused_terminal_pallas(proc, N, 8, seed=0, interpret=True,
+                              antithetic=True, sampler=sampler)
+
+
+def test_ndtri32_accuracy():
+    from scipy.special import ndtri as sp_ndtri
+
+    from montecarlo_tpu.rng.normal import ndtri32
+
+    u = np.concatenate([np.linspace(2.0**-24, 1 - 2.0**-24, 30001),
+                        2.0 ** -np.arange(2, 24.0),
+                        1 - 2.0 ** -np.arange(2, 24.0)])
+    got = np.asarray(ndtri32(jnp.asarray(u, jnp.float64), jnp.float64))
+    assert np.max(np.abs(got - sp_ndtri(u))) < 1e-6  # AS241 PPND7 budget
+
+
+def test_shifted_normal_edge_bits_finite():
+    """The largest/smallest Sobol integers must map to finite normals —
+    the naive (x+0.5)*2^-30 mapping rounds to 1.0f and NaNs."""
+    x = jnp.asarray([0, 1, (1 << 30) - 2, (1 << 30) - 1], jnp.uint32)
+    z = np.asarray(_shifted_normal(x, jnp.uint32(0), jnp.float32))
+    assert np.isfinite(z).all()
+    assert z[0] < -5.0 and z[-1] > 5.0
