@@ -430,9 +430,14 @@ def _add_greeks(sub):
     p.add_argument("--payoff", default="call", choices=["call", "put",
                                                         "digital"])
     p.add_argument("--method", default="pathwise",
-                   choices=["pathwise", "lr"],
-                   help="pathwise autodiff (Lipschitz payoffs) or "
-                        "likelihood-ratio (any payoff, GBM only)")
+                   choices=["pathwise", "lr", "second-order"],
+                   help="pathwise autodiff (Lipschitz payoffs), "
+                        "likelihood-ratio (any payoff, GBM only), or "
+                        "second-order (gamma/vanna/volga via double "
+                        "autodiff of a kernel-smoothed payoff)")
+    p.add_argument("--smooth-width", type=float, default=2.0,
+                   help="payoff smoothing width for --method second-order "
+                        "(price units; bias O(w^2), gamma noise O(1/w))")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -474,6 +479,28 @@ def cmd_greeks(args) -> int:
         out = lr_greeks_gbm(proc, payoff, args.paths, args.steps,
                             seed=args.seed, discount=disc)
         print(json.dumps({k: float(v) for k, v in out.items()}))
+        return 0
+
+    if args.method == "second-order":
+        from montecarlo_tpu.engine.greeks import (second_order_greeks,
+                                                  smoothed_call)
+
+        if args.payoff != "call":
+            print("second-order greeks use the smoothed call payoff",
+                  file=sys.stderr)
+            return 2
+        sfields = ("s0", "sigma") if args.process == "gbm" else ("s0", "v0")
+        price, grad, hess = second_order_greeks(
+            proc, smoothed_call(args.strike, args.smooth_width),
+            args.paths, args.steps, seed=args.seed, fields=sfields,
+            discount=disc)
+        out = {"price": float(price),
+               "delta": float(grad[0]),
+               f"vega_{sfields[1]}": float(grad[1]),
+               "gamma": float(hess[0, 0]),
+               "vanna": float(hess[0, 1]),
+               "volga": float(hess[1, 1])}
+        print(json.dumps(out))
         return 0
 
     if args.payoff == "digital":

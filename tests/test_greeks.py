@@ -121,3 +121,41 @@ def test_smoothed_digital_delta_close_to_lr():
           / (SIGMA * np.sqrt(T)))
     delta_cf = disc * norm.pdf(d2) / (S0 * SIGMA * np.sqrt(T))
     assert abs(float(grads.s0) - delta_cf) < 0.2 * delta_cf + 5e-4
+
+
+def test_second_order_greeks_match_black_scholes():
+    """Gamma / vanna / volga from one forward-over-reverse pass through the
+    simulator with the kernel-smoothed call vs the BS closed forms."""
+    from scipy.stats import norm
+
+    from montecarlo_tpu.engine.greeks import (second_order_greeks,
+                                              smoothed_call)
+
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=T / N_STEPS,
+                      dtype=jnp.float64)
+    n = 1 << 17
+    disc = float(np.exp(-R * T))
+    price, grad, hess = second_order_greeks(
+        proc, smoothed_call(STRIKE, 1.5), n, N_STEPS, seed=11,
+        fields=("s0", "sigma"), discount=disc, dtype=jnp.float64)
+
+    sqt = np.sqrt(T)
+    d1 = (np.log(S0 / STRIKE) + (R + SIGMA**2 / 2) * T) / (SIGMA * sqt)
+    d2 = d1 - SIGMA * sqt
+    bs_gamma = norm.pdf(d1) / (S0 * SIGMA * sqt)
+    bs_vanna = -norm.pdf(d1) * d2 / SIGMA
+    bs_volga = S0 * norm.pdf(d1) * sqt * d1 * d2 / SIGMA
+
+    assert abs(float(price) - float(black_scholes_call(
+        S0, STRIKE, R, SIGMA, T))) < 0.05
+    assert abs(float(grad[0])
+               - float(black_scholes_delta(S0, STRIKE, R, SIGMA, T))) < 0.02
+    assert abs(float(hess[0, 0]) - bs_gamma) < 0.15 * abs(bs_gamma), (
+        float(hess[0, 0]), bs_gamma)
+    assert abs(float(hess[0, 1]) - bs_vanna) < (
+        0.25 * abs(bs_vanna) + 0.05), (float(hess[0, 1]), bs_vanna)
+    assert abs(float(hess[1, 1]) - bs_volga) < (
+        0.25 * abs(bs_volga) + 0.5), (float(hess[1, 1]), bs_volga)
+    # Hessian symmetry (same program computes both off-diagonals).
+    np.testing.assert_allclose(float(hess[0, 1]), float(hess[1, 0]),
+                               rtol=1e-8)
