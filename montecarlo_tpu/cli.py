@@ -11,6 +11,7 @@ Subcommands:
              plain/antithetic/Sobol)
   greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
+  stress   — scenario grids / named stress P&L (common random numbers)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -577,6 +578,71 @@ def cmd_var(args) -> int:
     return 0
 
 
+def _add_stress(sub):
+    p = sub.add_parser("stress", help="scenario grid / named stress P&L")
+    p.add_argument("--process", default="gbm", choices=["gbm", "heston"])
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=105.0)
+    p.add_argument("--rate", type=float, default=0.03)
+    p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--paths", type=int, default=65536)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--payoff", default="call", choices=["call", "put"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spot-range", type=float, default=0.2,
+                   help="grid spans +-this relative spot bump")
+    p.add_argument("--vol-range", type=float, default=0.5,
+                   help="grid spans +-this relative vol bump")
+    p.add_argument("--grid", type=int, default=5,
+                   help="points per axis (0 = named scenarios only)")
+    # Heston extras
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=-0.7)
+
+
+def cmd_stress(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.api.stress import ladder, stress_grid, stress_report
+    from montecarlo_tpu.processes import GBM, Heston
+
+    dt = args.maturity / args.steps
+    disc = float(np.exp(-args.rate * args.maturity))
+    payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
+              if args.payoff == "call"
+              else (lambda s: jnp.maximum(args.strike - s, 0.0)))
+    if args.process == "gbm":
+        proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
+        fields = ("s0", "sigma")
+    else:
+        proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                             kappa=args.kappa, theta=args.theta,
+                             xi=args.xi, rho=args.rho, dt=dt)
+        fields = ("s0", "v0")
+
+    out = stress_report(proc, payoff, args.paths, args.steps,
+                        seed=args.seed, fields=fields, discount=disc)
+    if args.grid > 0:
+        ba = ladder(-args.spot_range, args.spot_range, args.grid)
+        bb = ladder(-args.vol_range, args.vol_range, args.grid)
+        g = stress_grid(proc, payoff, args.paths, args.steps,
+                        bumps_a=ba, bumps_b=bb, seed=args.seed,
+                        fields=fields, discount=disc)
+        out["grid"] = {
+            "spot_bumps": [float(v) for v in np.asarray(g["bumps_a"])],
+            "vol_bumps": [float(v) for v in np.asarray(g["bumps_b"])],
+            "prices": np.asarray(g["prices"]).round(6).tolist(),
+            "pnl": np.asarray(g["pnl"]).round(6).tolist(),
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def _add_bond(sub):
     p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
     p.add_argument("--model", default="vasicek",
@@ -710,6 +776,7 @@ def main(argv=None) -> int:
     _add_price(sub)
     _add_greeks(sub)
     _add_var(sub)
+    _add_stress(sub)
     _add_bond(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
@@ -728,6 +795,8 @@ def main(argv=None) -> int:
         return cmd_greeks(args)
     if args.cmd == "var":
         return cmd_var(args)
+    if args.cmd == "stress":
+        return cmd_stress(args)
     if args.cmd == "bond":
         return cmd_bond(args)
     if args.cmd == "bench":
