@@ -67,6 +67,13 @@ def bermudan_swaption_lsm(model: Vasicek, strike: float, *, n_paths: int,
 
     Returns ``{"price", "std_err", "n_paths"}``.
     """
+    if not 1 <= n_exercise < n_periods:
+        # Exercise at reset n_periods would enter a swap with no remaining
+        # payments; past it the indices are nonsense (empty taus -> an
+        # obscure IndexError deep inside jit).
+        raise ValueError(
+            f"n_exercise={n_exercise} must be in [1, n_periods-1]="
+            f"[1, {n_periods - 1}]")
     dt = jnp.asarray(model.dt, dtype)
     delta = steps_per_period * dt
     n_steps = steps_per_period * (n_exercise)  # simulate to the last reset
@@ -126,7 +133,7 @@ def vasicek_swaption_jamshidian(model_params, strike: float, t0: float,
     """
     from scipy.optimize import brentq
 
-    from montecarlo_tpu.engine.rates import vasicek_bond_option
+    from montecarlo_tpu.engine.rates import vasicek_bond_option, vasicek_zcb
 
     kappa, theta, sigma = model_params
     times = t0 + delta * np.arange(1, n_periods + 1)
@@ -134,10 +141,9 @@ def vasicek_swaption_jamshidian(model_params, strike: float, t0: float,
     coupons[-1] += 1.0
 
     def p_t0(tau, r):
-        b = (1.0 - np.exp(-kappa * tau)) / kappa
-        a = np.exp((theta - sigma**2 / (2 * kappa**2)) * (b - tau)
-                   - sigma**2 * b * b / (4 * kappa))
-        return a * np.exp(-b * r)
+        # P(t0, t0+tau) seen from rate r — the affine closed form shared
+        # with the bond pricer (one implementation, one oracle).
+        return vasicek_zcb(r, kappa, theta, sigma, tau)
 
     def par_gap(r):
         return sum(c * p_t0(t - t0, r) for c, t in zip(coupons, times)) - 1.0

@@ -20,13 +20,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def _quad_nodes(n_quad: int, u_max: float):
-    x, w = np.polynomial.legendre.leggauss(n_quad)
-    return (jnp.asarray(0.5 * u_max * (x + 1.0)),
-            jnp.asarray(0.5 * u_max * w))
+# One Gauss-Legendre grid shared with the Heston pricer — the two CF
+# pricers must integrate on identical nodes or they drift apart.
+from montecarlo_tpu.engine.heston_analytic import _quad_nodes  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("phi", "n_quad"))
@@ -55,7 +53,10 @@ def cf_call_price(phi, s0, strike, T, r, *, n_quad: int = 256,
 
     p1 = p_term(lambda ui: ui - 1j, phi_m_i)
     p2 = p_term(lambda ui: ui, 1.0)
-    return disc * (jnp.real(phi_m_i) * p1 - strike * p2)
+    # C = S0 P1 - K e^{-rT} P2 with the *passed* spot (for a risk-neutral
+    # phi, disc * phi(-i) == s0, but taking the spot implicitly from the CF
+    # silently ignored the s0 argument — e.g. under a spot bump).
+    return s0 * p1 - disc * strike * p2
 
 
 def merton_log_cf(s0, r, sigma, lam, jump_mean, jump_std, T):

@@ -29,14 +29,16 @@ from montecarlo_tpu.processes.shortrate import Vasicek
 
 
 def swap_value_fn(model: Vasicek, strike: float, payment_times,
-                  pay_dt: float):
+                  pay_dt: float, dtype=jnp.float64):
     """Valuation closure for a payer swap with fixed payment calendar.
 
     ``payment_times``: (P,) absolute times of the remaining fixed/float
     payments.  Returns ``v(r, t)`` valuing the not-yet-paid legs at time t
     (payments strictly after t), affine in r through the Vasicek bond.
+    ``dtype`` pins the calendar's precision (CLAUDE.md: library code pins
+    dtypes explicitly) — default matches `exposure_profile`'s float64.
     """
-    times = jnp.asarray(payment_times)
+    times = jnp.asarray(payment_times, dtype)
 
     def value(r, t):
         taus = times - t                       # (P,)

@@ -32,6 +32,11 @@ def implied_vol_call(price, s0, strike, r, T, *, init=0.2, n_iter: int = 32):
         step = jnp.clip(step, -0.5, 0.5)
         return jnp.clip(sigma - step, 1e-4, 5.0)
 
-    sigma0 = jnp.broadcast_to(jnp.asarray(init, price.dtype), price.shape)
+    # Broadcast the start to the COMMON shape of all five inputs — seeding
+    # at price.shape alone changes the fori_loop carry shape mid-loop (and
+    # crashes) whenever strike/T carry the batch dimension.
+    shape = jnp.broadcast_shapes(price.shape, s0.shape, strike.shape,
+                                 jnp.shape(r), jnp.shape(T))
+    sigma0 = jnp.broadcast_to(jnp.asarray(init, price.dtype), shape)
     sigma = jax.lax.fori_loop(0, n_iter, body, sigma0)
     return jnp.where(valid, sigma, jnp.nan)

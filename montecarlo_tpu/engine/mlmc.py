@@ -298,12 +298,23 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
         return float(nf if l == 0 else nf + nf // m_refine)
 
     def ensure(l, n_target):
-        """Sample level l up to >= n_target paths (whole chunks)."""
+        """Sample level l up to >= n_target paths (whole chunks).
+
+        With a mesh the chunk rounds UP to the shard quantum
+        n_shards * 4096 (each shard must own whole 4096-path stat blocks) —
+        a plain ``max`` would still crash on user chunk sizes that are not
+        multiples of the quantum.  Each level's moments stay bitwise
+        mesh-shape-invariant at equal path counts; the adaptive ladder's
+        *sampled counts* can quantize differently across mesh shapes — pass
+        ``chunk_paths`` as a multiple of (max shards)*4096 when strict
+        cross-mesh reproducibility of the adaptive trajectory matters.
+        """
         chunk = max(chunk_paths >> l, 2048)
         if mesh is not None:
             from montecarlo_tpu.parallel.mesh import PATHS_AXIS
 
-            chunk = max(chunk, mesh.shape[PATHS_AXIS] * 4096)
+            q = mesh.shape[PATHS_AXIS] * 4096
+            chunk = ((chunk + q - 1) // q) * q
         while sampled[l] < n_target:
             st_y, _ = mlmc_level_moments(
                 make_process, payoff_fn, l, chunk, seed=seed,
@@ -353,9 +364,11 @@ def mlmc_estimate(make_process: Callable[[int], object], payoff_fn, *,
     std_err = math.sqrt(var_sum)
     cost = sum(level_cost(l) * sampled[l] for l in range(len(states)))
     # What single-level MC at the finest grid would pay for the same RMSE:
-    # Var[P] / var_budget paths, each costing the finest grid.
+    # Var[P] / var_budget paths, each costing n_fine steps (no coarse
+    # companion — level_cost would overstate single-level MC by 1/m).
     v0 = max(float(variance(states[0], ddof=1)), 1e-30)
-    single_cost = (v0 / var_budget) * level_cost(len(states) - 1)
+    single_cost = (v0 / var_budget) * float(
+        n0_steps * m_refine ** (len(states) - 1))
     return {
         "price": d * st_sum,
         "std_err": d * std_err,

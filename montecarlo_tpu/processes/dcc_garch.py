@@ -66,9 +66,13 @@ class DCCGarch(NormalDrawsMixin, NamedTuple("DCCGarchFields", [
     @classmethod
     def create(cls, s0, var0, omega, alpha, beta, qbar, weights,
                a_dcc=0.03, b_dcc=0.95, dtype=jnp.float32):
-        qbar = np.asarray(qbar, np.float64)
-        if not np.allclose(qbar, qbar.T) or np.any(np.diag(qbar) != 1.0):
+        qbar = np.array(qbar, np.float64)  # copy: the diagonal is snapped
+        if (not np.allclose(qbar, qbar.T)
+                or not np.allclose(np.diag(qbar), 1.0)):
+            # Tolerance on the diagonal too: np.corrcoef output carries
+            # 1 +/- 1ulp diagonals, which exact equality would reject.
             raise ValueError("qbar must be a correlation matrix")
+        qbar[np.arange(len(qbar)), np.arange(len(qbar))] = 1.0
         if float(a_dcc) + float(b_dcc) >= 1.0:
             raise ValueError("need a_dcc + b_dcc < 1 for stationarity")
         as_ = lambda v: jnp.asarray(v, dtype)

@@ -81,3 +81,13 @@ def test_jamshidian_degenerates_to_bond_option():
     direct = c * vasicek_bond_option(R0, KAPPA, THETA, SIGMA, 1.0, 1.5,
                                      1.0 / c, call=False)
     assert abs(cf - direct) < 1e-12
+
+
+def test_n_exercise_bounds_validated():
+    import pytest
+
+    model = Vasicek.create(r0=0.03, kappa=0.8, theta=0.05, sigma=0.015,
+                           dt=1 / 16)
+    with pytest.raises(ValueError, match="n_exercise"):
+        bermudan_swaption_lsm(model, 0.05, n_paths=256, steps_per_period=4,
+                              n_periods=4, n_exercise=4, seed=0)

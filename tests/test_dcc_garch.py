@@ -104,3 +104,17 @@ def test_create_validation():
         DCCGarch.create(s0=S0, var0=VAR0, omega=[1e-5] * 3,
                         alpha=[0.1] * 3, beta=[0.85] * 3,
                         qbar=QBAR * 2.0, weights=W)  # not a correlation
+
+
+def test_create_accepts_corrcoef_diagonal():
+    """np.corrcoef diagonals carry 1 +/- 1ulp; create must tolerate them
+    (exact float equality used to reject valid inputs)."""
+    rng = np.random.default_rng(7)
+    q = np.corrcoef(rng.normal(size=(3, 500)))
+    q[0, 0] = np.nextafter(1.0, 0.0)  # force the 1-ulp case
+    q[0, 1] = q[1, 0] = q[0, 1]  # keep symmetry
+    proc = DCCGarch.create(s0=[100.0] * 3, var0=[2e-4] * 3,
+                           omega=[1e-5] * 3, alpha=[0.1] * 3,
+                           beta=[0.85] * 3, qbar=q, weights=[1 / 3] * 3)
+    qb = np.asarray(proc.qbar_flat).reshape(3, 3)
+    np.testing.assert_array_equal(np.diag(qb), 1.0)

@@ -88,3 +88,22 @@ def test_implied_vol_roundtrip():
 def test_implied_vol_rejects_arbitrage():
     iv = implied_vol_call(jnp.asarray([0.0, 150.0]), S0, 100.0, R, 1.0)
     assert np.all(np.isnan(np.asarray(iv)))
+
+
+def test_implied_vol_batches_over_strike():
+    """Scalar price with a batched strike axis must broadcast (the Newton
+    carry used to be seeded at price.shape and crash; review finding r2)."""
+    from montecarlo_tpu.engine import black_scholes_call
+    from montecarlo_tpu.engine.implied_vol import implied_vol_call
+
+    strikes = jnp.asarray([90.0, 100.0, 110.0])
+    prices = black_scholes_call(100.0, strikes, 0.03, 0.25, 1.0)
+    # batched prices, scalar everything else
+    ivs = np.asarray(implied_vol_call(prices, 100.0, strikes, 0.03, 1.0))
+    np.testing.assert_allclose(ivs, 0.25, atol=1e-6)
+    # scalar price, batched strike: one price cannot match all strikes,
+    # but the solver must run (shape = common broadcast), not crash.
+    out = np.asarray(implied_vol_call(float(prices[1]), 100.0, strikes,
+                                      0.03, 1.0))
+    assert out.shape == (3,)
+    np.testing.assert_allclose(out[1], 0.25, atol=1e-6)

@@ -95,3 +95,14 @@ def test_kou_antithetic_reduces_variance():
     a_pay = np.maximum(anti - 105.0, 0.0)
     pair_means = a_pay.reshape(-1, 2).mean(axis=1)  # pairs are (2k, 2k+1)
     assert pair_means.var() < p_pay.reshape(-1, 2).mean(axis=1).var()
+
+
+def test_cf_call_price_uses_passed_spot():
+    """The s0 argument must enter the S0*P1 term (it used to be dead code,
+    silently ignoring spot bumps)."""
+    from montecarlo_tpu.engine.cf_pricing import cf_call_price, kou_log_cf
+
+    phi = kou_log_cf(100.0, 0.03, 0.2, 1.0, 0.4, 10.0, 5.0, 1.0)
+    base = float(cf_call_price(phi, 100.0, 105.0, 1.0, 0.03))
+    bumped = float(cf_call_price(phi, 101.0, 105.0, 1.0, 0.03))
+    assert bumped > base + 0.3  # ~delta * 1.0, not identical

@@ -181,3 +181,19 @@ def test_mlmc_rejects_bootstrap_draws():
 
     with pytest.raises(TypeError):
         mlmc_level_moments(make, _payoff, level=1, n_paths=128, seed=1)
+
+
+def test_mlmc_sharded_accepts_unaligned_chunk():
+    """chunk_paths that is not a multiple of n_shards*4096 must round up to
+    the shard quantum instead of crashing mid-run (review finding r2)."""
+    from montecarlo_tpu.parallel import make_mesh
+
+    res = mlmc_estimate(_euler, _payoff, target_rmse=0.08, seed=23,
+                        n0_steps=4, dtype=jnp.float64,
+                        chunk_paths=100_000,  # 100000 % (4*4096) != 0
+                        discount=math.exp(-R * T), mesh=make_mesh(4))
+    bs = black_scholes_call(S0, STRIKE, R, SIGMA, T)
+    assert abs(res["price"] - bs) < 4 * 0.08
+    # Every level's sampled count sits on the 4*4096 shard quantum.
+    for lvl in res["levels"]:
+        assert lvl.n_paths % (4 * 4096) == 0
