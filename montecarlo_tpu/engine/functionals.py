@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.engine.simulate import path_ids_for
+from montecarlo_tpu.engine.simulate import check_sampler
 from montecarlo_tpu.samplers import PlainSampler
 
 
@@ -145,6 +146,7 @@ def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
     fns = [f for _, f in functional_items]
     if sampler is None:
         sampler = PlainSampler()
+    check_sampler(sampler, process, n_steps)
     ids = path_ids_for(n_paths, path_offset)
     state0 = process.init_state(ids, dtype)
     s0_prices = process.prices(state0)

@@ -58,6 +58,16 @@ def stratified_terminal_estimate(process: GBM, payoff_fn, n_paths: int, *,
 
     from montecarlo_tpu.rng.normal import uniform_draw
 
+    if n_paths % n_replicates:
+        raise ValueError(
+            f"n_paths={n_paths} must be divisible by "
+            f"n_replicates={n_replicates} (interleaved replication)")
+    if n_paths > 1 << 24 and dtype == jnp.float32:
+        # ids.astype(f32) rounds odd ids past 2^24 — strata would be
+        # double-covered/skipped and the estimator silently biased.
+        raise ValueError(
+            "stratification beyond 2^24 paths needs dtype=float64 "
+            "(float32 cannot index the strata exactly)")
     ids = jnp.arange(n_paths, dtype=jnp.uint32)
     v = uniform_draw(seed, 0x5742, ids, jnp.uint32(0), dtype)
     u = (ids.astype(dtype) + v) / n_paths

@@ -23,6 +23,20 @@ import jax.numpy as jnp
 from montecarlo_tpu.samplers import PlainSampler
 
 
+def check_sampler(sampler, process, n_steps: int) -> None:
+    """Trace-time guard: a sampler with a finite dimension table must cover
+    every (step, draw) dimension.  Without this, `sv[dim]` past the table is
+    a clamping out-of-bounds gather — later steps silently REUSE the last
+    dimension's Sobol point (only the digital shift differs), giving
+    strongly dependent increments and a biased estimate with no error.
+    """
+    if sampler is None:
+        return
+    validate = getattr(sampler, "validate", None)
+    if validate is not None:
+        validate(process, n_steps)
+
+
 def path_ids_for(n_paths: int, path_offset=0):
     """Global path ids for a contiguous block starting at ``path_offset``.
 
@@ -59,6 +73,7 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
     """
     if sampler is None:
         sampler = PlainSampler()
+    check_sampler(sampler, process, n_steps)
     ids = path_ids_for(n_paths, path_offset)
     state0 = process.init_state(ids, dtype)
 
@@ -92,6 +107,7 @@ def replay_paths(process, path_ids, n_steps: int, *, seed: int,
     """
     if sampler is None:
         sampler = PlainSampler()
+    check_sampler(sampler, process, n_steps)
     ids = jnp.asarray(path_ids, jnp.uint32)
     state0 = process.init_state(ids, dtype)
 

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.stats.quantiles import (
     HistogramSketch,
     sketch_cdf,
@@ -45,7 +44,10 @@ from montecarlo_tpu.stats.welford import (
     std_error,
 )
 
-DEFAULT_BLOCK = 4096
+# One constant shared with the sharded estimators: streamed/resumed and
+# sharded runs must partition paths into the SAME fixed blocks or the
+# bitwise-reproducibility contract (DEVNOTES) silently breaks.
+from montecarlo_tpu.parallel.sharded import DEFAULT_BLOCK  # noqa: E402
 
 
 @dataclass
@@ -66,16 +68,27 @@ class StreamingState:
         single-file), orbax otherwise (directory; async-capable, the JAX
         ecosystem's standard checkpoint format)."""
         if path.endswith(".npz"):
-            tmp = tempfile.mktemp(dir=os.path.dirname(os.path.abspath(path)))
-            np.savez(
-                tmp, seed=self.seed, n_steps=self.n_steps,
-                block_size=self.block_size, paths_done=self.paths_done,
-                block_count=self.block_count, block_mean=self.block_mean,
-                block_m2=self.block_m2,
-                **{f"sk_{k}": np.asarray(v)
-                   for k, v in self.sketch._asdict().items()},
-            )
-            os.replace(tmp + ".npz", path)
+            # mkstemp (not the race-prone mktemp): the temp file exists from
+            # creation, so concurrent writers cannot collide on the name.
+            fd, tmp = tempfile.mkstemp(
+                suffix=".npz", dir=os.path.dirname(os.path.abspath(path)))
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    np.savez(
+                        fh, seed=self.seed, n_steps=self.n_steps,
+                        block_size=self.block_size,
+                        paths_done=self.paths_done,
+                        block_count=self.block_count,
+                        block_mean=self.block_mean,
+                        block_m2=self.block_m2,
+                        **{f"sk_{k}": np.asarray(v)
+                           for k, v in self.sketch._asdict().items()},
+                    )
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
             return
         import orbax.checkpoint as ocp
 
@@ -248,9 +261,18 @@ def streaming_estimate(
     return state
 
 
-def risk_from_state(state: StreamingState, current_price: float) -> dict:
+def risk_from_state(state: StreamingState, current_price: float, *,
+                    moments_are_prices: bool = True) -> dict:
     """The reference's risk statistics (app.py:647-657) from streamed state —
-    sketch-based quantiles instead of exact sort (error <= one bin width)."""
+    sketch-based quantiles instead of exact sort (error <= one bin width).
+
+    The sketch always holds terminal *prices*; the moment state holds
+    whatever ``payoff_fn`` the stream ran with.  If the stream used a
+    non-identity payoff, pass ``moments_are_prices=False`` — the price
+    moments then come from the sketch (bin midpoints) so expected
+    return/vol stay price-consistent, and the payoff moments are reported
+    separately as ``payoff_mean``/``payoff_std_err``.
+    """
     m = state.moments()
     s0 = float(current_price)
     # Explicit dtype: device reads use the widest float available so the
@@ -261,10 +283,22 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
     p = {f"p{q}": float(sketch_quantile(sk, float(q)))
          for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
     tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
-    mean = float(m.mean)
-    std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))
+    if moments_are_prices:
+        mean = float(m.mean)
+        std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))
+    else:
+        # Price mean/std from the sketch (bin-midpoint approximation) —
+        # the moment state carries payoff values, not prices.
+        bins = sk.counts.shape[0]
+        width = (sk.hi - sk.lo) / bins
+        mids = sk.lo + (jnp.arange(bins, dtype=vdt) + 0.5) * width
+        w = sk.counts.astype(vdt)
+        tot = jnp.maximum(jnp.sum(w), 1.0)
+        mean = float(jnp.sum(w * mids) / tot)
+        std = float(jnp.sqrt(jnp.maximum(
+            jnp.sum(w * jnp.square(mids - mean)) / tot, 0.0)))
     prob_profit = 100.0 * (1.0 - float(sketch_cdf(sk, s0)))
-    return {
+    out = {
         "percentiles": p,
         "expected_return": (mean / s0 - 1.0) * 100.0,
         "expected_vol": std / s0 * 100.0,
@@ -276,4 +310,9 @@ def risk_from_state(state: StreamingState, current_price: float) -> dict:
         "std_err": float(std_error(m)),
         "n_paths": int(float(m.count)),
     }
+    if not moments_are_prices:
+        out["payoff_mean"] = float(m.mean)
+        out["payoff_std_err"] = float(std_error(m))
+        # std_err above refers to the payoff stream; make that explicit.
+    return out
 

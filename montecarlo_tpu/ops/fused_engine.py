@@ -138,6 +138,10 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
     num_blocks = n_paths // block
     if sampler is not None and antithetic:
         raise ValueError("antithetic composes with the default draws only")
+    if sampler is not None:
+        from montecarlo_tpu.engine.simulate import check_sampler
+
+        check_sampler(sampler, process, n_steps)
 
     tree = (process, sampler) if sampler is not None else process
     leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(tree)
@@ -257,6 +261,10 @@ def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
     num_blocks = n_paths // block
     if sampler is not None and antithetic:
         raise ValueError("antithetic composes with the default draws only")
+    if sampler is not None:
+        from montecarlo_tpu.engine.simulate import check_sampler
+
+        check_sampler(sampler, process, n_steps)
     names = [k for k, _ in functional_items]
     fns = tuple(f for _, f in functional_items)
 
@@ -356,6 +364,10 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
     rows_per_stat = stats_block // LANES
     if sampler is not None and antithetic:
         raise ValueError("antithetic composes with the default draws only")
+    if sampler is not None:
+        from montecarlo_tpu.engine.simulate import check_sampler
+
+        check_sampler(sampler, process, n_steps)
 
     tree = (process, sampler) if sampler is not None else process
     leaf_inputs, leaf_specs, treedef, leaf_ndims = _flatten_process(tree)

@@ -34,10 +34,7 @@ from montecarlo_tpu.stats.welford import (
     moments_reduce,
     std_error,
 )
-from montecarlo_tpu.stats.quantiles import (
-    sketch_from_array,
-    sketch_merge,
-)
+from montecarlo_tpu.stats.quantiles import sketch_from_array
 
 #: Paths per statistics block. Fixed (mesh-independent) by design — do not
 #: scale it with the device count or reproducibility across mesh shapes dies.
@@ -52,25 +49,34 @@ def _check_divisible(n_paths: int, n_shards: int, block_size: int):
         )
 
 
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
+                                   "dtype", "axis", "mesh"))
 def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
                      mesh, stream: int = 0, sampler=None,
                      dtype=jnp.float32, axis: str = PATHS_AXIS,
-                     path_offset: int = 0):
-    """Terminal prices as a global array sharded over the path axis."""
+                     path_offset=0):
+    """Terminal prices as a global array sharded over the path axis.
+
+    ``path_offset`` is a traced operand: chunked callers (streaming) reuse
+    ONE compiled program across chunks — a per-call closure would retrace
+    and recompile for every chunk offset (seconds each through the relay).
+    """
     n_shards = mesh.shape[axis]
     if n_paths % n_shards != 0:
         raise ValueError(f"n_paths={n_paths} not divisible by {n_shards} shards")
     local_n = n_paths // n_shards
 
-    def shard_fn():
-        offset = path_offset + jax.lax.axis_index(axis) * local_n
-        return terminal_prices(process, local_n, n_steps, seed=seed,
-                               stream=stream, sampler=sampler, dtype=dtype,
+    def shard_fn(proc, sampler_, off0):
+        offset = off0 + jax.lax.axis_index(axis) * local_n
+        return terminal_prices(proc, local_n, n_steps, seed=seed,
+                               stream=stream, sampler=sampler_, dtype=dtype,
                                path_offset=offset)
 
-    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(), out_specs=P(axis),
-                       check_vma=False)
-    return jax.jit(fn)()
+    off0 = jnp.asarray(path_offset, jnp.int32)
+    spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
+    return jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
+                         out_specs=P(axis),
+                         check_vma=False)(process, sampler, off0)
 
 
 def block_moments(values, block_size: int = DEFAULT_BLOCK) -> MomentState:
@@ -252,13 +258,20 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
         sketch = sketch_from_array(terminal, lo, hi, bins, dtype)
         moments = block_moments(terminal, block_size)
         # Sketch counts: exact integer adds -> psum is safe and exact.
+        # Scalar totals: a float psum rounds (order-dependently) past 2^24
+        # samples, which would break bitwise mesh-shape invariance — the
+        # global total is just the static n_paths, and under/overflow psum
+        # through int32 (per-shard values are exact integers < 2^31).
+        f = sketch.total.dtype
         merged_sketch = type(sketch)(
             lo=sketch.lo,
             hi=sketch.hi,
             counts=jax.lax.psum(sketch.counts, axis),
-            total=jax.lax.psum(sketch.total, axis),
-            underflow=jax.lax.psum(sketch.underflow, axis),
-            overflow=jax.lax.psum(sketch.overflow, axis),
+            total=jnp.asarray(n_paths, f),
+            underflow=jax.lax.psum(
+                sketch.underflow.astype(jnp.int32), axis).astype(f),
+            overflow=jax.lax.psum(
+                sketch.overflow.astype(jnp.int32), axis).astype(f),
             vmin=jax.lax.pmin(sketch.vmin, axis),
             vmax=jax.lax.pmax(sketch.vmax, axis),
         )

@@ -158,6 +158,18 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
     def n_dims(self) -> int:
         return self.sv.shape[0]
 
+    def validate(self, process, n_steps: int) -> None:
+        """Trace-time guard called by the engines: ``sv[dim]`` past the
+        table is a *clamping* gather — later steps would silently reuse the
+        last dimension's point (biased, no error)."""
+        need = n_steps * process.n_draws
+        if self.n_dims < need:
+            raise ValueError(
+                f"Sobol table has {self.n_dims} dimensions but this run "
+                f"needs n_steps*n_draws = {n_steps}*{process.n_draws} = "
+                f"{need}; build with SobolDeviceSampler.create({n_steps}, "
+                f"{process.n_draws})")
+
     @classmethod
     def create(cls, n_steps: int, n_draws: int = 1,
                scramble_seed: int | None = 0) -> "SobolDeviceSampler":
@@ -219,6 +231,16 @@ class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
     same per-dimension digital shift as :class:`SobolDeviceSampler`.
     Single-draw processes only (n_draws == 1).
     """
+
+    def validate(self, process, n_steps: int) -> None:
+        """Trace-time guard (see SobolDeviceSampler.validate)."""
+        if process.n_draws != 1:
+            raise ValueError("bridge sampler supports n_draws == 1")
+        if n_steps > self.dims.shape[0]:
+            raise ValueError(
+                f"bridge sampler built for {self.dims.shape[0]} steps but "
+                f"this run has {n_steps}; build with "
+                f"SobolBridgeDeviceSampler.create({n_steps})")
 
     def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
         if process.n_draws != 1:

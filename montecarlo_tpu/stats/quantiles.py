@@ -220,10 +220,17 @@ def sketch_quantile_std_err(s: HistogramSketch, q, smooth_bins: int = 9):
     k = jnp.clip(jnp.floor((x_q - s.lo) / width).astype(jnp.int32),
                  0, bins - 1)
     h = smooth_bins // 2
-    idx = jnp.clip(k + jnp.arange(-h, h + 1), 0, bins - 1)
-    win = jnp.sum(s.counts[idx].astype(vdt))
+    idx = k + jnp.arange(-h, h + 1)
+    valid = (idx >= 0) & (idx < bins)
+    # Mask out-of-grid window positions instead of clipping them onto the
+    # edge bins — clipping double-counts bin 0 / bins-1 for quantiles near
+    # the grid edges, overestimating the density (underestimating the se).
+    win = jnp.sum(jnp.where(valid,
+                            s.counts[jnp.clip(idx, 0, bins - 1)],
+                            0).astype(vdt))
+    n_win = jnp.sum(valid.astype(vdt))
     n = jnp.maximum(s.total.astype(vdt), 1.0)
-    dens = jnp.maximum(win / (n * (2 * h + 1) * width), 1e-30)
+    dens = jnp.maximum(win / (n * n_win * width), 1e-30)
     return jnp.sqrt(qf * (1.0 - qf) / n) / dens
 
 

@@ -106,3 +106,20 @@ def test_shifted_normal_edge_bits_finite():
     z = np.asarray(_shifted_normal(x, jnp.uint32(0), jnp.float32))
     assert np.isfinite(z).all()
     assert z[0] < -5.0 and z[-1] > 5.0
+
+
+def test_short_table_rejected_everywhere():
+    """A Sobol table smaller than n_steps*n_draws used to clamp the gather
+    and silently reuse the last dimension — now every engine rejects it."""
+    from montecarlo_tpu.rng.sobol import SobolBridgeDeviceSampler
+
+    proc = _procs()["gbm"]
+    small = SobolDeviceSampler.create(8, 1)
+    with pytest.raises(ValueError, match="Sobol table"):
+        simulate(proc, 256, 9, seed=0, sampler=small)
+    with pytest.raises(ValueError, match="Sobol table"):
+        fused_terminal_pallas(proc, N, 9, seed=0, interpret=True,
+                              sampler=small)
+    with pytest.raises(ValueError, match="bridge sampler"):
+        simulate(proc, 256, 9, seed=0,
+                 sampler=SobolBridgeDeviceSampler.create(8))
