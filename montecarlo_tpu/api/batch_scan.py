@@ -28,7 +28,8 @@ import numpy as np
 from montecarlo_tpu.api.scanner import ScanResult, signal_label
 from montecarlo_tpu.config import ModelConfig
 from montecarlo_tpu.data.fetch import get_stock_ohlcv
-from montecarlo_tpu.ml.model import FEATURE_COLS, _fit_folds, _gbt_cfg, make_target
+from montecarlo_tpu.ml.model import (FEATURE_COLS, _fit_folds, _gbt_cfg,
+                                     edge_and_confidence, make_target)
 from montecarlo_tpu.ml.splits import split_bounds
 from montecarlo_tpu.quant.features import compute_features, finalize
 
@@ -82,20 +83,30 @@ def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
     valid = np.asarray(valid)  # (B, T)
     feats = {k: np.asarray(v) for k, v in feats.items()}
 
-    # Rows surviving dropna are a suffix (all NaN sources are leading
-    # windows); group tickers by surviving length so shapes stay static.
+    # Group tickers by surviving row count so shapes stay static.  (NaN
+    # survivors are NOT always a suffix — mid-series NaNs drop interior
+    # rows, see quant/features.py finalize — hence np.nonzero below.)
     sub_groups: Dict[int, List[int]] = {}
     for i in range(len(names)):
         sub_groups.setdefault(int(valid[i].sum()), []).append(i)
 
     for n_valid, idxs in sorted(sub_groups.items()):
         batch_names = [names[i] for i in idxs]
-        if n_valid - horizon < config.min_data_points:
+        # Same two-gate failure taxonomy as the threaded scanner
+        # (api/scanner.py:41-50, mirroring reference app.py:1356-1371):
+        # short history -> "Insufficient data"; history that passes the
+        # scan gate but whose target-dropped length fails the CV guard
+        # -> "Model training failed".
+        if n_valid < config.min_data_points:
+            reason = (f"Insufficient data: {n_valid}/"
+                      f"{config.min_data_points} days")
+        elif n_valid - horizon < config.min_data_points:
+            reason = "Model training failed"
+        else:
+            reason = None
+        if reason is not None:
             for t in batch_names:
-                out.failed.append({
-                    "Ticker": t,
-                    "Reason": (f"Insufficient data: {n_valid}/"
-                               f"{config.min_data_points} days")})
+                out.failed.append({"Ticker": t, "Reason": reason})
             done += len(idxs)
             if progress_callback:
                 progress_callback(done, total, out)
@@ -138,6 +149,7 @@ def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
                 rmse.append(float(np.sqrt(np.mean((p - a) ** 2))))
                 da.append(float(np.mean(np.sign(p) == np.sign(a))))
             avg_da = float(np.mean(da))
+            has_edge, confidence = edge_and_confidence(avg_da)
             pred_log = float(final_preds[b, -1])
             out.results.append({
                 "Ticker": t,
@@ -147,8 +159,8 @@ def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
                 "Volatility": vols[b] * 100.0,
                 "Signal": signal_label(1 if pred_log > 0
                                        else -1 if pred_log < 0 else 0),
-                "Edge": avg_da > 0.52,
-                "Confidence": min(1.0, (avg_da - 0.50) / 0.10) * 100.0,
+                "Edge": has_edge,
+                "Confidence": confidence * 100.0,
             })
             done += 1
             if progress_callback:

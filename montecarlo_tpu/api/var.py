@@ -17,12 +17,6 @@ import numpy as np
 from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.engine.streaming import streaming_estimate, risk_from_state
 from montecarlo_tpu.parallel.sharded import sharded_terminal_sketch
-from montecarlo_tpu.stats.quantiles import (
-    sketch_cdf,
-    sketch_quantile,
-    sketch_quantile_std_err,
-    sketch_tail_mean_below,
-)
 from montecarlo_tpu.stats.welford import std_error
 
 
@@ -61,25 +55,14 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
         sketch, moments = sharded_terminal_sketch(
             process, n_paths, n_days, seed=seed, mesh=mesh, lo=lo, hi=hi,
             bins=bins, block_size=block_size)
-        s0 = float(current_value)
-        p = {f"p{q}": float(sketch_quantile(sketch, float(q)))
-             for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
-        tail = float(sketch_tail_mean_below(sketch, p["p5"]))
+        from montecarlo_tpu.engine.streaming import risk_dict
+
         mean = float(moments.mean)
         std = float(jnp.sqrt(moments.m2 / jnp.maximum(moments.count, 1)))
-        cdf_at_s0 = float(sketch_cdf(sketch, s0))
-        return {
-            "percentiles": p,
-            "expected_return": (mean / s0 - 1.0) * 100.0,
-            "expected_vol": std / s0 * 100.0,
-            "prob_profit": (1.0 - cdf_at_s0) * 100.0,
-            "var_95": (s0 - p["p5"]) / s0 * 100.0,
-            "var_95_std_err": float(sketch_quantile_std_err(sketch, 5.0))
-            / s0 * 100.0,
-            "cvar_95": (s0 - tail) / s0 * 100.0,
-            "std_err": float(std_error(moments)),
-            "n_paths": int(float(moments.count)),
-        }
+        return risk_dict(sketch, mean=mean, std=std,
+                         std_err=float(std_error(moments)),
+                         count=int(float(moments.count)),
+                         current_price=current_value)
 
     chunk = chunk_paths or min(n_paths, 1 << 20)
     state = streaming_estimate(
@@ -116,17 +99,32 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
     @functools.partial(jax.jit, static_argnames=())
     def run(seed0):
         def body(i, carry):
-            counts, total, mean, m2 = carry
+            counts, uf, of, vmin, vmax, total, mean, m2 = carry
             term = terminal_prices(process, chunk_paths, n_days, seed=seed0,
                                    path_offset=i * chunk_paths)
-            idx = jnp.clip(jnp.floor((term - lo) / width).astype(jnp.int32),
-                           0, bins - 1)
+            raw = jnp.floor((term - lo) / width).astype(jnp.int32)
+            under = raw < 0
+            over = raw >= bins
+            in_range = ~(under | over)
+            # Out-of-range terminals are COUNTED (under/overflow), not
+            # clipped into the edge bins — clipping would place truncated
+            # tail mass at the edge-bin midpoint, silently understating
+            # VaR/CVaR, and zeroed counters would hide that it happened
+            # (same semantics as stats.quantiles.sketch_add).
+            idx = jnp.where(in_range, jnp.clip(raw, 0, bins - 1), 0)
             # int32 counts: exact to 2^31 (f32 would silently saturate
             # precision at 2^24 per bin); MXU one-hot histogram (scatter is
             # ~7x slower on TPU).
             from montecarlo_tpu.stats.quantiles import histogram_counts
 
-            counts = counts + histogram_counts(idx, bins, jnp.int32)
+            batch = histogram_counts(idx, bins, jnp.int32)
+            n_oob = jnp.sum(~in_range, dtype=jnp.int32)
+            batch = batch.at[0].add(-n_oob)
+            counts = counts + batch
+            uf = uf + jnp.sum(under, dtype=jnp.int32)
+            of = of + jnp.sum(over, dtype=jnp.int32)
+            vmin = jnp.minimum(vmin, jnp.min(term))
+            vmax = jnp.maximum(vmax, jnp.max(term))
             # Chan merge of the chunk moments into the running state.
             c_n = jnp.float32(chunk_paths)
             c_mean = jnp.mean(term)
@@ -135,35 +133,25 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
             delta = c_mean - mean
             mean_new = mean + delta * c_n / n_new
             m2_new = m2 + c_m2 + jnp.square(delta) * total * c_n / n_new
-            return counts, n_new, mean_new, m2_new
+            return counts, uf, of, vmin, vmax, n_new, mean_new, m2_new
 
-        init = (jnp.zeros((bins,), jnp.int32), jnp.float32(0.0),
-                jnp.float32(0.0), jnp.float32(0.0))
+        init = (jnp.zeros((bins,), jnp.int32), jnp.int32(0), jnp.int32(0),
+                jnp.float32(jnp.inf), jnp.float32(-jnp.inf),
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
-    counts, total, mean, m2 = run(jnp.int32(seed))
+    counts, uf, of, vmin, vmax, total, mean, m2 = run(jnp.int32(seed))
     counts_np = np.asarray(counts).astype(np.float64)
     total_f, mean_f, m2_f = float(total), float(mean), float(m2)
 
     sketch = HistogramSketch(
         lo=jnp.asarray(float(lo)), hi=jnp.asarray(float(hi)),
         counts=jnp.asarray(counts_np), total=jnp.asarray(total_f),
-        underflow=jnp.asarray(0.0), overflow=jnp.asarray(0.0),
-        vmin=jnp.asarray(float(lo)), vmax=jnp.asarray(float(hi)))
-    s0 = float(current_value)
-    p = {f"p{q}": float(sketch_quantile(sketch, float(q)))
-         for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
-    tail = float(sketch_tail_mean_below(sketch, p["p5"]))
+        underflow=jnp.asarray(float(uf)), overflow=jnp.asarray(float(of)),
+        vmin=jnp.asarray(float(vmin)), vmax=jnp.asarray(float(vmax)))
+    from montecarlo_tpu.engine.streaming import risk_dict
+
     std = float(np.sqrt(m2_f / max(total_f, 1.0)))
-    return {
-        "percentiles": p,
-        "expected_return": (mean_f / s0 - 1.0) * 100.0,
-        "expected_vol": std / s0 * 100.0,
-        "prob_profit": (1.0 - float(sketch_cdf(sketch, s0))) * 100.0,
-        "var_95": (s0 - p["p5"]) / s0 * 100.0,
-        "var_95_std_err": float(sketch_quantile_std_err(sketch, 5.0))
-        / s0 * 100.0,
-        "cvar_95": (s0 - tail) / s0 * 100.0,
-        "std_err": std / np.sqrt(max(total_f, 1.0)),
-        "n_paths": int(total_f),
-    }
+    return risk_dict(sketch, mean=mean_f, std=std,
+                     std_err=std / np.sqrt(max(total_f, 1.0)),
+                     count=int(total_f), current_price=current_value)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from montecarlo_tpu.config import ModelConfig, TradingConfig
-from montecarlo_tpu.ml.model import ForecastModel, _fit_folds, _gbt_cfg, make_target
+from montecarlo_tpu.ml.model import _fit_folds, _gbt_cfg, prepare_matrix
 
 
 @partial(jax.jit, static_argnames=("trading",))
@@ -97,19 +97,16 @@ class WalkForwardBacktester:
     def run(self, data: Dict[str, np.ndarray], forecast_horizon: int,
             retrain_frequency: int = 60,
             progress_callback=None) -> Optional[Dict]:
-        target = make_target(data["log_ret"], forecast_horizon)
-        ok = ~np.isnan(target)
-        n = int(ok.sum())
+        # One preparation path with the model (ml.model.prepare_matrix):
+        # the backtest must trade on exactly the matrix the CV gate scored.
+        x, y, feats, extras = prepare_matrix(
+            data, forecast_horizon, extra_keys=("Close", "rvol_20", "Date"))
+        n = len(y)
         if n < self.model_config.min_data_points:
             return None
-        feats = [f for f in ForecastModel.FEATURE_COLS if f in data]
-        x = np.stack([np.asarray(data[f], np.float64)[ok] for f in feats],
-                     axis=1)
-        y = target[ok]
-        close = np.asarray(data["Close"], np.float64)[ok]
-        rvol20 = np.asarray(data["rvol_20"], np.float64)[ok]
-        dates = (np.asarray(data["Date"])[ok] if "Date" in data
-                 else np.arange(n))
+        close = np.asarray(extras["Close"], np.float64)
+        rvol20 = np.asarray(extras["rvol_20"], np.float64)
+        dates = extras.get("Date", np.arange(n))
 
         train_end = int(n * 0.6)
         if train_end < 252:

@@ -147,7 +147,11 @@ def get_stock_data(ticker: str, period: str = "5y", *,
             raise ValueError(f"unknown provider: {provider}")
         result = _featurize(ohlcv) if ohlcv is not None else None
     except Exception:
-        result = None
+        # Do NOT negative-cache transient failures (network blip, rate
+        # limit): the reference's st.cache_data never caches exceptions
+        # (app.py:887), so a retry there hits the network immediately —
+        # caching None here would blind the scanner for the whole TTL.
+        return None
     _CACHE[key] = (now, result)
     return result
 
@@ -175,7 +179,7 @@ def get_stock_ohlcv(ticker: str, period: str = "5y", *,
         if ohlcv is not None and len(ohlcv["Close"]) < MIN_ROWS:
             ohlcv = None
     except Exception:
-        ohlcv = None
+        return None  # transient failure: not cached (see get_stock_data)
     _CACHE[key] = (now, ohlcv)
     return ohlcv
 

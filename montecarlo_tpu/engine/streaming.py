@@ -280,9 +280,6 @@ def risk_from_state(state: StreamingState, current_price: float, *,
     vdt = jnp.result_type(float)
     sk = HistogramSketch(*(jnp.asarray(np.asarray(v, vdt))
                            for v in state.sketch))
-    p = {f"p{q}": float(sketch_quantile(sk, float(q)))
-         for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
-    tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
     if moments_are_prices:
         mean = float(m.mean)
         std = float(jnp.sqrt(m.m2 / jnp.maximum(m.count, 1)))
@@ -297,22 +294,34 @@ def risk_from_state(state: StreamingState, current_price: float, *,
         mean = float(jnp.sum(w * mids) / tot)
         std = float(jnp.sqrt(jnp.maximum(
             jnp.sum(w * jnp.square(mids - mean)) / tot, 0.0)))
-    prob_profit = 100.0 * (1.0 - float(sketch_cdf(sk, s0)))
-    out = {
-        "percentiles": p,
-        "expected_return": (mean / s0 - 1.0) * 100.0,
-        "expected_vol": std / s0 * 100.0,
-        "prob_profit": prob_profit,
-        "var_95": (s0 - p["p5"]) / s0 * 100.0,
-        "var_95_std_err": float(sketch_quantile_std_err(sk, 5.0))
-        / s0 * 100.0,
-        "cvar_95": (s0 - tail_mean) / s0 * 100.0,
-        "std_err": float(std_error(m)),
-        "n_paths": int(float(m.count)),
-    }
+    out = risk_dict(sk, mean=mean, std=std, std_err=float(std_error(m)),
+                    count=int(float(m.count)), current_price=s0)
     if not moments_are_prices:
         out["payoff_mean"] = float(m.mean)
         out["payoff_std_err"] = float(std_error(m))
         # std_err above refers to the payoff stream; make that explicit.
     return out
+
+
+def risk_dict(sk: HistogramSketch, *, mean: float, std: float,
+              std_err: float, count: int, current_price: float) -> dict:
+    """Assemble the reference risk keys (app.py:647-657) from a sketch plus
+    price moments — THE one place these formulas live (risk_from_state and
+    both api/var.py branches all delegate here)."""
+    s0 = float(current_price)
+    p = {f"p{q}": float(sketch_quantile(sk, float(q)))
+         for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
+    tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
+    return {
+        "percentiles": p,
+        "expected_return": (mean / s0 - 1.0) * 100.0,
+        "expected_vol": std / s0 * 100.0,
+        "prob_profit": 100.0 * (1.0 - float(sketch_cdf(sk, s0))),
+        "var_95": (s0 - p["p5"]) / s0 * 100.0,
+        "var_95_std_err": float(sketch_quantile_std_err(sk, 5.0))
+        / s0 * 100.0,
+        "cvar_95": (s0 - tail_mean) / s0 * 100.0,
+        "std_err": std_err,
+        "n_paths": count,
+    }
 

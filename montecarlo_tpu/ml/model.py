@@ -33,6 +33,34 @@ from montecarlo_tpu.ml.scaler import scaler_fit, scaler_transform
 from montecarlo_tpu.ml.splits import split_bounds
 
 #: The reference's 36 model features (app.py:404-424).
+#: Edge / confidence thresholds (reference app.py:517-518) — shared with
+#: the batched scanner so the two paths can never disagree.
+EDGE_THRESHOLD = 0.52
+CONFIDENCE_BASE = 0.50
+CONFIDENCE_SCALE = 0.10
+
+
+def edge_and_confidence(avg_da: float) -> tuple:
+    """(has_edge, confidence in [0,1]) from average directional accuracy."""
+    return (avg_da > EDGE_THRESHOLD,
+            min(1.0, (avg_da - CONFIDENCE_BASE) / CONFIDENCE_SCALE))
+
+
+def prepare_matrix(data, horizon: int, extra_keys=("Close", "rvol_20")):
+    """Target + feature-matrix assembly shared by the model and the
+    backtester: attach the forward-return target, drop NaN-target rows,
+    stack available FEATURE_COLS, and carry the requested passthrough
+    columns (aligned by the same mask)."""
+    target = make_target(data["log_ret"], horizon)
+    ok = ~np.isnan(target)
+    feats = [f for f in FEATURE_COLS if f in data]
+    x = np.stack([np.asarray(data[f], np.float64)[ok] for f in feats],
+                 axis=1) if feats else np.zeros((int(ok.sum()), 0))
+    y = target[ok]
+    extras = {k: np.asarray(data[k])[ok] for k in extra_keys if k in data}
+    return x, y, feats, extras
+
+
 FEATURE_COLS = [
     # Volatility
     "rvol_20", "vol_ratio_5_20", "vol_ratio_20_60", "vol_change", "atr_pct",
@@ -129,15 +157,16 @@ class ForecastModel:
     def _prepare(self, data: Dict[str, np.ndarray]):
         """Attach the target and drop rows with NaN target (the feature dict
         is already NaN-free after quant.finalize)."""
-        target = make_target(data["log_ret"], self.forecast_horizon)
-        ok = ~np.isnan(target)
-        feats = self._get_available_features(data)
-        x = np.stack([np.asarray(data[f], np.float64)[ok] for f in feats],
-                     axis=1) if feats else np.zeros((int(ok.sum()), 0))
-        y = target[ok]
-        extras = {k: np.asarray(data[k])[ok]
-                  for k in ("Close", "rvol_20") if k in data}
-        return x, y, feats, extras
+        cached = getattr(self, "_prep_cache", None)
+        if cached is not None and cached[0] is data:
+            return cached[1]
+        out = prepare_matrix(data, self.forecast_horizon)
+        # Memoize on object identity: train() always re-prepares the same
+        # dict cross_validate just prepared (doubling host-side work per
+        # ticker in a scan).  Identity, not equality: a mutated dict is a
+        # different object in every supported call pattern.
+        self._prep_cache = (data, out)
+        return out
 
     # -- the reference API ----------------------------------------------------
 
@@ -173,6 +202,7 @@ class ForecastModel:
             fold_predictions.append({"actual": a, "predicted": p})
 
         avg_da = float(np.mean(da_scores))
+        has_edge, confidence = edge_and_confidence(avg_da)
         return {
             "rmse_mean": float(np.mean(rmse_scores)),
             "rmse_std": float(np.std(rmse_scores)),
@@ -181,8 +211,8 @@ class ForecastModel:
             "da_std": float(np.std(da_scores)),
             "da_scores": da_scores,
             "fold_predictions": fold_predictions,
-            "has_edge": avg_da > 0.52,
-            "confidence": min(1.0, (avg_da - 0.50) / 0.10),
+            "has_edge": has_edge,
+            "confidence": confidence,
         }
 
     def train(self, data: Dict[str, np.ndarray],
@@ -217,6 +247,11 @@ class ForecastModel:
             gbt_predict(self.model, last, max_depth=cfg.max_depth)[0])
         cv["predicted_log_return"] = pred_log_return
         cv["predicted_pct_return"] = (np.exp(pred_log_return) - 1.0) * 100.0
+        # Parity note: these come from the LAST TARGET-VALID row, i.e. one
+        # horizon before the latest bar — exactly what the reference does
+        # (app.py:577-578 reads them from the target-dropped frame), even
+        # though its own MC seeds var0 from the full frame (app.py:606).
+        # Faithful reproduction of the reference, inconsistency included.
         cv["current_volatility"] = float(extras["rvol_20"][-1])
         cv["current_price"] = float(extras["Close"][-1])
         cv["signal"] = (1 if pred_log_return > 0
