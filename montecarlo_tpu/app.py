@@ -220,7 +220,14 @@ def _scanner_page():
         st.info("Configure and press Start Scan.")
         return
 
-    if custom:
+    if source == "Custom":
+        tickers = [t.strip().upper()
+                   for t in (custom or "").replace("\n", ",").split(",")
+                   if t.strip()]
+        if not tickers:
+            st.error("Custom universe selected but no tickers entered.")
+            return
+    elif custom:
         tickers = [t.strip().upper()
                    for t in custom.replace("\n", ",").split(",")
                    if t.strip()]
@@ -302,7 +309,7 @@ def _derivatives_page():
         ARITH_MEAN, RUNNING_MAX, RUNNING_MIN, asian_call,
         black_scholes_call, black_scholes_put, discount_factor,
         european_call, european_put, lookback_call_floating, mc_estimate,
-        price_and_greeks, simulate, simulate_functionals, up_and_out_call)
+        price_and_greeks, simulate_functionals, up_and_out_call)
     from montecarlo_tpu.processes import GBM, Heston, Kou, Merton, SABR
 
     n_paths, n_steps = 1 << log2_paths, 128
@@ -319,12 +326,22 @@ def _derivatives_page():
         proc = Kou.create(s0=s0, mu=rate, sigma=sigma, lam=1.0, p_up=0.4,
                           eta1=10.0, eta2=5.0, dt=dt)
     else:
-        proc = SABR.create(f0=s0, alpha=sigma * s0 ** 0.3, beta=0.7,
+        # SABR dynamics are driftless (forward measure): simulate the
+        # T-forward of the spot, f0 = s0*e^{rT}, so the discounted price is
+        # consistent with the risk-neutral spot models alongside it (a bare
+        # f0 = s0 would silently drop the forward growth).
+        import numpy as _np
+
+        f0 = s0 * float(_np.exp(rate * maturity))
+        proc = SABR.create(f0=f0, alpha=sigma * f0 ** 0.3, beta=0.7,
                            nu=0.3, rho=-0.3, dt=dt)
 
     disc = float(discount_factor(rate, maturity))
     if payoff in ("European call", "European put"):
-        terminal = simulate(proc, n_paths, n_steps, seed=0)
+        from montecarlo_tpu.engine.dispatch import terminal_prices
+
+        # terminal_prices: fused Pallas kernel when eligible (same draws).
+        terminal = terminal_prices(proc, n_paths, n_steps, seed=0)
         pay = (european_call(terminal, strike) if "call" in payoff
                else european_put(terminal, strike))
         est = mc_estimate(pay, disc)

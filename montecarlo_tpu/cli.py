@@ -245,10 +245,14 @@ def cmd_price(args) -> int:
         proc = SABR.create(f0=args.s0,
                            alpha=args.sigma * args.s0 ** (1.0 - args.beta),
                            beta=args.beta, nu=args.nu, rho=args.rho, dt=dt)
-    else:
+    elif args.process == "heston":
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    elif args.process == "rbergomi":
+        proc = None  # dedicated branch below (its own simulator)
+    else:
+        raise SystemExit(f"unknown process {args.process!r}")
     if args.process == "rbergomi":
         from montecarlo_tpu.processes import RoughBergomi, rbergomi_simulate
 
@@ -275,6 +279,9 @@ def cmd_price(args) -> int:
 
         if args.american or args.payoff not in ("call", "put"):
             raise SystemExit("--mlmc supports European call/put payoffs")
+        if args.sampler != "plain":
+            raise SystemExit("--mlmc uses its own coupled plain draws; "
+                             "--sampler has no effect there (remove it)")
         if args.process == "gbm":
             def make(n):
                 return EulerGBM.create(args.s0, args.rate, args.sigma,
@@ -338,6 +345,14 @@ def cmd_price(args) -> int:
         from montecarlo_tpu.engine.american import (
             andersen_broadie_bound, lsm_policy)
 
+        if args.payoff not in ("call", "put"):
+            raise SystemExit(
+                f"--american supports call/put exercise values, not "
+                f"{args.payoff!r} (American path-dependent payoffs are "
+                "not implemented)")
+        if args.sampler != "plain":
+            raise SystemExit("--american uses plain Threefry draws; "
+                             "--sampler has no effect there (remove it)")
         payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
                   if args.payoff == "call"
                   else (lambda s: jnp.maximum(args.strike - s, 0.0)))
@@ -712,9 +727,16 @@ def cmd_bond(args) -> int:
             raise SystemExit("--swaption requires --model vasicek")
         delta, spp = 0.25, 16
         if args.swap_strike is None:
+            # Forward par rate of the swap entered at the first reset t=delta
+            # with payments at 2*delta..periods*delta:
+            # K = (P(delta) - P(n*delta)) / (delta * sum P(i*delta), i>=2).
+            # The annuity excludes P(delta) but the FLOAT leg starts there —
+            # using P(2*delta) in the numerator understated K ~0.5pp.
             ps = [_zcb(args.r0, args.kappa, args.theta, args.sigma,
                        i * delta) for i in range(2, args.periods + 1)]
-            strike = (ps[0] - ps[-1]) / (delta * sum(ps)) if len(ps) > 1 \
+            p_start = _zcb(args.r0, args.kappa, args.theta, args.sigma,
+                           delta)
+            strike = (p_start - ps[-1]) / (delta * sum(ps)) if ps \
                 else args.theta
         else:
             strike = args.swap_strike

@@ -30,7 +30,7 @@ from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.processes.term_basket import TermBasketGBM
 from montecarlo_tpu.rng.sobol import SobolDeviceSampler
-from montecarlo_tpu.samplers import AntitheticSampler
+from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou,
@@ -47,9 +47,12 @@ def _kernel_block_rows(n_paths: int) -> int | None:
 
 
 def _fusable_sampler(sampler, process, n_steps: int) -> bool:
-    """Samplers the fused kernels can run: default Threefry, antithetic
-    mirroring, or device Sobol (whose table must cover every dimension)."""
-    if sampler is None or isinstance(sampler, AntitheticSampler):
+    """Samplers the fused kernels can run: default Threefry (None or an
+    explicit PlainSampler — identical pass-through streams, so the CLI's
+    `--sampler plain` default rides the kernel too), antithetic mirroring,
+    or device Sobol (whose table must cover every dimension)."""
+    if (sampler is None or isinstance(sampler, (PlainSampler,
+                                                AntitheticSampler))):
         return True
     return (isinstance(sampler, SobolDeviceSampler)
             and sampler.n_dims >= n_steps * process.n_draws)

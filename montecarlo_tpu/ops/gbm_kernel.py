@@ -73,10 +73,15 @@ def _gbm_kernel(params_ref, scalar_ref, out_ref, *, n_steps: int,
     k1 = scalar_ref[0, 2].astype(jnp.uint32)
 
     if rng == "hw":
-        # Distinct per-block seeding; block size is fixed, so the stream only
-        # depends on the global block index — shard-invariant on TPU.
-        # (Mosaic allows at most two seed words: fold the key words.)
-        pltpu.prng_seed(scalar_ref[0, 1] ^ scalar_ref[0, 2], b)
+        # Distinct per-block seeding keyed by the block's first GLOBAL path
+        # id (includes path_offset: offset shards must not replay another
+        # shard's stream) with the two key words kept asymmetric — folding
+        # them as k0^k1 made (seed=a, stream=b) collide with (seed=b,
+        # stream=a) and ignored the offset entirely.  (Mosaic allows at
+        # most two seed words.)
+        first_id = (scalar_ref[0, 0]
+                    + b * jnp.int32(block_rows * LANES))
+        pltpu.prng_seed(scalar_ref[0, 1] ^ first_id, scalar_ref[0, 2])
 
     def draw_pair(j):
         if rng == "hw":

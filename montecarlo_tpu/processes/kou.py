@@ -58,6 +58,12 @@ class Kou(NamedTuple("KouFields", [
                dtype=jnp.float32):
         if float(eta1) <= 1.0:
             raise ValueError("eta1 must exceed 1 (finite E[e^J])")
+        rate = float(lam) * float(dt)
+        if rate > 0.4:
+            raise ValueError(
+                f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
+                f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
+                "use more steps so lam*dt <= 0.4")
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), lam=as_(lam),
                    p_up=as_(p_up), eta1=as_(eta1), eta2=as_(eta2),

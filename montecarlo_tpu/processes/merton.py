@@ -55,6 +55,15 @@ class Merton(NamedTuple("MertonFields", [
     @classmethod
     def create(cls, s0, mu, sigma, lam, jump_mean, jump_std, dt,
                dtype=jnp.float32):
+        rate = float(lam) * float(dt)
+        if rate > 0.4:
+            # P(N > K_MAX=4) ~ rate^5/5!: beyond ~0.4 per step the
+            # truncated inverse-CDF silently clamps jump counts and biases
+            # prices.  Refine the grid rather than losing jumps.
+            raise ValueError(
+                f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
+                f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
+                "use more steps so lam*dt <= 0.4")
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), lam=as_(lam),
                    jump_mean=as_(jump_mean), jump_std=as_(jump_std),

@@ -123,3 +123,15 @@ def test_short_table_rejected_everywhere():
     with pytest.raises(ValueError, match="bridge sampler"):
         simulate(proc, 256, 9, seed=0,
                  sampler=SobolBridgeDeviceSampler.create(8))
+
+
+def test_plain_sampler_is_fusable():
+    """The CLI's explicit --sampler plain default must ride the fused
+    kernel exactly like sampler=None (identical pass-through streams)."""
+    from montecarlo_tpu.engine.dispatch import (_fusable_sampler,
+                                                _kernel_sampler)
+    from montecarlo_tpu.samplers import PlainSampler
+
+    gbm = _procs()["gbm"]
+    assert _fusable_sampler(PlainSampler(), gbm, 252)
+    assert _kernel_sampler(PlainSampler()) is None

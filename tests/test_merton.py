@@ -65,3 +65,13 @@ def test_poisson_count_distribution():
         expected = poisson.pmf(k, rate)
         got = (counts == k).mean()
         assert abs(got - expected) < 5 * np.sqrt(expected / len(counts)) + 1e-4
+
+
+def test_coarse_jump_grid_rejected():
+    """lam*dt beyond the K_MAX truncation budget must error, not silently
+    clamp jump counts (review finding r2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="lam\\*dt"):
+        Merton.create(s0=100.0, mu=0.03, sigma=0.2, lam=20.0,
+                      jump_mean=-0.05, jump_std=0.1, dt=1 / 12)
