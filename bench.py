@@ -88,9 +88,13 @@ def sharded_main() -> None:
     raw_tp = n_paths * n_steps / ((time.time() - t0) / reps)
 
     # Sanity: the chained prices average to the Black-Scholes value.
+    # Tolerance scales with the estimator SE (payoff std ~12 over
+    # reps*n_paths draws) — a fixed 0.05 sat at ~1 SE on the small CPU
+    # fallback shapes, a statistical knife edge.
     bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
     mean_price = total / reps * float(jnp.exp(-0.03))  # apply 1y discount
-    assert abs(mean_price - bs) < 0.05, (mean_price, bs)
+    se_est = 12.0 / (reps * n_paths) ** 0.5
+    assert abs(mean_price - bs) < 5 * se_est + 1e-3, (mean_price, bs)
 
     print(json.dumps({
         "metric": "sharded_gbm_path_steps_per_sec_per_chip",

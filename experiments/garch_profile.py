@@ -32,17 +32,27 @@ returns = rng.normal(0, 0.02, size=500)
 
 
 class NoGatherGARCH(GARCHBootstrap):
-    """Shock = uniform (no table gather) — isolates the gather cost."""
+    """Shock = uniform (no table gather) — isolates the gather cost.
+    (The gather lives in step() since the antithetic redesign, so the
+    variant overrides step to consume the uniform directly.)"""
 
-    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
-        j = jnp.asarray(j).astype(jnp.uint32)
-        b0, b1 = random_bits(seed, stream, path_ids, j)
-        u0 = uniform_from_bits(b0, jnp.float32)
-        u1 = uniform_from_bits(b1, jnp.float32)
-        return ((u0.astype(dtype),), (u1.astype(dtype),))
+    def step(self, state, eps, t):
+        shock = eps[0]
+        vol = jnp.sqrt(state.var)
+        r = shock * vol
+        new_var = (self.omega.astype(r.dtype)
+                   + self.alpha.astype(r.dtype) * jnp.square(r)
+                   + self.beta.astype(r.dtype) * state.var)
+        return type(state)(log_s=state.log_s + r, var=new_var)
+
+    def step_pair(self, state, eps0, eps1, t0):
+        # Override the base gather-sharing pair step: these variants must
+        # NOT gather (that is the cost being isolated).
+        st1 = self.step(state, eps0, t0)
+        return st1, self.step(st1, eps1, t0 + 1)
 
 
-class NormalGARCH(GARCHBootstrap):
+class NormalGARCH(NoGatherGARCH):
     """Box-Muller normal shocks (GBM's draw cost + GARCH's recurrence)."""
 
     def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):

@@ -91,9 +91,14 @@ def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
             # draws_pair makes the sharing explicit (no reliance on CSE).
             eps0, eps1 = get_draws(j)
             t0 = 2 * j
-            state = proc.step(state, eps0, t0)
             t1 = 2 * j + 1
-            stepped = proc.step(state, eps1, t1)
+            if hasattr(proc, "step_pair"):
+                # Pair-fused step (e.g. GARCH shares one pass over its
+                # shock-table rows) — op-for-op identical to two steps.
+                state, stepped = proc.step_pair(state, eps0, eps1, t0)
+            else:
+                state = proc.step(state, eps0, t0)
+                stepped = proc.step(state, eps1, t1)
             return _tree_where(t1 < n_steps, stepped, state)
 
         n_pairs = (n_steps + 1) // 2
@@ -217,12 +222,17 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
             eps0, eps1 = get_draws(j)
             t0 = 2 * j
             # Step t0 is always a real step (n_pairs = ceil(n_steps/2)).
-            state = proc.step(state, eps0, t0)
+            if hasattr(proc, "step_pair"):
+                state, stepped_pair = proc.step_pair(state, eps0, eps1, t0)
+            else:
+                stepped_pair = None
+                state = proc.step(state, eps0, t0)
             prices0 = proc.prices(state)
             accs = tuple(f.update(a, prices0, t0 + 1)
                          for f, a in zip(functionals, accs))
             t1 = 2 * j + 1
-            stepped = proc.step(state, eps1, t1)
+            stepped = (stepped_pair if stepped_pair is not None
+                       else proc.step(state, eps1, t1))
             prices1 = proc.prices(stepped)
             live = t1 < n_steps
             new_accs = tuple(f.update(a, prices1, t1 + 1)

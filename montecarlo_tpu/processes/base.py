@@ -21,9 +21,25 @@ reference's NumPy vectorization over `n_sims` (reference app.py:612-633).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.rng.normal import normal_draw, normal_pair
+
+
+def curve_at(curve_row, ti, kernel_layout: bool):
+    """Read entry ``ti`` of a padded 1-D parameter curve at a traced step.
+
+    THE shared Mosaic workaround (used by TermStructureGBM, TermBasketGBM,
+    and HullWhite): inside a Pallas kernel, `dynamic_slice` on values does
+    not lower, so the read becomes a one-hot masked lane reduction over the
+    (1, pad) row; outside kernels it is a plain dynamic index.
+    """
+    if not kernel_layout:
+        return jax.lax.dynamic_index_in_dim(curve_row, ti, keepdims=False)
+    row = curve_row.reshape(1, -1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.sum(jnp.where(pos == ti, row, 0.0))
 
 
 class NormalDrawsMixin:

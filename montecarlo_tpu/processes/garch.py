@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.rng.normal import uniform_draw, uniform_from_bits
+from montecarlo_tpu.rng.normal import (index_from_uniform, uniform_draw,
+                                        uniform_from_bits)
 from montecarlo_tpu.rng.threefry import random_bits
 
 #: Reference GARCH parameters (app.py:601-603).
@@ -75,7 +76,11 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
             raise ValueError(
                 f"need >= {MIN_HISTORY} return observations, got {n}"
             )
-        std_returns = returns / (returns.std() + 1e-10)
+        std_returns = np.sort(returns / (returns.std() + 1e-10))
+        # Sorted ascending: the uniform -> shock map is then monotone, so
+        # the antithetic mirror u -> 1-u is negatively correlated in VALUE
+        # (variance-reducing), not just in rank.  Sorting does not change
+        # the bootstrap distribution (indices are uniform either way).
         if pad_to is None:
             # Smallest multiple of 128 (the gather decomposes into 128-lane
             # rows; cost is linear in rows, so never round up to a power of
@@ -102,8 +107,7 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
     def _index_of(self, u):
         """Uniform over exactly the n_table valid entries; the padding is
         unreachable, so the static table size never affects the draw."""
-        idx = jnp.floor(u * self.n_table.astype(jnp.float32)).astype(jnp.int32)
-        return jnp.minimum(idx, self.n_table - 1)
+        return index_from_uniform(u, self.n_table)
 
     def _gather(self, idx, dtype):
         return self._gather_many((idx,), dtype)[0]
@@ -116,10 +120,10 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         into 128-lane rows — one lane-gather + masked-add per (table row,
         index array).  Cost is linear in table rows (~4 ps/path-step/row on
         v5e, measured in experiments/garch_profile.py), hence the
-        multiple-of-128 padding in ``create``.  Sharing the row loop across
-        both halves of a step pair keeps each table row broadcast live for
-        every pending draw (neutral-to-slightly-positive; the gathers
-        themselves dominate).
+        multiple-of-128 padding in ``create``.  (Since the antithetic
+        redesign the gather runs once per step from :meth:`step`; the
+        multi-index form remains for callers batching several index
+        arrays through one pass over the rows.)
         """
         table = self.table.astype(dtype)
         if idxs[0].ndim != 2:
@@ -137,36 +141,61 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         return tuple(shocks)
 
     def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
-        """Bootstrap shocks: a uniform index per (path, t) gathered from the
-        standardized-return table — the counter-based replacement for
-        `np.random.choice(std_returns, size=n_sims)` (app.py:620)."""
+        """Bootstrap innovation: the raw UNIFORM per (path, t).  The table
+        gather happens inside :meth:`step` — drawing the uniform (not the
+        gathered shock) is what makes :meth:`antithetic` sound: the mirror
+        acts on ``u`` *before* the resampling, so both halves of a pair are
+        valid bootstrap draws.  (Negating a gathered shock from a skewed,
+        non-zero-mean empirical table would bias the estimator — the
+        reference's table, returns/(std+1e-10) at app.py:609, is not
+        demeaned.)"""
         m = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(self.n_draws)
-        u = uniform_draw(seed, stream, path_ids, m, jnp.float32)
-        return (self._gather(self._index_of(u), dtype),)
+        return (uniform_draw(seed, stream, path_ids, m, jnp.float32)
+                .astype(dtype),)
 
     def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
-        """Shocks for steps (2j, 2j+1): both uniform halves of one Threefry
-        call (draw m uses component m & 1 of call m >> 1, and here
-        m = t) — bitwise identical to two draws() calls."""
+        """Uniforms for steps (2j, 2j+1): both halves of one Threefry call
+        (draw m uses component m & 1 of call m >> 1, and here m = t) —
+        bitwise identical to two draws() calls."""
         j = jnp.asarray(j).astype(jnp.uint32)
         b0, b1 = random_bits(seed, stream, path_ids, j)
-        u0 = uniform_from_bits(b0, jnp.float32)
-        u1 = uniform_from_bits(b1, jnp.float32)
-        s0, s1 = self._gather_many(
-            (self._index_of(u0), self._index_of(u1)), dtype)
-        return ((s0,), (s1,))
+        u0 = uniform_from_bits(b0, jnp.float32).astype(dtype)
+        u1 = uniform_from_bits(b1, jnp.float32).astype(dtype)
+        return ((u0,), (u1,))
 
     def antithetic(self, eps):
-        return tuple(-e for e in eps)
+        """Mirror the uniform: u -> 1-u.  With the sorted table this pairs
+        low shocks with high shocks (negatively correlated values) while
+        every half remains an exact bootstrap draw — unbiased, unlike
+        negating the drawn shock."""
+        return tuple(1.0 - e for e in eps)
 
-    def step(self, state: GARCHState, eps, t) -> GARCHState:
-        shock = eps[0]
+    def _recur(self, state: GARCHState, shock) -> GARCHState:
         vol = jnp.sqrt(state.var)
         r = shock * vol
         new_var = (self.omega.astype(r.dtype)
                    + self.alpha.astype(r.dtype) * jnp.square(r)
                    + self.beta.astype(r.dtype) * state.var)
         return GARCHState(log_s=state.log_s + r, var=new_var)
+
+    def step(self, state: GARCHState, eps, t) -> GARCHState:
+        shock = self._gather(self._index_of(eps[0]), state.var.dtype)
+        return self._recur(state, shock)
+
+    def step_pair(self, state: GARCHState, eps0, eps1, t0):
+        """Two consecutive steps with ONE pass over the table rows.
+
+        The gathers are state-independent, so both halves' shocks resolve
+        up front sharing each row broadcast (worth ~10% at 10 table rows);
+        the recurrences then run in order — op-for-op identical to two
+        :meth:`step` calls, so kernel/scan bitwise parity holds.  Returns
+        (state after step t0, state after step t0+1).
+        """
+        dtype = state.var.dtype
+        s0_, s1_ = self._gather_many(
+            (self._index_of(eps0[0]), self._index_of(eps1[0])), dtype)
+        st1 = self._recur(state, s0_)
+        return st1, self._recur(st1, s1_)
 
     def prices(self, state: GARCHState):
         return jnp.exp(state.log_s)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import curve_at, NormalDrawsMixin
 
 
 class RateState(NamedTuple):
@@ -181,13 +181,7 @@ class HullWhite(NormalDrawsMixin, NamedTuple("HullWhiteFields", [
                                     jnp.asarray(self.r0, dtype), dtype))
 
     def _theta_at(self, ti, kernel_layout: bool):
-        if not kernel_layout:
-            return jax.lax.dynamic_index_in_dim(self.theta_t, ti,
-                                                keepdims=False)
-        # Mosaic cannot lower dynamic_slice: one-hot masked reduction.
-        row = self.theta_t.reshape(1, -1)
-        pos = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        return jnp.sum(jnp.where(pos == ti, row, 0.0))
+        return curve_at(self.theta_t, ti, kernel_layout)
 
     def step(self, state: RateState, eps, t) -> RateState:
         dtype = state.r.dtype

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import curve_at, NormalDrawsMixin
 
 
 class TermBasketGBM(NormalDrawsMixin, NamedTuple("TermBasketFields", [
@@ -72,12 +72,7 @@ class TermBasketGBM(NormalDrawsMixin, NamedTuple("TermBasketFields", [
             for a in range(self.n_assets))
 
     def _curve_at(self, curve_row, ti, kernel_layout: bool):
-        if not kernel_layout:
-            return jax.lax.dynamic_index_in_dim(curve_row, ti,
-                                                keepdims=False)
-        row = curve_row.reshape(1, -1)
-        pos = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        return jnp.sum(jnp.where(pos == ti, row, 0.0))
+        return curve_at(curve_row, ti, kernel_layout)
 
     def step(self, state, eps, t):
         a_n = self.n_assets

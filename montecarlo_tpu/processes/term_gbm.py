@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import curve_at, NormalDrawsMixin
 
 
 class TermGBMState(NamedTuple):
@@ -69,13 +69,7 @@ class TermStructureGBM(NormalDrawsMixin, NamedTuple("TermGBMFields", [
                                            dtype))
 
     def _curve_at(self, curve, ti, kernel_layout: bool):
-        if not kernel_layout:
-            return jax.lax.dynamic_index_in_dim(curve, ti, keepdims=False)
-        # Pallas/Mosaic cannot lower dynamic_slice: select the step's entry
-        # with a one-hot masked reduction over the (1, pad) row instead.
-        row = curve.reshape(1, -1)
-        pos = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        return jnp.sum(jnp.where(pos == ti, row, 0.0))
+        return curve_at(curve, ti, kernel_layout)
 
     def step(self, state: TermGBMState, eps, t) -> TermGBMState:
         dtype = state.log_s.dtype

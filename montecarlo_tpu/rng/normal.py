@@ -148,10 +148,22 @@ def ndtri32(u, dtype=jnp.float32):
     return jnp.where(jnp.abs(q) <= dtype.type(0.425), central, tail)
 
 
+def index_from_uniform(u, n):
+    """Map a uniform in (0,1) to an integer index in [0, n) — THE shared
+    uniform->index rule (floor(u*n) with an n-1 clamp for the u->1 edge).
+    Used by :func:`categorical_draw` and the GARCH bootstrap's resampling
+    (processes/garch.py), which must agree for the determinism contract.
+    ``n`` may be a traced int32 scalar."""
+    nf = (jnp.float32(n) if isinstance(n, int)
+          else jnp.asarray(n).astype(jnp.float32))
+    idx = jnp.floor(jnp.asarray(u, jnp.float32) * nf).astype(jnp.int32)
+    return jnp.minimum(idx, (jnp.asarray(n) - 1).astype(jnp.int32))
+
+
 def categorical_draw(seed: int, stream: int, path_ids, draw_index, n: int):
-    """A uniform integer index in [0, n) per (path, draw) — used for the
-    GARCH bootstrap's resampling of historical shocks (the TPU-native
-    replacement for `np.random.choice`, reference app.py:620)."""
+    """A uniform integer index in [0, n) per (path, draw) — the TPU-native
+    replacement for `np.random.choice` (reference app.py:620).  The GARCH
+    bootstrap draws its uniform separately (pair-sharing the cipher) but
+    maps it through the same :func:`index_from_uniform`."""
     u = uniform_draw(seed, stream, path_ids, draw_index, jnp.float32)
-    idx = jnp.floor(u * jnp.float32(n)).astype(jnp.int32)
-    return jnp.minimum(idx, jnp.int32(n - 1))
+    return index_from_uniform(u, n)

@@ -42,12 +42,21 @@ class Timer:
 
     @contextlib.contextmanager
     def section(self, name: str, result=None):
+        """Time a block.  Fencing: pass ``result=`` for values that exist
+        at entry, or append device values produced INSIDE the block to the
+        yielded list — they are fenced before the clock stops.  With
+        neither, only host time is measured (async dispatch lies about
+        device work; use :meth:`timed` for the one-call fenced form).
+        """
+        holder: list = []
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
             if result is not None:
                 jax.block_until_ready(result)
+            if holder:
+                jax.block_until_ready(holder)
             self.times.setdefault(name, []).append(time.perf_counter() - t0)
 
     def timed(self, name: str, fn, *args, **kwargs):

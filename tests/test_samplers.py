@@ -334,3 +334,44 @@ def test_device_bridge_variance_reduction_matches_host_bridge():
         rmse(err_dev), rmse(err_plain))
     assert rmse(err_dev) < 2.0 * rmse(err_host), (
         rmse(err_dev), rmse(err_host))
+
+
+def test_garch_antithetic_unbiased_and_reduces_variance():
+    """Antithetic GARCH mirrors the UNIFORM before the table gather: with a
+    skewed (non-demeaned) shock table, negating gathered shocks was biased;
+    u -> 1-u keeps both pair halves exact bootstrap draws."""
+    from montecarlo_tpu.processes.garch import GARCHBootstrap
+
+    rng = np.random.default_rng(0)
+    rets = np.exp(rng.normal(-0.5, 0.6, size=600)) * 0.02 - 0.015  # skewed
+    proc = GARCHBootstrap.create(rets, s0=100.0, var0=4e-4)
+    n, steps = 1 << 13, 32
+
+    plain = [float(np.mean(np.asarray(simulate(
+        proc, n, steps, seed=s)))) for s in range(16)]
+    anti = [float(np.mean(np.asarray(simulate(
+        proc, n, steps, seed=s, sampler=AntitheticSampler()))))
+        for s in range(16)]
+    # Unbiased: the two estimator families agree within joint noise.
+    se = (np.std(plain, ddof=1) + np.std(anti, ddof=1)) / np.sqrt(16)
+    assert abs(np.mean(plain) - np.mean(anti)) < 5 * se + 1e-3
+    # Variance-reducing: the sorted table makes u -> 1-u value-negative.
+    assert np.std(anti, ddof=1) < np.std(plain, ddof=1)
+
+
+def test_garch_antithetic_halves_are_bootstrap_draws():
+    """Every simulated shock (both pair halves) must be a table entry."""
+    from montecarlo_tpu.processes.garch import GARCHBootstrap
+
+    rng = np.random.default_rng(1)
+    rets = rng.normal(0, 0.02, size=300)
+    proc = GARCHBootstrap.create(rets, s0=100.0, var0=4e-4)
+    table = np.asarray(proc.table)[:int(proc.n_table)]
+    paths = np.asarray(simulate(proc, 512, 4, seed=2,
+                                sampler=AntitheticSampler(), mode="paths"))
+    log_ret = np.diff(np.log(paths), axis=0)  # (T, N) = shock * vol
+    # Reconstruct shocks from the recurrence's vol sequence is involved;
+    # instead check step-1 (vol known exactly = sqrt(var0)).
+    shocks1 = log_ret[0] / np.sqrt(4e-4)
+    dists = np.min(np.abs(shocks1[:, None] - table[None, :]), axis=1)
+    assert dists.max() < 1e-4  # every shock is (numerically) a table entry
