@@ -126,6 +126,54 @@ def main():
     print(f"Swap EPE peak {float(max(prof['epe'])):.5f}, "
           f"CVA(1% hazard) {float(prof['cva']):.2e}")
 
+    # --- continuous barrier via Brownian bridge ------------------------------
+    from montecarlo_tpu.engine import (barrier_survival_up, mc_estimate,
+                                       simulate_functionals)
+    from montecarlo_tpu.processes import GBM
+
+    gbm = GBM.create(100., 0.03, 0.2, 1.0 / 64)
+    out = simulate_functionals(
+        gbm, 1 << 16, 64, seed=3,
+        functionals={"surv": barrier_survival_up(125., 0.2, 1.0 / 64)})
+    ko = mc_estimate(european_call(out["terminal"], 100.) * out["surv"],
+                     math.exp(-0.03))
+    ki = mc_estimate(european_call(out["terminal"], 100.)
+                     * (1.0 - out["surv"]), math.exp(-0.03))
+    print(f"\nUp-and-out 125 call (continuous barrier, 64 steps): "
+          f"{float(ko['price']):.4f};  knock-in from the SAME run: "
+          f"{float(ki['price']):.4f}")
+
+    # --- second-order Greeks (one forward-over-reverse pass) -----------------
+    from montecarlo_tpu.engine.greeks import (second_order_greeks,
+                                              smoothed_call)
+
+    p, g, h = second_order_greeks(gbm, smoothed_call(105., 1.5), 1 << 16,
+                                  64, seed=11, fields=("s0", "sigma"),
+                                  discount=math.exp(-0.03))
+    print(f"Call ladder: delta {float(g[0]):.4f} vega {float(g[1]):.2f} "
+          f"gamma {float(h[0, 0]):.4f} vanna {float(h[0, 1]):.3f} "
+          f"volga {float(h[1, 1]):.2f}")
+
+    # --- stress report (common random numbers) -------------------------------
+    from montecarlo_tpu.api.stress import stress_report
+
+    rep = stress_report(gbm, lambda s: jnp.maximum(s - 105., 0.0),
+                        1 << 15, 64, seed=3, discount=math.exp(-0.03))
+    crash = rep["scenarios"]["crash"]
+    print(f"Stress: base {rep['base_price']:.3f}, crash (spot -30%, vol "
+          f"+100%) P&L {crash['pnl']:+.3f}")
+
+    # --- device-Sobol QMC (runs inside the fused kernel on TPU) --------------
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+    from montecarlo_tpu.rng import SobolDeviceSampler
+
+    sob = SobolDeviceSampler.create(64, 1)
+    t_qmc = terminal_prices(gbm, 1 << 16, 64, seed=5, sampler=sob)
+    qmc = mc_estimate(european_call(t_qmc, 105.), math.exp(-0.03))
+    print(f"QMC call (device Sobol): {float(qmc['price']):.4f} "
+          f"(iid-formula se {float(qmc['std_err']):.4f} overstates QMC "
+          f"error ~30x)")
+
 
 if __name__ == "__main__":
     main()
