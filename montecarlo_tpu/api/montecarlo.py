@@ -26,6 +26,11 @@ from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.processes.garch import GARCHBootstrap, MIN_HISTORY
 from montecarlo_tpu.stats.risk import path_percentiles, terminal_statistics
 
+# Module-level jit wrappers: constructing jax.jit(...) inside each call
+# would discard the compiled cache and retrace per invocation.
+_terminal_statistics_jit = jax.jit(terminal_statistics)
+_path_percentiles_jit = jax.jit(path_percentiles)
+
 
 def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
                       current_price: float, progress_callback=None,
@@ -49,6 +54,8 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         progress_callback("Running Monte Carlo simulation...")
 
     var0 = float(np.asarray(data["rvol_20"])[-1]) ** 2 / 252.0
+    if not np.isfinite(var0):
+        return None  # graceful-degradation contract: never emit NaN risk
     garch_kw = {}
     if fit_params:
         from montecarlo_tpu.processes.garch_fit import fit_garch
@@ -70,8 +77,8 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         final_prices = terminal_prices(proc, n_sims, n_days, seed=seed,
                                        dtype=dtype)
 
-    stats = jax.jit(terminal_statistics)(final_prices,
-                                         jnp.asarray(current_price))
+    stats = _terminal_statistics_jit(final_prices,
+                                     jnp.asarray(current_price))
     out = {k: (np.asarray(v) if hasattr(v, "shape") else v)
            for k, v in stats.items()}
     out["percentiles"] = {k: float(v) for k, v in out["percentiles"].items()}
@@ -83,7 +90,7 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         out["paths"] = np.asarray(paths)
         out["path_percentiles"] = {
             k: np.asarray(v)
-            for k, v in jax.jit(path_percentiles)(paths).items()}
+            for k, v in _path_percentiles_jit(paths).items()}
     else:
         from montecarlo_tpu.engine.path_sketch import (
             path_histograms,

@@ -54,7 +54,13 @@ def get_lib():
     if path is None:
         _lib_failed = True
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # Stale/foreign cached .so (other arch, missing runtime libs):
+        # fall back to pandas permanently instead of raising on every call.
+        _lib_failed = True
+        return None
     pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
     lib.mctpu_load_ohlcv.restype = ctypes.c_long
     lib.mctpu_load_ohlcv.argtypes = [ctypes.c_char_p, pp, pp, pp, pp, pp]

@@ -102,7 +102,10 @@ def get_ticker_list(source: str, allow_network: bool = True) -> List[str]:
                 for t in table:
                     for col in ("Ticker", "Symbol"):
                         if col in t.columns:
-                            tickers = t[col].tolist()
+                            # Same '.'->'-' class-share normalization as
+                            # the S&P branch (yfinance symbol convention).
+                            tickers = [str(x).replace(".", "-")
+                                       for x in t[col].tolist()]
                             if len(tickers) > 90:
                                 return tickers
             except Exception:

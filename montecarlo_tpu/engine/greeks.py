@@ -46,7 +46,10 @@ def price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
                             stream=stream, dtype=dtype, remat=remat)
         return d * jnp.mean(payoff_fn(terminal))
 
-    price, grads = jax.value_and_grad(price_fn)(process)
+    # allow_int: process pytrees may carry integer leaves (e.g. the GARCH
+    # bootstrap's n_table) — their "gradients" come back as float0 and the
+    # real parameter gradients are unaffected.
+    price, grads = jax.value_and_grad(price_fn, allow_int=True)(process)
     return price, grads
 
 
@@ -149,8 +152,7 @@ def second_order_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
                             stream=stream, dtype=dtype)
         return d * jnp.mean(payoff_fn(terminal))
 
-    price = price_fn(zeros)
-    grad = jax.grad(price_fn)(zeros)
+    price, grad = jax.value_and_grad(price_fn)(zeros)
     hess = jax.jacfwd(jax.grad(price_fn))(zeros)
     return price, grad, hess
 

@@ -29,15 +29,17 @@ from montecarlo_tpu.stats.risk import PATH_PERCENTILES
 
 
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
-                                   "bins", "lo", "hi", "dtype"))
+                                   "bins", "dtype"))
 def path_histograms(process, n_paths: int, n_steps: int, *, seed: int,
-                    lo: float, hi: float, bins: int = 1024, stream: int = 0,
+                    lo, hi, bins: int = 1024, stream: int = 0,
                     sampler=None, dtype=jnp.float32, path_offset=0):
     """(n_steps + 1, bins) histogram counts of prices at every time step.
 
     Row 0 is the spot distribution (a point mass).  Values outside [lo, hi)
     clamp into the edge bins (percentile queries inside the range are
-    unaffected).
+    unaffected).  ``lo``/``hi`` are traced operands — callers derive them
+    from the data, so making them static would recompile the whole scan on
+    every run.
     """
     if sampler is None:
         sampler = PlainSampler()

@@ -82,9 +82,11 @@ long mctpu_load_ohlcv(const char* path, double** out_open, double** out_high,
     const char* line_end = p;
     while (line_end < end && *line_end != '\n') ++line_end;
     int idx = 0;
+    bool in_quotes = false;
     const char* cell = p;
     for (const char* q = p; q <= line_end; ++q) {
-      if (q == line_end || *q == ',') {
+      if (q < line_end && *q == '"') in_quotes = !in_quotes;
+      if (q == line_end || (*q == ',' && !in_quotes)) {
         for (auto& c : cols) {
           if (c.index < 0 && cell_is(cell, q, c.name)) c.index = idx;
         }
@@ -132,15 +134,30 @@ long mctpu_load_ohlcv(const char* path, double** out_open, double** out_high,
     double values[5];
     for (auto& v : values) v = std::nan("");
     int idx = 0;
+    bool in_quotes = false;  // commas inside quoted cells are not separators
     const char* cell = p;
     for (const char* q = p; q <= line_end && idx <= max_col; ++q) {
-      if (q == line_end || *q == ',') {
+      if (q < line_end && *q == '"') in_quotes = !in_quotes;
+      if (q == line_end || (*q == ',' && !in_quotes)) {
         for (int c = 0; c < 5; ++c) {
           if (cols[c].index == idx) {
+            // Copy into a NUL-terminated stack buffer: strtod on the raw
+            // mmap would scan for a terminator past the mapping when the
+            // file's last field ends exactly at a page boundary (SIGSEGV).
+            char buf[64];
+            const char* b = cell;
+            while (b < q && (*b == '"' || std::isspace(*b))) ++b;
+            const char* e = q;
+            while (e > b && (e[-1] == '"' || std::isspace(e[-1])
+                             || e[-1] == '\r')) --e;
+            size_t len = static_cast<size_t>(e - b);
+            if (len >= sizeof buf) len = sizeof buf - 1;
+            std::memcpy(buf, b, len);
+            buf[len] = '\0';
             char* parse_end = nullptr;
             errno = 0;
-            double v = std::strtod(cell, &parse_end);
-            values[c] = (parse_end == cell || errno == ERANGE)
+            double v = std::strtod(buf, &parse_end);
+            values[c] = (parse_end == buf || errno == ERANGE)
                             ? std::nan("")
                             : v;
           }

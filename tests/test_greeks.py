@@ -159,3 +159,15 @@ def test_second_order_greeks_match_black_scholes():
     # Hessian symmetry (same program computes both off-diagonals).
     np.testing.assert_allclose(float(hess[0, 1]), float(hess[1, 0]),
                                rtol=1e-8)
+
+
+def test_pathwise_greeks_work_for_garch_bootstrap():
+    """Integer leaves (n_table) must not break autodiff (allow_int)."""
+    from montecarlo_tpu.processes import GARCHBootstrap
+
+    rets = np.random.default_rng(0).normal(0, 0.02, 300)
+    proc = GARCHBootstrap.create(rets, s0=100.0, var0=4e-4)
+    price, grads = price_and_greeks(
+        proc, lambda s: european_call(s, 100.0), 1 << 12, 16, seed=1)
+    assert np.isfinite(float(price))
+    assert 0.3 < float(grads.s0) < 1.0  # ITM-ish call delta

@@ -50,3 +50,23 @@ def test_csv_provider_end_to_end(csv_file):
                           data_dir=os.path.dirname(path))
     assert data is not None
     assert "rvol_20" in data and len(data["Close"]) > 300
+
+
+def test_quoted_fields_and_no_trailing_newline(tmp_path):
+    """Commas inside quoted cells must not shift columns, and a file whose
+    last line lacks a trailing newline must still parse (the raw-mmap
+    strtod could scan past the mapping)."""
+    from montecarlo_tpu.data._native import load_ohlcv_csv
+
+    p = tmp_path / "quoted.csv"
+    p.write_bytes(
+        b"Symbol,Name,Open,High,Low,Close,Volume\n"
+        b'AAPL,"Apple, Inc.",10,11,9,10.5,1000\n'
+        b'MSFT,"Micro, soft",20,21,19,20.5,2000')  # no trailing newline
+    out = load_ohlcv_csv(str(p))
+    if out is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    np.testing.assert_allclose(out["Open"], [10.0, 20.0])
+    np.testing.assert_allclose(out["Close"], [10.5, 20.5])
+    np.testing.assert_allclose(out["Volume"], [1000.0, 2000.0])
