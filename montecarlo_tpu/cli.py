@@ -87,7 +87,7 @@ def _add_price(sub):
                             "sobol-device", "sobol-bridge"])
     p.add_argument("--payoff", default="call",
                    choices=["call", "put", "asian", "lookback",
-                            "up-and-out"])
+                            "up-and-out", "up-and-in"])
     p.add_argument("--barrier", type=float, default=None,
                    help="barrier level for up-and-out (default 1.2*strike)")
     p.add_argument("--bridge", action="store_true",
@@ -367,7 +367,7 @@ def cmd_price(args) -> int:
             est = dict(est)
             est["upper_bound"] = ab["upper"]
             est["upper_bound_std_err"] = ab["std_err"]
-    elif args.payoff in ("asian", "lookback", "up-and-out"):
+    elif args.payoff in ("asian", "lookback", "up-and-out", "up-and-in"):
         from montecarlo_tpu.engine import (
             ARITH_MEAN,
             RUNNING_MAX,
@@ -381,7 +381,7 @@ def cmd_price(args) -> int:
         functionals = {"avg": ARITH_MEAN, "max": RUNNING_MAX,
                        "min": RUNNING_MIN}
         barrier = args.barrier or 1.2 * args.strike
-        if args.payoff == "up-and-out" and args.bridge:
+        if args.payoff in ("up-and-out", "up-and-in") and args.bridge:
             if args.process != "gbm":
                 raise SystemExit("--bridge requires --process gbm "
                                  "(constant vol for the bridge law)")
@@ -398,8 +398,15 @@ def cmd_price(args) -> int:
             payoffs = lookback_call_floating(out_f["terminal"],
                                              out_f["min"])
         elif args.bridge:
-            payoffs = european_call(out_f["terminal"],
-                                    args.strike) * out_f["surv"]
+            # Knock-out and knock-in from the SAME survival probability
+            # (in-out parity: KO + KI = vanilla, continuous barrier).
+            w = (out_f["surv"] if args.payoff == "up-and-out"
+                 else 1.0 - out_f["surv"])
+            payoffs = european_call(out_f["terminal"], args.strike) * w
+        elif args.payoff == "up-and-in":
+            hit = out_f["max"] >= barrier
+            payoffs = jnp.where(hit, european_call(out_f["terminal"],
+                                                   args.strike), 0.0)
         else:
             payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
                                       args.strike, barrier)

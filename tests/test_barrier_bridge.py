@@ -117,3 +117,19 @@ def test_basket_asian_composition():
     eur = mc_estimate(jnp.maximum(out["terminal"] - 75.0, 0.0),
                       np.exp(-0.03))
     assert float(est["price"]) < float(eur["price"])
+
+
+def test_in_out_parity_exact_from_one_run():
+    """KO + KI computed from the same survival probability reproduce the
+    vanilla price exactly (pathwise identity, not just in expectation)."""
+    n_steps, n = 64, 1 << 14
+    proc = GBM.create(S0, R, SIGMA, T / n_steps, dtype=jnp.float64)
+    out = simulate_functionals(
+        proc, n, n_steps, seed=17, dtype=jnp.float64,
+        functionals={"surv": barrier_survival_up(BARRIER, SIGMA,
+                                                 T / n_steps)})
+    pay = european_call(out["terminal"], STRIKE)
+    ko = pay * out["surv"]
+    ki = pay * (1.0 - out["surv"])
+    np.testing.assert_allclose(np.asarray(ko + ki), np.asarray(pay),
+                               rtol=1e-12)
