@@ -345,14 +345,30 @@ def cmd_price(args) -> int:
         from montecarlo_tpu.engine.american import (
             andersen_broadie_bound, lsm_policy)
 
-        if args.payoff not in ("call", "put"):
-            raise SystemExit(
-                f"--american supports call/put exercise values, not "
-                f"{args.payoff!r} (American path-dependent payoffs are "
-                "not implemented)")
         if args.sampler != "plain":
             raise SystemExit("--american uses plain Threefry draws; "
                              "--sampler has no effect there (remove it)")
+        if args.payoff == "asian":
+            # American average-price option: LSM on the joint (spot,
+            # running average) state (Longstaff-Schwartz 2001 sec. 5).
+            from montecarlo_tpu.engine import (ARITH_MEAN,
+                                               lsm_price_path_dependent)
+
+            if args.american_bound:
+                raise SystemExit("--american-bound covers call/put only")
+            est = lsm_price_path_dependent(
+                proc, lambda s, a: jnp.maximum(a - args.strike, 0.0),
+                ARITH_MEAN, args.paths, args.steps, seed=args.seed,
+                rate=args.rate, dt=dt, degree=2)
+            out = {"price": float(est["price"]),
+                   "std_err": float(est["std_err"]),
+                   "n_paths": int(est["n_paths"])}
+            print(json.dumps(out))
+            return 0
+        if args.payoff not in ("call", "put"):
+            raise SystemExit(
+                f"--american supports call/put exercise (or asian via the "
+                f"path-dependent LSM), not {args.payoff!r}")
         payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
                   if args.payoff == "call"
                   else (lambda s: jnp.maximum(args.strike - s, 0.0)))

@@ -60,7 +60,11 @@ from montecarlo_tpu.engine.rates import (  # noqa: F401
     zcb_price_mc,
 )
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
-from montecarlo_tpu.engine.american import binomial_american_put, lsm_price  # noqa: F401
+from montecarlo_tpu.engine.american import (  # noqa: F401
+    binomial_american_put,
+    lsm_price,
+    lsm_price_path_dependent,
+)
 from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401
 from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401
     HestonParams,

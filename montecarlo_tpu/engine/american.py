@@ -119,6 +119,92 @@ def lsm_policy(process, payoff_fn, n_paths: int, n_steps: int, *, seed: int,
     return result, (vb_rev[::-1], vm_rev[::-1], vs_rev[::-1])
 
 
+def _basis2(x, y, degree: int):
+    """2-D polynomial basis of total degree <= ``degree``:
+    [1, x, y, x^2, xy, y^2, ...] — (degree+1)(degree+2)/2 terms."""
+    cols = []
+    for i in range(degree + 1):
+        xi = jnp.ones_like(x) if i == 0 else x ** i
+        for j in range(degree + 1 - i):
+            cols.append(xi if j == 0 else xi * y ** j)
+    return jnp.stack(cols, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "functional", "n_paths",
+                                   "n_steps", "seed", "degree",
+                                   "exercise_from", "dtype"))
+def lsm_price_path_dependent(process, payoff_fn, functional, n_paths: int,
+                             n_steps: int, *, seed: int, rate, dt,
+                             degree: int = 2, exercise_from: int = 1,
+                             dtype=jnp.float32):
+    """American exercise on a PATH-DEPENDENT payoff via LSM on the joint
+    (spot, running functional) state.
+
+    ``payoff_fn(s_t, a_t)`` is the immediate-exercise value at step t, with
+    ``a_t`` the running value of ``functional`` (a
+    :class:`engine.functionals.PathFunctional`, finalized at every step
+    with the step count so e.g. ARITH_MEAN yields the to-date average) —
+    American-Asian calls/puts, lookback exercises, etc.  The continuation
+    regression uses a 2-D polynomial basis of total degree ``degree`` in
+    the (per-step ITM-standardized) pair, the Longstaff-Schwartz (2001)
+    treatment of their Asian example.  ``exercise_from`` is the first
+    exercisable step (``n_steps`` = European: no early exercise at all).
+
+    Returns ``{"price", "std_err", "n_paths"}`` (plain-LSM low bias).
+    """
+    paths = simulate(process, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)  # (T+1, N)
+
+    # Running functional value a_t at every step (finalized with t so the
+    # to-date normalization is correct, e.g. mean over t+1 observations).
+    acc0 = functional.init(paths[0])
+
+    def acc_step(acc, st):
+        s_t, t = st
+        acc = functional.update(acc, s_t, t)
+        return acc, functional.finalize(acc, t)
+
+    ts = jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+    _, a_traj = jax.lax.scan(acc_step, acc0, (paths[1:], ts))
+    a_full = jnp.concatenate(
+        [functional.finalize(acc0, 0.0)[None], a_traj], axis=0)  # (T+1, N)
+
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+    n = jnp.asarray(n_paths, dtype)
+    n_terms = (degree + 1) * (degree + 2) // 2
+    cashflow = payoff_fn(paths[-1], a_full[-1])
+
+    def step(cashflow, inputs):
+        s_t, a_t, t_idx = inputs
+        disc = df * cashflow
+        exercise = payoff_fn(s_t, a_t)
+        itm = exercise > 0
+        w = itm.astype(dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        ms = jnp.sum(w * s_t) / wsum
+        ss = jnp.sqrt(jnp.sum(w * jnp.square(s_t - ms)) / wsum + 1e-12)
+        ma = jnp.sum(w * a_t) / wsum
+        sa = jnp.sqrt(jnp.sum(w * jnp.square(a_t - ma)) / wsum + 1e-12)
+        x = _basis2((s_t - ms) / ss, (a_t - ma) / sa, degree)
+        xw = x * w[:, None]
+        a_mat = xw.T @ x / wsum + 1e-6 * jnp.eye(n_terms, dtype=dtype)
+        b = xw.T @ disc / wsum
+        beta = jnp.linalg.solve(a_mat, b)
+        continuation = x @ beta
+        take = itm & (exercise >= continuation) & (t_idx >= exercise_from)
+        return jnp.where(take, exercise, disc), None
+
+    t_inner = jnp.arange(1, n_steps, dtype=jnp.int32)[::-1]
+    cashflow, _ = jax.lax.scan(
+        step, cashflow, (paths[1:-1][::-1], a_full[1:-1][::-1], t_inner))
+    value = df * cashflow
+    return {
+        "price": jnp.mean(value),
+        "std_err": jnp.std(value, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_paths,
+    }
+
+
 @partial(jax.jit, static_argnames=("payoff_fn", "n_outer", "n_inner",
                                    "n_steps", "seed", "degree",
                                    "value_degree", "dtype"))

@@ -147,3 +147,55 @@ def test_lsm_is_process_generic_heston():
     assert price < k
     # the early-exercise premium should be visibly positive at these params
     assert price > euro_put + 0.01, (price, euro_put)
+
+
+def test_american_asian_lsm_properties():
+    """American-Asian via LSM on (spot, running-average): European parity
+    at exercise_from=T, monotonicity in exercise rights, early-exercise
+    premium for the put, and vanilla degeneracy."""
+    from montecarlo_tpu.engine import (ARITH_MEAN, mc_estimate,
+                                       simulate_functionals)
+    from montecarlo_tpu.engine.american import lsm_price_path_dependent
+
+    n, steps = 1 << 14, 32
+    dt = T / steps
+    proc = GBM.create(s0=100.0, mu=R, sigma=SIGMA, dt=dt)
+    k = 100.0
+
+    def asian_put(s, a):
+        return jnp.maximum(k - a, 0.0)
+
+    # European parity: no early exercise reproduces the plain discounted
+    # Asian payoff on the same draws exactly (same streams, same average).
+    euro_lsm = lsm_price_path_dependent(
+        proc, asian_put, ARITH_MEAN, n, steps, seed=3, rate=R, dt=dt,
+        exercise_from=steps)
+    out = simulate_functionals(proc, n, steps, seed=3,
+                               functionals={"avg": ARITH_MEAN})
+    euro = mc_estimate(jnp.maximum(k - out["avg"], 0.0),
+                       float(np.exp(-R * T)))
+    np.testing.assert_allclose(float(euro_lsm["price"]),
+                               float(euro["price"]), rtol=1e-5)
+
+    # More exercise rights can only add value (same paths, same policy
+    # family) — allow LSM regression noise.
+    amer = lsm_price_path_dependent(proc, asian_put, ARITH_MEAN, n, steps,
+                                    seed=3, rate=R, dt=dt)
+    half = lsm_price_path_dependent(proc, asian_put, ARITH_MEAN, n, steps,
+                                    seed=3, rate=R, dt=dt,
+                                    exercise_from=steps // 2)
+    se = float(euro["std_err"])
+    assert float(amer["price"]) >= float(half["price"]) - 2 * se
+    assert float(half["price"]) >= float(euro_lsm["price"]) - 2 * se
+    # The average-strike put carries a real early-exercise premium at r=6%.
+    assert float(amer["price"]) > float(euro_lsm["price"]) + se
+
+    # Degenerate: a payoff ignoring the functional reproduces vanilla
+    # American LSM (within regression-basis noise).
+    vanilla = lsm_price(proc, lambda s: jnp.maximum(k - s, 0.0), n, steps,
+                        seed=3, rate=R, dt=dt, degree=3)
+    via_pd = lsm_price_path_dependent(
+        proc, lambda s, a: jnp.maximum(k - s, 0.0), ARITH_MEAN, n, steps,
+        seed=3, rate=R, dt=dt, degree=2)
+    assert abs(float(via_pd["price"]) - float(vanilla["price"])) < (
+        4 * (float(vanilla["std_err"]) + float(via_pd["std_err"])) + 0.05)
