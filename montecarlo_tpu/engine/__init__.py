@@ -60,6 +60,10 @@ from montecarlo_tpu.engine.rates import (  # noqa: F401
     zcb_price_mc,
 )
 from montecarlo_tpu.engine.implied_vol import implied_vol_call  # noqa: F401
+from montecarlo_tpu.engine.surface import (  # noqa: F401
+    mc_implied_vol_surface,
+    price_snapshot,
+)
 from montecarlo_tpu.engine.american import (  # noqa: F401
     binomial_american_put,
     lsm_price,
