@@ -33,6 +33,7 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     down_and_out_call,
     lookback_call_floating,
     barrier_survival_up,
+    cliquet_sum,
     realized_variance,
     simulate_functionals,
     trapezoid_integral,

@@ -111,6 +111,38 @@ def barrier_survival_up(barrier: float, sigma: float, dt: float
     )
 
 
+def cliquet_sum(period: int, local_floor: float, local_cap: float
+                ) -> PathFunctional:
+    """Cliquet / ratchet leg: sum of collared period returns.
+
+    Every ``period`` steps the return since the last reset is collared to
+    [local_floor, local_cap] and accumulated:
+
+        leg = sum_j clip(S_{t_j} / S_{t_{j-1}} - 1, floor, cap),
+        t_j = j * period.
+
+    The classic capped-and-floored cliquet pays ``max(leg, global_floor)``
+    on the notional.  The accumulator carries (running sum, price at the
+    last reset); a trailing partial period is ignored (choose n_steps as a
+    multiple of ``period``).
+    """
+    if period < 1:
+        raise ValueError("period must be >= 1")
+
+    def update(acc, s, t):
+        total, prev = acc
+        at_reset = (t % period) == 0
+        ret = jnp.clip(s / prev - 1.0, local_floor, local_cap)
+        return (jnp.where(at_reset, total + ret, total),
+                jnp.where(at_reset, s, prev))
+
+    return PathFunctional(
+        init=lambda s: (jnp.zeros_like(s), s),
+        update=update,
+        finalize=lambda acc, n_steps: acc[0],
+    )
+
+
 def realized_variance() -> PathFunctional:
     """Sum of squared log returns over the step grid — the variance-swap
     payoff leg.  Annualize with 1/T: fair strike = E[sum] / T.  The

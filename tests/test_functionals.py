@@ -107,3 +107,28 @@ def test_implied_vol_batches_over_strike():
                                       0.03, 1.0))
     assert out.shape == (3,)
     np.testing.assert_allclose(out[1], 0.25, atol=1e-6)
+
+
+def test_cliquet_sum_uncapped_matches_closed_form():
+    """With no collar, E[sum of period returns] = n_periods*(e^{mu*P*dt}-1)
+    under GBM, and the capped leg is bounded by n*cap and below the
+    uncapped leg (Jensen-free pathwise bounds)."""
+    from montecarlo_tpu.engine import cliquet_sum, simulate_functionals
+    from montecarlo_tpu.processes import GBM
+
+    mu, dt, period, n_steps = 0.06, 1 / 48, 12, 48  # 4 quarterly resets
+    proc = GBM.create(s0=100.0, mu=mu, sigma=0.25, dt=dt,
+                      dtype=jnp.float64)
+    out = simulate_functionals(
+        proc, 1 << 16, n_steps, seed=3, dtype=jnp.float64,
+        functionals={
+            "free": cliquet_sum(period, -10.0, 10.0),
+            "capped": cliquet_sum(period, -0.02, 0.03)})
+    free = np.asarray(out["free"])
+    capped = np.asarray(out["capped"])
+    n_periods = n_steps // period
+    expect = n_periods * (np.exp(mu * period * dt) - 1.0)
+    se = free.std() / np.sqrt(free.size)
+    assert abs(free.mean() - expect) < 5 * se + 1e-4, (free.mean(), expect)
+    assert capped.max() <= n_periods * 0.03 + 1e-12
+    assert capped.min() >= n_periods * -0.02 - 1e-12
