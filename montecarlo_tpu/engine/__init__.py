@@ -32,6 +32,7 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     asian_call,
     down_and_out_call,
     lookback_call_floating,
+    autocallable,
     barrier_survival_up,
     cliquet_sum,
     realized_variance,

@@ -143,6 +143,59 @@ def cliquet_sum(period: int, local_floor: float, local_cap: float
     )
 
 
+def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
+                 pdi_barrier: float, s0: float) -> PathFunctional:
+    """Discounted payoff of an autocallable (Phoenix-style) note.
+
+    At every observation t_j = j*period: if the note is still alive and
+    ``S >= trigger``, it autocalls, paying notional + j accrued coupons,
+    discounted pathwise by ``exp(-r_dt * t_j)``.  If never called, at
+    maturity it pays 1 + n coupons when ``S_T >= trigger``; otherwise
+    capital is at risk through a European down-and-in put struck at
+    ``s0`` (the standard PDI leg): pays ``S_T / s0`` if the running
+    minimum ever breached ``pdi_barrier``, else 1.
+
+    The whole product folds into the simulation scan as ONE functional
+    (state: alive flag, discounted-payout accumulator, running minimum) —
+    fused-kernel eligible, and by linearity of the fold it composes with
+    any process (jumps, stochastic/local vol).  ``finalize`` returns the
+    discounted payoff per path; price = its plain mean (no further
+    discounting).
+    """
+    if period < 1:
+        raise ValueError("period must be >= 1")
+
+    def update(acc, s, t):
+        alive, pay, run_min, _ = acc
+        run_min = jnp.minimum(run_min, s)
+        tf = jnp.asarray(t).astype(s.dtype)
+        j = tf / period  # integer-valued at observations
+        at_obs = (jnp.asarray(t) % period) == 0
+        called = at_obs & (alive > 0.5) & (s >= trigger)
+        call_value = (1.0 + coupon * j) * jnp.exp(-r_dt * tf)
+        pay = jnp.where(called, call_value, pay)
+        alive = jnp.where(called, jnp.zeros_like(alive), alive)
+        return (alive, pay, run_min, s)
+
+    def finalize(acc, n_steps):
+        alive, pay, run_min, last = acc
+        # Maturity observation (t = n_steps, requires n_steps % period
+        # == 0) already paid S_T >= trigger paths via `update`; the
+        # remaining alive paths settle the capital leg: full notional
+        # unless the PDI barrier was ever breached, else S_T / s0.
+        df_t = jnp.exp(jnp.asarray(-r_dt * n_steps, pay.dtype))
+        breached = run_min <= pdi_barrier
+        settle = df_t * jnp.where(breached, last / s0,
+                                  jnp.ones_like(last))
+        return jnp.where(alive > 0.5, settle, pay)
+
+    return PathFunctional(
+        init=lambda s: (jnp.ones_like(s), jnp.zeros_like(s), s, s),
+        update=update,
+        finalize=finalize,
+    )
+
+
 def realized_variance() -> PathFunctional:
     """Sum of squared log returns over the step grid — the variance-swap
     payoff leg.  Annualize with 1/T: fair strike = E[sum] / T.  The

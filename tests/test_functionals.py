@@ -132,3 +132,35 @@ def test_cliquet_sum_uncapped_matches_closed_form():
     assert abs(free.mean() - expect) < 5 * se + 1e-4, (free.mean(), expect)
     assert capped.max() <= n_periods * 0.03 + 1e-12
     assert capped.min() >= n_periods * -0.02 - 1e-12
+
+
+def test_autocallable_limits_and_price():
+    """Degenerate limits pin the autocallable: trigger below any path ->
+    calls at the first observation; trigger unreachable + barrier
+    unbreachable -> pure discounted notional; and the generic price sits
+    between the PDI-floor and the always-call ceiling."""
+    from montecarlo_tpu.engine import autocallable, simulate_functionals
+    from montecarlo_tpu.processes import GBM
+
+    r, dt, period, n_steps = 0.03, 1 / 48, 12, 48
+    proc = GBM.create(s0=100.0, mu=r, sigma=0.25, dt=dt, dtype=jnp.float64)
+
+    def price(trigger, coupon, barrier):
+        out = simulate_functionals(
+            proc, 1 << 15, n_steps, seed=9, dtype=jnp.float64,
+            functionals={"ac": autocallable(period, trigger, coupon,
+                                            r * dt, barrier, 100.0)})
+        return float(np.mean(np.asarray(out["ac"])))
+
+    # Always calls at t=period with one coupon.
+    always = price(trigger=0.0, coupon=0.05, barrier=0.0)
+    np.testing.assert_allclose(always,
+                               1.05 * np.exp(-r * period * dt), rtol=1e-12)
+    # Never calls, never breaches: pure zero-coupon notional.
+    zcb = price(trigger=1e9, coupon=0.05, barrier=0.0)
+    np.testing.assert_allclose(zcb, np.exp(-r * n_steps * dt), rtol=1e-12)
+    # Realistic note: price between the at-risk floor and par + coupons.
+    p = price(trigger=100.0, coupon=0.02, barrier=70.0)
+    assert zcb * 0.5 < p < 1.0 + 4 * 0.02
+    # Lower PDI barrier (less capital risk) can only help the holder.
+    assert p <= price(trigger=100.0, coupon=0.02, barrier=50.0) + 1e-9
