@@ -19,7 +19,7 @@ def analyze_ticker(ticker: str, *, forecast_horizon: int = 20,
                    model_config: Optional[ModelConfig] = None,
                    trading_config: Optional[TradingConfig] = None,
                    provider: Optional[str] = None,
-                   seed: int = 0,
+                   seed: int = 0, fit_garch_params: bool = False,
                    progress_callback=None) -> Optional[Dict]:
     """Full analysis for one ticker.
 
@@ -46,7 +46,8 @@ def analyze_ticker(ticker: str, *, forecast_horizon: int = 20,
 
     cb("Running Monte Carlo simulation...")
     mc = garch_monte_carlo(data, n_sims, forecast_horizon,
-                           results["current_price"], cb, seed=seed)
+                           results["current_price"], cb, seed=seed,
+                           fit_params=fit_garch_params)
 
     bt = None
     if run_backtest:

@@ -41,6 +41,10 @@ def _add_analyze(sub):
     p.add_argument("--provider", default=None,
                    choices=[None, "yfinance", "synthetic", "csv"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fit-garch", action="store_true",
+                   help="QMLE-fit GARCH omega/alpha/beta to the return "
+                        "history instead of the reference's hardcoded "
+                        "(1e-5, 0.10, 0.85)")
     p.add_argument("--json", action="store_true", help="JSON output")
 
 
@@ -143,6 +147,7 @@ def cmd_analyze(args) -> int:
         retrain_frequency=args.retrain_freq, period=args.period,
         model_config=cfg, trading_config=TradingConfig(),
         provider=args.provider, seed=args.seed,
+        fit_garch_params=args.fit_garch,
         progress_callback=lambda m: print(f"  {m}", file=sys.stderr))
     if out is None:
         print(f"Could not analyze {args.ticker}: insufficient data or "
