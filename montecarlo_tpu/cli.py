@@ -12,6 +12,8 @@ Subcommands:
   greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   stress   — scenario grids / named stress P&L (common random numbers)
+  calibrate— fit Heston / SABR to an implied-vol surface (Adam on exact
+             gradients; --demo generates and recovers a known surface)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -686,6 +688,86 @@ def cmd_stress(args) -> int:
     return 0
 
 
+def _add_calibrate(sub):
+    p = sub.add_parser("calibrate",
+                       help="fit Heston/SABR to an implied-vol surface")
+    p.add_argument("--model", default="heston", choices=["heston", "sabr"])
+    p.add_argument("--surface", default=None,
+                   help="CSV with header strike,maturity,iv (long form); "
+                        "omit for --demo behavior")
+    p.add_argument("--s0", type=float, default=100.0,
+                   help="spot (heston) / forward (sabr)")
+    p.add_argument("--rate", type=float, default=0.03)
+    p.add_argument("--beta", type=float, default=0.7,
+                   help="SABR beta (fixed by convention)")
+    p.add_argument("--maturity", type=float, default=1.0,
+                   help="SABR smile maturity (single-expiry fit)")
+    p.add_argument("--iters", type=int, default=800)
+
+
+def cmd_calibrate(args) -> int:
+    import numpy as np
+
+    if args.surface:
+        rows = np.genfromtxt(args.surface, delimiter=",", names=True)
+        strikes = np.atleast_1d(rows["strike"]).astype(np.float64)
+        mats = np.atleast_1d(rows["maturity"]).astype(np.float64)
+        ivs = np.atleast_1d(rows["iv"]).astype(np.float64)
+        demo = None
+    else:
+        # Demo: generate a surface from known parameters and recover them.
+        import jax.numpy as jnp
+
+        if args.model == "heston":
+            from montecarlo_tpu.engine.heston_analytic import (HestonParams,
+                                                               heston_call_cf)
+            from montecarlo_tpu.engine.implied_vol import implied_vol_call
+
+            demo = dict(v0=0.04, kappa=2.0, theta=0.04, xi=0.5, rho=-0.7)
+            ks = np.array([80., 90., 100., 110., 120.] * 3)
+            mats = np.repeat([0.25, 0.5, 1.0], 5)
+            prices = heston_call_cf(
+                args.s0, jnp.asarray(ks), jnp.asarray(mats), args.rate,
+                HestonParams(**{k: jnp.asarray(v)
+                                for k, v in demo.items()}))
+            ivs = np.asarray(implied_vol_call(
+                prices, args.s0, jnp.asarray(ks), args.rate,
+                jnp.asarray(mats)))
+            strikes = ks
+        else:
+            from montecarlo_tpu.processes import sabr_hagan_iv
+
+            # alpha in CEV units: 20%% lognormal ATM vol at f0.
+            demo = dict(alpha=0.2 * args.s0 ** (1.0 - args.beta),
+                        nu=0.35, rho=-0.4)
+            strikes = np.linspace(0.8, 1.25, 10) * args.s0
+            mats = np.full(10, args.maturity)
+            ivs = np.asarray(sabr_hagan_iv(
+                args.s0, jnp.asarray(strikes), args.maturity,
+                demo["alpha"], args.beta, demo["nu"], demo["rho"]))
+
+    if args.model == "heston":
+        from montecarlo_tpu.engine.heston_analytic import (
+            calibrate_heston_to_ivs)
+
+        est = calibrate_heston_to_ivs(strikes, mats, ivs, s0=args.s0,
+                                      r=args.rate, n_iters=args.iters)
+        out = {k: round(float(v), 6) for k, v in est._asdict().items()}
+    else:
+        if not np.allclose(mats, mats[0]):
+            raise SystemExit("SABR fits one expiry at a time; the surface "
+                             "has mixed maturities")
+        from montecarlo_tpu.processes import calibrate_sabr
+
+        fit = calibrate_sabr(strikes, ivs, f0=args.s0, T=float(mats[0]),
+                             beta=args.beta, n_iters=max(args.iters, 2000))
+        out = {k: round(float(v), 6) for k, v in fit.items()}
+    if demo is not None:
+        out["demo_truth"] = demo
+    print(json.dumps(out))
+    return 0
+
+
 def _add_bond(sub):
     p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
     p.add_argument("--model", default="vasicek",
@@ -827,6 +909,7 @@ def main(argv=None) -> int:
     _add_greeks(sub)
     _add_var(sub)
     _add_stress(sub)
+    _add_calibrate(sub)
     _add_bond(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
@@ -847,6 +930,8 @@ def main(argv=None) -> int:
         return cmd_var(args)
     if args.cmd == "stress":
         return cmd_stress(args)
+    if args.cmd == "calibrate":
+        return cmd_calibrate(args)
     if args.cmd == "bond":
         return cmd_bond(args)
     if args.cmd == "bench":

@@ -119,3 +119,27 @@ def test_cli_greeks_pathwise_and_lr(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["delta"] > 0
+
+
+def test_cli_calibrate_surface_csv(tmp_path, capsys):
+    """calibrate --surface reads a long-form CSV and fits SABR."""
+    import json
+
+    import numpy as np
+
+    from montecarlo_tpu.cli import main
+    from montecarlo_tpu.processes import sabr_hagan_iv
+
+    ks = np.linspace(85.0, 120.0, 8)
+    ivs = np.asarray(sabr_hagan_iv(100.0, ks, 1.0, 0.2 * 100.0 ** 0.3,
+                                   0.7, 0.3, -0.35))
+    p = tmp_path / "surf.csv"
+    p.write_text("strike,maturity,iv\n" + "\n".join(
+        f"{k},1.0,{v}" for k, v in zip(ks, ivs)))
+    rc = main(["--platform", "cpu", "calibrate", "--model", "sabr",
+               "--surface", str(p)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["nu"] - 0.3) < 0.02
+    assert abs(out["rho"] + 0.35) < 0.03
+    assert out["rmse_vol"] < 1e-3
