@@ -128,7 +128,9 @@ def stress_report(process, payoff_fn, n_paths: int, n_steps: int, *,
                   discount=1.0, scenarios: dict | None = None,
                   stream: int = 0, dtype=jnp.float32) -> dict:
     """Named-scenario P&L: one vmapped reprice over `standard_scenarios`."""
-    scen = scenarios or standard_scenarios()
+    scen = scenarios if scenarios is not None else standard_scenarios()
+    if not scen:
+        return {"scenarios": {}, "base_price": float("nan")}
     names = list(scen)
     ba = np.asarray([scen[k][0] for k in names])
     bb = np.asarray([scen[k][1] for k in names])

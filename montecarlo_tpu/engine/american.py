@@ -66,16 +66,17 @@ def lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *, seed: int,
     usual small low bias of plain LSM (suboptimal regressed policy).
     """
     result, _ = lsm_policy(process, payoff_fn, n_paths, n_steps, seed=seed,
-                           rate=rate, dt=dt, degree=degree, dtype=dtype)
+                           rate=rate, dt=dt, degree=degree, dtype=dtype,
+                           fit_value=False)
     return result
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
                                    "seed", "degree", "value_degree",
-                                   "dtype"))
+                                   "dtype", "fit_value"))
 def lsm_policy(process, payoff_fn, n_paths: int, n_steps: int, *, seed: int,
                rate, dt, degree: int = 2, value_degree: int | None = None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, fit_value: bool = True):
     """LSM price **and** a value-function surrogate of the policy.
 
     Besides the ITM continuation regression that drives exercise, each
@@ -99,6 +100,12 @@ def lsm_policy(process, payoff_fn, n_paths: int, n_steps: int, *, seed: int,
     def step(cashflow, s_t):
         new_cash, _, _, _ = _regression_step(
             s_t, df * cashflow, payoff_fn, degree, dtype)
+        if not fit_value:
+            # Price-only mode (lsm_price): skip the all-paths surrogate —
+            # it roughly doubles the backward-pass FLOPs and only the
+            # Andersen-Broadie dual consumes it.
+            z = jnp.zeros((vdeg + 1,), dtype)
+            return new_cash, (z, jnp.zeros((), dtype), jnp.ones((), dtype))
         # All-paths value regression (for the dual surrogate).
         ma = jnp.mean(s_t)
         sda = jnp.std(s_t) + 1e-12

@@ -62,17 +62,34 @@ def _kernel_sampler(sampler):
     return sampler if isinstance(sampler, SobolDeviceSampler) else None
 
 
+def _fused_eligible(process, sampler, n_paths: int, n_steps: int,
+                    dtype) -> int | None:
+    """THE fused-kernel eligibility gate, shared by terminal_prices,
+    payoff_block_moments, and simulate_functionals (one place, or the
+    entry points silently diverge).  Returns the block_rows to use, or
+    None for the scan engine.  Includes the x64 guard: with
+    jax_enable_x64 the Mosaic lowering of the draw pipeline recurses
+    (convert_element_type loop) — fall back instead of crashing.
+    """
+    if jax.devices()[0].platform in ("cpu",):
+        return None
+    if jax.config.jax_enable_x64:
+        return None
+    if dtype != jnp.float32 or not isinstance(process, _FUSABLE):
+        return None
+    if not _fusable_sampler(sampler, process, n_steps):
+        return None
+    return _kernel_block_rows(n_paths)
+
+
 def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
                     stream=0, sampler=None, dtype=jnp.float32,
                     path_offset=0, prefer_fused: bool = True):
     """Terminal prices via the fused kernel when eligible, else the scan
     engine.  Identical draw streams either way."""
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    rows = _kernel_block_rows(n_paths)
-    if (prefer_fused and on_tpu
-            and _fusable_sampler(sampler, process, n_steps)
-            and dtype == jnp.float32 and rows is not None
-            and isinstance(process, _FUSABLE)):
+    rows = (_fused_eligible(process, sampler, n_paths, n_steps, dtype)
+            if prefer_fused else None)
+    if rows is not None:
         return fused_terminal_pallas(
             process, n_paths, n_steps, seed=seed, stream=stream,
             path_offset=path_offset, block_rows=rows,
@@ -97,13 +114,10 @@ def payoff_block_moments(process, payoff_fn, n_paths: int, n_steps: int, *,
     from montecarlo_tpu.ops.fused_engine import fused_block_moments_pallas
     from montecarlo_tpu.stats.welford import moments_from_array
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    rows = _kernel_block_rows(n_paths)
-    if (prefer_fused and on_tpu
-            and _fusable_sampler(sampler, process, n_steps)
-            and rows is not None
-            and rows * LANES % stats_block == 0
-            and isinstance(process, _FUSABLE)):
+    rows = (_fused_eligible(process, sampler, n_paths, n_steps,
+                            jnp.float32)
+            if prefer_fused else None)
+    if rows is not None and rows * LANES % stats_block == 0:
         return fused_block_moments_pallas(
             process, payoff_fn, n_paths, n_steps, seed=seed, stream=stream,
             path_offset=path_offset, block_rows=rows,

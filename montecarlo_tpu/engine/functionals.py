@@ -178,14 +178,23 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
         return (alive, pay, run_min, s)
 
     def finalize(acc, n_steps):
+        if int(n_steps) % period != 0:
+            # Without a maturity observation, surviving S_T >= trigger
+            # paths would silently forfeit every accrued coupon.
+            raise ValueError(
+                f"n_steps={int(n_steps)} must be a multiple of the "
+                f"observation period {period}")
         alive, pay, run_min, last = acc
-        # Maturity observation (t = n_steps, requires n_steps % period
-        # == 0) already paid S_T >= trigger paths via `update`; the
-        # remaining alive paths settle the capital leg: full notional
-        # unless the PDI barrier was ever breached, else S_T / s0.
+        # The maturity observation (t = n_steps) already paid
+        # S_T >= trigger paths via `update`; the remaining alive paths
+        # settle the capital leg: full notional unless the PDI barrier was
+        # ever breached, else short the s0-struck put — min(S_T/s0, 1)
+        # (uncapped S_T/s0 would pay MORE than notional when a breached
+        # path recovers above s0).
         df_t = jnp.exp(jnp.asarray(-r_dt * n_steps, pay.dtype))
         breached = run_min <= pdi_barrier
-        settle = df_t * jnp.where(breached, last / s0,
+        settle = df_t * jnp.where(breached,
+                                  jnp.minimum(last / s0, 1.0),
                                   jnp.ones_like(last))
         return jnp.where(alive > 0.5, settle, pay)
 
@@ -268,19 +277,12 @@ def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
     """
     items = tuple(functionals.items())
     if prefer_fused:
-        import jax
-
-        from montecarlo_tpu.engine.dispatch import (_FUSABLE,
-                                                    _fusable_sampler,
-                                                    _kernel_block_rows,
+        from montecarlo_tpu.engine.dispatch import (_fused_eligible,
                                                     _kernel_sampler)
         from montecarlo_tpu.samplers import AntitheticSampler
 
-        rows = _kernel_block_rows(n_paths)
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
-        if (on_tpu and _fusable_sampler(sampler, process, n_steps)
-                and dtype == jnp.float32
-                and rows is not None and isinstance(process, _FUSABLE)):
+        rows = _fused_eligible(process, sampler, n_paths, n_steps, dtype)
+        if rows is not None:
             from montecarlo_tpu.ops.fused_engine import (
                 fused_functionals_pallas)
 

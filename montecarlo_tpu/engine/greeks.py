@@ -152,8 +152,13 @@ def second_order_greeks(process, payoff_fn, n_paths: int, n_steps: int, *,
                             stream=stream, dtype=dtype)
         return d * jnp.mean(payoff_fn(terminal))
 
-    price, grad = jax.value_and_grad(price_fn)(zeros)
-    hess = jax.jacfwd(jax.grad(price_fn))(zeros)
+    # One primal forward+reverse pass (linearized), then one cheap
+    # tangent pass per field for the Hessian columns — a separate
+    # jacfwd(grad) would re-trace and re-run the whole simulation.
+    (price, grad), lin = jax.linearize(
+        jax.value_and_grad(price_fn), zeros)
+    basis = jnp.eye(len(fields), dtype=dtype)
+    hess = jnp.stack([lin(basis[i])[1] for i in range(len(fields))])
     return price, grad, hess
 
 

@@ -15,8 +15,9 @@ generic counterpart of the Heston/SABR calibration oracles).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from montecarlo_tpu.engine.functionals import (PathFunctional,
                                                simulate_functionals)
@@ -38,6 +39,14 @@ def price_snapshot(step: int) -> PathFunctional:
     )
 
 
+@jax.jit
+def _grid_prices(terms, discs, ks):
+    """Discounted call prices for every (maturity, strike) cell — module-
+    level jit so repeated surfaces reuse the compiled program."""
+    pay = jnp.maximum(terms[:, :, None] - ks[None, None, :], 0.0)
+    return discs[:, None] * jnp.mean(pay, axis=1)  # (T, K)
+
+
 def mc_implied_vol_surface(process, strikes, step_grid, dt: float, *,
                            rate: float, n_paths: int = 1 << 17,
                            seed: int = 0, s0=None, **sim_kw) -> dict:
@@ -55,8 +64,8 @@ def mc_implied_vol_surface(process, strikes, step_grid, dt: float, *,
     band (e.g. MC noise on far wings).
     """
     steps = [int(s) for s in step_grid]
-    if sorted(steps) != steps or steps[0] < 1:
-        raise ValueError("step_grid must be increasing and >= 1")
+    if any(b <= a for a, b in zip(steps, steps[1:])) or steps[0] < 1:
+        raise ValueError("step_grid must be strictly increasing and >= 1")
     n_steps = steps[-1]
     funcs = {f"m{j}": price_snapshot(s) for j, s in enumerate(steps)}
     out = simulate_functionals(process, n_paths, n_steps, seed=seed,
@@ -65,14 +74,14 @@ def mc_implied_vol_surface(process, strikes, step_grid, dt: float, *,
     spot = float(process.s0) if s0 is None else float(s0)
     strikes = np.asarray(strikes, np.float64)
     mats = np.asarray(steps, np.float64) * float(dt)
-    prices = np.zeros((len(steps), strikes.size))
-    for j, s in enumerate(steps):
-        term = out[f"m{j}"] if s != n_steps else out["terminal"]
-        disc = np.exp(-rate * mats[j])
-        pay = jnp.maximum(jnp.asarray(term)[:, None]
-                          - jnp.asarray(strikes, term.dtype)[None, :], 0.0)
-        prices[j] = disc * np.asarray(jnp.mean(pay, axis=0), np.float64)
-
+    # One device program for the whole grid (per-maturity host dispatch
+    # through the TPU relay is the DEVNOTES non-starter): stack the
+    # snapshots, price every (T, K) cell, and invert in the same call.
+    terms = jnp.stack([out[f"m{j}"] if s != n_steps else out["terminal"]
+                       for j, s in enumerate(steps)])        # (T, N)
+    discs = jnp.exp(-rate * jnp.asarray(mats, terms.dtype))  # (T,)
+    ks = jnp.asarray(strikes, terms.dtype)
+    prices = np.asarray(_grid_prices(terms, discs, ks), np.float64)
     ivs = np.asarray(implied_vol_call(
         jnp.asarray(prices), spot, jnp.asarray(strikes)[None, :],
         rate, jnp.asarray(mats)[:, None]))

@@ -164,3 +164,23 @@ def test_autocallable_limits_and_price():
     assert zcb * 0.5 < p < 1.0 + 4 * 0.02
     # Lower PDI barrier (less capital risk) can only help the holder.
     assert p <= price(trigger=100.0, coupon=0.02, barrier=50.0) + 1e-9
+
+
+def test_autocallable_pdi_capped_at_notional():
+    """A breached path that recovers above s0 still pays at most notional
+    (the capital leg is short a PUT, not long the stock; review r2)."""
+    from montecarlo_tpu.engine import autocallable
+
+    f = autocallable(period=2, trigger=150.0, coupon=0.05, r_dt=0.0,
+                     pdi_barrier=80.0, s0=100.0)
+    path = [100.0, 70.0, 90.0, 120.0, 130.0]  # breach at t=1, recover
+    acc = f.init(jnp.asarray([path[0]]))
+    for t, s in enumerate(path[1:], start=1):
+        acc = f.update(acc, jnp.asarray([s]), jnp.asarray(t))
+    val = float(f.finalize(acc, 4.0)[0])
+    assert val == 1.0  # min(S_T/s0, 1) with S_T = 130 > s0
+    # And n_steps not a multiple of the period is rejected loudly.
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        f.finalize(acc, 5.0)
