@@ -377,6 +377,31 @@ def _derivatives_page():
     st.success(f"{process} {payoff}: {float(est['price']):.4f} "
                f"± {float(est['std_err']):.4f}")
 
+    with st.expander("Stress scenarios (common random numbers)"):
+        from montecarlo_tpu.api.stress import stress_report
+
+        fields = ("s0", "v0") if process == "Heston" else (
+            ("f0", "alpha") if process == "SABR" else ("s0", "sigma"))
+        rep = stress_report(
+            proc, (lambda s: jnp.maximum(s - strike, 0.0)),
+            min(n_paths, 1 << 14), n_steps, seed=0, fields=fields,
+            discount=disc)
+        st.dataframe([{"Scenario": k, **v}
+                      for k, v in rep["scenarios"].items()])
+
+    with st.expander("Model smile (implied vols from one simulation)"):
+        from montecarlo_tpu.engine.surface import mc_implied_vol_surface
+
+        surf = mc_implied_vol_surface(
+            proc, strikes=[0.8 * s0, 0.9 * s0, s0, 1.1 * s0, 1.2 * s0],
+            step_grid=[n_steps // 2, n_steps], dt=maturity / n_steps,
+            rate=rate, n_paths=min(n_paths, 1 << 16), seed=0, s0=s0)
+        st.dataframe({"strike": surf["strikes"],
+                      f"iv @ {surf['maturities'][0]:.2f}y":
+                      surf["ivs"][0].round(4),
+                      f"iv @ {surf['maturities'][1]:.2f}y":
+                      surf["ivs"][1].round(4)})
+
     with st.expander("Fixed income (Vasicek)"):
         from montecarlo_tpu.engine import vasicek_zcb, zcb_price_mc
         from montecarlo_tpu.processes import Vasicek
