@@ -15,7 +15,6 @@ Beyond-reference capability; the closest reference analog is the single
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -46,7 +46,6 @@ from montecarlo_tpu.stats.welford import (
     MomentState,
     moments_from_array,
     moments_merge,
-    std_error,
     variance,
 )
 

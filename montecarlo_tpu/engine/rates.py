@@ -26,7 +26,7 @@ from montecarlo_tpu.engine.functionals import (
     trapezoid_integral,
 )
 from montecarlo_tpu.engine.pricing import mc_estimate
-from montecarlo_tpu.processes.shortrate import CIR, Vasicek
+from montecarlo_tpu.processes.shortrate import Vasicek
 
 
 # --- affine closed forms (oracles and quoting) -------------------------------

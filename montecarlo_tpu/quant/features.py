@@ -27,7 +27,6 @@ from montecarlo_tpu.quant.indicators import (
 )
 from montecarlo_tpu.quant.rolling import (
     cumsum_skipna,
-    ewm_mean,
     pct_change,
     rolling_max,
     rolling_mean,

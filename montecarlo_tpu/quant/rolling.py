@@ -16,7 +16,6 @@ rolling std uses ddof=1; EWM (adjust=False) starts at the first valid value.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

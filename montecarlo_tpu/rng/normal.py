@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.rng.threefry import random_bits, threefry2x32
+from montecarlo_tpu.rng.threefry import random_bits
 
 _TWO_PI = 6.283185307179586
 
