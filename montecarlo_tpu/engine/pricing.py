@@ -23,6 +23,11 @@ def mc_estimate(payoffs, discount=1.0) -> dict:
     driver's wall-clock-to-1e-3 benchmark metric.
     """
     payoffs = jnp.asarray(payoffs)
+    if not jnp.issubdtype(payoffs.dtype, jnp.floating):
+        # Bool/int payoffs (digitals, indicators): casting the DISCOUNT to
+        # their dtype would truncate it to True/0 and silently corrupt the
+        # price; promote the payoffs to float instead.
+        payoffs = payoffs.astype(jnp.float32)
     st: MomentState = moments_from_array(payoffs, axis=0)
     d = jnp.asarray(discount, payoffs.dtype)
     return {
@@ -49,6 +54,14 @@ def price_to_tolerance(process, payoff_fn, *, target_std_err, seed,
     from montecarlo_tpu.engine.dispatch import payoff_block_moments
     from montecarlo_tpu.stats.welford import moments_reduce
 
+    if chunk_paths * max_chunks > 1 << 32:
+        # Path ids are uint32: offsets past 2^32 wrap and REPLAY earlier
+        # chunks' draws — duplicates would be merged as independent samples
+        # and the reported std_err silently understated.
+        raise ValueError(
+            f"chunk_paths*max_chunks = {chunk_paths}*{max_chunks} exceeds "
+            "the 2^32 global path-id space; lower one of them or use "
+            "streaming_estimate with distinct streams")
     d = jnp.asarray(discount, jnp.float32)
     target = jnp.asarray(target_std_err, jnp.float32)
 

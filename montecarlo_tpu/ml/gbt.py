@@ -179,7 +179,10 @@ def _build_tree(xbin, g, h, feat_mask, cfg: GBTConfig):
     leaf_h = jax.ops.segment_sum(h, node, num_segments=n_leaves)
     leaf_value = (_leaf_weight(leaf_g, leaf_h, alpha, lam)
                   * cfg.learning_rate)
-    return split_feature, split_bin, leaf_value, split_gain
+    # `node` is every training row's final leaf — returned so boosting can
+    # apply the update as leaf_value[node] instead of re-routing the whole
+    # matrix through _predict_binned (max_depth rounds of gathers saved).
+    return split_feature, split_bin, leaf_value, split_gain, node
 
 
 def _predict_binned(xbin, split_feature, split_bin, leaf_value,
@@ -236,8 +239,8 @@ def gbt_fit(x, y, cfg: GBTConfig, *, weights=None, seed=0) -> GBTModel:
 
         grad = (pred - y) * sub_w
         hess = sub_w
-        sf, sb, lv, sg = _build_tree(xbin, grad, hess, feat_mask, cfg)
-        pred = pred + _predict_binned(xbin, sf, sb, lv, cfg.max_depth)
+        sf, sb, lv, sg, node = _build_tree(xbin, grad, hess, feat_mask, cfg)
+        pred = pred + lv[node]
         return pred, (sf, sb, lv, sg)
 
     init_pred = jnp.full((n,), base, jnp.float32)
@@ -250,14 +253,24 @@ def gbt_fit(x, y, cfg: GBTConfig, *, weights=None, seed=0) -> GBTModel:
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
-def gbt_predict(model: GBTModel, x, *, max_depth: int = 3):
-    """Predict (n,) targets for (n, F) raw features."""
+def gbt_predict(model: GBTModel, x, *, max_depth: int | None = None):
+    """Predict (n,) targets for (n, F) raw features.
+
+    ``max_depth`` is derived from the model's leaf array (2^depth leaves);
+    passing a mismatching value used to mis-route every sample silently,
+    so an explicit value is now validated instead of trusted.
+    """
+    depth = int(model.leaf_value.shape[-1]).bit_length() - 1
+    if max_depth is not None and max_depth != depth:
+        raise ValueError(
+            f"max_depth={max_depth} does not match the model "
+            f"({model.leaf_value.shape[-1]} leaves -> depth {depth})")
     x = jnp.asarray(x, jnp.float32)
     xbin = bin_features(x, model.edges)
 
     def one_tree(pred, tree):
         sf, sb, lv = tree
-        return pred + _predict_binned(xbin, sf, sb, lv, max_depth), None
+        return pred + _predict_binned(xbin, sf, sb, lv, depth), None
 
     init = jnp.full((x.shape[0],), model.base, jnp.float32)
     pred, _ = jax.lax.scan(
@@ -266,7 +279,7 @@ def gbt_predict(model: GBTModel, x, *, max_depth: int = 3):
     return pred
 
 
-def gbt_feature_importance(model: GBTModel, n_features: int,
+def gbt_feature_importance(model: GBTModel, n_features: int | None = None,
                            kind: str = "gain"):
     """Normalized feature importances (reference reads
     `.feature_importances_`, app.py:563-566).
@@ -274,6 +287,8 @@ def gbt_feature_importance(model: GBTModel, n_features: int,
     ``kind="gain"`` (total split gain, modern XGBoost's default) or
     ``kind="split"`` (split counts).
     """
+    if n_features is None:
+        n_features = int(model.edges.shape[0])
     is_split = model.split_bin < N_BINS
     if kind == "gain":
         weight = jnp.where(is_split, model.split_gain, 0.0)

@@ -27,8 +27,21 @@ def make_mesh(n_path_shards: int | None = None, n_asset_shards: int = 1,
     """
     if devices is None:
         devices = jax.devices()
+    if n_asset_shards < 1 or n_asset_shards > len(devices):
+        raise ValueError(
+            f"n_asset_shards={n_asset_shards} must be in "
+            f"[1, {len(devices)}] (available devices)")
     if n_path_shards is None:
+        if len(devices) % n_asset_shards:
+            # Silent floor division would idle devices (and 0 path shards
+            # would build an empty mesh that fails obscurely downstream).
+            raise ValueError(
+                f"{len(devices)} devices do not split evenly into "
+                f"n_asset_shards={n_asset_shards}; pass n_path_shards "
+                "explicitly to use a subset")
         n_path_shards = len(devices) // n_asset_shards
+    if n_path_shards < 1:
+        raise ValueError(f"n_path_shards={n_path_shards} must be >= 1")
     n = n_path_shards * n_asset_shards
     if n > len(devices):
         raise ValueError(

@@ -14,8 +14,12 @@ from __future__ import annotations
 from typing import Dict, List
 
 #: Interpretation thresholds from the reference About page (app.py:1164-1169)
-#: and edge banner (app.py:936-939, 1022-1027).
-EDGE_THRESHOLD = 52.0
+#: and edge banner (app.py:936-939, 1022-1027).  The edge threshold is the
+#: single source in ml.model (percent here, fraction there) so the banner
+#: text can never drift from the has_edge decision.
+from montecarlo_tpu.ml.model import EDGE_THRESHOLD as _EDGE_FRACTION
+
+EDGE_THRESHOLD = _EDGE_FRACTION * 100.0
 SHARPE_GOOD, SHARPE_POOR = 1.0, 0.5
 MAX_DD_GOOD, MAX_DD_POOR = 15.0, 30.0
 WIN_RATE_GOOD, WIN_RATE_POOR = 55.0, 45.0
@@ -42,9 +46,11 @@ def header_metrics(results: Dict) -> str:
         f"Annualized Vol     : {results['current_volatility'] * 100:.1f}%",
         f"Confidence         : {results['confidence'] * 100:.0f}%",
     ]
-    banner = ("MODEL HAS PREDICTIVE EDGE (>52% directional accuracy)"
+    banner = (f"MODEL HAS PREDICTIVE EDGE (>{EDGE_THRESHOLD:.0f}% "
+              "directional accuracy)"
               if results["has_edge"]
-              else "No significant edge detected (<52% accuracy)")
+              else f"No significant edge detected (<{EDGE_THRESHOLD:.0f}% "
+              "accuracy)")
     return "\n".join(lines + ["", banner])
 
 
