@@ -15,7 +15,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.processes import (CIR, SABR, BasketGBM, CCCGarch,
+from montecarlo_tpu.processes import (CIR, SABR, BasketGBM, Bates, CCCGarch,
                                       DCCGarch, EulerGBM, GBM,
                                       GARCHBootstrap, Heston, HullWhite,
                                       Kou, LocalVolGBM, Merton,
@@ -40,6 +40,9 @@ def all_fusable_processes():
                                       weights=[1 / 3] * 3, dt=1 / 252),
         "Merton": Merton.create(s0=100., mu=.03, sigma=.2, lam=1.,
                                 jump_mean=-.05, jump_std=.1, dt=1 / 252),
+        "Bates": Bates.create(s0=100., v0=.04, mu=.03, kappa=2., theta=.04,
+                              xi=.5, rho=-.7, lam=1., jump_mean=-.05,
+                              jump_std=.1, dt=1 / 252),
         "CCC": CCCGarch.create(s0=[100., 50., 75.], var0=[2e-4] * 3,
                                omega=[1e-5] * 3, alpha=[.1] * 3,
                                beta=[.85] * 3, corr=corr3,
@@ -74,7 +77,7 @@ def all_fusable_processes():
 # kernel compilations (1-2 ULP), and DCC's per-path per-step Cholesky chain
 # accumulates contraction differences to ~1e-6 relative when compiled;
 # everything else must match bitwise.
-ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC"}
+ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates"}
 
 
 if __name__ == "__main__":

@@ -77,8 +77,8 @@ def _add_scan(sub):
 def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
-                   choices=["gbm", "cev", "heston", "merton", "kou",
-                            "sabr", "rbergomi"])
+                   choices=["gbm", "cev", "heston", "bates", "merton",
+                            "kou", "sabr", "rbergomi"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -256,6 +256,15 @@ def cmd_price(args) -> int:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    elif args.process == "bates":
+        from montecarlo_tpu.processes import Bates
+
+        proc = Bates.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                            kappa=args.kappa, theta=args.theta,
+                            xi=args.xi, rho=args.rho,
+                            lam=args.jump_intensity,
+                            jump_mean=args.jump_mean,
+                            jump_std=args.jump_std, dt=dt)
     elif args.process == "rbergomi":
         proc = None  # dedicated branch below (its own simulator)
     else:
@@ -458,6 +467,18 @@ def cmd_price(args) -> int:
         out["cf_price"] = float(cf_call_price(
             kou_log_cf(args.s0, args.rate, args.sigma, args.jump_intensity,
                        args.p_up, args.eta1, args.eta2, args.maturity),
+            args.s0, args.strike, args.maturity, args.rate))
+    if (args.process == "bates" and args.payoff == "call"
+            and not args.american):
+        from montecarlo_tpu.engine.cf_pricing import cf_call_price
+        from montecarlo_tpu.processes import bates_log_cf
+
+        out["cf_price"] = float(cf_call_price(
+            bates_log_cf(args.s0, args.rate, v0=args.v0, kappa=args.kappa,
+                         theta=args.theta, xi=args.xi, rho=args.rho,
+                         lam=args.jump_intensity,
+                         jump_mean=args.jump_mean,
+                         jump_std=args.jump_std, T=args.maturity),
             args.s0, args.strike, args.maturity, args.rate))
     print(json.dumps(out))
     return 0

@@ -19,6 +19,7 @@ from montecarlo_tpu.processes.garch import GARCHBootstrap
 from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
 from montecarlo_tpu.processes.basket import BasketGBM
+from montecarlo_tpu.processes.bates import Bates
 from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.processes.dcc_garch import DCCGarch
@@ -32,7 +33,7 @@ from montecarlo_tpu.processes.term_basket import TermBasketGBM
 from montecarlo_tpu.rng.sobol import SobolDeviceSampler
 from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Merton, CCCGarch,
+_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou,
             Vasicek, CIR, HullWhite, SABR, TermBasketGBM)
 
