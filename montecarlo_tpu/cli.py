@@ -7,8 +7,10 @@ Subcommands:
   scan     — multi-ticker scanner (reference 'Scanner' mode,
              app.py:1262-1532: universe, max stocks, horizon, min accuracy,
              fast/balanced/full reliability, workers)
-  price    — Monte Carlo option pricing on the TPU engine (GBM/Heston,
-             plain/antithetic/Sobol)
+  price    — Monte Carlo option pricing on the TPU engine (GBM/CEV/Heston/
+             Bates/Merton/Kou/SABR/rough-Bergomi; vanilla/Asian/lookback/
+             barrier incl. knock-in + Brownian-bridge correction; American
+             via LSM; MLMC; plain/antithetic/Sobol incl. device-native)
   greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   stress   — scenario grids / named stress P&L (common random numbers)

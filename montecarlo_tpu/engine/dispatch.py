@@ -1,8 +1,9 @@
 """Engine dispatch: pick the fastest correct backend for a terminal run.
 
-- On TPU, scalar-state processes (GBM, GARCH-bootstrap, Heston) with plain
-  sampling and kernel-compatible path counts run the fused Pallas kernel
-  (~12-28e9 path-steps/s/chip on v5e).
+- On TPU, scalar-state processes (all 17 in _FUSABLE: GBM/GARCH/Heston/
+  Bates/jump/rate/local-vol/term-structure families) with plain,
+  antithetic, or device-Sobol sampling and kernel-compatible path counts
+  run the fused Pallas kernel (~5-34e9 path-steps/s/chip on v5e).
 - Everything else (CPU, paths mode, custom samplers, multi-asset states,
   odd path counts) runs the `lax.scan` engine — the two produce identical
   draw streams, and bitwise-identical paths in interpret mode.
