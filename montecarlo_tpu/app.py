@@ -291,7 +291,7 @@ def _derivatives_page():
 
     st.sidebar.header("Pricing Settings")
     process = st.sidebar.selectbox(
-        "Process", ["GBM", "Heston", "Merton", "Kou", "SABR"])
+        "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "SABR"])
     payoff = st.sidebar.selectbox(
         "Payoff", ["European call", "European put", "Asian call",
                    "Lookback", "Up-and-out call"])
@@ -319,6 +319,12 @@ def _derivatives_page():
     elif process == "Heston":
         proc = Heston.create(s0=s0, v0=sigma**2, mu=rate, kappa=2.0,
                              theta=sigma**2, xi=0.5, rho=-0.7, dt=dt)
+    elif process == "Bates":
+        from montecarlo_tpu.processes import Bates
+
+        proc = Bates.create(s0=s0, v0=sigma**2, mu=rate, kappa=2.0,
+                            theta=sigma**2, xi=0.5, rho=-0.7, lam=1.0,
+                            jump_mean=-0.05, jump_std=0.1, dt=dt)
     elif process == "Merton":
         proc = Merton.create(s0=s0, mu=rate, sigma=sigma, lam=1.0,
                              jump_mean=-0.05, jump_std=0.1, dt=dt)
