@@ -36,7 +36,8 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
                       current_price: float, progress_callback=None,
                       seed: int = 0, dtype=jnp.float32,
                       keep_paths: bool = True,
-                      fit_params: bool = False) -> Optional[Dict]:
+                      fit_params: bool = False,
+                      antithetic: bool = False) -> Optional[Dict]:
     """Bootstrap-GARCH Monte Carlo with the reference's result contract.
 
     Returns None when fewer than 100 return observations exist
@@ -44,7 +45,10 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
     path array (terminal statistics only) for large ``n_sims``.
     ``fit_params=True`` replaces the reference's hardcoded omega/alpha/beta
     (app.py:601-603) with a Gaussian-QMLE fit to the return history
-    (processes/garch_fit.py).
+    (processes/garch_fit.py).  ``antithetic=True`` mirrors the bootstrap
+    uniforms (u -> 1-u over the sorted shock table — sound for skewed
+    empirical tables, see processes/garch.py): tighter bands at the same
+    ``n_sims`` (requires even ``n_sims``).
     """
     returns = np.asarray(data["log_ret"], np.float64)
     returns = returns[~np.isnan(returns)]
@@ -65,9 +69,16 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
     proc = GARCHBootstrap.create(returns, s0=current_price, var0=var0,
                                  dtype=dtype, **garch_kw)
 
+    sampler = None
+    if antithetic:
+        from montecarlo_tpu.samplers import AntitheticSampler
+
+        if n_sims % 2:
+            raise ValueError("antithetic pairing needs an even n_sims")
+        sampler = AntitheticSampler()
     if keep_paths:
         paths = simulate(proc, n_sims, n_days, seed=seed, mode="paths",
-                         dtype=dtype)
+                         sampler=sampler, dtype=dtype)
         final_prices = paths[-1]
     else:
         # No (n_days+1, n_sims) materialization: terminal prices from the
@@ -75,7 +86,7 @@ def garch_monte_carlo(data: Dict[str, np.ndarray], n_sims: int, n_days: int,
         # histogram sketches (O(steps x bins) memory at any path count).
         paths = None
         final_prices = terminal_prices(proc, n_sims, n_days, seed=seed,
-                                       dtype=dtype)
+                                       sampler=sampler, dtype=dtype)
 
     stats = _terminal_statistics_jit(final_prices,
                                      jnp.asarray(current_price))

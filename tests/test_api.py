@@ -194,3 +194,20 @@ def test_scanner_duplicate_tickers_have_independent_deadlines(monkeypatch):
         provider="synthetic", parallel=True, n_workers=1, timeout=1.2)
     assert len(res.results) == 3, (res.results, res.failed)
     assert not res.failed
+
+
+def test_garch_mc_antithetic_tightens_bands():
+    """antithetic=True must stay unbiased (bands agree within noise) and
+    reduce the estimator variance of the expected return."""
+    from montecarlo_tpu.api import garch_monte_carlo
+
+    data = get_stock_data("AAPL", "3y", provider="synthetic")
+    s0 = float(np.asarray(data["Close"])[-1])
+    plain = [garch_monte_carlo(data, 2000, 20, s0, seed=s)["expected_return"]
+             for s in range(10)]
+    anti = [garch_monte_carlo(data, 2000, 20, s0, seed=s,
+                              antithetic=True)["expected_return"]
+            for s in range(10)]
+    se = np.std(plain, ddof=1) / np.sqrt(10) + np.std(anti, ddof=1) / np.sqrt(10)
+    assert abs(np.mean(plain) - np.mean(anti)) < 6 * se + 0.05
+    assert np.std(anti, ddof=1) < np.std(plain, ddof=1)
