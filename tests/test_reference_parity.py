@@ -26,13 +26,11 @@ def numpy_garch_oracle(returns, current_price, current_var, n_sims, n_days,
     std_returns = returns / (returns.std() + 1e-10)
     prices = np.full(n_sims, current_price)
     var = np.full(n_sims, current_var)
-    paths = [prices.copy()]
     for _ in range(n_days):
         shocks = rng.choice(std_returns, size=n_sims)
         r = shocks * np.sqrt(var)
         prices = prices * np.exp(r)
         var = omega + alpha * r**2 + beta * var
-        paths.append(prices.copy())
     final = prices
     p = {q: np.percentile(final, q) for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
     s0 = current_price

@@ -46,14 +46,22 @@ def test_sharded_terminal_matches_unsharded():
     np.testing.assert_array_equal(sharded, local)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
-def test_estimate_bitwise_invariant_across_mesh_shapes(ndev):
+@pytest.fixture(scope="module")
+def _mesh1_reference():
+    mesh = make_mesh(1)
+    return sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                               mesh=mesh, block_size=BLOCK)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_estimate_bitwise_invariant_across_mesh_shapes(ndev,
+                                                       _mesh1_reference):
+    # (ndev=1 vs itself would be vacuous; the reference IS the 1-mesh run,
+    # computed once per module instead of per parametrization.)
     mesh = make_mesh(ndev)
     est = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
                               mesh=mesh, block_size=BLOCK)
-    ref_mesh = make_mesh(1)
-    ref = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
-                              mesh=ref_mesh, block_size=BLOCK)
+    ref = _mesh1_reference
     assert float(est["price"]) == float(ref["price"])  # bitwise
     assert float(est["std_err"]) == float(ref["std_err"])
     assert int(est["n_paths"]) == N_PATHS
@@ -206,7 +214,8 @@ def test_sharded_estimate_path_offset_chunking():
     """path_offset chunks compose: two disjoint half-runs merge to the
     full-run estimate (the pod-scale chunking hook)."""
     from montecarlo_tpu.parallel import sharded_mc_estimate
-    from montecarlo_tpu.stats.welford import moments_merge, std_error
+    from montecarlo_tpu.stats.welford import (MomentState, moments_merge,
+                                              std_error)
 
     mesh = make_mesh(4)
     full = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=17,
@@ -216,7 +225,16 @@ def test_sharded_estimate_path_offset_chunking():
     b = sharded_mc_estimate(_gbm(), _payoff, N_PATHS // 2, N_STEPS, seed=17,
                             mesh=mesh, block_size=BLOCK,
                             path_offset=N_PATHS // 2)
-    # Chunk means combine to the full mean (same paths, same payoffs).
+    # Chunk MOMENT STATES merge to the full-run estimate — price AND
+    # std_err through the Welford merge law (not just averaged means).
     n = N_PATHS // 2
-    combined = (float(a["price"]) + float(b["price"])) / 2.0
-    assert abs(combined - float(full["price"])) < 1e-5
+    sa = MomentState(count=jnp.float32(n), mean=jnp.float32(a["price"]),
+                     m2=jnp.square(jnp.float32(a["std_err"]))
+                     * n * (n - 1))
+    sb = MomentState(count=jnp.float32(n), mean=jnp.float32(b["price"]),
+                     m2=jnp.square(jnp.float32(b["std_err"]))
+                     * n * (n - 1))
+    merged = moments_merge(sa, sb)
+    assert abs(float(merged.mean) - float(full["price"])) < 1e-5
+    assert abs(float(std_error(merged))
+               - float(full["std_err"])) < 2e-3 * float(full["std_err"])
