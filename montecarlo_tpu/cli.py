@@ -445,6 +445,27 @@ def cmd_price(args) -> int:
             payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
                                       args.strike, barrier)
         est = mc_estimate(payoffs, disc)
+    elif args.sampler in ("sobol-device", "sobol-bridge"):
+        # Honest QMC error bars: the iid formula overstates QMC error
+        # ~30x; replicate the randomization instead (rqmc_estimate).
+        from montecarlo_tpu.engine import rqmc_estimate
+
+        n_rep = 8
+        paths = (args.paths // n_rep) * n_rep
+        payoff = ((lambda s: european_call(s, args.strike))
+                  if args.payoff == "call"
+                  else (lambda s: jnp.maximum(args.strike - s, 0.0)))
+        if args.sampler == "sobol-bridge":
+            from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+
+            # Fresh scramble per replicate (see rqmc_estimate docstring).
+            factory = (lambda r: SobolBridgeDeviceSampler.create(
+                args.steps, scramble_seed=args.seed + r))
+        else:
+            factory = None
+        est = rqmc_estimate(
+            proc, payoff, paths, args.steps, seed=args.seed,
+            sampler_factory=factory, n_replicates=n_rep, discount=disc)
     else:
         from montecarlo_tpu.engine.dispatch import terminal_prices
 

@@ -10,7 +10,11 @@ from montecarlo_tpu.engine.payoffs import (  # noqa: F401
     european_call,
     european_put,
 )
-from montecarlo_tpu.engine.pricing import mc_estimate, price_to_tolerance  # noqa: F401
+from montecarlo_tpu.engine.pricing import (  # noqa: F401
+    mc_estimate,
+    price_to_tolerance,
+    rqmc_estimate,
+)
 from montecarlo_tpu.engine.path_sketch import (  # noqa: F401
     path_histograms,
     percentiles_from_histograms,

@@ -90,3 +90,53 @@ def price_to_tolerance(process, payoff_fn, *, target_std_err, seed,
         "n_paths": st.count,
         "n_chunks": n_chunks,
     }
+
+
+def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
+                  seed: int, sampler_factory=None, n_replicates: int = 8,
+                  discount=1.0, dtype=jnp.float32) -> dict:
+    """Randomized-QMC estimate with an HONEST error bar.
+
+    The iid std-err formula is meaningless for QMC (points are negatively
+    dependent by construction; it overstates the true error ~30x on smooth
+    payoffs).  The statistically sound estimate runs ``n_replicates``
+    independent *randomizations* of the same point set — here the
+    digital shift, keyed by the seed — and reports
+
+        price   = mean of replicate means,
+        std_err = std(replicate means) / sqrt(R).
+
+    ``sampler_factory(replicate_index) -> sampler`` defaults to device
+    Sobol samplers with a FRESH linear-matrix scramble per replicate: a
+    digital shift alone leaves shift-invariant error components identical
+    across replicates (the replicate spread then *under*states the true
+    error — observed 8-sigma misses on the bridge sampler), so the
+    scramble itself must re-randomize.  Each replicate uses
+    ``n_paths // n_replicates`` paths; the direction tables are operands,
+    so all replicates share one compiled program.
+    """
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    if n_paths % n_replicates:
+        raise ValueError(
+            f"n_paths={n_paths} must split into n_replicates="
+            f"{n_replicates} equal QMC replications")
+    n_per = n_paths // n_replicates
+    if sampler_factory is None:
+        sampler_factory = lambda r: SobolDeviceSampler.create(
+            n_steps, process.n_draws, scramble_seed=seed + r)
+
+    means = []
+    for r in range(n_replicates):
+        terminal = terminal_prices(process, n_per, n_steps,
+                                   seed=seed + 0x9E3779B9 * (r + 1),
+                                   sampler=sampler_factory(r), dtype=dtype)
+        means.append(jnp.mean(payoff_fn(terminal)))
+    m = jnp.stack(means)
+    d = jnp.asarray(discount, m.dtype)
+    price = d * jnp.mean(m)
+    se = d * jnp.std(m, ddof=1) / jnp.sqrt(jnp.asarray(n_replicates,
+                                                       m.dtype))
+    return {"price": price, "std_err": se, "n_paths": n_paths,
+            "n_replicates": n_replicates}

@@ -375,3 +375,48 @@ def test_garch_antithetic_halves_are_bootstrap_draws():
     shocks1 = log_ret[0] / np.sqrt(4e-4)
     dists = np.min(np.abs(shocks1[:, None] - table[None, :]), axis=1)
     assert dists.max() < 1e-4  # every shock is (numerically) a table entry
+
+
+def test_rqmc_estimate_honest_error_bar():
+    """Replicated-randomization QMC: the error bar must (a) cover the true
+    value and (b) be far tighter than plain MC's at the same path count."""
+    from montecarlo_tpu.engine import (black_scholes_call, mc_estimate,
+                                       rqmc_estimate)
+
+    n, steps = 1 << 13, N_STEPS
+    T = steps * DT
+    disc = float(np.exp(-R * T))
+    bs = float(black_scholes_call(S0, STRIKE, R, SIGMA, T))
+
+    est = rqmc_estimate(_gbm(), lambda s: european_call(s, STRIKE), n,
+                        steps, seed=3, n_replicates=8, discount=disc)
+    se = float(est["std_err"])
+    assert abs(float(est["price"]) - bs) < 6 * se + 1e-3
+    plain = mc_estimate(european_call(simulate(_gbm(), n, steps, seed=3),
+                                      STRIKE), disc)
+    assert se < 0.3 * float(plain["std_err"])  # QMC beats MC decisively
+
+
+def test_rqmc_bridge_error_bar_covers_truth():
+    """Bridge-ordered RQMC with per-replicate scrambles: the replicate
+    spread must cover the BS truth (digital shifts alone understated the
+    error ~8x; fresh LMS scrambles fix the shift-invariant component)."""
+    from montecarlo_tpu.engine import black_scholes_call, rqmc_estimate
+    from montecarlo_tpu.rng.sobol import SobolBridgeDeviceSampler
+
+    n, steps = 1 << 13, N_STEPS
+    T = steps * DT
+    disc = float(np.exp(-R * T))
+    bs = float(black_scholes_call(S0, STRIKE, R, SIGMA, T))
+    zs = []
+    for seed in (1, 2, 3):
+        est = rqmc_estimate(
+            _gbm(), lambda s: european_call(s, STRIKE), n, steps,
+            seed=seed, n_replicates=8, discount=disc,
+            sampler_factory=lambda r, seed=seed:
+                SobolBridgeDeviceSampler.create(steps,
+                                                scramble_seed=seed + r))
+        zs.append((float(est["price"]) - bs) / float(est["std_err"]))
+    # Each |z| within 6 (noisy 8-rep se), and not ALL huge (systematic).
+    assert all(abs(z) < 6 for z in zs), zs
+    assert np.mean(np.square(zs)) < 9, zs
