@@ -163,16 +163,14 @@ def main():
     print(f"Stress: base {rep['base_price']:.3f}, crash (spot -30%, vol "
           f"+100%) P&L {crash['pnl']:+.3f}")
 
-    # --- device-Sobol QMC (runs inside the fused kernel on TPU) --------------
-    from montecarlo_tpu.engine.dispatch import terminal_prices
-    from montecarlo_tpu.rng import SobolDeviceSampler
+    # --- device-Sobol QMC with honest replicated error bars ------------------
+    from montecarlo_tpu.engine import rqmc_estimate
 
-    sob = SobolDeviceSampler.create(64, 1)
-    t_qmc = terminal_prices(gbm, 1 << 16, 64, seed=5, sampler=sob)
-    qmc = mc_estimate(european_call(t_qmc, 105.), math.exp(-0.03))
-    print(f"QMC call (device Sobol): {float(qmc['price']):.4f} "
-          f"(iid-formula se {float(qmc['std_err']):.4f} overstates QMC "
-          f"error ~30x)")
+    qmc = rqmc_estimate(gbm, lambda s: european_call(s, 105.), 1 << 16, 64,
+                        seed=5, n_replicates=8, discount=math.exp(-0.03))
+    print(f"QMC call (device Sobol, 8 scrambles): "
+          f"{float(qmc['price']):.4f} ± {float(qmc['std_err']):.5f} "
+          f"(honest replicated bar; the iid formula would read ~30x wider)")
 
 
 if __name__ == "__main__":
