@@ -94,7 +94,7 @@ def _add_price(sub):
                    choices=["plain", "antithetic", "sobol",
                             "sobol-device", "sobol-bridge"])
     p.add_argument("--payoff", default="call",
-                   choices=["call", "put", "asian", "lookback",
+                   choices=["call", "put", "digital", "asian", "lookback",
                             "up-and-out", "up-and-in"])
     p.add_argument("--barrier", type=float, default=None,
                    help="barrier level for up-and-out (default 1.2*strike)")
@@ -401,6 +401,27 @@ def cmd_price(args) -> int:
             est = dict(est)
             est["upper_bound"] = ab["upper"]
             est["upper_bound_std_err"] = ab["std_err"]
+    elif args.payoff == "digital":
+        # Cash-or-nothing call: pays 1 when S_T > K.  BS reference:
+        # e^{-rT} N(d2).
+        from montecarlo_tpu.engine.dispatch import terminal_prices
+
+        terminal = terminal_prices(proc, args.paths, args.steps,
+                                   seed=args.seed, sampler=sampler)
+        est = mc_estimate(terminal > args.strike, disc)
+        out = {"price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "n_paths": int(est["n_paths"])}
+        if args.process == "gbm":
+            import numpy as _np
+            from scipy.stats import norm as _norm
+
+            d2 = ((_np.log(args.s0 / args.strike)
+                   + (args.rate - 0.5 * args.sigma**2) * args.maturity)
+                  / (args.sigma * _np.sqrt(args.maturity)))
+            out["black_scholes"] = float(disc * _norm.cdf(d2))
+        print(json.dumps(out))
+        return 0
     elif args.payoff in ("asian", "lookback", "up-and-out", "up-and-in"):
         from montecarlo_tpu.engine import (
             ARITH_MEAN,

@@ -50,3 +50,26 @@ def test_heston_surface_smiles():
     ivs = surf["ivs"][0]
     assert np.isfinite(ivs).all()
     assert ivs[0] > ivs[1] > ivs[2]  # skew from rho < 0
+
+
+def test_forward_start_option_via_snapshot():
+    """Forward-start call max(S_T - k*S_t1, 0): priced from one run with a
+    price snapshot at t1, validated against the Rubinstein closed form
+    price = S0 * C_BS(spot=1, strike=k, r, sigma, T - t1)."""
+    from montecarlo_tpu.engine import (black_scholes_call, mc_estimate,
+                                      simulate_functionals)
+    from montecarlo_tpu.engine.surface import price_snapshot
+
+    n_steps, t1_step = 64, 32
+    dt = 1.0 / n_steps
+    k = 1.05
+    proc = GBM.create(s0=S0, mu=R, sigma=SIGMA, dt=dt, dtype=jnp.float64)
+    out = simulate_functionals(proc, 1 << 16, n_steps, seed=21,
+                               dtype=jnp.float64,
+                               functionals={"s1": price_snapshot(t1_step)})
+    pay = jnp.maximum(out["terminal"] - k * out["s1"], 0.0)
+    est = mc_estimate(pay, float(np.exp(-R * 1.0)))
+    cf = S0 * float(black_scholes_call(1.0, k, R, SIGMA,
+                                       (n_steps - t1_step) * dt))
+    assert abs(float(est["price"]) - cf) < 4 * float(est["std_err"]), (
+        float(est["price"]), cf)
