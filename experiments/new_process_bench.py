@@ -13,14 +13,17 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
 
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
-from montecarlo_tpu.processes import (CIR, SABR, EulerGBM, HullWhite, Kou,
-                                      Vasicek)
+from montecarlo_tpu.processes import (CIR, SABR, Bates, EulerGBM, HullWhite,
+                                      Kou, Vasicek)
 from montecarlo_tpu.utils.profiling import throughput_path_steps
 
 N_PATHS, N_STEPS = 1 << 20, 1024
 
 PROCS = {
     "EulerGBM": EulerGBM.create(s0=100., mu=.03, sigma=.2, dt=1 / 252),
+    "Bates": Bates.create(s0=100., v0=.04, mu=.03, kappa=2., theta=.04,
+                          xi=.5, rho=-.7, lam=1., jump_mean=-.05,
+                          jump_std=.1, dt=1 / 252),
     "Kou": Kou.create(s0=100., mu=.03, sigma=.2, lam=1., p_up=.4, eta1=10.,
                       eta2=5., dt=1 / 252),
     "SABR": SABR.create(f0=100., alpha=.2 * 100. ** .3, beta=.7, nu=.3,
