@@ -276,6 +276,10 @@ def cmd_price(args) -> int:
 
         if args.american or args.payoff not in ("call", "put"):
             raise SystemExit("--process rbergomi prices European call/put")
+        if args.sampler != "plain":
+            raise SystemExit("--process rbergomi uses its own "
+                             "exact-covariance sampler; --sampler has no "
+                             "effect there (remove it)")
         # forward-measure dynamics (driftless); discount by --rate
         model = RoughBergomi.create(
             s0=args.s0, xi0=args.v0, eta=args.eta, rho=args.rho,
@@ -334,6 +338,12 @@ def cmd_price(args) -> int:
         print(json.dumps(out))
         return 0
 
+    if (args.sampler.startswith("sobol")
+            and args.process in ("merton", "kou", "bates")):
+        raise SystemExit(
+            f"--sampler {args.sampler} substitutes normals for every draw, "
+            f"but {args.process} consumes jump-count uniforms — use plain "
+            "or antithetic sampling for jump processes")
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
@@ -401,27 +411,6 @@ def cmd_price(args) -> int:
             est = dict(est)
             est["upper_bound"] = ab["upper"]
             est["upper_bound_std_err"] = ab["std_err"]
-    elif args.payoff == "digital":
-        # Cash-or-nothing call: pays 1 when S_T > K.  BS reference:
-        # e^{-rT} N(d2).
-        from montecarlo_tpu.engine.dispatch import terminal_prices
-
-        terminal = terminal_prices(proc, args.paths, args.steps,
-                                   seed=args.seed, sampler=sampler)
-        est = mc_estimate(terminal > args.strike, disc)
-        out = {"price": float(est["price"]),
-               "std_err": float(est["std_err"]),
-               "n_paths": int(est["n_paths"])}
-        if args.process == "gbm":
-            import numpy as _np
-            from scipy.stats import norm as _norm
-
-            d2 = ((_np.log(args.s0 / args.strike)
-                   + (args.rate - 0.5 * args.sigma**2) * args.maturity)
-                  / (args.sigma * _np.sqrt(args.maturity)))
-            out["black_scholes"] = float(disc * _norm.cdf(d2))
-        print(json.dumps(out))
-        return 0
     elif args.payoff in ("asian", "lookback", "up-and-out", "up-and-in"):
         from montecarlo_tpu.engine import (
             ARITH_MEAN,
@@ -433,8 +422,16 @@ def cmd_price(args) -> int:
             up_and_out_call,
         )
 
-        functionals = {"avg": ARITH_MEAN, "max": RUNNING_MAX,
-                       "min": RUNNING_MIN}
+        # Only the functionals the payoff actually reads (extra running
+        # reductions are per-step work in the hot loop).
+        if args.payoff == "asian":
+            functionals = {"avg": ARITH_MEAN}
+        elif args.payoff == "lookback":
+            functionals = {"min": RUNNING_MIN}
+        elif args.bridge:
+            functionals = {}
+        else:
+            functionals = {"max": RUNNING_MAX}
         barrier = args.barrier or 1.2 * args.strike
         if args.payoff in ("up-and-out", "up-and-in") and args.bridge:
             if args.process != "gbm":
@@ -466,36 +463,47 @@ def cmd_price(args) -> int:
             payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
                                       args.strike, barrier)
         est = mc_estimate(payoffs, disc)
-    elif args.sampler in ("sobol-device", "sobol-bridge"):
-        # Honest QMC error bars: the iid formula overstates QMC error
-        # ~30x; replicate the randomization instead (rqmc_estimate).
-        from montecarlo_tpu.engine import rqmc_estimate
-
-        n_rep = 8
-        paths = (args.paths // n_rep) * n_rep
-        payoff = ((lambda s: european_call(s, args.strike))
-                  if args.payoff == "call"
-                  else (lambda s: jnp.maximum(args.strike - s, 0.0)))
-        if args.sampler == "sobol-bridge":
-            from montecarlo_tpu.rng import SobolBridgeDeviceSampler
-
-            # Fresh scramble per replicate (see rqmc_estimate docstring).
-            factory = (lambda r: SobolBridgeDeviceSampler.create(
-                args.steps, scramble_seed=args.seed + r))
-        else:
-            factory = None
-        est = rqmc_estimate(
-            proc, payoff, paths, args.steps, seed=args.seed,
-            sampler_factory=factory, n_replicates=n_rep, discount=disc)
     else:
-        from montecarlo_tpu.engine.dispatch import terminal_prices
+        # Vanilla terminal payoffs: call / put / digital.
+        if args.payoff == "call":
+            payoff = lambda s: european_call(s, args.strike)
+        elif args.payoff == "put":
+            payoff = lambda s: jnp.maximum(args.strike - s, 0.0)
+        else:  # digital: cash-or-nothing call, pays 1 when S_T > K
+            payoff = lambda s: (s > args.strike).astype(jnp.float32)
+        if args.sampler.startswith("sobol"):
+            # Honest QMC error bars for EVERY Sobol variant: the iid
+            # formula is meaningless for QMC (overstates ~30x); replicate
+            # the randomization instead (rqmc_estimate).
+            from montecarlo_tpu.engine import rqmc_estimate
 
-        terminal = terminal_prices(proc, args.paths, args.steps,
-                                   seed=args.seed, sampler=sampler)
-        payoffs = (european_call(terminal, args.strike)
-                   if args.payoff == "call"
-                   else jnp.maximum(args.strike - terminal, 0.0))
-        est = mc_estimate(payoffs, disc)
+            n_rep = 8
+            paths = (args.paths // n_rep) * n_rep
+            if paths < n_rep:
+                raise SystemExit("QMC needs --paths >= 64 (8 replicated "
+                                 "randomizations)")
+            if args.sampler == "sobol-bridge":
+                from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+
+                # Fresh scramble per replicate (see rqmc_estimate).
+                factory = (lambda r: SobolBridgeDeviceSampler.create(
+                    args.steps, scramble_seed=args.seed + r))
+            elif args.sampler == "sobol":
+                # Host Owen-scrambled sampler, re-scrambled per replicate.
+                factory = (lambda r: SobolSampler.create(
+                    paths // n_rep, args.steps, proc.n_draws,
+                    seed=args.seed + r))
+            else:
+                factory = None
+            est = rqmc_estimate(
+                proc, payoff, paths, args.steps, seed=args.seed,
+                sampler_factory=factory, n_replicates=n_rep, discount=disc)
+        else:
+            from montecarlo_tpu.engine.dispatch import terminal_prices
+
+            terminal = terminal_prices(proc, args.paths, args.steps,
+                                       seed=args.seed, sampler=sampler)
+            est = mc_estimate(payoff(terminal), disc)
 
     out = {"price": float(est["price"]), "std_err": float(est["std_err"]),
            "n_paths": int(est["n_paths"])}
@@ -505,25 +513,50 @@ def cmd_price(args) -> int:
     if args.process == "gbm" and args.payoff == "call" and not args.american:
         out["black_scholes"] = float(black_scholes_call(
             args.s0, args.strike, args.rate, args.sigma, args.maturity))
+    if (args.process == "gbm" and args.payoff == "digital"
+            and not args.american):
+        import numpy as _np
+        from scipy.stats import norm as _norm
+
+        d2 = ((_np.log(args.s0 / args.strike)
+               + (args.rate - 0.5 * args.sigma**2) * args.maturity)
+              / (args.sigma * _np.sqrt(args.maturity)))
+        out["black_scholes"] = float(disc * _norm.cdf(d2))
     if args.process == "kou" and args.payoff == "call" and not args.american:
+        import jax
+        import math as _math
+
         from montecarlo_tpu.engine.cf_pricing import cf_call_price, kou_log_cf
 
-        out["cf_price"] = float(cf_call_price(
-            kou_log_cf(args.s0, args.rate, args.sigma, args.jump_intensity,
-                       args.p_up, args.eta1, args.eta2, args.maturity),
-            args.s0, args.strike, args.maturity, args.rate))
+        with jax.default_device(jax.devices("cpu")[0]):
+            cf = float(cf_call_price(
+                kou_log_cf(args.s0, args.rate, args.sigma,
+                           args.jump_intensity, args.p_up, args.eta1,
+                           args.eta2, args.maturity),
+                args.s0, args.strike, args.maturity, args.rate))
+        if _math.isfinite(cf):
+            out["cf_price"] = cf
     if (args.process == "bates" and args.payoff == "call"
             and not args.american):
+        import jax
+        import math as _math
+
         from montecarlo_tpu.engine.cf_pricing import cf_call_price
         from montecarlo_tpu.processes import bates_log_cf
 
-        out["cf_price"] = float(cf_call_price(
-            bates_log_cf(args.s0, args.rate, v0=args.v0, kappa=args.kappa,
-                         theta=args.theta, xi=args.xi, rho=args.rho,
-                         lam=args.jump_intensity,
-                         jump_mean=args.jump_mean,
-                         jump_std=args.jump_std, T=args.maturity),
-            args.s0, args.strike, args.maturity, args.rate))
+        # The complex trap-form CF NaNs in complex64 on the TPU backend;
+        # this scalar oracle runs on the CPU backend instead.
+        with jax.default_device(jax.devices("cpu")[0]):
+            cf = float(cf_call_price(
+                bates_log_cf(args.s0, args.rate, v0=args.v0,
+                             kappa=args.kappa, theta=args.theta,
+                             xi=args.xi, rho=args.rho,
+                             lam=args.jump_intensity,
+                             jump_mean=args.jump_mean,
+                             jump_std=args.jump_std, T=args.maturity),
+                args.s0, args.strike, args.maturity, args.rate))
+        if _math.isfinite(cf):
+            out["cf_price"] = cf
     print(json.dumps(out))
     return 0
 

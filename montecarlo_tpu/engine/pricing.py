@@ -118,10 +118,13 @@ def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
     from montecarlo_tpu.engine.dispatch import terminal_prices
     from montecarlo_tpu.rng.sobol import SobolDeviceSampler
 
-    if n_paths % n_replicates:
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2 (the error bar is the "
+                         "spread across replications)")
+    if n_paths < n_replicates or n_paths % n_replicates:
         raise ValueError(
             f"n_paths={n_paths} must split into n_replicates="
-            f"{n_replicates} equal QMC replications")
+            f"{n_replicates} equal non-empty QMC replications")
     n_per = n_paths // n_replicates
     if sampler_factory is None:
         sampler_factory = lambda r: SobolDeviceSampler.create(

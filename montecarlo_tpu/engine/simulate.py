@@ -24,14 +24,31 @@ from montecarlo_tpu.samplers import PlainSampler
 
 
 def check_sampler(sampler, process, n_steps: int) -> None:
-    """Trace-time guard: a sampler with a finite dimension table must cover
-    every (step, draw) dimension.  Without this, `sv[dim]` past the table is
-    a clamping out-of-bounds gather — later steps silently REUSE the last
-    dimension's Sobol point (only the digital shift differs), giving
-    strongly dependent increments and a biased estimate with no error.
+    """Trace-time guards for sampler/process compatibility.
+
+    (a) A sampler with a finite dimension table must cover every
+    (step, draw) dimension: `sv[dim]` past the table is a clamping
+    out-of-bounds gather — later steps silently REUSE the last dimension's
+    point, giving dependent increments and a biased estimate.
+    (b) Samplers that substitute standard NORMALS for every draw (all the
+    Sobol variants) are valid only for all-normal processes: feeding a
+    normal into a slot a process consumes as a uniform (Merton/Kou/Bates
+    jump counts, the GARCH bootstrap index) silently corrupts the
+    distribution — e.g. a standard normal exceeds the ~0.996 zero-jump
+    CDF threshold ~16% of the time, so ~16% of steps got K_MAX jumps.
     """
     if sampler is None:
         return
+    if getattr(sampler, "normals_only", False):
+        from montecarlo_tpu.processes.base import NormalDrawsMixin
+
+        if not isinstance(process, NormalDrawsMixin):
+            raise ValueError(
+                f"{type(sampler).__name__} substitutes standard normals "
+                f"for every draw, but {type(process).__name__} consumes "
+                "non-normal draws (jump-count uniforms / bootstrap "
+                "indices) — use plain or antithetic sampling for this "
+                "process")
     validate = getattr(sampler, "validate", None)
     if validate is not None:
         validate(process, n_steps)

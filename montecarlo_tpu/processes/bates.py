@@ -24,7 +24,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.processes.merton import K_MAX, _JUMP_STREAM
+from montecarlo_tpu.processes.merton import (K_MAX, _JUMP_STREAM,
+                                             check_jump_grid, poisson_count)
 from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
 
 
@@ -53,12 +54,7 @@ class Bates(NamedTuple("BatesFields", [
     @classmethod
     def create(cls, s0, v0, mu, kappa, theta, xi, rho, lam, jump_mean,
                jump_std, dt, dtype=jnp.float32):
-        rate = float(lam) * float(dt)
-        if rate > 0.4:
-            raise ValueError(
-                f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
-                f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
-                "use more steps so lam*dt <= 0.4")
+        check_jump_grid(lam, dt)
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(s0=as_(s0), v0=as_(v0), mu=as_(mu), kappa=as_(kappa),
                    theta=as_(theta), xi=as_(xi), rho=as_(rho),
@@ -97,15 +93,7 @@ class Bates(NamedTuple("BatesFields", [
         return (-z_s, -z_p, 1.0 - u, -z_j)
 
     def _poisson_count(self, u, dtype):
-        rate = (self.lam * self.dt).astype(dtype)
-        pmf = jnp.exp(-rate)
-        cdf = pmf
-        count = jnp.zeros_like(u)
-        for k in range(1, K_MAX + 1):
-            pmf = pmf * rate / k
-            count = jnp.where(u > cdf, jnp.asarray(float(k), dtype), count)
-            cdf = cdf + pmf
-        return count
+        return poisson_count(u, (self.lam * self.dt).astype(dtype), dtype)
 
     def step(self, state: BatesState, eps, t) -> BatesState:
         dtype = state.log_s.dtype

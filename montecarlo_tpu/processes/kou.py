@@ -31,7 +31,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.processes.merton import K_MAX, _JUMP_STREAM
+from montecarlo_tpu.processes.merton import (K_MAX, _JUMP_STREAM,
+                                             check_jump_grid, poisson_count)
 from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
 
 
@@ -58,12 +59,7 @@ class Kou(NamedTuple("KouFields", [
                dtype=jnp.float32):
         if float(eta1) <= 1.0:
             raise ValueError("eta1 must exceed 1 (finite E[e^J])")
-        rate = float(lam) * float(dt)
-        if rate > 0.4:
-            raise ValueError(
-                f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
-                f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
-                "use more steps so lam*dt <= 0.4")
+        check_jump_grid(lam, dt)
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), lam=as_(lam),
                    p_up=as_(p_up), eta1=as_(eta1), eta2=as_(eta2),
@@ -98,16 +94,7 @@ class Kou(NamedTuple("KouFields", [
         return (-z, 1.0 - u_count) + tuple(1.0 - u for u in eps[2:])
 
     def _poisson_count(self, u, dtype):
-        """Inverse-CDF Poisson(lambda*dt) on support {0..K_MAX}."""
-        rate = (self.lam * self.dt).astype(dtype)
-        pmf = jnp.exp(-rate)
-        cdf = pmf
-        count = jnp.zeros_like(u)
-        for k in range(1, K_MAX + 1):
-            pmf = pmf * rate / k
-            count = jnp.where(u > cdf, jnp.asarray(float(k), dtype), count)
-            cdf = cdf + pmf
-        return count
+        return poisson_count(u, (self.lam * self.dt).astype(dtype), dtype)
 
     def _jump_size(self, u, dtype):
         """Inverse CDF of the asymmetric double exponential.

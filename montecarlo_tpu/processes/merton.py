@@ -35,6 +35,30 @@ K_MAX = 4  # truncated Poisson support (error < (lam*dt)^5 / 5!)
 _JUMP_STREAM = 0x6A09E667  # key-stream offset for the count uniforms
 
 
+def check_jump_grid(lam, dt) -> None:
+    """Reject per-step jump rates the K_MAX-truncated Poisson cannot carry
+    (shared by Merton/Kou/Bates — one guard, one error message)."""
+    rate = float(lam) * float(dt)
+    if rate > 0.4:
+        raise ValueError(
+            f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
+            f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
+            "use more steps so lam*dt <= 0.4")
+
+
+def poisson_count(u, rate, dtype):
+    """Inverse-CDF Poisson(rate) on support {0..K_MAX} — THE shared count
+    sampler of the jump processes."""
+    pmf = jnp.exp(-rate)
+    cdf = pmf
+    count = jnp.zeros_like(u)
+    for k in range(1, K_MAX + 1):
+        pmf = pmf * rate / k
+        count = jnp.where(u > cdf, jnp.asarray(float(k), dtype), count)
+        cdf = cdf + pmf
+    return count
+
+
 class MertonState(NamedTuple):
     log_s: jnp.ndarray
 
@@ -55,15 +79,7 @@ class Merton(NamedTuple("MertonFields", [
     @classmethod
     def create(cls, s0, mu, sigma, lam, jump_mean, jump_std, dt,
                dtype=jnp.float32):
-        rate = float(lam) * float(dt)
-        if rate > 0.4:
-            # P(N > K_MAX=4) ~ rate^5/5!: beyond ~0.4 per step the
-            # truncated inverse-CDF silently clamps jump counts and biases
-            # prices.  Refine the grid rather than losing jumps.
-            raise ValueError(
-                f"lam*dt = {rate:.3f} too coarse for the K_MAX={K_MAX} "
-                f"truncated Poisson (P(N>{K_MAX}) ~ {rate**5/120:.2e}); "
-                "use more steps so lam*dt <= 0.4")
+        check_jump_grid(lam, dt)
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), lam=as_(lam),
                    jump_mean=as_(jump_mean), jump_std=as_(jump_std),
@@ -102,16 +118,7 @@ class Merton(NamedTuple("MertonFields", [
         return (-z1, 1.0 - u, -z2)
 
     def _poisson_count(self, u, dtype):
-        """Inverse-CDF Poisson(lambda*dt) on support {0..K_MAX}."""
-        rate = (self.lam * self.dt).astype(dtype)
-        pmf = jnp.exp(-rate)
-        cdf = pmf
-        count = jnp.zeros_like(u)
-        for k in range(1, K_MAX + 1):
-            pmf = pmf * rate / k
-            count = jnp.where(u > cdf, jnp.asarray(float(k), dtype), count)
-            cdf = cdf + pmf
-        return count
+        return poisson_count(u, (self.lam * self.dt).astype(dtype), dtype)
 
     def step(self, state: MertonState, eps, t) -> MertonState:
         dtype = state.log_s.dtype

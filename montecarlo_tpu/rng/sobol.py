@@ -122,7 +122,13 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
     kernels (``draws_kernel`` — direction numbers read via one-hot masked
     reductions from the transposed table, everything else shared), with
     identical draw streams.
+
+    NORMALS ONLY: every dimension maps through the inverse CDF — valid for
+    NormalDrawsMixin processes only (the engines reject jump/bootstrap
+    processes whose draw slots are uniforms).
     """
+
+    normals_only = True
 
     def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
         D = process.n_draws
@@ -229,8 +235,11 @@ class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
     The low-index (highest-quality) Sobol dimensions carry the path's
     coarse structure exactly as in the host bridge; randomization is the
     same per-dimension digital shift as :class:`SobolDeviceSampler`.
-    Single-draw processes only (n_draws == 1).
+    Single-draw processes only (n_draws == 1).  NORMALS ONLY (see
+    SobolDeviceSampler).
     """
+
+    normals_only = True
 
     def validate(self, process, n_steps: int) -> None:
         """Trace-time guard (see SobolDeviceSampler.validate)."""

@@ -70,7 +70,13 @@ def _brownian_bridge_increments(z: np.ndarray) -> np.ndarray:
 class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
     """Scrambled Sobol quasi-Monte Carlo draws.
 
-    The low-discrepancy point set is generated host-side once (scipy's
+    NORMALS ONLY: every dimension maps through the inverse CDF, so this
+    sampler is valid only for processes whose draws are all standard
+    normals (NormalDrawsMixin) — feeding a normal into a slot a process
+    consumes as a uniform (jump counts, bootstrap indices) silently
+    corrupts the distribution; the engines reject the combination.
+
+    The point set is generated host-side once (scipy's
     Joe-Kuo Sobol with Owen scrambling, seeded — deterministic), mapped to
     normals by the inverse CDF, and stored device-resident as
     ``z[(n_paths, n_steps, n_draws)]``; the engine gathers step slices by
@@ -78,6 +84,8 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
     construction, so unlike the PRNG they cannot be generated counter-wise
     per step.
     """
+
+    normals_only = True
 
     def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
         step = self.z[path_ids.astype(jnp.int32), t].astype(dtype)

@@ -33,8 +33,11 @@ def test_bates_matches_cf_price():
     hp = HestonParams(**{k: jnp.asarray(v) for k, v in PARAMS.items()})
     put_wing_bates = float(cf_call_price(phi, S0, 70.0, T, R))
     put_wing_heston = float(heston_call_cf(S0, 70.0, T, R, hp))
-    # deep-ITM calls ~ forward parity; difference reflects jump risk
-    assert np.isfinite(put_wing_bates) and np.isfinite(put_wing_heston)
+    # Deep-ITM call = forward parity + embedded K=70 put; negative-mean
+    # jumps FATTEN that put, so the Bates wing must exceed pure Heston
+    # (a no-op jump factor would leave them equal and fail here).
+    assert put_wing_bates > put_wing_heston + 0.01, (put_wing_bates,
+                                                     put_wing_heston)
 
 
 def test_bates_degenerates_to_heston():

@@ -420,3 +420,27 @@ def test_rqmc_bridge_error_bar_covers_truth():
     # Each |z| within 6 (noisy 8-rep se), and not ALL huge (systematic).
     assert all(abs(z) < 6 for z in zs), zs
     assert np.mean(np.square(zs)) < 9, zs
+
+
+def test_sobol_rejected_for_non_normal_processes():
+    """Sobol samplers substitute NORMALS for every draw — feeding one into
+    a jump-count/bootstrap-index slot silently corrupted the distribution
+    (Bates priced 0.06 vs 7.43; review r2). All engines must reject."""
+    import pytest
+
+    from montecarlo_tpu.processes import Bates, GARCHBootstrap
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+    from montecarlo_tpu.samplers import SobolSampler
+
+    bates = Bates.create(s0=100.0, v0=0.04, mu=0.03, kappa=2.0, theta=0.04,
+                         xi=0.5, rho=-0.7, lam=0.5, jump_mean=-0.08,
+                         jump_std=0.15, dt=1 / 64)
+    garch = GARCHBootstrap.create(
+        np.random.default_rng(0).normal(0, 0.02, 300), s0=100.0, var0=4e-4)
+    for proc in (bates, garch):
+        with pytest.raises(ValueError, match="normals"):
+            simulate(proc, 256, 8, seed=0,
+                     sampler=SobolDeviceSampler.create(8, proc.n_draws))
+    with pytest.raises(ValueError, match="normals"):
+        simulate(garch, 256, 8, seed=0,
+                 sampler=SobolSampler.create(256, 8, 1, seed=0))
