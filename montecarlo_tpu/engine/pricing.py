@@ -132,8 +132,11 @@ def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
 
     means = []
     for r in range(n_replicates):
-        terminal = terminal_prices(process, n_per, n_steps,
-                                   seed=seed + 0x9E3779B9 * (r + 1),
+        # Masked to 31 bits: the fused kernel takes the seed as a traced
+        # int32 operand, and an unmasked golden-ratio stride overflows it
+        # (the CPU scan path takes seeds statically and hid this).
+        rep_seed = (seed + 0x9E3779B9 * (r + 1)) & 0x7FFFFFFF
+        terminal = terminal_prices(process, n_per, n_steps, seed=rep_seed,
                                    sampler=sampler_factory(r), dtype=dtype)
         means.append(jnp.mean(payoff_fn(terminal)))
     m = jnp.stack(means)
