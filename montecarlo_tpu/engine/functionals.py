@@ -232,10 +232,12 @@ def trapezoid_integral(dt: float) -> PathFunctional:
     )
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
-                                   "dtype", "functional_items"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype",
+                                   "functional_items"))
 def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
                           dtype, path_offset, functional_items):
+    # seed/stream arrive as folded Threefry key words (traced operands) —
+    # see engine.simulate.simulate: switching seeds never recompiles.
     names = [k for k, _ in functional_items]
     fns = [f for _, f in functional_items]
     if sampler is None:
@@ -292,7 +294,10 @@ def simulate_functionals(process, n_paths: int, n_steps: int, *, seed: int,
                 path_offset=path_offset, block_rows=rows,
                 antithetic=isinstance(sampler, AntitheticSampler),
                 sampler=_kernel_sampler(sampler))
-    return _simulate_functionals(process, n_paths, n_steps, seed, stream,
+    from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
+
+    k0, k1 = key_from_seed_dynamic(seed, stream)
+    return _simulate_functionals(process, n_paths, n_steps, k0, k1,
                                  sampler, dtype, path_offset, items)
 
 

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
 from montecarlo_tpu.samplers import PlainSampler
 
 
@@ -65,16 +66,21 @@ def path_ids_for(n_paths: int, path_offset=0):
     return offset + jnp.arange(n_paths, dtype=jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
-                                   "mode", "dtype", "remat"))
-def simulate(process, n_paths: int, n_steps: int, *, seed: int,
-             stream: int = 0, sampler=None, mode: str = "terminal",
+def simulate(process, n_paths: int, n_steps: int, *, seed,
+             stream=0, sampler=None, mode: str = "terminal",
              dtype=jnp.float32, path_offset=0, remat: bool = False):
     """Simulate ``n_paths`` paths for ``n_steps`` steps.
 
     Args:
       process: a process pytree (see :mod:`montecarlo_tpu.processes.base`).
       sampler: a draw provider (default plain MC).
+      seed: python int (full 64-bit seed space) or a traced value.  Seeds
+        are folded into Threefry key words HERE (``key_from_seed_dynamic``)
+        and passed to the jitted core as *operands* — switching seeds never
+        recompiles, and a traced seed (e.g. a per-replicate RQMC shift
+        inside a `lax.scan`) traces through.  Stream derivation everywhere
+        in the framework is by XOR, which commutes with the key fold, so
+        the draw streams are bitwise identical to keying inside the trace.
       path_offset: the global id of the first path — the sharding hook: a
         shard simulating paths [o, o+n) passes ``path_offset=o`` and gets the
         identical paths it would have produced inside a bigger unsharded run.
@@ -88,6 +94,17 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
       ``mode="terminal"`` -> (n_paths,) (or (n_paths, n_assets)) prices at T.
       ``mode="paths"``    -> (n_steps+1, n_paths[, n_assets]) prices, row 0 = spot.
     """
+    k0, k1 = key_from_seed_dynamic(seed, stream)
+    return _simulate(process, n_paths, n_steps, seed=k0, stream=k1,
+                     sampler=sampler, mode=mode, dtype=dtype,
+                     path_offset=path_offset, remat=remat)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "mode", "dtype",
+                                   "remat"))
+def _simulate(process, n_paths: int, n_steps: int, *, seed, stream,
+              sampler=None, mode: str = "terminal",
+              dtype=jnp.float32, path_offset=0, remat: bool = False):
     if sampler is None:
         sampler = PlainSampler()
     check_sampler(sampler, process, n_steps)
@@ -110,10 +127,8 @@ def simulate(process, n_paths: int, n_steps: int, *, seed: int,
     return process.prices(final_state)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "seed", "stream", "mode",
-                                   "dtype"))
-def replay_paths(process, path_ids, n_steps: int, *, seed: int,
-                 stream: int = 0, sampler=None, mode: str = "terminal",
+def replay_paths(process, path_ids, n_steps: int, *, seed,
+                 stream=0, sampler=None, mode: str = "terminal",
                  dtype=jnp.float32):
     """Re-simulate an *arbitrary set* of global path ids, bit-exactly.
 
@@ -121,7 +136,17 @@ def replay_paths(process, path_ids, n_steps: int, *, seed: int,
     run (a failed shard, a suspicious outlier path, an audit sample) can be
     regenerated independently, with no saved RNG state — pass the global ids
     and the original seed.  Matches `simulate`'s values elementwise.
+    Seeds fold to key words host-side exactly as in :func:`simulate`.
     """
+    k0, k1 = key_from_seed_dynamic(seed, stream)
+    return _replay_paths(process, path_ids, n_steps, seed=k0, stream=k1,
+                         sampler=sampler, mode=mode, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "mode", "dtype"))
+def _replay_paths(process, path_ids, n_steps: int, *, seed,
+                  stream, sampler=None, mode: str = "terminal",
+                  dtype=jnp.float32):
     if sampler is None:
         sampler = PlainSampler()
     check_sampler(sampler, process, n_steps)
