@@ -57,6 +57,7 @@ from montecarlo_tpu.processes import (  # noqa: F401
 from montecarlo_tpu.engine import (  # noqa: F401
     mc_estimate,
     price_to_tolerance,
+    price_to_tolerance_rqmc,
     simulate,
     terminal_prices,
 )

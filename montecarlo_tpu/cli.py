@@ -113,6 +113,13 @@ def _add_price(sub):
                         "European call/put; prices to --mlmc-rmse")
     p.add_argument("--mlmc-rmse", type=float, default=0.01,
                    help="total RMSE target for --mlmc (bias + statistical)")
+    p.add_argument("--target-se", type=float, default=None,
+                   help="price until the discounted std-err reaches this "
+                        "target instead of a fixed --paths (on-device "
+                        "adaptive loop; vanilla payoffs). --sampler plain "
+                        "uses the iid chunked loop; sobol-device uses "
+                        "replicated-randomization RQMC (typically ~10-30x "
+                        "fewer paths)")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -211,6 +218,25 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def _sobol_replicate_factory(args, proc, n_per: int):
+    """Per-replicate sampler factory for RQMC — a FRESH scramble per
+    replicate (a digital shift alone understates the spread; see
+    `rqmc_estimate`).  Maps the CLI's three ``--sampler sobol*`` variants."""
+    if args.sampler == "sobol-bridge":
+        from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+
+        return (lambda r: SobolBridgeDeviceSampler.create(
+            args.steps, scramble_seed=args.seed + r))
+    if args.sampler == "sobol":
+        # Host Owen-scrambled sampler, re-scrambled per replicate.
+        return (lambda r: SobolSampler.create(
+            n_per, args.steps, proc.n_draws, seed=args.seed + r))
+    from montecarlo_tpu.rng import SobolDeviceSampler
+
+    return (lambda r: SobolDeviceSampler.create(
+        args.steps, proc.n_draws, scramble_seed=args.seed + r))
+
+
 def cmd_price(args) -> int:
     import jax.numpy as jnp
     from montecarlo_tpu.engine import (
@@ -222,6 +248,13 @@ def cmd_price(args) -> int:
         AntitheticSampler, PlainSampler, SobolSampler,
     )
 
+    if args.target_se is not None and (
+            args.american or args.mlmc or args.process == "rbergomi"
+            or args.payoff not in ("call", "put", "digital")):
+        raise SystemExit(
+            "--target-se applies to vanilla European payoffs "
+            "(call/put/digital) without --american/--mlmc; for --mlmc the "
+            "tolerance knob is --mlmc-rmse")
     dt = args.maturity / args.steps
     if args.process == "gbm":
         proc = GBM.create(s0=args.s0, mu=args.rate, sigma=args.sigma, dt=dt)
@@ -247,12 +280,19 @@ def cmd_price(args) -> int:
                           lam=args.jump_intensity, p_up=args.p_up,
                           eta1=args.eta1, eta2=args.eta2, dt=dt)
     elif args.process == "sabr":
+        import numpy as _np
+
         from montecarlo_tpu.processes import SABR
 
-        # Forward-measure dynamics (driftless F); --sigma is the lognormal
-        # ATM alpha, rescaled by F0^(1-beta) to CEV units.
-        proc = SABR.create(f0=args.s0,
-                           alpha=args.sigma * args.s0 ** (1.0 - args.beta),
+        # Forward-measure dynamics (driftless F): simulate the T-forward of
+        # the spot, f0 = s0*e^{rT}, so discounting by --rate prices the same
+        # risk-neutral spot as the gbm/heston branches (a bare f0 = s0 would
+        # silently drop the forward growth — app.py's Derivatives Lab note).
+        # --sigma is the lognormal ATM alpha, rescaled by F0^(1-beta) to CEV
+        # units.
+        f0 = args.s0 * float(_np.exp(args.rate * args.maturity))
+        proc = SABR.create(f0=f0,
+                           alpha=args.sigma * f0 ** (1.0 - args.beta),
                            beta=args.beta, nu=args.nu, rho=args.rho, dt=dt)
     elif args.process == "heston":
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
@@ -441,28 +481,46 @@ def cmd_price(args) -> int:
 
             functionals["surv"] = barrier_survival_up(barrier, args.sigma,
                                                       dt)
-        out_f = simulate_functionals(
-            proc, args.paths, args.steps, seed=args.seed, sampler=sampler,
-            functionals=functionals)
         if args.payoff == "asian":
-            payoffs = asian_call(out_f["avg"], args.strike)
+            payoff_of = lambda o: asian_call(o["avg"], args.strike)
         elif args.payoff == "lookback":
-            payoffs = lookback_call_floating(out_f["terminal"],
-                                             out_f["min"])
+            payoff_of = lambda o: lookback_call_floating(o["terminal"],
+                                                         o["min"])
         elif args.bridge:
             # Knock-out and knock-in from the SAME survival probability
             # (in-out parity: KO + KI = vanilla, continuous barrier).
-            w = (out_f["surv"] if args.payoff == "up-and-out"
-                 else 1.0 - out_f["surv"])
-            payoffs = european_call(out_f["terminal"], args.strike) * w
+            def payoff_of(o):
+                w = (o["surv"] if args.payoff == "up-and-out"
+                     else 1.0 - o["surv"])
+                return european_call(o["terminal"], args.strike) * w
         elif args.payoff == "up-and-in":
-            hit = out_f["max"] >= barrier
-            payoffs = jnp.where(hit, european_call(out_f["terminal"],
-                                                   args.strike), 0.0)
+            payoff_of = lambda o: jnp.where(
+                o["max"] >= barrier,
+                european_call(o["terminal"], args.strike), 0.0)
         else:
-            payoffs = up_and_out_call(out_f["terminal"], out_f["max"],
-                                      args.strike, barrier)
-        est = mc_estimate(payoffs, disc)
+            payoff_of = lambda o: up_and_out_call(
+                o["terminal"], o["max"], args.strike, barrier)
+        if args.sampler.startswith("sobol"):
+            # Honest QMC error bars for path-dependent payoffs too: route
+            # through replicated randomizations (the iid std_err the plain
+            # path reports is meaningless for QMC — overstates ~30x).
+            from montecarlo_tpu.engine import rqmc_estimate
+
+            n_rep = 8
+            paths = (args.paths // n_rep) * n_rep
+            if paths < n_rep:
+                raise SystemExit("QMC needs --paths >= 64 (8 replicated "
+                                 "randomizations)")
+            est = rqmc_estimate(
+                proc, payoff_of, paths, args.steps, seed=args.seed,
+                sampler_factory=_sobol_replicate_factory(args, proc,
+                                                         paths // n_rep),
+                n_replicates=n_rep, discount=disc, functionals=functionals)
+        else:
+            out_f = simulate_functionals(
+                proc, args.paths, args.steps, seed=args.seed,
+                sampler=sampler, functionals=functionals)
+            est = mc_estimate(payoff_of(out_f), disc)
     else:
         # Vanilla terminal payoffs: call / put / digital.
         if args.payoff == "call":
@@ -471,7 +529,33 @@ def cmd_price(args) -> int:
             payoff = lambda s: jnp.maximum(args.strike - s, 0.0)
         else:  # digital: cash-or-nothing call, pays 1 when S_T > K
             payoff = lambda s: (s > args.strike).astype(jnp.float32)
-        if args.sampler.startswith("sobol"):
+        if args.target_se is not None:
+            # Adaptive tolerance pricing: one jitted on-device while_loop,
+            # one host round-trip (per-iteration host orchestration costs
+            # ~0.25 s/dispatch through the TPU relay — DEVNOTES).
+            import jax as _jax
+
+            on_tpu = _jax.devices()[0].platform not in ("cpu",)
+            if args.sampler == "plain":
+                from montecarlo_tpu.engine import price_to_tolerance
+
+                est = price_to_tolerance(
+                    proc, payoff, target_std_err=args.target_se,
+                    seed=args.seed, n_steps=args.steps, discount=float(disc),
+                    chunk_paths=(1 << 22) if on_tpu else (1 << 16))
+            elif args.sampler == "sobol-device":
+                from montecarlo_tpu.engine import price_to_tolerance_rqmc
+
+                est = price_to_tolerance_rqmc(
+                    proc, payoff, target_std_err=args.target_se,
+                    seed=args.seed, n_steps=args.steps, discount=float(disc),
+                    chunk_paths=(1 << 18) if on_tpu else (1 << 12))
+            else:
+                raise SystemExit(
+                    "--target-se supports --sampler plain (iid chunked "
+                    "loop) or sobol-device (replicated-randomization RQMC "
+                    "loop)")
+        elif args.sampler.startswith("sobol"):
             # Honest QMC error bars for EVERY Sobol variant: the iid
             # formula is meaningless for QMC (overstates ~30x); replicate
             # the randomization instead (rqmc_estimate).
@@ -482,19 +566,7 @@ def cmd_price(args) -> int:
             if paths < n_rep:
                 raise SystemExit("QMC needs --paths >= 64 (8 replicated "
                                  "randomizations)")
-            if args.sampler == "sobol-bridge":
-                from montecarlo_tpu.rng import SobolBridgeDeviceSampler
-
-                # Fresh scramble per replicate (see rqmc_estimate).
-                factory = (lambda r: SobolBridgeDeviceSampler.create(
-                    args.steps, scramble_seed=args.seed + r))
-            elif args.sampler == "sobol":
-                # Host Owen-scrambled sampler, re-scrambled per replicate.
-                factory = (lambda r: SobolSampler.create(
-                    paths // n_rep, args.steps, proc.n_draws,
-                    seed=args.seed + r))
-            else:
-                factory = None
+            factory = _sobol_replicate_factory(args, proc, paths // n_rep)
             est = rqmc_estimate(
                 proc, payoff, paths, args.steps, seed=args.seed,
                 sampler_factory=factory, n_replicates=n_rep, discount=disc)

@@ -13,6 +13,7 @@ from montecarlo_tpu.engine.payoffs import (  # noqa: F401
 from montecarlo_tpu.engine.pricing import (  # noqa: F401
     mc_estimate,
     price_to_tolerance,
+    price_to_tolerance_rqmc,
     rqmc_estimate,
 )
 from montecarlo_tpu.engine.path_sketch import (  # noqa: F401

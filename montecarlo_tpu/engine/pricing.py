@@ -92,9 +92,169 @@ def price_to_tolerance(process, payoff_fn, *, target_std_err, seed,
     }
 
 
+def price_to_tolerance_rqmc(process, payoff_fn, *, target_std_err, seed,
+                            n_replicates: int = 8,
+                            chunk_paths: int = 1 << 18, n_steps: int = 252,
+                            discount=1.0, max_chunks: int = 256,
+                            min_chunks: int = 1, use_fused: bool = True,
+                            sampler_factory=None):
+    """Price to a target std-err with randomized QMC — entirely on device.
+
+    The driver's wall-clock-to-tolerance metric with the repo's strongest
+    sampler: ``n_replicates`` independently scrambled+shifted Sobol
+    replicates, each consuming the SAME growing prefix of point indices,
+    inside ONE jitted ``lax.while_loop``.  Per iteration, every replicate
+    prices ``chunk_paths`` more Sobol points (a `lax.scan` over the stacked
+    replicate tables — R kernel launches per iteration, all on device); the
+    loop stops when the replicate-spread standard error
+
+        std_err = d * std(replicate running means, ddof=1) / sqrt(R)
+
+    reaches ``target_std_err``.  That spread is the honest QMC error bar
+    (see `rqmc_estimate`); the iid formula `price_to_tolerance` uses would
+    overstate QMC error ~30x and run ~30x more paths than needed.
+
+    One host round-trip total — the sequential-dispatch `rqmc_estimate`
+    through the axon relay paid ~0.25 s per replicate in pure orchestration.
+
+    Returns ``{"price", "std_err", "n_paths", "n_chunks", "n_replicates"}``.
+    """
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2 (the error bar is the "
+                         "spread across replications)")
+    if chunk_paths * max_chunks > 1 << 30:
+        # Device Sobol integers carry 30 bits: point indices past 2^30 wrap
+        # (sobol_bits reads 30 Gray-code bits) and silently REPLAY earlier
+        # points, understating the reported spread.
+        raise ValueError(
+            f"chunk_paths*max_chunks = {chunk_paths}*{max_chunks} exceeds "
+            "the 2^30 Sobol point space per replicate; lower one of them")
+    if sampler_factory is None:
+        sampler_factory = lambda r: SobolDeviceSampler.create(
+            n_steps, process.n_draws, scramble_seed=seed + r)
+    stacked = _stack_samplers([sampler_factory(r)
+                               for r in range(n_replicates)])
+    rep_seeds = _replicate_shift_seeds(seed, n_replicates)
+    return _ptt_rqmc(process, payoff_fn, stacked, rep_seeds,
+                     target_std_err=jnp.asarray(target_std_err, jnp.float32),
+                     discount=jnp.asarray(discount, jnp.float32),
+                     chunk_paths=chunk_paths, n_steps=n_steps,
+                     max_chunks=max_chunks, min_chunks=min_chunks,
+                     n_replicates=n_replicates, use_fused=use_fused)
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "chunk_paths", "n_steps",
+                                   "max_chunks", "min_chunks",
+                                   "n_replicates", "use_fused"))
+def _ptt_rqmc(process, payoff_fn, stacked_sampler, rep_seeds, *,
+              target_std_err, discount, chunk_paths: int, n_steps: int,
+              max_chunks: int, min_chunks: int, n_replicates: int,
+              use_fused: bool):
+    from montecarlo_tpu.engine.dispatch import payoff_block_moments
+    from montecarlo_tpu.stats.welford import moments_reduce
+
+    d = discount.astype(jnp.float32)
+    target = target_std_err.astype(jnp.float32)
+    rf = jnp.float32(n_replicates)
+
+    def chunk_means(i):
+        def rep(carry, xs):
+            smp, rseed = xs
+            blocks = payoff_block_moments(
+                process, payoff_fn, chunk_paths, n_steps, seed=rseed,
+                path_offset=i * chunk_paths, sampler=smp,
+                prefer_fused=use_fused)
+            return carry, moments_reduce(blocks).mean
+        _, means = jax.lax.scan(rep, jnp.int32(0),
+                                (stacked_sampler, rep_seeds))
+        return means  # (R,) this chunk's per-replicate means
+
+    def spread_se(means):
+        return d * jnp.std(means, ddof=1) / jnp.sqrt(rf)
+
+    def cond(carry):
+        means, i = carry
+        return (i < max_chunks) & ((i < min_chunks)
+                                   | (spread_se(means) > target))
+
+    def body(carry):
+        means, i = carry
+        cm = chunk_means(i)
+        # Equal-size chunks -> exact running replicate means.
+        new = means + (cm - means) / (i + 1).astype(jnp.float32)
+        return new, i + 1
+
+    means0 = jnp.zeros((n_replicates,), jnp.float32)
+    means, n_chunks = jax.lax.while_loop(cond, body, (means0, jnp.int32(0)))
+    return {
+        "price": d * jnp.mean(means),
+        "std_err": spread_se(means),
+        "n_paths": n_chunks * jnp.float32(chunk_paths * n_replicates),
+        "n_chunks": n_chunks,
+        "n_replicates": n_replicates,
+    }
+
+
+def _replicate_shift_seeds(seed: int, n_replicates: int):
+    """Per-replicate digital-shift seeds as a device operand.
+
+    Masked to 31 bits: the fused kernel takes the seed as a traced int32
+    operand, and an unmasked golden-ratio stride overflows it (the CPU scan
+    path used to take seeds statically and hid this).
+    """
+    import numpy as np
+
+    return jnp.asarray(
+        [(seed + 0x9E3779B9 * (r + 1)) & 0x7FFFFFFF
+         for r in range(n_replicates)], np.uint32)
+
+
+def _stack_samplers(samplers):
+    """Stack same-structure sampler pytrees along a new replicate axis, so
+    a `lax.scan` over the result re-materializes each replicate's sampler
+    (direction tables and all) as operands of ONE compiled program."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *samplers)
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_per", "n_steps",
+                                   "functional_items", "dtype"))
+def _rqmc_replicate_means(process, payoff_fn, stacked_sampler, rep_seeds,
+                          *, n_per: int, n_steps: int,
+                          functional_items=None, dtype=jnp.float32):
+    """Per-replicate payoff means, all replicates inside ONE device program.
+
+    `lax.scan` over the stacked sampler pytree + shift seeds: each
+    iteration rebuilds that replicate's sampler from operands and runs the
+    dispatcher (fused Pallas kernel on TPU, scan engine elsewhere).  One
+    compile, one dispatch — the sequential python loop paid the ~0.25 s
+    axon relay latency and a scan-engine recompile per replicate.
+    """
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+    from montecarlo_tpu.engine.functionals import simulate_functionals
+
+    def rep(carry, xs):
+        smp, rseed = xs
+        if functional_items is None:
+            terminal = terminal_prices(process, n_per, n_steps, seed=rseed,
+                                       sampler=smp, dtype=dtype)
+            payoffs = payoff_fn(terminal)
+        else:
+            out = simulate_functionals(process, n_per, n_steps, seed=rseed,
+                                       functionals=dict(functional_items),
+                                       sampler=smp, dtype=dtype)
+            payoffs = payoff_fn(out)
+        return carry, jnp.mean(payoffs)
+
+    _, means = jax.lax.scan(rep, jnp.int32(0), (stacked_sampler, rep_seeds))
+    return means
+
+
 def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
                   seed: int, sampler_factory=None, n_replicates: int = 8,
-                  discount=1.0, dtype=jnp.float32) -> dict:
+                  discount=1.0, dtype=jnp.float32, functionals=None) -> dict:
     """Randomized-QMC estimate with an HONEST error bar.
 
     The iid std-err formula is meaningless for QMC (points are negatively
@@ -112,10 +272,19 @@ def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
     across replicates (the replicate spread then *under*states the true
     error — observed 8-sigma misses on the bridge sampler), so the
     scramble itself must re-randomize.  Each replicate uses
-    ``n_paths // n_replicates`` paths; the direction tables are operands,
-    so all replicates share one compiled program.
+    ``n_paths // n_replicates`` paths.
+
+    All replicates run inside ONE compiled device program (the samplers are
+    stacked into operands and scanned over — see `_rqmc_replicate_means`);
+    replicate means are bitwise identical to running the replicates one
+    dispatch at a time.
+
+    ``functionals``: optional ``{name: PathFunctional}`` dict for
+    path-dependent payoffs — ``payoff_fn`` then receives the
+    `simulate_functionals` output dict (with ``"terminal"``) instead of the
+    terminal array, giving Asian/lookback/barrier payoffs the same honest
+    replicated error bar.
     """
-    from montecarlo_tpu.engine.dispatch import terminal_prices
     from montecarlo_tpu.rng.sobol import SobolDeviceSampler
 
     if n_replicates < 2:
@@ -130,16 +299,13 @@ def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
         sampler_factory = lambda r: SobolDeviceSampler.create(
             n_steps, process.n_draws, scramble_seed=seed + r)
 
-    means = []
-    for r in range(n_replicates):
-        # Masked to 31 bits: the fused kernel takes the seed as a traced
-        # int32 operand, and an unmasked golden-ratio stride overflows it
-        # (the CPU scan path takes seeds statically and hid this).
-        rep_seed = (seed + 0x9E3779B9 * (r + 1)) & 0x7FFFFFFF
-        terminal = terminal_prices(process, n_per, n_steps, seed=rep_seed,
-                                   sampler=sampler_factory(r), dtype=dtype)
-        means.append(jnp.mean(payoff_fn(terminal)))
-    m = jnp.stack(means)
+    stacked = _stack_samplers([sampler_factory(r)
+                               for r in range(n_replicates)])
+    rep_seeds = _replicate_shift_seeds(seed, n_replicates)
+    items = tuple(functionals.items()) if functionals is not None else None
+    m = _rqmc_replicate_means(process, payoff_fn, stacked, rep_seeds,
+                              n_per=n_per, n_steps=n_steps,
+                              functional_items=items, dtype=dtype)
     d = jnp.asarray(discount, m.dtype)
     price = d * jnp.mean(m)
     se = d * jnp.std(m, ddof=1) / jnp.sqrt(jnp.asarray(n_replicates,

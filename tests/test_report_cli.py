@@ -143,3 +143,67 @@ def test_cli_calibrate_surface_csv(tmp_path, capsys):
     assert abs(out["nu"] - 0.3) < 0.02
     assert abs(out["rho"] + 0.35) < 0.03
     assert out["rmse_vol"] < 1e-3
+
+
+def test_cli_sabr_forward_compounds_rate(capsys):
+    """CLI SABR must simulate the T-forward f0 = s0*e^{rT} (like app.py's
+    Derivatives Lab) so its discounted price matches the risk-neutral gbm
+    branch at matching vols — a bare f0 = s0 priced systematically low."""
+    from montecarlo_tpu import cli
+
+    common = ["--paths", "16384", "--steps", "16", "--s0", "100",
+              "--strike", "100", "--rate", "0.05", "--sigma", "0.2",
+              "--maturity", "1.0"]
+    rc = cli.main(["price", "--process", "sabr", "--nu", "1e-5",
+                   "--beta", "1.0", "--rho", "0.0"] + common)
+    assert rc == 0
+    sabr = json.loads(capsys.readouterr().out)
+    rc = cli.main(["price", "--process", "gbm"] + common)
+    assert rc == 0
+    gbm = json.loads(capsys.readouterr().out)
+    # nu~0, beta=1 SABR == lognormal forward == Black-Scholes.
+    tol = 5 * (sabr["std_err"] + gbm["std_err"]) + 0.02
+    assert abs(sabr["price"] - gbm["black_scholes"]) < tol
+    assert abs(sabr["price"] - gbm["price"]) < tol
+
+
+def test_cli_path_dependent_sobol_reports_replicated_se(capsys):
+    """Asian + sobol-device must route through replicated randomizations:
+    n_paths rounds to a multiple of 8 replicates and the spread-based
+    std_err is materially tighter than the plain-MC iid bar."""
+    from montecarlo_tpu import cli
+
+    args = ["price", "--payoff", "asian", "--paths", "8194", "--steps",
+            "16", "--seed", "3"]
+    rc = cli.main(args + ["--sampler", "sobol-device"])
+    assert rc == 0
+    qmc = json.loads(capsys.readouterr().out)
+    assert qmc["n_paths"] == 8192  # rounded to 8 replicates
+    rc = cli.main(args + ["--sampler", "plain"])
+    assert rc == 0
+    plain = json.loads(capsys.readouterr().out)
+    assert abs(qmc["price"] - plain["price"]) < 6 * (qmc["std_err"]
+                                                     + plain["std_err"])
+    assert qmc["std_err"] < 0.5 * plain["std_err"]
+
+
+def test_cli_target_se_modes(capsys):
+    """--target-se prices adaptively; RQMC mode needs far fewer paths."""
+    from montecarlo_tpu import cli
+
+    base = ["price", "--steps", "16", "--seed", "1", "--target-se"]
+    rc = cli.main(base + ["0.02", "--sampler", "sobol-device"])
+    assert rc == 0
+    qmc = json.loads(capsys.readouterr().out)
+    assert qmc["std_err"] <= 0.02
+    assert abs(qmc["price"] - qmc["black_scholes"]) < 8 * qmc["std_err"]
+    rc = cli.main(base + ["0.05", "--sampler", "plain"])
+    assert rc == 0
+    plain = json.loads(capsys.readouterr().out)
+    assert plain["std_err"] <= 0.05
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(base + ["0.05", "--sampler", "antithetic"])
+    with pytest.raises(SystemExit):
+        cli.main(base + ["0.05", "--payoff", "asian"])

@@ -444,3 +444,97 @@ def test_sobol_rejected_for_non_normal_processes():
     with pytest.raises(ValueError, match="normals"):
         simulate(garch, 256, 8, seed=0,
                  sampler=SobolSampler.create(256, 8, 1, seed=0))
+
+
+def test_rqmc_one_program_matches_sequential_dispatch():
+    """The scanned one-program RQMC must reproduce the replicate means of
+    running each replicate as its own dispatch, bitwise (same samplers,
+    same shift seeds, same mean reduction)."""
+    from montecarlo_tpu.engine import rqmc_estimate, terminal_prices
+    from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+
+    n, steps, n_rep = 1 << 12, N_STEPS, 4
+    seed = 11
+    payoff = lambda s: european_call(s, STRIKE)
+    est = rqmc_estimate(_gbm(), payoff, n, steps, seed=seed,
+                        n_replicates=n_rep)
+    # Manual sequential replicates (the pre-round-3 code path).
+    means = []
+    for r in range(n_rep):
+        rep_seed = (seed + 0x9E3779B9 * (r + 1)) & 0x7FFFFFFF
+        smp = SobolDeviceSampler.create(steps, 1, scramble_seed=seed + r)
+        t = terminal_prices(_gbm(), n // n_rep, steps, seed=rep_seed,
+                            sampler=smp)
+        means.append(jnp.mean(payoff(t)))
+    m = jnp.stack(means)
+    price = jnp.mean(m)
+    se = jnp.std(m, ddof=1) / jnp.sqrt(jnp.asarray(float(n_rep), m.dtype))
+    assert float(est["price"]) == float(price)
+    assert float(est["std_err"]) == float(se)
+
+
+def test_rqmc_functionals_honest_error_bar():
+    """Path-dependent payoffs (Asian) through replicated randomizations:
+    the spread-based error bar must cover an independent plain-MC price
+    and beat plain MC's std-err at equal path counts."""
+    from montecarlo_tpu.engine import (ARITH_MEAN, asian_call, mc_estimate,
+                                       rqmc_estimate, simulate_functionals)
+
+    n, steps = 1 << 13, N_STEPS
+    proc = _gbm()
+    payoff = lambda out: asian_call(out["avg"], STRIKE)
+    est = rqmc_estimate(proc, payoff, n, steps, seed=5, n_replicates=8,
+                        functionals={"avg": ARITH_MEAN})
+    # Plain-MC oracle at 4x the paths for a tight reference price.
+    out = simulate_functionals(proc, 4 * n, steps, seed=77,
+                               functionals={"avg": ARITH_MEAN})
+    plain_big = mc_estimate(asian_call(out["avg"], STRIKE))
+    se = float(est["std_err"])
+    ref = float(plain_big["price"])
+    tol = 6.0 * np.hypot(se, float(plain_big["std_err"]))
+    assert abs(float(est["price"]) - ref) < tol
+    out_eq = simulate_functionals(proc, n, steps, seed=78,
+                                  functionals={"avg": ARITH_MEAN})
+    plain_eq = mc_estimate(asian_call(out_eq["avg"], STRIKE))
+    assert se < 0.5 * float(plain_eq["std_err"])  # QMC decisively tighter
+
+
+def test_price_to_tolerance_rqmc_coverage_and_path_savings():
+    """The on-device RQMC tolerance loop: (a) reported std_err reaches the
+    target, (b) the price covers Black-Scholes across seeds, (c) it needs
+    far fewer paths than the plain-MC tolerance loop at the same target."""
+    from montecarlo_tpu.engine import (black_scholes_call,
+                                       price_to_tolerance,
+                                       price_to_tolerance_rqmc)
+
+    proc = _gbm()
+    T = N_STEPS * DT
+    disc = float(np.exp(-R * T))
+    bs = float(black_scholes_call(S0, STRIKE, R, SIGMA, T))
+    target = 0.004
+    payoff = lambda s: european_call(s, STRIKE)
+
+    zs, rqmc_paths = [], None
+    for seed in (1, 2, 3):
+        out = price_to_tolerance_rqmc(
+            proc, payoff, target_std_err=target, seed=seed,
+            n_replicates=8, chunk_paths=1 << 11, n_steps=N_STEPS,
+            discount=disc, max_chunks=256)
+        se = float(out["std_err"])
+        assert se <= target
+        assert float(out["n_paths"]) == (float(out["n_chunks"])
+                                         * 8 * (1 << 11))
+        zs.append((float(out["price"]) - bs) / max(se, 1e-9))
+        rqmc_paths = float(out["n_paths"])
+    # 8-replicate spread bars are noisy (7 dof): each |z| bounded, and the
+    # three runs must not be systematically biased together.
+    assert all(abs(z) < 8 for z in zs), zs
+    assert np.mean(np.square(zs)) < 16, zs
+
+    plain = price_to_tolerance(
+        proc, payoff, target_std_err=target, seed=1,
+        chunk_paths=1 << 13, n_steps=N_STEPS, discount=disc,
+        max_chunks=4096)
+    assert float(plain["std_err"]) <= target
+    assert rqmc_paths < 0.25 * float(plain["n_paths"]), (
+        rqmc_paths, float(plain["n_paths"]))
