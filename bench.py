@@ -28,11 +28,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BASELINE_PATH_STEPS_PER_SEC = 5e9  # BASELINE.json north_star target
 
 
-def sharded_main() -> None:
-    """`bench.py --sharded`: the full sharded estimator (shard_map -> fused
-    kernel -> payoff -> block stats -> all_gather -> fixed-tree merge) on a
-    1-device mesh, vs the raw-kernel headline — quantifies the collective /
-    shard_map overhead the linear-scaling claim rides on (BASELINE.md row 3).
+def sharded_main(mesh_devices: int = 1) -> None:
+    """`bench.py --sharded [--mesh N]`: the full sharded estimator
+    (shard_map -> fused kernel -> payoff -> block stats -> all_gather ->
+    fixed-tree merge) on an N-device mesh, vs the raw-kernel headline —
+    quantifies the collective / shard_map overhead the linear-scaling claim
+    rides on (BASELINE.md row 3).
+
+    ``--mesh N``: the scaling-readiness hook — on a multi-chip image this
+    produces the scaling curve with zero code changes ("value" is the
+    AGGREGATE mesh throughput; divide by N for per-chip).  If the live
+    platform has fewer than N devices, an 8+ device virtual CPU mesh is
+    bootstrapped (structure check only — CPU numbers are meaningless, which
+    the emitted ``platform`` field makes explicit).
 
     Chained by path_offset (seed is static in the sharded API): REPS
     disjoint path ranges inside one jit, one host transfer at the end.
@@ -43,14 +51,19 @@ def sharded_main() -> None:
     from montecarlo_tpu.parallel import make_mesh, sharded_mc_estimate
     from montecarlo_tpu.processes import GBM
 
+    if len(jax.devices()) < mesh_devices:
+        from __graft_entry__ import _ensure_devices
+
+        _ensure_devices(mesh_devices)
+    devices_available = len(jax.devices())
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     if on_tpu:
-        n_paths, n_steps, reps = 1 << 20, 1024, 8
+        n_paths, n_steps, reps = mesh_devices << 20, 1024, 8
     else:
-        n_paths, n_steps, reps = 1 << 15, 64, 2
+        n_paths, n_steps, reps = mesh_devices << 15, 64, 2
 
-    mesh = make_mesh(1)
+    mesh = make_mesh(mesh_devices)
     proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / n_steps)
     strike = 105.0
     payoff = lambda s: jnp.maximum(s - strike, 0.0)
@@ -97,11 +110,16 @@ def sharded_main() -> None:
     assert abs(mean_price - bs) < 5 * se_est + 1e-3, (mean_price, bs)
 
     print(json.dumps({
-        "metric": "sharded_gbm_path_steps_per_sec_per_chip",
+        "metric": ("sharded_gbm_path_steps_per_sec_per_chip"
+                   if mesh_devices == 1
+                   else "sharded_gbm_path_steps_per_sec_mesh"),
         "value": sharded_tp,
         "unit": "path_steps/s",
         "vs_baseline": sharded_tp / BASELINE_PATH_STEPS_PER_SEC,
         "overhead_vs_raw_kernel": 1.0 - sharded_tp / raw_tp,
+        "mesh_devices": mesh_devices,
+        "devices_available": devices_available,
+        "platform": platform,
     }))
 
 
@@ -169,6 +187,9 @@ if __name__ == "__main__":
     import sys
 
     if "--sharded" in sys.argv:
-        sharded_main()
+        n = 1
+        if "--mesh" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--mesh") + 1])
+        sharded_main(n)
     else:
         main()

@@ -3,6 +3,7 @@
 from montecarlo_tpu.parallel.mesh import (  # noqa: F401
     ASSETS_AXIS,
     PATHS_AXIS,
+    SLICES_AXIS,
     make_mesh,
 )
 from montecarlo_tpu.parallel.sharded import (  # noqa: F401

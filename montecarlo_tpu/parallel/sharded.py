@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.parallel.mesh import PATHS_AXIS
+from montecarlo_tpu.parallel.mesh import PATHS_AXIS, SLICES_AXIS
 from montecarlo_tpu.stats.welford import (
     MomentState,
     moments_from_array,
@@ -49,6 +49,55 @@ def _check_divisible(n_paths: int, n_shards: int, block_size: int):
         )
 
 
+def _slice_layout(mesh, axis: str):
+    """(n_slices, n_path_shards, total_shards) for a ([slices,] paths) mesh.
+
+    A mesh with a ``slices`` axis is the multi-slice (DCN) layout: shard s of
+    slice k owns global shard index ``k * n_path_shards + s`` — paths are
+    laid out slice-major, so intra-slice shards are contiguous in global
+    path order and each slice's blocks form one contiguous run (what the
+    two-level merge tree below relies on).
+    """
+    n_slices = mesh.shape.get(SLICES_AXIS, 1)
+    n_path_shards = mesh.shape[axis]
+    return n_slices, n_path_shards, n_slices * n_path_shards
+
+
+def _check_two_level_tree(blocks_per_slice: int):
+    """The two-level merge (per-slice tree, then tree over slice states) is
+    bitwise identical to the flat global tree iff blocks-per-slice is a
+    power of two: `moments_reduce` pairs strided neighbors level by level,
+    and an odd level count would pair blocks across a slice boundary."""
+    if blocks_per_slice & (blocks_per_slice - 1):
+        raise ValueError(
+            f"multi-slice meshes need a power-of-two number of stat blocks "
+            f"per slice for the bitwise-invariant two-level merge; got "
+            f"{blocks_per_slice} (adjust n_paths or block_size)")
+
+
+def _gather_two_level(local_stats, axis: str, has_slices: bool):
+    """Gather per-block states for the fixed-tree merge.
+
+    Flat mesh: one `all_gather` of every block state over the paths axis.
+    Multi-slice mesh: gather block states intra-slice (ICI), tree-merge each
+    slice's blocks locally, and send only the O(n_slices) merged states over
+    DCN — bitwise identical to the flat gather + global tree (see
+    `_check_two_level_tree`), with DCN traffic independent of block count.
+    """
+    gathered = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+        local_stats,
+    )
+    if not has_slices:
+        return gathered
+    slice_state = moments_reduce(gathered)
+    return jax.tree.map(
+        lambda x: jax.lax.all_gather(x[None], SLICES_AXIS, axis=0,
+                                     tiled=True),
+        slice_state,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
                                    "dtype", "axis", "mesh"))
 def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
@@ -61,21 +110,26 @@ def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
     ONE compiled program across chunks — a per-call closure would retrace
     and recompile for every chunk offset (seconds each through the relay).
     """
-    n_shards = mesh.shape[axis]
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
     if n_paths % n_shards != 0:
         raise ValueError(f"n_paths={n_paths} not divisible by {n_shards} shards")
     local_n = n_paths // n_shards
 
     def shard_fn(proc, sampler_, off0):
-        offset = off0 + jax.lax.axis_index(axis) * local_n
+        shard_idx = jax.lax.axis_index(axis)
+        if n_slices > 1:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = off0 + shard_idx * local_n
         return terminal_prices(proc, local_n, n_steps, seed=seed,
                                stream=stream, sampler=sampler_, dtype=dtype,
                                path_offset=offset)
 
     off0 = jnp.asarray(path_offset, jnp.int32)
     spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
+    out_spec = P((SLICES_AXIS, axis)) if n_slices > 1 else P(axis)
     return jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
-                         out_specs=P(axis),
+                         out_specs=out_spec,
                          check_vma=False)(process, sampler, off0)
 
 
@@ -101,12 +155,19 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
     ``path_offset`` (traced ok) starts the global path ids — the pod-scale
     chunking hook.
     """
-    n_shards = mesh.shape[axis]
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
     _check_divisible(n_paths, n_shards, block_size)
     local_n = n_paths // n_shards
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
 
     def shard_fn(proc, sampler_, off0):
-        offset = off0 + jax.lax.axis_index(axis) * local_n
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = off0 + shard_idx * local_n
         # Dispatch: fused Pallas kernel on TPU (same draw streams), scan
         # engine elsewhere — per-shard work is the single-chip fast path,
         # collectives only touch the tiny block stats.
@@ -115,13 +176,11 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
                                    dtype=dtype, path_offset=offset)
         payoffs = payoff_fn(terminal)
         local_stats = block_moments(payoffs, block_size)
-        # Gather per-block stats in global block order; the merge below is
-        # then executed identically (replicated) on every device.
-        gathered = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
-            local_stats,
-        )
-        return gathered
+        # Gather per-block stats in global block order (two-level on a
+        # multi-slice mesh: ICI carries blocks, DCN carries one state per
+        # slice); the merge below is then executed identically (replicated)
+        # on every device.
+        return _gather_two_level(local_stats, axis, has_slices)
 
     off0 = jnp.asarray(path_offset, jnp.int32)
     spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
@@ -246,12 +305,24 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
     exact and mesh-shape invariant; f32 lanes would silently lose counts
     past 2^24 per bin at pod-scale path counts.
     """
-    n_shards = mesh.shape[axis]
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
     _check_divisible(n_paths, n_shards, block_size)
     local_n = n_paths // n_shards
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+    # Hierarchical reduction axes: psum intra-slice first (ICI), then
+    # across slices (DCN) — integer adds are exact and order-free, so this
+    # equals the flat psum bitwise while DCN carries one O(bins) vector per
+    # slice instead of per shard.
+    sum_axes = (axis, SLICES_AXIS) if has_slices else axis
 
     def shard_fn(proc, sampler_):
-        offset = jax.lax.axis_index(axis) * local_n
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = shard_idx * local_n
         terminal = terminal_prices(proc, local_n, n_steps, seed=seed,
                                    stream=stream, sampler=sampler_,
                                    dtype=dtype, path_offset=offset)
@@ -266,19 +337,16 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
         merged_sketch = type(sketch)(
             lo=sketch.lo,
             hi=sketch.hi,
-            counts=jax.lax.psum(sketch.counts, axis),
+            counts=jax.lax.psum(sketch.counts, sum_axes),
             total=jnp.asarray(n_paths, f),
             underflow=jax.lax.psum(
-                sketch.underflow.astype(jnp.int32), axis).astype(f),
+                sketch.underflow.astype(jnp.int32), sum_axes).astype(f),
             overflow=jax.lax.psum(
-                sketch.overflow.astype(jnp.int32), axis).astype(f),
-            vmin=jax.lax.pmin(sketch.vmin, axis),
-            vmax=jax.lax.pmax(sketch.vmax, axis),
+                sketch.overflow.astype(jnp.int32), sum_axes).astype(f),
+            vmin=jax.lax.pmin(sketch.vmin, sum_axes),
+            vmax=jax.lax.pmax(sketch.vmax, sum_axes),
         )
-        gathered_moments = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
-            moments,
-        )
+        gathered_moments = _gather_two_level(moments, axis, has_slices)
         return merged_sketch, gathered_moments
 
     spec_in = jax.tree.map(lambda _: P(), (process, sampler))

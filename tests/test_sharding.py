@@ -238,3 +238,57 @@ def test_sharded_estimate_path_offset_chunking():
     assert abs(float(merged.mean) - float(full["price"])) < 1e-5
     assert abs(float(std_error(merged))
                - float(full["std_err"])) < 2e-3 * float(full["std_err"])
+
+
+def test_multi_slice_mesh_bitwise_invariant():
+    """("slices", "paths") meshes — the multi-slice DCN layout with the
+    two-level merge (intra-slice block gather + per-slice tree + inter-
+    slice gather of one state per slice) — must match the flat mesh AND
+    the 1-device run bitwise (the tree decomposes exactly when blocks per
+    slice is a power of two)."""
+    ref = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS, seed=11,
+                              mesh=make_mesh(1), block_size=BLOCK)
+    for n_slices, n_paths_shards in ((2, 4), (4, 2), (2, 2), (8, 1)):
+        mesh = make_mesh(n_path_shards=n_paths_shards, n_slices=n_slices)
+        assert mesh.shape == {"slices": n_slices, "paths": n_paths_shards}
+        est = sharded_mc_estimate(_gbm(), _payoff, N_PATHS, N_STEPS,
+                                  seed=11, mesh=mesh, block_size=BLOCK)
+        assert float(est["price"]) == float(ref["price"]), (n_slices,
+                                                            n_paths_shards)
+        assert float(est["std_err"]) == float(ref["std_err"])
+        assert int(est["n_paths"]) == N_PATHS
+
+
+def test_multi_slice_terminal_and_sketch_match_flat():
+    """Terminal layout is slice-major (== unsharded order) and the sketch's
+    hierarchical psum equals the flat psum bitwise (integer adds)."""
+    mesh = make_mesh(n_path_shards=4, n_slices=2)
+    sharded = np.asarray(sharded_terminal(_gbm(), N_PATHS, N_STEPS, seed=3,
+                                          mesh=mesh))
+    local = np.asarray(simulate(_gbm(), N_PATHS, N_STEPS, seed=3))
+    np.testing.assert_array_equal(sharded, local)
+
+    sk2, mo2 = sharded_terminal_sketch(
+        _gbm(), N_PATHS, N_STEPS, seed=7, mesh=mesh, lo=40.0, hi=250.0,
+        bins=512, block_size=BLOCK)
+    sk1, mo1 = sharded_terminal_sketch(
+        _gbm(), N_PATHS, N_STEPS, seed=7, mesh=make_mesh(1), lo=40.0,
+        hi=250.0, bins=512, block_size=BLOCK)
+    np.testing.assert_array_equal(np.asarray(sk2.counts),
+                                  np.asarray(sk1.counts))
+    assert float(mo2.mean) == float(mo1.mean)
+    assert float(sk2.vmin) == float(sk1.vmin)
+    assert float(sk2.vmax) == float(sk1.vmax)
+
+
+def test_multi_slice_guards():
+    """Non-power-of-two blocks per slice must be rejected (the two-level
+    tree would pair blocks across a slice boundary and silently break the
+    bitwise contract), as must slices x assets meshes."""
+    mesh = make_mesh(n_path_shards=2, n_slices=2)
+    with pytest.raises(ValueError, match="power-of-two"):
+        # 24 blocks over 2 slices -> 12 per slice: not a power of two.
+        sharded_mc_estimate(_gbm(), _payoff, 24 * BLOCK, N_STEPS, seed=1,
+                            mesh=mesh, block_size=BLOCK)
+    with pytest.raises(ValueError, match="slices x assets"):
+        make_mesh(n_path_shards=2, n_asset_shards=2, n_slices=2)
