@@ -28,6 +28,46 @@ def _pilot_range(process, n_steps: int, seed: int, margin: float = 0.5):
     return lo - margin * span, hi + margin * span
 
 
+#: Out-of-range fraction above which the auto-ranged sketch re-runs with a
+#: widened grid.  A 4096-path pilot cannot see deep jump tails
+#: (Merton/Kou/Bates): at 10^9-path scale, events far beyond the pilot's
+#: range land in the under/overflow counters and CVaR would approximate that
+#: mass at the grid edge (stats.quantiles reads tail mass at vmin/vmax).
+_OOB_RERANGE_THRESHOLD = 1e-6
+
+
+def _oob_fraction(sketch) -> float:
+    total = max(float(sketch.total), 1.0)
+    return (float(sketch.underflow) + float(sketch.overflow)) / total
+
+
+def _widened_range(lo, hi, sketch=None, vmin=None, vmax=None):
+    """Grid covering every observed value: the sketch tracks the EXACT
+    global min/max, so one re-run is guaranteed in-range (counter-based
+    draws make the re-run bitwise-free of RNG state)."""
+    if sketch is not None:
+        vmin, vmax = sketch.vmin, sketch.vmax
+    new_lo = min(float(lo), float(vmin))
+    new_hi = max(float(hi), float(vmax))
+    eps = 1e-3 * max(new_hi - new_lo, 1e-12)
+    return new_lo - eps, new_hi + eps
+
+
+def _warn_oob(sketch, context: str) -> None:
+    import warnings
+
+    frac = _oob_fraction(sketch)
+    if frac > _OOB_RERANGE_THRESHOLD:
+        warnings.warn(
+            f"{context}: {frac:.2e} of terminal values fell outside the "
+            f"explicit sketch range [{float(sketch.lo)}, "
+            f"{float(sketch.hi)}] (observed range "
+            f"[{float(sketch.vmin)}, {float(sketch.vmax)}]); tail "
+            "quantiles/CVaR are approximated at the grid edge — widen "
+            "lo/hi or let the range auto-calibrate",
+            stacklevel=3)
+
+
 def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
                   *, seed: int = 0, mesh=None, bins: int = 8192,
                   lo: Optional[float] = None, hi: Optional[float] = None,
@@ -46,17 +86,29 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
     prob_profit, var_95, cvar_95; app.py:647-657) plus ``std_err`` and
     ``n_paths``.
     """
+    auto_ranged = lo is None and hi is None
     if lo is None or hi is None:
         auto_lo, auto_hi = _pilot_range(process, n_days, seed)
         lo = auto_lo if lo is None else lo
         hi = auto_hi if hi is None else hi
 
     if mesh is not None and chunk_paths is None:
-        sketch, moments = sharded_terminal_sketch(
-            process, n_paths, n_days, seed=seed, mesh=mesh, lo=lo, hi=hi,
-            bins=bins, block_size=block_size)
         from montecarlo_tpu.engine.streaming import risk_dict
 
+        for _ in range(2):
+            sketch, moments = sharded_terminal_sketch(
+                process, n_paths, n_days, seed=seed, mesh=mesh, lo=lo,
+                hi=hi, bins=bins, block_size=block_size)
+            if (auto_ranged
+                    and _oob_fraction(sketch) > _OOB_RERANGE_THRESHOLD):
+                # Pilot under-ranged a fat tail (jump processes): re-run on
+                # the exact observed range — free of RNG state, and the
+                # second pass cannot under-range (vmin/vmax are exact).
+                lo, hi = _widened_range(lo, hi, sketch)
+                continue
+            break
+        if not auto_ranged:
+            _warn_oob(sketch, "portfolio_var")
         mean = float(moments.mean)
         std = float(jnp.sqrt(moments.m2 / jnp.maximum(moments.count, 1)))
         return risk_dict(sketch, mean=mean, std=std,
@@ -65,10 +117,22 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
                          current_price=current_value)
 
     chunk = chunk_paths or min(n_paths, 1 << 20)
-    state = streaming_estimate(
-        process, n_paths, n_days, seed=seed, chunk_paths=chunk,
-        block_size=block_size, lo=lo, hi=hi, bins=bins, mesh=mesh,
-        checkpoint_path=checkpoint_path, progress_callback=progress_callback)
+    for _ in range(2):
+        state = streaming_estimate(
+            process, n_paths, n_days, seed=seed, chunk_paths=chunk,
+            block_size=block_size, lo=lo, hi=hi, bins=bins, mesh=mesh,
+            checkpoint_path=checkpoint_path,
+            progress_callback=progress_callback)
+        if (auto_ranged and checkpoint_path is None
+                and _oob_fraction(state.sketch) > _OOB_RERANGE_THRESHOLD):
+            # Checkpointed runs are NOT auto-re-ranged: the checkpoint
+            # encodes the grid, and a silent second grid would collide
+            # with resume-from-checkpoint semantics.
+            lo, hi = _widened_range(lo, hi, state.sketch)
+            continue
+        break
+    if not (auto_ranged and checkpoint_path is None):
+        _warn_oob(state.sketch, "portfolio_var")
     return risk_from_state(state, current_value)
 
 
@@ -89,20 +153,25 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
 
     if n_paths % chunk_paths:
         raise ValueError("n_paths must be a multiple of chunk_paths")
+    auto_ranged = lo is None and hi is None
     if lo is None or hi is None:
         auto_lo, auto_hi = _pilot_range(process, n_days, seed)
         lo = auto_lo if lo is None else lo
         hi = auto_hi if hi is None else hi
     n_chunks = n_paths // chunk_paths
-    width = (hi - lo) / bins
 
     @functools.partial(jax.jit, static_argnames=())
-    def run(seed0):
+    def run(seed0, lo_t, hi_t):
+        # lo/hi ride as operands so an auto-re-ranged second pass reuses
+        # the compiled program (a closure would recompile through the
+        # relay's expensive Mosaic path).
+        width = (hi_t - lo_t) / bins
+
         def body(i, carry):
             counts, uf, of, vmin, vmax, total, mean, m2 = carry
             term = terminal_prices(process, chunk_paths, n_days, seed=seed0,
                                    path_offset=i * chunk_paths)
-            raw = jnp.floor((term - lo) / width).astype(jnp.int32)
+            raw = jnp.floor((term - lo_t) / width).astype(jnp.int32)
             under = raw < 0
             over = raw >= bins
             in_range = ~(under | over)
@@ -140,7 +209,14 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
                 jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
-    counts, uf, of, vmin, vmax, total, mean, m2 = run(jnp.int32(seed))
+    for _ in range(2):
+        counts, uf, of, vmin, vmax, total, mean, m2 = run(
+            jnp.int32(seed), jnp.float32(lo), jnp.float32(hi))
+        oob = (float(uf) + float(of)) / max(float(total), 1.0)
+        if auto_ranged and oob > _OOB_RERANGE_THRESHOLD:
+            lo, hi = _widened_range(lo, hi, vmin=vmin, vmax=vmax)
+            continue
+        break
     counts_np = np.asarray(counts).astype(np.float64)
     total_f, mean_f, m2_f = float(total), float(mean), float(m2)
 
@@ -151,6 +227,8 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
         vmin=jnp.asarray(float(vmin)), vmax=jnp.asarray(float(vmax)))
     from montecarlo_tpu.engine.streaming import risk_dict
 
+    if not auto_ranged:
+        _warn_oob(sketch, "portfolio_var_on_device")
     std = float(np.sqrt(m2_f / max(total_f, 1.0)))
     return risk_dict(sketch, mean=mean_f, std=std,
                      std_err=std / np.sqrt(max(total_f, 1.0)),

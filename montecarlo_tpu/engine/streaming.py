@@ -323,5 +323,12 @@ def risk_dict(sk: HistogramSketch, *, mean: float, std: float,
         "cvar_95": (s0 - tail_mean) / s0 * 100.0,
         "std_err": std_err,
         "n_paths": count,
+        # Fraction of samples outside the sketch grid: > 0 means tail
+        # quantiles/CVaR approximate that mass at the grid edge.  The
+        # api.var entry points auto-re-range when this is material; a
+        # nonzero value here means an explicit lo/hi clipped the tail.
+        "sketch_oob_fraction":
+            (float(sk.underflow) + float(sk.overflow))
+            / max(float(sk.total), 1.0),
     }
 

@@ -214,3 +214,50 @@ def test_orbax_checkpoint_resume_equals_npz(tmp_path):
         uninterrupted.moments().mean)
     np.testing.assert_array_equal(np.asarray(resumed.sketch.counts),
                                   np.asarray(uninterrupted.sketch.counts))
+
+
+def test_var_auto_reranges_fat_jump_tail():
+    """A Merton run whose 4096-path pilot range misses the deep jump tail
+    must auto-re-range (counter-based draws make the second pass free of
+    RNG state) and report CVaR within sketch tolerance of the exact value
+    — previously the tail mass was approximated at the grid edge and only
+    a counter recorded it (round-2 verdict weak #7)."""
+    from montecarlo_tpu.api.var import (_pilot_range,
+                                        portfolio_var_on_device)
+    from montecarlo_tpu.engine import simulate
+    from montecarlo_tpu.processes import Merton
+
+    proc = Merton.create(s0=100.0, mu=0.03, sigma=0.15, lam=0.002,
+                         jump_mean=-2.5, jump_std=0.3, dt=1 / 252)
+    n, days, seed, bins = 1 << 16, 8, 5, 2048
+    terminal = np.asarray(simulate(proc, n, days, seed=seed))
+    # Preconditions that make the test non-vacuous: the pilot's margined
+    # range misses real tail mass (the deep down-jumps).
+    lo_pilot, _ = _pilot_range(proc, days, seed)
+    frac_missed = (terminal < lo_pilot).mean()
+    assert frac_missed > 1e-6, frac_missed
+
+    res = portfolio_var_on_device(proc, n, days, 100.0, seed=seed,
+                                  bins=bins, chunk_paths=1 << 14)
+    # Re-ranged grid covers everything: nothing left outside.
+    assert res["sketch_oob_fraction"] == 0.0
+    # CVaR within sketch resolution of the exact tail mean (the widened
+    # grid is ~2x the pilot span; allow a few bins of quantization).
+    p5 = np.percentile(terminal, 5.0)
+    exact_cvar = (100.0 - terminal[terminal <= p5].mean())
+    span = terminal.max() - terminal.min()
+    tol = 5 * (1.5 * span / bins)
+    assert abs(res["cvar_95"] - exact_cvar) < tol, (res["cvar_95"],
+                                                    exact_cvar)
+    # Explicit (user-pinned) ranges are respected but warn when they clip.
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res_pinned = portfolio_var_on_device(
+            proc, n, days, 100.0, seed=seed, bins=bins,
+            chunk_paths=1 << 14, lo=float(lo_pilot),
+            hi=float(terminal.max() + 1.0))
+    assert res_pinned["sketch_oob_fraction"] > 1e-6
+    assert any("outside the explicit sketch range" in str(x.message)
+               for x in w), [str(x.message) for x in w]
