@@ -63,12 +63,20 @@ def _soft_threshold(g, alpha):
 
 
 def _score(g, h, alpha, lam):
+    # Guarded division: with reg_lambda=0 and min_child_weight=0 an
+    # empty-child candidate has g=h=0 and the naive 0/0 NaN would poison
+    # the argmax into rejecting EVERY split (caught by the XGBoost-algebra
+    # fixtures). The correct limit is score 0 (soft(0, a) = 0).
     t = _soft_threshold(g, alpha)
-    return jnp.square(t) / (h + lam)
+    denom = h + lam
+    safe = jnp.where(denom > 0, denom, 1.0)
+    return jnp.where(denom > 0, jnp.square(t) / safe, 0.0)
 
 
 def _leaf_weight(g, h, alpha, lam):
-    return -_soft_threshold(g, alpha) / (h + lam)
+    denom = h + lam
+    safe = jnp.where(denom > 0, denom, 1.0)
+    return jnp.where(denom > 0, -_soft_threshold(g, alpha) / safe, 0.0)
 
 
 def quantile_bin_edges(x, w):
