@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Wall-clock to target std-err on the 1y European call (driver metric 2).
+
+Compares the two on-device tolerance loops:
+- plain iid chunked MC (`price_to_tolerance`, payoff+stats fused kernel)
+- replicated-randomization RQMC (`price_to_tolerance_rqmc`, 8 scrambled
+  device-Sobol replicates scanned inside one program)
+
+Both are ONE jitted program with ONE host round-trip, so a plain wall-clock
+around the call is honest through the axon relay (DEVNOTES: per-call timing
+lies only when a loop of dispatches is involved).  Warm-up call compiles;
+the timed call reuses the program with a different seed operand.
+
+Usage: python experiments/tolerance_bench.py [--target 1e-3] [--rqmc-chunk N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", type=float, default=1e-3)
+    ap.add_argument("--steps", type=int, default=252)
+    ap.add_argument("--plain-chunk", type=int, default=1 << 22)
+    ap.add_argument("--rqmc-chunk", type=int, default=1 << 19)
+    ap.add_argument("--replicates", type=int, default=8)
+    ap.add_argument("--skip-plain", action="store_true")
+    args = ap.parse_args()
+
+    from montecarlo_tpu.engine import (black_scholes_call,
+                                       price_to_tolerance,
+                                       price_to_tolerance_rqmc)
+    from montecarlo_tpu.processes import GBM
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if not on_tpu:
+        # CPU smoke shapes: correctness only, numbers meaningless.
+        args.steps, args.plain_chunk, args.rqmc_chunk, args.target = (
+            16, 1 << 14, 1 << 11, 5e-3)
+
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / args.steps)
+    payoff = lambda s: jnp.maximum(s - 105.0, 0.0)
+    disc = float(jnp.exp(-0.03))
+    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
+
+    def run(fn, label, **kw):
+        def once(seed):
+            t0 = time.time()
+            out = fn(proc, payoff, target_std_err=args.target, seed=seed,
+                     n_steps=args.steps, discount=disc, **kw)
+            price = float(out["price"])  # forces the single host transfer
+            return time.time() - t0, price, out
+        once(1)  # compile + warm
+        dt, price, out = once(2)
+        se = float(out["std_err"])
+        rec = {
+            "mode": label,
+            "wall_s": round(dt, 4),
+            "price": price,
+            "std_err": se,
+            "n_paths": float(out["n_paths"]),
+            "n_chunks": int(out["n_chunks"]),
+            "bs_gap_sigma": round(abs(price - bs) / max(se, 1e-12), 2),
+        }
+        print(json.dumps(rec))
+        assert se <= args.target, rec
+        return rec
+
+    recs = {}
+    recs["rqmc"] = run(price_to_tolerance_rqmc, "rqmc",
+                       chunk_paths=args.rqmc_chunk,
+                       n_replicates=args.replicates, max_chunks=1024)
+    if not args.skip_plain:
+        recs["plain"] = run(price_to_tolerance, "plain",
+                            chunk_paths=args.plain_chunk)
+        print(json.dumps({
+            "speedup_rqmc_vs_plain":
+                round(recs["plain"]["wall_s"] / recs["rqmc"]["wall_s"], 2),
+            "path_ratio":
+                round(recs["plain"]["n_paths"] / recs["rqmc"]["n_paths"], 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
