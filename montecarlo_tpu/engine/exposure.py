@@ -33,24 +33,49 @@ def swap_value_fn(model: Vasicek, strike: float, payment_times,
     """Valuation closure for a payer swap with fixed payment calendar.
 
     ``payment_times``: (P,) absolute times of the remaining fixed/float
-    payments.  Returns ``v(r, t)`` valuing the not-yet-paid legs at time t
-    (payments strictly after t), affine in r through the Vasicek bond.
-    ``dtype`` pins the calendar's precision (CLAUDE.md: library code pins
-    dtypes explicitly) — default matches `exposure_profile`'s float64.
+    payments.  Returns ``v(r, t[, r_fix, t_fix])`` valuing the not-yet-paid
+    legs at time t (payments strictly after t), affine in r through the
+    Vasicek bond.
+
+    Float leg between payment dates: the in-period coupon was FIXED at the
+    period start, so the leg is worth ``P(t,t_next)(1 + L_fix*delta) -
+    P(t,T_last)`` where ``L_fix`` is the simple rate set at ``t_fix`` —
+    pass the path's rate at the period start as ``r_fix``
+    (`exposure_profile(fixing_times=...)` does this). Called with two
+    arguments, the leg falls back to ``1 - P(t,T_last)``, which is exact
+    only ON payment dates (it drops the in-period fixing — the two forms
+    coincide at t = t_fix).  ``dtype`` pins the calendar's precision
+    (CLAUDE.md: library code pins dtypes explicitly) — default matches
+    `exposure_profile`'s float64.
     """
     times = jnp.asarray(payment_times, dtype)
 
-    def value(r, t):
+    def value(r, t, r_fix=None, t_fix=None):
         taus = times - t                       # (P,)
         alive = taus > 1e-9                    # payments still ahead
         p = vasicek_bond_from_rate(r[..., None], model.kappa, model.theta,
                                    model.sigma, jnp.maximum(taus, 1e-9))
         p = jnp.where(alive, p, 0.0)
-        # float leg: notional exchange replication over remaining period
         idx_last = jnp.argmax(jnp.where(alive, times, -jnp.inf))
         p_last = p[..., idx_last]
         any_alive = jnp.any(alive)
-        float_leg = jnp.where(any_alive, 1.0 * (p_last > 0) - p_last, 0.0)
+        if r_fix is None:
+            # Reset-date replication: exact only when t is a payment date.
+            float_leg = jnp.where(any_alive,
+                                  1.0 * (p_last > 0) - p_last, 0.0)
+        else:
+            # Next payment t_next and the coupon fixed at t_fix for
+            # [t_fix, t_next]: L = (1/P(t_fix, t_next) - 1) / delta.
+            t_next = jnp.min(jnp.where(alive, times, jnp.inf))
+            tau_next = jnp.maximum(t_next - t, 1e-9)
+            p_next = vasicek_bond_from_rate(r, model.kappa, model.theta,
+                                            model.sigma, tau_next)
+            delta = jnp.maximum(t_next - t_fix, 1e-9)
+            p_fix = vasicek_bond_from_rate(r_fix, model.kappa, model.theta,
+                                           model.sigma, delta)
+            growth = 1.0 / p_fix  # 1 + L*delta
+            float_leg = jnp.where(any_alive,
+                                  p_next * growth - p_last, 0.0)
         fixed_leg = strike * pay_dt * jnp.sum(p, axis=-1)
         return float_leg - fixed_leg
 
@@ -58,22 +83,26 @@ def swap_value_fn(model: Vasicek, strike: float, payment_times,
 
 
 @partial(jax.jit, static_argnames=("value_fn", "n_paths", "n_steps", "seed",
-                                   "dtype"))
-def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
-                     T: float, seed: int, quantile: float = 0.95,
-                     hazard_rate: float = 0.0, recovery: float = 0.4,
-                     dtype=jnp.float64) -> dict:
-    """EPE / PFE / effective-EPE profiles and a flat-hazard CVA.
-
-    Returns ``{"times", "epe", "pfe", "eepe", "cva"}`` with profile arrays
-    of length ``n_steps + 1``; ``cva`` is scalar
-    ``(1-R) * sum D(0,t) EPE(t) dPD(t)`` with ``dPD`` from the flat hazard
-    (zero hazard -> cva 0.0).
-    """
+                                   "dtype", "has_fixings"))
+def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
+                      T: float, seed: int, quantile: float = 0.95,
+                      hazard_rate: float = 0.0, recovery: float = 0.4,
+                      dtype=jnp.float64, fixing_times=None,
+                      has_fixings: bool = False) -> dict:
     dt = T / n_steps
     paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
                      dtype=dtype)                      # (T+1, N)
     times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+
+    if has_fixings:
+        ft = jnp.asarray(fixing_times, dtype)          # (F,)
+        # Most recent fixing <= t_k (clamped to the first fixing), and its
+        # grid row — the path value at the period start is the in-period
+        # coupon's fixing state.
+        le = ft[None, :] <= times[:, None] + 1e-9
+        t_fix_arr = jnp.max(jnp.where(le, ft[None, :], ft[0]), axis=1)
+        k_fix_arr = jnp.clip(jnp.round(t_fix_arr / dt).astype(jnp.int32),
+                             0, n_steps)
 
     # pathwise discount factors D(0, t_k) (trapezoid, as in engine.rates)
     mid = 0.5 * (paths[:-1] + paths[1:]) * dt
@@ -82,7 +111,10 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
 
     def row(k_t):
         k, t = k_t
-        v = value_fn(paths[k], t)
+        if has_fixings:
+            v = value_fn(paths[k], t, paths[k_fix_arr[k]], t_fix_arr[k])
+        else:
+            v = value_fn(paths[k], t)
         pos = jnp.maximum(v, 0.0)
         epe = jnp.mean(pos)
         pfe = jnp.quantile(pos, quantile)
@@ -105,6 +137,32 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     cva = (1.0 - recovery) * jnp.sum(depe * dpd)
     return {"times": times, "epe": epe, "pfe": pfe, "eepe": eepe,
             "cva": cva}
+
+
+def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
+                     T: float, seed: int, quantile: float = 0.95,
+                     hazard_rate: float = 0.0, recovery: float = 0.4,
+                     dtype=jnp.float64, fixing_times=None) -> dict:
+    """EPE / PFE / effective-EPE profiles and a flat-hazard CVA.
+
+    ``fixing_times``: optional (F,) period-start times (e.g.
+    ``payment_times - pay_dt`` for a spot-starting swap).  When given,
+    ``value_fn`` is called as ``value_fn(r_t, t, r_fix, t_fix)`` with the
+    path state at the most recent fixing — mid-grid swap values then carry
+    the in-period coupon exactly instead of the reset-date approximation
+    (which silently mis-valued profiles on grids finer than the payment
+    calendar).
+
+    Returns ``{"times", "epe", "pfe", "eepe", "cva"}`` with profile arrays
+    of length ``n_steps + 1``; ``cva`` is scalar
+    ``(1-R) * sum D(0,t) EPE(t) dPD(t)`` with ``dPD`` from the flat hazard
+    (zero hazard -> cva 0.0).
+    """
+    return _exposure_profile(
+        model, value_fn, n_paths, n_steps, T=T, seed=seed,
+        quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
+        dtype=dtype, fixing_times=fixing_times,
+        has_fixings=fixing_times is not None)
 
 
 __all__ = ["exposure_profile", "swap_value_fn"]

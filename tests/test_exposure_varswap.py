@@ -79,3 +79,71 @@ def test_cva_scales_with_hazard():
     assert 0.0 < float(p1["cva"]) < float(p2["cva"])
     # small-hazard linearity: cva(2l) ~ 2 cva(l) within 5%
     assert abs(float(p2["cva"]) / float(p1["cva"]) - 2.0) < 0.1
+
+
+def test_mid_period_float_leg_carries_in_period_fixing():
+    """Within-period martingale check: between payment dates no cashflow
+    occurs, so E[D(0,t) V_t] must be CONSTANT across every grid time of
+    one accrual period (it legitimately jumps by the discounted coupon AT
+    payment dates). The reset-date approximation (float leg =
+    1 - P(t,T_last), in-period fixing dropped) drifts by O(coupon) inside
+    the period; the fixing-aware valuation must stay flat within MC
+    tolerance (advisor finding r2 #3)."""
+    from montecarlo_tpu.engine.simulate import simulate
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    vfn = swap_value_fn(model, strike=0.035, payment_times=pay_times,
+                        pay_dt=0.5)
+    n = 1 << 15
+    paths = np.asarray(simulate(model, n, N_STEPS, seed=11, mode="paths",
+                                dtype=jnp.float64))
+    dt = T / N_STEPS
+    mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+    disc = np.exp(-np.concatenate([np.zeros((1, n)),
+                                   np.cumsum(mid, axis=0)], axis=0))
+
+    # Period [0.5, 1.0): fixing at t_fix = 0.5 (grid row 16).
+    t_fix, k_fix = 0.5, int(round(0.5 / dt))
+    r_fix = jnp.asarray(paths[k_fix])
+
+    def dv(k, with_fixing):
+        t = k * dt
+        r_t = jnp.asarray(paths[k])
+        v = (vfn(r_t, jnp.float64(t), r_fix, jnp.float64(t_fix))
+             if with_fixing else vfn(r_t, jnp.float64(t)))
+        x = disc[k] * np.asarray(v)
+        return np.mean(x), np.std(x, ddof=1) / np.sqrt(n)
+
+    ks = range(k_fix, int(round(1.0 / dt)))  # every grid time in-period
+    base_mean, base_se = dv(k_fix, True)
+    drift_fix = max(abs(dv(k, True)[0] - base_mean) for k in ks)
+    drift_old = max(abs(dv(k, False)[0] - base_mean) for k in ks)
+    assert drift_fix < 6 * base_se + 1e-4, (drift_fix, base_se)
+    # Non-vacuous: the reset-date approximation drifts by O(coupon).
+    assert drift_old > 20 * max(drift_fix, 1e-5), (drift_old, drift_fix)
+
+    # At the period start both forms coincide (continuity of the fix).
+    a = np.asarray(vfn(r_fix, jnp.float64(t_fix), r_fix,
+                       jnp.float64(t_fix)))
+    b = np.asarray(vfn(r_fix, jnp.float64(t_fix)))
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_exposure_profile_with_fixings_runs_and_matches_at_resets():
+    """exposure_profile(fixing_times=...) wires the path fixings through;
+    the EPE at t=0 (a reset date) matches the reset-date formula."""
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    vfn = swap_value_fn(model, strike=0.035, payment_times=pay_times,
+                        pay_dt=0.5)
+    prof = exposure_profile(model, vfn, 1 << 13, N_STEPS, T=T, seed=7,
+                            fixing_times=pay_times - 0.5)
+    epe = np.asarray(prof["epe"])
+    r0 = jnp.full((16,), R0, jnp.float64)
+    v0 = float(vfn(r0, jnp.float64(0.0))[0])
+    assert abs(epe[0] - max(v0, 0.0)) < 1e-9
+    assert epe[-1] < 1e-12
+    assert np.all(np.asarray(prof["pfe"]) >= 0)
