@@ -19,6 +19,7 @@ from montecarlo_tpu.engine import simulate
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
 from montecarlo_tpu.processes import GBM
 from montecarlo_tpu.rng.sobol import (SobolBridgeDeviceSampler,
+                                      SobolBridgeKernelSampler,
                                       SobolDeviceSampler)
 from montecarlo_tpu.utils.profiling import throughput_path_steps
 
@@ -30,10 +31,17 @@ def main():
     proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 252.0)
     sob = SobolDeviceSampler.create(N_STEPS, 1)
     bridge = SobolBridgeDeviceSampler.create(N_STEPS)
+    bridge_k = SobolBridgeKernelSampler.create(N_STEPS)
 
     def fused(n_paths, n_steps, *, seed):
         return fused_terminal_pallas(proc, n_paths, n_steps, seed=seed,
                                      block_rows=128, sampler=sob)
+
+    def fused_bridge(n_paths, n_steps, *, seed):
+        # Scratch budget: dispatch would cap rows at 4MB/(T*512) = 32
+        # for T=256; use the same here.
+        return fused_terminal_pallas(proc, n_paths, n_steps, seed=seed,
+                                     block_rows=32, sampler=bridge_k)
 
     def scan_with(sampler):
         # Raw scan body so the chained harness can trace the seed
@@ -56,6 +64,7 @@ def main():
 
     for name, fn, (np_, ns) in (
             ("fused sobol kernel", fused, (N_PATHS, N_STEPS)),
+            ("fused bridge kernel", fused_bridge, (N_PATHS, N_STEPS)),
             ("scan sobol", scan_with(sob), (N_PATHS, N_STEPS)),
             ("scan sobol-bridge", scan_with(bridge), (N_PATHS // 4,
                                                       N_STEPS))):

@@ -223,9 +223,12 @@ def _sobol_replicate_factory(args, proc, n_per: int):
     replicate (a digital shift alone understates the spread; see
     `rqmc_estimate`).  Maps the CLI's three ``--sampler sobol*`` variants."""
     if args.sampler == "sobol-bridge":
-        from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+        # Kernel variant: scratch-cached bridge normals ride the fused
+        # Pallas kernels on TPU (array leaves, so replicates stack);
+        # scan-engine delegate elsewhere — identical streams.
+        from montecarlo_tpu.rng import SobolBridgeKernelSampler
 
-        return (lambda r: SobolBridgeDeviceSampler.create(
+        return (lambda r: SobolBridgeKernelSampler.create(
             args.steps, scramble_seed=args.seed + r))
     if args.sampler == "sobol":
         # Host Owen-scrambled sampler, re-scrambled per replicate.
@@ -392,12 +395,12 @@ def cmd_price(args) -> int:
         # Device-native randomized Sobol with Brownian-bridge ordering —
         # O(log T) on-the-fly dimension evaluations per step, no
         # (paths, steps) draw array (pod-scale QMC).
-        from montecarlo_tpu.rng import SobolBridgeDeviceSampler
+        from montecarlo_tpu.rng import SobolBridgeKernelSampler
 
         if proc.n_draws != 1:
             raise SystemExit("--sampler sobol-bridge requires a single-draw "
                              "process (gbm)")
-        sampler = SobolBridgeDeviceSampler.create(args.steps)
+        sampler = SobolBridgeKernelSampler.create(args.steps)
     elif args.sampler == "sobol-device":
         # Device-native randomized Sobol: no (paths, steps) draw array, and
         # on TPU the draws run *inside* the fused Pallas kernel.

@@ -31,7 +31,8 @@ from montecarlo_tpu.processes.kou import Kou
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.processes.term_basket import TermBasketGBM
-from montecarlo_tpu.rng.sobol import SobolDeviceSampler
+from montecarlo_tpu.rng.sobol import (SobolBridgeKernelSampler,
+                                      SobolDeviceSampler)
 from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
@@ -39,29 +40,48 @@ _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
             Vasicek, CIR, HullWhite, SABR, TermBasketGBM)
 
 
-def _kernel_block_rows(n_paths: int) -> int | None:
+def _kernel_block_rows(n_paths: int, max_rows: int = 256) -> int | None:
     """Best block_rows that divides the path count (128 is the measured
-    v5e sweet spot; see README benchmarks)."""
+    v5e sweet spot; see README benchmarks).  ``max_rows`` caps the block
+    for kernels with per-block VMEM scratch."""
     for rows in (128, 64, 256, 32, 16, 8):
-        if n_paths % (rows * LANES) == 0:
+        if rows <= max_rows and n_paths % (rows * LANES) == 0:
             return rows
     return None
+
+
+#: VMEM budget for sampler scratch buffers (bytes) — conservative slice of
+#: the ~16 MiB/core so process leaves + block buffers still fit.
+_SCRATCH_BUDGET = 4 << 20
+
+
+def _scratch_max_rows(sampler) -> int:
+    """Largest block_rows whose sampler scratch fits the VMEM budget
+    (bridge scratch is n_steps * block_rows * LANES f32)."""
+    per_row = sampler.n_steps * LANES * 4
+    return max(_SCRATCH_BUDGET // per_row, 1)
 
 
 def _fusable_sampler(sampler, process, n_steps: int) -> bool:
     """Samplers the fused kernels can run: default Threefry (None or an
     explicit PlainSampler — identical pass-through streams, so the CLI's
     `--sampler plain` default rides the kernel too), antithetic mirroring,
-    or device Sobol (whose table must cover every dimension)."""
+    device Sobol (whose table must cover every dimension), or the
+    statically-scheduled bridge Sobol (single-draw, plan must cover every
+    step)."""
     if (sampler is None or isinstance(sampler, (PlainSampler,
                                                 AntitheticSampler))):
         return True
+    if isinstance(sampler, SobolBridgeKernelSampler):
+        return process.n_draws == 1 and sampler.n_steps >= n_steps
     return (isinstance(sampler, SobolDeviceSampler)
             and sampler.n_dims >= n_steps * process.n_draws)
 
 
 def _kernel_sampler(sampler):
-    return sampler if isinstance(sampler, SobolDeviceSampler) else None
+    if isinstance(sampler, (SobolDeviceSampler, SobolBridgeKernelSampler)):
+        return sampler
+    return None
 
 
 def _fused_eligible(process, sampler, n_paths: int, n_steps: int,
@@ -81,7 +101,9 @@ def _fused_eligible(process, sampler, n_paths: int, n_steps: int,
         return None
     if not _fusable_sampler(sampler, process, n_steps):
         return None
-    return _kernel_block_rows(n_paths)
+    max_rows = (_scratch_max_rows(sampler)
+                if getattr(sampler, "kernel_scratch", False) else 256)
+    return _kernel_block_rows(n_paths, max_rows)
 
 
 def terminal_prices(process, n_paths: int, n_steps: int, *, seed,

@@ -37,6 +37,38 @@ def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
 
 
+def _bridge_fill_scratch(smp, scratch_ref, k0, k1, draw_ids,
+                         block_rows: int):
+    """Phase 1 of the scratch-cached bridge sampler: compute each of the
+    sampler's T bridge normals once (one-hot direction-number reads) and
+    store it at its dim's row range of the VMEM scratch."""
+    def fill(d, carry):
+        z = smp.z_kernel(d, k0, k1, draw_ids, jnp.float32)
+        scratch_ref[pl.dslice(d * block_rows, block_rows), :] = z
+        return carry
+
+    jax.lax.fori_loop(0, smp.n_steps, fill, jnp.int32(0))
+
+
+def _bridge_step_draws(smp, scratch_ref, t, block_rows: int):
+    """Phase 2 step draw: combine the O(log T) cached bridge normals of
+    step ``t`` (dynamic VMEM loads) with the plan weights — same padded
+    slot order as the scan engine, so the sum is op-for-op identical."""
+    eps = jnp.zeros((block_rows, LANES), jnp.float32)
+    for j in range(smp.width):
+        dim, c = smp.plan_scalars(t, j)
+        zj = scratch_ref[pl.dslice(dim * block_rows, block_rows), :]
+        eps = eps + c * zj
+    return (eps,)
+
+
+def _scratch_shapes(sampler, block_rows: int):
+    """pallas_call scratch allocation for scratch-cached samplers."""
+    if sampler is None or not getattr(sampler, "kernel_scratch", False):
+        return []
+    return [pltpu.VMEM((sampler.n_steps * block_rows, LANES), jnp.float32)]
+
+
 def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
                  antithetic: bool, payoff_fn=None, has_sampler: bool = False):
     def kernel(*refs):
@@ -86,23 +118,39 @@ def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
 
         state0 = proc.init_state(ids, jnp.float32)
 
-        def body(j, state):
-            # Both steps of a pair draw from the same cipher calls —
-            # draws_pair makes the sharing explicit (no reliance on CSE).
-            eps0, eps1 = get_draws(j)
-            t0 = 2 * j
-            t1 = 2 * j + 1
-            if hasattr(proc, "step_pair"):
-                # Pair-fused step (e.g. GARCH shares one pass over its
-                # shock-table rows) — op-for-op identical to two steps.
-                state, stepped = proc.step_pair(state, eps0, eps1, t0)
-            else:
-                state = proc.step(state, eps0, t0)
-                stepped = proc.step(state, eps1, t1)
-            return _tree_where(t1 < n_steps, stepped, state)
+        if smp is not None and getattr(smp, "kernel_scratch", False):
+            # Scratch-cached sampler (bridge Sobol): every bridge normal
+            # is computed once into VMEM scratch, then the time loop
+            # combines O(log T) cached normals per step (see
+            # SobolBridgeKernelSampler).
+            scratch_ref = refs[n_leaves + 2]
+            _bridge_fill_scratch(smp, scratch_ref, k0, k1, draw_ids,
+                                 block_rows)
 
-        n_pairs = (n_steps + 1) // 2
-        final = jax.lax.fori_loop(0, n_pairs, body, state0)
+            def bridge_body(t, state):
+                eps = _bridge_step_draws(smp, scratch_ref, t, block_rows)
+                return proc.step(state, eps, t)
+
+            final = jax.lax.fori_loop(0, n_steps, bridge_body, state0)
+        else:
+            def body(j, state):
+                # Both steps of a pair draw from the same cipher calls —
+                # draws_pair makes the sharing explicit (no reliance on
+                # CSE).
+                eps0, eps1 = get_draws(j)
+                t0 = 2 * j
+                t1 = 2 * j + 1
+                if hasattr(proc, "step_pair"):
+                    # Pair-fused step (e.g. GARCH shares one pass over its
+                    # shock-table rows) — op-for-op identical to two steps.
+                    state, stepped = proc.step_pair(state, eps0, eps1, t0)
+                else:
+                    state = proc.step(state, eps0, t0)
+                    stepped = proc.step(state, eps1, t1)
+                return _tree_where(t1 < n_steps, stepped, state)
+
+            n_pairs = (n_steps + 1) // 2
+            final = jax.lax.fori_loop(0, n_pairs, body, state0)
         prices = proc.prices(final)
         if payoff_fn is None:
             out_ref[:] = prices
@@ -162,6 +210,7 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_blocks * block_rows, LANES),
                                        jnp.float32),
+        scratch_shapes=_scratch_shapes(sampler, block_rows),
         interpret=interpret,
     )(*leaf_inputs, scalars)
     return out.reshape(-1)
@@ -216,6 +265,29 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
         state0 = proc.init_state(ids, jnp.float32)
         p0 = proc.prices(state0)
         accs0 = tuple(f.init(p0) for f in functionals)
+
+        if smp is not None and getattr(smp, "kernel_scratch", False):
+            # Scratch-cached sampler: same update order as the scan
+            # engine (one functional update per step, after the step).
+            scratch_ref = refs[len(leaf_ndims) + 1 + len(functionals) + 1]
+            _bridge_fill_scratch(smp, scratch_ref, k0, k1, draw_ids,
+                                 block_rows)
+
+            def bridge_body(t, carry):
+                state, accs = carry
+                eps = _bridge_step_draws(smp, scratch_ref, t, block_rows)
+                state = proc.step(state, eps, t)
+                prices_t = proc.prices(state)
+                accs = tuple(f.update(a, prices_t, t + 1)
+                             for f, a in zip(functionals, accs))
+                return state, accs
+
+            state, accs = jax.lax.fori_loop(0, n_steps, bridge_body,
+                                            (state0, accs0))
+            out_refs[0][:] = proc.prices(state)
+            for k, (f, a) in enumerate(zip(functionals, accs)):
+                out_refs[k + 1][:] = f.finalize(a, float(n_steps))
+            return
 
         def body(j, carry):
             state, accs = carry
@@ -294,6 +366,7 @@ def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
                                 memory_space=pltpu.VMEM)] * n_out,
         out_shape=[jax.ShapeDtypeStruct((num_blocks * block_rows, LANES),
                                         jnp.float32)] * n_out,
+        scratch_shapes=_scratch_shapes(sampler, block_rows),
         interpret=interpret,
     )(*leaf_inputs, scalars)
     result = {"terminal": outs[0].reshape(-1)}
@@ -394,6 +467,7 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_blocks * block_rows, 2),
                                        jnp.float32),
+        scratch_shapes=_scratch_shapes(sampler, block_rows),
         interpret=interpret,
     )(*leaf_inputs, scalars)
 

@@ -16,6 +16,7 @@ from montecarlo_tpu.rng.normal import (  # noqa: F401
 )
 from montecarlo_tpu.rng.sobol import (  # noqa: F401
     SobolBridgeDeviceSampler,
+    SobolBridgeKernelSampler,
     SobolDeviceSampler,
     brownian_bridge_matrix,
     direction_numbers,

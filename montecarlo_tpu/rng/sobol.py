@@ -217,6 +217,133 @@ def brownian_bridge_matrix(n_steps: int) -> np.ndarray:
     return np.diff(a, axis=0)
 
 
+def _bridge_tables(n_steps: int, scramble_seed):
+    """(sv, dims, coeffs) numpy tables of the bridge construction: sv the
+    (optionally LMS-scrambled) direction numbers, and per step the O(log T)
+    contributing bridge dims + combination weights (rows padded to a fixed
+    width with (dim 0, coeff 0) — position j within a row is the dim's tree
+    level, levels active at t are contiguous from the root)."""
+    b = brownian_bridge_matrix(n_steps)
+    nnz = [np.nonzero(row)[0] for row in b]
+    width = max(len(ix) for ix in nnz)
+    dims = np.zeros((n_steps, width), np.int32)
+    coeffs = np.zeros((n_steps, width), np.float32)
+    for t, ix in enumerate(nnz):
+        dims[t, :len(ix)] = ix
+        coeffs[t, :len(ix)] = b[t, ix]
+    sv = direction_numbers(n_steps)
+    if scramble_seed is not None:
+        sv = lms_scramble(sv, scramble_seed)
+    return sv, dims, coeffs
+
+
+class SobolBridgeKernelSampler(NamedTuple("SobolBridgeKernelFields", [
+        ("sv_t", jnp.ndarray),      # (BITS, T) int32 direction numbers
+        ("dims_t", jnp.ndarray),    # (L, T) int32 contributing dims per step
+        ("coeffs_t", jnp.ndarray),  # (L, T) f32 combination weights
+])):
+    """Scratch-cached Brownian-bridge Sobol for the fused Pallas kernels.
+
+    `SobolBridgeDeviceSampler` re-evaluates the O(log T) contributing
+    bridge normals at EVERY step (the scan engine's structure — its cost
+    is ~L x the flat device-Sobol rate, measured 1.1e9 vs 11e9
+    path-steps/s).  This variant computes each of the T bridge normals
+    exactly ONCE into a VMEM scratch buffer (phase 1, one-hot table
+    reads keyed by the global path id), then the time loop combines the
+    O(log T) cached normals per step with dynamic VMEM slices (phase 2)
+    — amortized ~one Sobol eval + inverse-CDF per step, i.e. near flat
+    device-Sobol throughput for bridge-ordered points.  Requires
+    ``kernel_scratch`` support in the engine (a T x block_rows scratch
+    allocation — the dispatcher caps block_rows so the scratch stays
+    within the VMEM budget).
+
+    Draw streams match `SobolBridgeDeviceSampler` with the same
+    ``scramble_seed`` exactly op-for-op (same sv, same digital shifts,
+    same accumulation order over the padded plan rows): the scan-engine
+    delegate (:meth:`draws`) is bitwise identical, and the kernel agrees
+    to the standard scan-vs-kernel ULP budget (rtol=2e-6 — XLA may pick
+    different FMA contractions across the two compilations, DEVNOTES) —
+    both asserted in tests.
+
+    Why not unroll the time loop with the plan as compile-time
+    constants: embedding the schedule sends XLA's simplifier superlinear
+    (an unrolled T=15 GBM run compiled for minutes on CPU), and a
+    leafless pytree cannot be stacked for `rqmc_estimate`'s scanned
+    replicates.  All-array leaves keep this sampler stackable like the
+    Device variant.  Single-draw NORMALS-ONLY processes.
+    """
+
+    normals_only = True
+    kernel_scratch = True
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.dims_t.shape[1])
+
+    @property
+    def width(self) -> int:
+        return int(self.dims_t.shape[0])
+
+    def validate(self, process, n_steps: int) -> None:
+        """Trace-time guard (see SobolDeviceSampler.validate)."""
+        if process.n_draws != 1:
+            raise ValueError("bridge sampler supports n_draws == 1")
+        if n_steps > self.n_steps:
+            raise ValueError(
+                f"bridge sampler built for {self.n_steps} steps but this "
+                f"run has {n_steps}; build with "
+                f"SobolBridgeKernelSampler.create({n_steps})")
+
+    def z_kernel(self, dim, seed, stream, path_ids, dtype=jnp.float32):
+        """Bridge normal of one (possibly traced) dim — Mosaic-safe
+        one-hot direction-number reads, same stream as the Device
+        variant."""
+        dim = jnp.asarray(dim).astype(jnp.int32)
+        vks = [_sv_scalar_onehot(self.sv_t, dim, k) for k in range(BITS)]
+        x = sobol_bits(vks, path_ids)
+        s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
+                            jnp.uint32(0x50B0))
+        return _shifted_normal(x, s0, dtype)
+
+    def plan_scalars(self, t, j: int):
+        """(dim, coeff) of plan slot ``j`` at (possibly traced) step
+        ``t`` — static row slice + one-hot lane reduction (the proven
+        Mosaic table-read pattern)."""
+        t = jnp.asarray(t).astype(jnp.int32)
+        pos_row = self.dims_t[j:j + 1, :]
+        pos = jax.lax.broadcasted_iota(jnp.int32, pos_row.shape, 1)
+        dim = jnp.sum(jnp.where(pos == t, pos_row, jnp.int32(0)),
+                      dtype=jnp.int32)
+        c_row = self.coeffs_t[j:j + 1, :]
+        coeff = jnp.sum(jnp.where(pos == t, c_row,
+                                  jnp.zeros_like(c_row)).astype(jnp.float32),
+                        dtype=jnp.float32)
+        return dim, coeff
+
+    def _as_device_sampler(self):
+        # int32 -> uint32 is value-preserving here (entries < 2^30).
+        return SobolBridgeDeviceSampler(
+            sv=jnp.transpose(self.sv_t).astype(jnp.uint32),
+            dims=jnp.transpose(self.dims_t),
+            coeffs=jnp.transpose(self.coeffs_t))
+
+    def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
+        """Scan-engine fallback (traced ``t``): delegate to the
+        array-table Device variant built from the same tables — identical
+        streams, so engine dispatch can fall back freely."""
+        return self._as_device_sampler().draws(process, seed, stream,
+                                               path_ids, t, dtype)
+
+    @classmethod
+    def create(cls, n_steps: int,
+               scramble_seed: int | None = 0) -> "SobolBridgeKernelSampler":
+        sv, dims, coeffs = _bridge_tables(n_steps, scramble_seed)
+        return cls(
+            sv_t=jnp.asarray(sv.astype(np.int64).T, jnp.int32),
+            dims_t=jnp.asarray(dims.T),
+            coeffs_t=jnp.asarray(coeffs.T))
+
+
 class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
         ("sv", jnp.ndarray),      # (T, 30) uint32 direction numbers
         ("dims", jnp.ndarray),    # (T, L) int32 contributing bridge dims
@@ -272,16 +399,6 @@ class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
     @classmethod
     def create(cls, n_steps: int,
                scramble_seed: int | None = 0) -> "SobolBridgeDeviceSampler":
-        b = brownian_bridge_matrix(n_steps)
-        nnz = [np.nonzero(row)[0] for row in b]
-        width = max(len(ix) for ix in nnz)
-        dims = np.zeros((n_steps, width), np.int32)
-        coeffs = np.zeros((n_steps, width), np.float32)
-        for t, ix in enumerate(nnz):
-            dims[t, :len(ix)] = ix
-            coeffs[t, :len(ix)] = b[t, ix]
-        sv = direction_numbers(n_steps)
-        if scramble_seed is not None:
-            sv = lms_scramble(sv, scramble_seed)
+        sv, dims, coeffs = _bridge_tables(n_steps, scramble_seed)
         return cls(sv=jnp.asarray(sv), dims=jnp.asarray(dims),
                    coeffs=jnp.asarray(coeffs))

@@ -135,3 +135,75 @@ def test_plain_sampler_is_fusable():
     gbm = _procs()["gbm"]
     assert _fusable_sampler(PlainSampler(), gbm, 252)
     assert _kernel_sampler(PlainSampler()) is None
+
+
+def test_bridge_kernel_sampler_matches_scan_engine_bitwise():
+    """The statically-scheduled bridge sampler (unrolled kernel, tables as
+    immediates, normals register-cached) must reproduce the scan engine
+    with the array-table Device variant BITWISE in interpret mode (same
+    sv, same shifts, same padded accumulation order, phase-2 combination
+    op-for-op identical to the scan sum)."""
+    from montecarlo_tpu.rng.sobol import (SobolBridgeDeviceSampler,
+                                          SobolBridgeKernelSampler)
+
+    proc = _procs()["gbm"]
+    for n_steps in (8, 13, 16):
+        dev = SobolBridgeDeviceSampler.create(n_steps, scramble_seed=3)
+        ker = SobolBridgeKernelSampler.create(n_steps, scramble_seed=3)
+        ref = np.asarray(simulate(proc, N, n_steps, seed=5, sampler=dev))
+        out = np.asarray(fused_terminal_pallas(
+            proc, N, n_steps, seed=5, block_rows=128, interpret=True,
+            sampler=ker))
+        np.testing.assert_array_equal(out, ref, err_msg=f"T={n_steps}")
+        # The kernel sampler's scan-path delegate IS the same program as
+        # the Device variant — bitwise.
+        out2 = np.asarray(simulate(proc, N, n_steps, seed=5, sampler=ker))
+        np.testing.assert_array_equal(out2, ref)
+
+
+def test_bridge_kernel_functionals_match_scan():
+    from montecarlo_tpu.rng.sobol import (SobolBridgeDeviceSampler,
+                                          SobolBridgeKernelSampler)
+
+    proc = _procs()["gbm"]
+    n_steps = 16
+    dev = SobolBridgeDeviceSampler.create(n_steps, scramble_seed=1)
+    ker = SobolBridgeKernelSampler.create(n_steps, scramble_seed=1)
+    items = (("avg", ARITH_MEAN), ("mx", RUNNING_MAX))
+    ref = _simulate_functionals(proc, N, n_steps, 7, 0, dev,
+                                jnp.float32, 0, items)
+    out = fused_functionals_pallas(proc, N, n_steps, seed=7,
+                                   functional_items=items, block_rows=128,
+                                   interpret=True, sampler=ker)
+    for key in ("terminal", "avg", "mx"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+
+
+def test_bridge_kernel_dispatch_eligibility():
+    """Dispatch gate: eligible for single-draw processes with a covering
+    plan; rejected for multi-draw (Heston) and undersized plans."""
+    from montecarlo_tpu.engine.dispatch import _fusable_sampler
+    from montecarlo_tpu.rng.sobol import SobolBridgeKernelSampler
+
+    ker = SobolBridgeKernelSampler.create(16)
+    assert _fusable_sampler(ker, _procs()["gbm"], 16)
+    assert _fusable_sampler(ker, _procs()["gbm"], 8)
+    assert not _fusable_sampler(ker, _procs()["gbm"], 32)  # plan too short
+    assert not _fusable_sampler(ker, _procs()["heston"], 8)  # 2 draws
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="built for 16 steps"):
+        simulate(_procs()["gbm"], 256, 32, seed=1, sampler=ker)
+
+
+def test_bridge_kernel_scratch_caps_block_rows():
+    """Dispatch must shrink block_rows so the T x block_rows scratch fits
+    the VMEM budget at long horizons."""
+    from montecarlo_tpu.engine.dispatch import _scratch_max_rows
+    from montecarlo_tpu.rng.sobol import SobolBridgeKernelSampler
+
+    ker = SobolBridgeKernelSampler.create(16)
+    assert _scratch_max_rows(ker) >= 128
+    big = SobolBridgeKernelSampler.create(1024)
+    assert _scratch_max_rows(big) <= 8
