@@ -81,11 +81,24 @@ class Kou(NamedTuple("KouFields", [
         return (z,) + us
 
     def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
-        """Mixed-type draws straddle ciphers; delegate (fused kernel only)."""
-        j2 = 2 * jnp.asarray(j).astype(jnp.uint32)
-        return (self.draws(seed, stream, path_ids, j2, dtype),
-                self.draws(seed, stream, path_ids, j2 + jnp.uint32(1),
-                           dtype))
+        """Two-step draws with EXPLICIT cipher sharing (fused kernel): the
+        pair's two normals are the Box-Muller halves of counter j, and its
+        ten jump uniforms are exactly the 2x5 halves of counters 5j..5j+4
+        — 1 Box-Muller pair + 5 uniform ciphers instead of the 2 + 10 the
+        per-step delegation paid.  Bitwise identical to two :meth:`draws`
+        calls by construction."""
+        from montecarlo_tpu.rng.normal import normal_pair, uniform_pair
+
+        jj = jnp.asarray(j).astype(jnp.uint32)
+        z0, z1 = normal_pair(seed, stream, path_ids, jj, dtype)
+        base = jj * jnp.uint32(1 + K_MAX)
+        halves = []
+        for k in range(1 + K_MAX):
+            halves.extend(uniform_pair(seed, stream ^ _JUMP_STREAM,
+                                       path_ids, base + jnp.uint32(k),
+                                       dtype))
+        return ((z0,) + tuple(halves[:1 + K_MAX]),
+                (z1,) + tuple(halves[1 + K_MAX:]))
 
     def antithetic(self, eps):
         z, u_count = eps[0], eps[1]

@@ -29,7 +29,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
+from montecarlo_tpu.rng.normal import (normal_draw, normal_pair,
+                                       uniform_draw, uniform_pair)
 
 K_MAX = 4  # truncated Poisson support (error < (lam*dt)^5 / 5!)
 _JUMP_STREAM = 0x6A09E667  # key-stream offset for the count uniforms
@@ -104,12 +105,21 @@ class Merton(NamedTuple("MertonFields", [
         return (z1, u, z2)
 
     def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
-        """Two-step draws; with three mixed-type draws per step the cipher
-        sharing straddles types, so this simply delegates (the redundant
-        cipher work is bounded at 2x and only affects the fused kernel)."""
-        j2 = 2 * jnp.asarray(j).astype(jnp.uint32)
-        return (self.draws(seed, stream, path_ids, j2, dtype),
-                self.draws(seed, stream, path_ids, j2 + jnp.uint32(1), dtype))
+        """Two-step draws with EXPLICIT cipher sharing (fused kernel):
+        step t's normals are both components of pair counter t, and the
+        two steps' count uniforms are the two halves of counter j — so a
+        step pair costs 2 Box-Muller pairs + 1 uniform cipher instead of
+        the 4 + 2 the per-step delegation paid (CSE across calls is
+        unreliable in kernel bodies; worth ~1.3x on this kernel).
+        Bitwise identical to two :meth:`draws` calls by construction."""
+        jj = jnp.asarray(j).astype(jnp.uint32)
+        z1a, z2a = normal_pair(seed, stream, path_ids,
+                               jj * jnp.uint32(2), dtype)
+        z1b, z2b = normal_pair(seed, stream, path_ids,
+                               jj * jnp.uint32(2) + jnp.uint32(1), dtype)
+        u0, u1 = uniform_pair(seed, stream ^ _JUMP_STREAM, path_ids, jj,
+                              dtype)
+        return (z1a, u0, z2a), (z1b, u1, z2b)
 
     def antithetic(self, eps):
         z1, u, z2 = eps

@@ -90,6 +90,15 @@ def uniform_draw(seed: int, stream: int, path_ids, draw_index,
     return uniform_from_bits(bits, dtype)
 
 
+def uniform_pair(seed: int, stream: int, c0, c1, dtype=jnp.float32):
+    """Both uniform(0,1) halves of one cipher call — draw indices 2*c1 and
+    2*c1 + 1 of :func:`uniform_draw`, computed with ONE Threefry invocation
+    (explicit sharing: CSE across separate calls is unreliable in Pallas
+    kernel bodies — DEVNOTES)."""
+    b0, b1 = random_bits(seed, stream, c0, c1)
+    return uniform_from_bits(b0, dtype), uniform_from_bits(b1, dtype)
+
+
 def ndtri32(u, dtype=jnp.float32):
     """Inverse standard-normal CDF, Pallas-lowerable.
 
