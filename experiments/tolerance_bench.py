@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--rqmc-chunk", type=int, default=1 << 19)
     ap.add_argument("--replicates", type=int, default=8)
     ap.add_argument("--skip-plain", action="store_true")
+    ap.add_argument("--bridge", action="store_true",
+                    help="RQMC replicates use the Brownian-bridge kernel "
+                         "sampler (terminal payoffs load all variance on "
+                         "Sobol dim 0 -> far fewer points)")
     args = ap.parse_args()
 
     from montecarlo_tpu.engine import (black_scholes_call,
@@ -76,10 +80,20 @@ def main() -> None:
         assert se <= args.target, rec
         return rec
 
+    factory = None
+    label = "rqmc"
+    if args.bridge:
+        from montecarlo_tpu.rng import SobolBridgeKernelSampler
+
+        label = "rqmc-bridge"
+        factory = (lambda r: SobolBridgeKernelSampler.create(
+            args.steps, scramble_seed=100 + r))
     recs = {}
-    recs["rqmc"] = run(price_to_tolerance_rqmc, "rqmc",
-                       chunk_paths=args.rqmc_chunk,
-                       n_replicates=args.replicates, max_chunks=1024)
+    recs[label] = run(price_to_tolerance_rqmc, label,
+                      chunk_paths=args.rqmc_chunk,
+                      n_replicates=args.replicates, max_chunks=1024,
+                      sampler_factory=factory)
+    recs["rqmc"] = recs[label]
     if not args.skip_plain:
         recs["plain"] = run(price_to_tolerance, "plain",
                             chunk_paths=args.plain_chunk)

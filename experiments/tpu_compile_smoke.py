@@ -76,8 +76,10 @@ def all_fusable_processes():
 # Rate-process steps pick up different FMA contraction between the scan and
 # kernel compilations (1-2 ULP), and DCC's per-path per-step Cholesky chain
 # accumulates contraction differences to ~1e-6 relative when compiled;
-# everything else must match bitwise.
-ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates"}
+# everything else must match bitwise.  Heston joined the class with the
+# grouped step increment ((mu - v/2)*dt + sqrt(v*dt)*z1 is an FMA
+# candidate — diverges on CPU interpret mode, DEVNOTES "Mosaic gotchas").
+ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates", "Heston"}
 
 
 if __name__ == "__main__":

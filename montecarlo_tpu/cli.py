@@ -232,6 +232,8 @@ def _sobol_replicate_factory(args, proc, n_per: int):
             args.steps, scramble_seed=args.seed + r))
     if args.sampler == "sobol":
         # Host Owen-scrambled sampler, re-scrambled per replicate.
+        from montecarlo_tpu.samplers import SobolSampler
+
         return (lambda r: SobolSampler.create(
             n_per, args.steps, proc.n_draws, seed=args.seed + r))
     from montecarlo_tpu.rng import SobolDeviceSampler

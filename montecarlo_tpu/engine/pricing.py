@@ -198,7 +198,7 @@ def _ptt_rqmc(process, payoff_fn, stacked_sampler, rep_seeds, *,
 
 
 def _replicate_shift_seeds(seed: int, n_replicates: int):
-    """Per-replicate digital-shift seeds as a device operand.
+    """Per-replicate randomization seeds (Owen-hash keys) as a device operand.
 
     Masked to 31 bits: the fused kernel takes the seed as a traced int32
     operand, and an unmasked golden-ratio stride overflows it (the CPU scan
@@ -261,17 +261,19 @@ def rqmc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
     dependent by construction; it overstates the true error ~30x on smooth
     payoffs).  The statistically sound estimate runs ``n_replicates``
     independent *randomizations* of the same point set — here the
-    digital shift, keyed by the seed — and reports
+    per-dimension Owen-hash scramble, keyed by the seed — and reports
 
         price   = mean of replicate means,
         std_err = std(replicate means) / sqrt(R).
 
     ``sampler_factory(replicate_index) -> sampler`` defaults to device
-    Sobol samplers with a FRESH linear-matrix scramble per replicate: a
-    digital shift alone leaves shift-invariant error components identical
-    across replicates (the replicate spread then *under*states the true
-    error — observed 8-sigma misses on the bridge sampler), so the
-    scramble itself must re-randomize.  Each replicate uses
+    Sobol samplers with a FRESH linear-matrix scramble per replicate: the
+    historical digital shift alone left shift-invariant error components
+    identical across replicates (the replicate spread then *under*stated
+    the true error — observed 8-sigma misses on the bridge sampler).
+    Today's per-replicate Owen-hash keys are nonlinear and re-randomize
+    strata on their own; the fresh LMS scrambles are kept as a second,
+    structurally different randomization layer.  Each replicate uses
     ``n_paths // n_replicates`` paths.
 
     All replicates run inside ONE compiled device program (the samplers are

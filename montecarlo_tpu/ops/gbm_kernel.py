@@ -94,15 +94,17 @@ def _gbm_kernel(params_ref, scalar_ref, out_ref, *, n_steps: int,
 
     def body(j, log_s):
         z0, z1 = draw_pair(j.astype(jnp.uint32))
-        # Two sequential updates with the same associativity as GBM.step in
-        # the scan engine — (log_s + drift) + scale*z — for bitwise parity.
-        # The second update is masked to exact +0.0 terms when
+        # Same associativity as GBM.step in the scan engine —
+        # log_s + (drift + scale*z) — for bitwise parity.  The grouped
+        # increment matters beyond parity: repeatedly adding the small
+        # constant drift to the large accumulator has a systematic f32
+        # rounding bias (~-2.6e-5 in log over 252 steps — see GBM.step).
+        # The second update is masked to an exact +0.0 increment when
         # 2j+1 == n_steps (odd step counts).
-        log_s = log_s + drift + scale * z0
+        log_s = log_s + (drift + scale * z0)
         live = 2 * j + 1 < n_steps
         zero = jnp.float32(0.0)
-        log_s = (log_s + jnp.where(live, drift, zero)
-                 + jnp.where(live, scale * z1, zero))
+        log_s = log_s + jnp.where(live, drift + scale * z1, zero)
         return log_s
 
     n_pairs = (n_steps + 1) // 2

@@ -262,7 +262,8 @@ def sharded_basket_estimate(basket, payoff_fn, n_paths: int, n_steps: int,
                 for d in range(a_total)])  # (A, local_n)
             zc = jnp.dot(chol_rows.astype(dtype), z,
                          preferred_element_type=jnp.float32).astype(dtype)
-            return state + drift[:, None] + scale[:, None] * zc, None
+            # Increment grouped before the add (see GBM.step).
+            return state + (drift[:, None] + scale[:, None] * zc), None
 
         state, _ = jax.lax.scan(body, state0,
                                 jnp.arange(n_steps, dtype=jnp.int32))

@@ -71,7 +71,8 @@ class BasketGBM(NormalDrawsMixin, NamedTuple("BasketGBMFields", [
             drift = ((self.mu[a] - 0.5 * jnp.square(self.sigma[a]))
                      * self.dt).astype(dtype)
             scale = (self.sigma[a] * jnp.sqrt(self.dt)).astype(dtype)
-            new.append(state[a] + drift + scale * zc)
+            # Increment grouped before the add (see GBM.step).
+            new.append(state[a] + (drift + scale * zc))
         return tuple(new)
 
     def prices(self, state):

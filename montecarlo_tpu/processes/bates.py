@@ -124,10 +124,11 @@ class Bates(NamedTuple("BatesFields", [
         jumps = n * jm + jnp.sqrt(n) * js * z_j
         mbar = jnp.exp(jm + 0.5 * jnp.square(js)) - 1.0
 
+        # Increment grouped before the accumulator add (see GBM.step).
         log_s = (state.log_s
-                 + (self.mu.astype(dtype) - self.lam.astype(dtype) * mbar
-                    - 0.5 * v_plus) * dt
-                 + sq_vdt * z_s + jumps)
+                 + ((self.mu.astype(dtype) - self.lam.astype(dtype) * mbar
+                     - 0.5 * v_plus) * dt
+                    + sq_vdt * z_s + jumps))
         v = (state.v
              + self.kappa.astype(dtype)
              * (self.theta.astype(dtype) - v_plus) * dt

@@ -68,9 +68,10 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
         positive = v_plus > 0
         v_safe = jnp.where(positive, v_plus, 1.0)
         sq_vdt = jnp.where(positive, jnp.sqrt(v_safe * dt), 0.0)
+        # Increment grouped before the accumulator add (see GBM.step).
         log_s = (state.log_s
-                 + (self.mu.astype(dtype) - 0.5 * v_plus) * dt
-                 + sq_vdt * z1)
+                 + ((self.mu.astype(dtype) - 0.5 * v_plus) * dt
+                    + sq_vdt * z1))
         v = (state.v
              + self.kappa.astype(dtype) * (self.theta.astype(dtype) - v_plus) * dt
              + self.xi.astype(dtype) * sq_vdt * z_v)

@@ -140,7 +140,8 @@ class Kou(NamedTuple("KouFields", [
         drift = ((self.mu - self.lam * m - 0.5 * jnp.square(self.sigma))
                  * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(self.dt)).astype(dtype)
-        return KouState(log_s=state.log_s + drift + scale * z + jump)
+        # Increment grouped before the accumulator add (see GBM.step).
+        return KouState(log_s=state.log_s + (drift + scale * z + jump))
 
     def prices(self, state: KouState):
         return jnp.exp(state.log_s)

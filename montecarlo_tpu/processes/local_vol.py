@@ -135,7 +135,8 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
         dt = self.dt.astype(dtype)
         drift = (self.rate.astype(dtype) - 0.5 * jnp.square(sig)) * dt
         return LocalVolState(
-            log_s=state.log_s + drift + sig * jnp.sqrt(dt) * z)
+            # Increment grouped before the add (see GBM.step).
+            log_s=state.log_s + (drift + sig * jnp.sqrt(dt) * z))
 
     def prices(self, state: LocalVolState):
         return jnp.exp(state.log_s)

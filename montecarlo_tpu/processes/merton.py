@@ -141,8 +141,9 @@ class Merton(NamedTuple("MertonFields", [
                  * self.dt).astype(dtype)
         jump = (self.jump_mean.astype(dtype) * n
                 + self.jump_std.astype(dtype) * jnp.sqrt(n) * z2)
-        return MertonState(log_s=state.log_s + drift
-                           + sigma * jnp.sqrt(dt) * z1 + jump)
+        # Increment grouped before the accumulator add (see GBM.step).
+        return MertonState(log_s=state.log_s
+                           + (drift + sigma * jnp.sqrt(dt) * z1 + jump))
 
     def prices(self, state: MertonState):
         return jnp.exp(state.log_s)

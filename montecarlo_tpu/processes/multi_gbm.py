@@ -57,8 +57,9 @@ class MultiGBM(NormalDrawsMixin, NamedTuple("MultiGBMFields", [
                      preferred_element_type=jnp.float32).astype(dtype)
         drift = ((self.mu - 0.5 * jnp.square(self.sigma)) * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(self.dt)).astype(dtype)
-        return MultiGBMState(log_s=state.log_s + drift[None, :]
-                             + scale[None, :] * zc)
+        # Increment grouped before the accumulator add (see GBM.step).
+        return MultiGBMState(log_s=state.log_s
+                             + (drift[None, :] + scale[None, :] * zc))
 
     def prices(self, state: MultiGBMState):
         return jnp.exp(state.log_s)

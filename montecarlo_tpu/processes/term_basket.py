@@ -88,7 +88,8 @@ class TermBasketGBM(NormalDrawsMixin, NamedTuple("TermBasketFields", [
             sigma = self._curve_at(self.sigma_t[a], ti, kernel_layout)
             drift = ((mu - 0.5 * jnp.square(sigma)) * self.dt).astype(dtype)
             scale = (sigma * jnp.sqrt(self.dt)).astype(dtype)
-            new.append(state[a] + drift + scale * zc)
+            # Increment grouped before the add (see GBM.step).
+            new.append(state[a] + (drift + scale * zc))
         return tuple(new)
 
     def prices(self, state):

@@ -78,7 +78,8 @@ class TermStructureGBM(NormalDrawsMixin, NamedTuple("TermGBMFields", [
         sigma = self._curve_at(self.sigma_t, ti, kernel_layout)
         drift = ((mu - 0.5 * jnp.square(sigma)) * self.dt).astype(dtype)
         scale = (sigma * jnp.sqrt(self.dt)).astype(dtype)
-        return TermGBMState(log_s=state.log_s + drift + scale * eps[0])
+        # Increment grouped before the accumulator add (see GBM.step).
+        return TermGBMState(log_s=state.log_s + (drift + scale * eps[0]))
 
     def prices(self, state: TermGBMState):
         return jnp.exp(state.log_s)

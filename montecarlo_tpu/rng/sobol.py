@@ -10,8 +10,9 @@ where V are Joe-Kuo direction numbers (extracted once from scipy's table at
 sampler construction) and gray(i) = i ^ (i >> 1).  Construction is verified
 against `scipy.stats.qmc.Sobol` bit-for-bit in tests.
 
-Randomization is a per-dimension *digital shift* (XOR with a Threefry-derived
-30-bit word, keyed by (seed, stream, dim)): unbiased randomized QMC whose
+Randomization is a per-dimension hash-based *Owen scramble* (nested uniform
+scramble via the Laine-Karras hash, keyed by a Threefry word derived from
+(seed, stream, dim) — see `_shifted_normal`): unbiased randomized QMC whose
 replications (over seeds) estimate the error, and the stream stays a pure
 function of (seed, stream, global path id, dimension) — the framework's
 shard-invariance contract.
@@ -78,18 +79,52 @@ def sobol_bits(sv_rows, path_ids):
     return x
 
 
+def _reverse32(x):
+    """Bit-reverse a uint32 array (5-step butterfly — shifts/masks only)."""
+    x = ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555)) | \
+        ((x & jnp.uint32(0x55555555)) << jnp.uint32(1))
+    x = ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333)) | \
+        ((x & jnp.uint32(0x33333333)) << jnp.uint32(2))
+    x = ((x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)) | \
+        ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4))
+    x = ((x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)) | \
+        ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8))
+    return (x >> jnp.uint32(16)) | (x << jnp.uint32(16))
+
+
 def _shifted_normal(x, shift_bits, dtype):
-    """Digital-shifted Sobol integer -> standard normal.
+    """Owen-scrambled Sobol integer -> standard normal.
+
+    The per-dimension randomization is a hash-based Owen scramble
+    (Laine-Karras hash in the bit-reversed domain — Burley, "Practical
+    Hash-based Owen Scrambling", JCGT 2020), keyed by the Threefry word
+    ``shift_bits``: each bit is flipped by a nonlinear hash of the more
+    significant bits, so base-2 strata are preserved (QMC quality keeps)
+    while WITHIN-stratum offsets are effectively independent across cells
+    and replicates.  A plain digital XOR shift is NOT enough: composed
+    with any linear matrix scramble it leaves the within-stratum offset a
+    GF(2)-LINEAR function of the stratum index, and on problems with
+    effective dimension ~1 (Brownian-bridge ordering + terminal payoffs,
+    where dim 0 carries all the variance) every replicate then shares a
+    midpoint-rule-like error component — observed as a ~25-sigma "bias"
+    the replicate spread cannot see.
 
     The uniform takes the top 23 bits with a half-ulp center, so the
     arithmetic is *exact* in float32 and u ∈ [2⁻²⁴, 1 − 2⁻²⁴] — the naive
     ``(x + 0.5) * 2^-30`` rounds to exactly 1.0f for the largest values and
-    ndtri returns NaN.  Bits below 23 move the point by < 2⁻²³, invisible at
-    f32 resolution.  Shared by the scan-engine and Pallas-kernel paths, so
-    their streams are identical by construction.
+    ndtri returns NaN.  Shared by the scan-engine and Pallas-kernel paths,
+    so their streams are identical by construction.
     """
-    x = x ^ (shift_bits & jnp.uint32((1 << BITS) - 1))
-    hi = (x >> jnp.uint32(BITS - 23)).astype(jnp.int32).astype(jnp.float32)
+    # 30-bit Sobol int -> MSB-aligned 32-bit, hash LSB-up in the reversed
+    # domain (= Owen MSB-down), reverse back.
+    y = _reverse32(x << jnp.uint32(32 - BITS))
+    y = y + shift_bits
+    y = y ^ (y * jnp.uint32(0x6C50B47C))
+    y = y ^ (y * jnp.uint32(0xB82F1E52))
+    y = y ^ (y * jnp.uint32(0xC7AFE638))
+    y = y ^ (y * jnp.uint32(0x8D22F6E6))
+    y = _reverse32(y)
+    hi = (y >> jnp.uint32(9)).astype(jnp.int32).astype(jnp.float32)
     u = (hi + jnp.float32(0.5)) * jnp.float32(2.0 ** -23)
     return ndtri32(u, jnp.float32).astype(dtype)
 
@@ -114,8 +149,8 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
 ])):
     """Drop-in sampler generating randomized Sobol normals on device.
 
-    Dimension of (step t, draw d) is ``t * n_draws + d``; the digital-shift
-    word comes from Threefry keyed by (seed, stream, dim), so different
+    Dimension of (step t, draw d) is ``t * n_draws + d``; the Owen-hash
+    key word comes from Threefry keyed by (seed, stream, dim), so different
     seeds give independent randomizations of the same point set.
 
     Runs in the `lax.scan` engine (``draws``) and inside the fused Pallas
@@ -137,7 +172,7 @@ class SobolDeviceSampler(NamedTuple("SobolDeviceFields", [
             dim = jnp.asarray(t).astype(jnp.int32) * D + d
             rows = self.sv[dim]  # (30,)
             x = sobol_bits(rows, path_ids)
-            # Digital shift: one 30-bit word per dimension.
+            # Owen-hash key: one Threefry word per dimension.
             s0, _ = random_bits(seed, stream, dim.astype(jnp.uint32),
                                 jnp.uint32(0x50B0))
             out.append(_shifted_normal(x, s0, dtype))
@@ -258,7 +293,7 @@ class SobolBridgeKernelSampler(NamedTuple("SobolBridgeKernelFields", [
     within the VMEM budget).
 
     Draw streams match `SobolBridgeDeviceSampler` with the same
-    ``scramble_seed`` exactly op-for-op (same sv, same digital shifts,
+    ``scramble_seed`` exactly op-for-op (same sv, same Owen-hash keys,
     same accumulation order over the padded plan rows): the scan-engine
     delegate (:meth:`draws`) is bitwise identical, and the kernel agrees
     to the standard scan-vs-kernel ULP budget (rtol=2e-6 — XLA may pick
@@ -361,7 +396,7 @@ class SobolBridgeDeviceSampler(NamedTuple("SobolBridgeFields", [
 
     The low-index (highest-quality) Sobol dimensions carry the path's
     coarse structure exactly as in the host bridge; randomization is the
-    same per-dimension digital shift as :class:`SobolDeviceSampler`.
+    same per-dimension Owen-hash scramble as :class:`SobolDeviceSampler`.
     Single-draw processes only (n_draws == 1).  NORMALS ONLY (see
     SobolDeviceSampler).
     """

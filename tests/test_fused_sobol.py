@@ -100,12 +100,18 @@ def test_ndtri32_accuracy():
 
 
 def test_shifted_normal_edge_bits_finite():
-    """The largest/smallest Sobol integers must map to finite normals —
-    the naive (x+0.5)*2^-30 mapping rounds to 1.0f and NaNs."""
+    """Any Sobol integer under any Owen-hash key must map to a finite
+    normal — the naive (x+0.5)*2^-30 mapping rounds to 1.0f and NaNs
+    (the hashed u stays in the open interval by construction)."""
     x = jnp.asarray([0, 1, (1 << 30) - 2, (1 << 30) - 1], jnp.uint32)
-    z = np.asarray(_shifted_normal(x, jnp.uint32(0), jnp.float32))
+    for key in (0, 1, 0xDEADBEEF, 0x7FFFFFFF):
+        z = np.asarray(_shifted_normal(x, jnp.uint32(key), jnp.float32))
+        assert np.isfinite(z).all(), key
+    # The scramble still reaches the deep tails (top-23-bit resolution).
+    xs = jnp.arange(1 << 16, dtype=jnp.uint32) << jnp.uint32(14)
+    z = np.asarray(_shifted_normal(xs, jnp.uint32(123), jnp.float32))
     assert np.isfinite(z).all()
-    assert z[0] < -5.0 and z[-1] > 5.0
+    assert z.min() < -4.0 and z.max() > 4.0
 
 
 def test_short_table_rejected_everywhere():
