@@ -92,28 +92,27 @@ def _reverse32(x):
     return (x >> jnp.uint32(16)) | (x << jnp.uint32(16))
 
 
-def _shifted_normal(x, shift_bits, dtype):
-    """Owen-scrambled Sobol integer -> standard normal.
+def _scrambled_uniform(x, shift_bits):
+    """Owen-scrambled Sobol integer -> uniform in the open interval.
 
     The per-dimension randomization is a hash-based Owen scramble
     (Laine-Karras hash in the bit-reversed domain — Burley, "Practical
     Hash-based Owen Scrambling", JCGT 2020), keyed by the Threefry word
     ``shift_bits``: each bit is flipped by a nonlinear hash of the more
-    significant bits, so base-2 strata are preserved (QMC quality keeps)
-    while WITHIN-stratum offsets are effectively independent across cells
-    and replicates.  A plain digital XOR shift is NOT enough: composed
-    with any linear matrix scramble it leaves the within-stratum offset a
-    GF(2)-LINEAR function of the stratum index, and on problems with
-    effective dimension ~1 (Brownian-bridge ordering + terminal payoffs,
-    where dim 0 carries all the variance) every replicate then shares a
-    midpoint-rule-like error component — observed as a ~25-sigma "bias"
-    the replicate spread cannot see.
+    significant bits, so base-2 strata are preserved (QMC quality keeps —
+    asserted exactly in tests) while WITHIN-stratum offsets are effectively
+    independent across cells and replicates.  A plain digital XOR shift is
+    NOT enough: composed with any linear matrix scramble it leaves the
+    within-stratum offset a GF(2)-LINEAR function of the stratum index,
+    and on problems with effective dimension ~1 (Brownian-bridge ordering
+    + terminal payoffs, where dim 0 carries all the variance) every
+    replicate then shares a midpoint-rule-like error component — observed
+    as a ~25-sigma "bias" the replicate spread cannot see.
 
     The uniform takes the top 23 bits with a half-ulp center, so the
     arithmetic is *exact* in float32 and u ∈ [2⁻²⁴, 1 − 2⁻²⁴] — the naive
     ``(x + 0.5) * 2^-30`` rounds to exactly 1.0f for the largest values and
-    ndtri returns NaN.  Shared by the scan-engine and Pallas-kernel paths,
-    so their streams are identical by construction.
+    ndtri returns NaN.
     """
     # 30-bit Sobol int -> MSB-aligned 32-bit, hash LSB-up in the reversed
     # domain (= Owen MSB-down), reverse back.
@@ -125,7 +124,14 @@ def _shifted_normal(x, shift_bits, dtype):
     y = y ^ (y * jnp.uint32(0x8D22F6E6))
     y = _reverse32(y)
     hi = (y >> jnp.uint32(9)).astype(jnp.int32).astype(jnp.float32)
-    u = (hi + jnp.float32(0.5)) * jnp.float32(2.0 ** -23)
+    return (hi + jnp.float32(0.5)) * jnp.float32(2.0 ** -23)
+
+
+def _shifted_normal(x, shift_bits, dtype):
+    """Owen-scrambled Sobol integer -> standard normal (see
+    `_scrambled_uniform`).  Shared by the scan-engine and Pallas-kernel
+    paths, so their streams are identical by construction."""
+    u = _scrambled_uniform(x, shift_bits)
     return ndtri32(u, jnp.float32).astype(dtype)
 
 

@@ -12,7 +12,9 @@ from montecarlo_tpu.engine.functionals import (ARITH_MEAN, RUNNING_MAX,
 from montecarlo_tpu.ops.fused_engine import (fused_functionals_pallas,
                                              fused_terminal_pallas)
 from montecarlo_tpu.processes import GBM, Heston
-from montecarlo_tpu.rng.sobol import SobolDeviceSampler, _shifted_normal
+from montecarlo_tpu.rng.sobol import (SobolDeviceSampler, _scrambled_uniform,
+                                      _shifted_normal, direction_numbers,
+                                      lms_scramble, sobol_bits)
 
 N = 128 * 128
 
@@ -112,6 +114,61 @@ def test_shifted_normal_edge_bits_finite():
     z = np.asarray(_shifted_normal(xs, jnp.uint32(123), jnp.float32))
     assert np.isfinite(z).all()
     assert z.min() < -4.0 and z.max() > 4.0
+
+
+def test_owen_scramble_preserves_dyadic_strata():
+    """The hash scramble must be a valid OWEN scramble: on each dyadic
+    stratification level, the first 2^k points of any dimension still hit
+    every stratum of width 2^-m EXACTLY 2^(k-m) times (m <= k).  A hash
+    that mixed a bit with anything BELOW it would break this — silently
+    degrading QMC convergence to plain-MC while every distributional test
+    still passes.  Exact equidistribution is checked on raw Joe-Kuo and
+    LMS-scrambled direction numbers, several dims and keys."""
+    k = 12
+    ids = jnp.arange(1 << k, dtype=jnp.uint32)
+    sv_raw = direction_numbers(8)
+    sv_lms = lms_scramble(sv_raw, seed=42)
+    for sv in (sv_raw, sv_lms):
+        for dim in (0, 1, 7):
+            x = sobol_bits(jnp.asarray(sv[dim]), ids)
+            for key in (0, 1, 0x9E3779B9):
+                u = np.asarray(_scrambled_uniform(x, jnp.uint32(key)))
+                assert ((u > 0) & (u < 1)).all()
+                for m in (2, 6, 10):
+                    counts = np.bincount((u * (1 << m)).astype(np.int64),
+                                         minlength=1 << m)
+                    np.testing.assert_array_equal(
+                        counts, np.full(1 << m, 1 << (k - m)),
+                        err_msg=f"dim={dim} key={key:#x} m={m}")
+
+
+def test_owen_scramble_decorrelates_replicates():
+    """Distinct keys must give (near-)independent randomizations, unlike
+    the old XOR digital shift whose within-stratum offsets differed by a
+    constant (pairwise correlation ~1 — the root cause of the
+    replicate-spread underestimate).
+
+    The null is NOT |r| ~ 1/sqrt(n): offsets of two INDEPENDENT Owen
+    scrambles are permutations of the same sub-positions clustered by
+    shared tree nodes, and measured truly-random nested scrambles of this
+    exact point set show single-pair r up to +-0.23 (std 0.106).  So the
+    test statistic is the MEAN signed correlation over all C(8,2)=28 key
+    pairs (null std ~0.106/sqrt(28) ~ 0.02) plus a loose per-pair cap that
+    any offset-sharing linear scheme still fails by an order of
+    magnitude."""
+    ids = jnp.arange(1 << 12, dtype=jnp.uint32)
+    sv = direction_numbers(2)
+    x = sobol_bits(jnp.asarray(sv[1]), ids)
+    # Offset within the 2^-6-wide stratum, in [0, 1).
+    def offsets(key):
+        u = np.asarray(_scrambled_uniform(x, jnp.uint32(key)))
+        return (u * 64.0) % 1.0
+    keys = [7, 8, 9, 42, 0x1234, 0x9999, 0x9E3779B9, 1000003]
+    offs = [offsets(k) for k in keys]
+    rs = [np.corrcoef(offs[i], offs[j])[0, 1]
+          for i in range(len(keys)) for j in range(i + 1, len(keys))]
+    assert abs(np.mean(rs)) < 0.1, np.mean(rs)
+    assert max(abs(r) for r in rs) < 0.5, rs
 
 
 def test_short_table_rejected_everywhere():
