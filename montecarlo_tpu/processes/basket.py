@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
@@ -55,7 +57,7 @@ class BasketGBM(NormalDrawsMixin, NamedTuple("BasketGBMFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32):
         return tuple(
-            jnp.full(path_ids.shape, jnp.log(self.s0[a]).astype(dtype),
+            jnp.full(path_ids.shape, log32(self.s0[a]).astype(dtype),
                      dtype)
             for a in range(self.n_assets))
 
@@ -80,7 +82,7 @@ class BasketGBM(NormalDrawsMixin, NamedTuple("BasketGBMFields", [
         available from the scan engine via MultiGBM when needed.)"""
         dtype = state[0].dtype
         w = self.weights.astype(dtype)
-        out = w[0] * jnp.exp(state[0])
+        out = w[0] * exp32(state[0])
         for a in range(1, self.n_assets):
-            out = out + w[a] * jnp.exp(state[a])
+            out = out + w[a] * exp32(state[a])
         return out

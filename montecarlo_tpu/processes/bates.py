@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from montecarlo_tpu.processes.merton import (K_MAX, _JUMP_STREAM,
                                              check_jump_grid, poisson_count)
-from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
+from montecarlo_tpu.rng.normal import (exp32, log32, normal_draw,
+                                        uniform_draw)
 
 
 class BatesState(NamedTuple):
@@ -64,7 +65,7 @@ class Bates(NamedTuple("BatesFields", [
     def init_state(self, path_ids, dtype=jnp.float32) -> BatesState:
         shape = path_ids.shape
         return BatesState(
-            log_s=jnp.full(shape, jnp.log(self.s0).astype(dtype), dtype),
+            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
             v=jnp.full(shape, self.v0.astype(dtype), dtype),
         )
 
@@ -122,7 +123,7 @@ class Bates(NamedTuple("BatesFields", [
         jm = self.jump_mean.astype(dtype)
         js = self.jump_std.astype(dtype)
         jumps = n * jm + jnp.sqrt(n) * js * z_j
-        mbar = jnp.exp(jm + 0.5 * jnp.square(js)) - 1.0
+        mbar = exp32(jm + 0.5 * jnp.square(js)) - 1.0
 
         # Increment grouped before the accumulator add (see GBM.step).
         log_s = (state.log_s
@@ -136,7 +137,7 @@ class Bates(NamedTuple("BatesFields", [
         return BatesState(log_s=log_s, v=v)
 
     def prices(self, state: BatesState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)
 
 
 def bates_log_cf(s0, r, v0, kappa, theta, xi, rho, lam, jump_mean,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
@@ -57,7 +59,7 @@ class CCCGarch(NormalDrawsMixin, NamedTuple("CCCGarchFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32):
         log_s = tuple(jnp.full(path_ids.shape,
-                               jnp.log(self.s0[a]).astype(dtype), dtype)
+                               log32(self.s0[a]).astype(dtype), dtype)
                       for a in range(self.n_assets))
         var = tuple(jnp.full(path_ids.shape, self.var0[a].astype(dtype),
                              dtype)
@@ -85,7 +87,7 @@ class CCCGarch(NormalDrawsMixin, NamedTuple("CCCGarchFields", [
         log_s, _ = state
         dtype = log_s[0].dtype
         w = self.weights.astype(dtype)
-        out = w[0] * jnp.exp(log_s[0])
+        out = w[0] * exp32(log_s[0])
         for a in range(1, self.n_assets):
-            out = out + w[a] * jnp.exp(log_s[a])
+            out = out + w[a] * exp32(log_s[a])
         return out

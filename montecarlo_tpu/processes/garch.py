@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.rng.normal import (index_from_uniform, uniform_draw,
+from montecarlo_tpu.rng.normal import (exp32, index_from_uniform,
+                                        log32, uniform_draw,
                                         uniform_from_bits)
 from montecarlo_tpu.rng.threefry import random_bits
 
@@ -100,7 +101,7 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
     def init_state(self, path_ids, dtype=jnp.float32) -> GARCHState:
         shape = path_ids.shape
         return GARCHState(
-            log_s=jnp.full(shape, jnp.log(self.s0).astype(dtype), dtype),
+            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
             var=jnp.full(shape, self.var0.astype(dtype), dtype),
         )
 
@@ -198,4 +199,4 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
         return st1, self._recur(st1, s1_)
 
     def prices(self, state: GARCHState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

@@ -16,6 +16,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from montecarlo_tpu.rng.normal import exp32, log32
+
 from montecarlo_tpu.processes.base import NormalDrawsMixin
 
 
@@ -40,7 +42,7 @@ class GBM(NormalDrawsMixin, NamedTuple("GBMFields", [
         return cls(s0=as_(s0), mu=as_(mu), sigma=as_(sigma), dt=as_(dt))
 
     def init_state(self, path_ids, dtype=jnp.float32) -> GBMState:
-        log_s0 = jnp.log(self.s0).astype(dtype)
+        log_s0 = log32(self.s0).astype(dtype)
         return GBMState(log_s=jnp.full(path_ids.shape, log_s0, dtype))
 
     def step(self, state: GBMState, eps, t) -> GBMState:
@@ -57,4 +59,4 @@ class GBM(NormalDrawsMixin, NamedTuple("GBMFields", [
         return GBMState(log_s=state.log_s + (drift + scale * z))
 
     def prices(self, state: GBMState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

@@ -20,6 +20,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from montecarlo_tpu.rng.normal import exp32, log32
+
 from montecarlo_tpu.processes.base import NormalDrawsMixin
 
 
@@ -51,7 +53,7 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
     def init_state(self, path_ids, dtype=jnp.float32) -> HestonState:
         shape = path_ids.shape
         return HestonState(
-            log_s=jnp.full(shape, jnp.log(self.s0).astype(dtype), dtype),
+            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
             v=jnp.full(shape, self.v0.astype(dtype), dtype),
         )
 
@@ -78,4 +80,4 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
         return HestonState(log_s=log_s, v=v)
 
     def prices(self, state: HestonState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from montecarlo_tpu.processes.merton import (K_MAX, _JUMP_STREAM,
                                              check_jump_grid, poisson_count)
-from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
+from montecarlo_tpu.rng.normal import (exp32, log32, normal_draw,
+                                        uniform_draw)
 
 
 class KouState(NamedTuple):
@@ -67,7 +68,7 @@ class Kou(NamedTuple("KouFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32) -> KouState:
         return KouState(log_s=jnp.full(path_ids.shape,
-                                       jnp.log(self.s0).astype(dtype),
+                                       log32(self.s0).astype(dtype),
                                        dtype))
 
     def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
@@ -119,8 +120,8 @@ class Kou(NamedTuple("KouFields", [
         eta2 = self.eta2.astype(dtype)
         q = 1.0 - p
         # u in (0,1) open interval (never 0/1), so both logs are finite.
-        down = jnp.log(jnp.maximum(u / q, 1e-38)) / eta2      # < 0 branch
-        up = -jnp.log(jnp.maximum((1.0 - u) / p, 1e-38)) / eta1
+        down = log32(jnp.maximum(u / q, 1e-38)) / eta2      # < 0 branch
+        up = -log32(jnp.maximum((1.0 - u) / p, 1e-38)) / eta1
         return jnp.where(u <= q, down, up)
 
     def mean_jump_factor(self):
@@ -144,4 +145,4 @@ class Kou(NamedTuple("KouFields", [
         return KouState(log_s=state.log_s + (drift + scale * z + jump))
 
     def prices(self, state: KouState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
@@ -93,7 +95,7 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32) -> LocalVolState:
         return LocalVolState(log_s=jnp.full(
-            path_ids.shape, jnp.log(self.s0).astype(dtype), dtype))
+            path_ids.shape, log32(self.s0).astype(dtype), dtype))
 
     def _row(self, t, dtype):
         """Surface row at (traced) step t via static hat-weight blending —
@@ -113,7 +115,7 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
         edge-clamped); works on (n,) scan arrays and (rows, 128) blocks."""
         dtype = dtype or log_s.dtype
         row = self._row(t, dtype)
-        x = log_s - jnp.log(self.s0).astype(dtype)
+        x = log_s - log32(self.s0).astype(dtype)
         u = (x - self.x0.astype(dtype)) / self.dx.astype(dtype)
         i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, KNOTS - 2)
         frac = jnp.clip(u - i.astype(dtype), 0.0, 1.0)
@@ -139,4 +141,4 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
             log_s=state.log_s + (drift + sig * jnp.sqrt(dt) * z))
 
     def prices(self, state: LocalVolState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

@@ -29,7 +29,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from montecarlo_tpu.rng.normal import (normal_draw, normal_pair,
+from montecarlo_tpu.rng.normal import (exp32, log32, normal_draw,
+                                        normal_pair,
                                        uniform_draw, uniform_pair)
 
 K_MAX = 4  # truncated Poisson support (error < (lam*dt)^5 / 5!)
@@ -50,7 +51,7 @@ def check_jump_grid(lam, dt) -> None:
 def poisson_count(u, rate, dtype):
     """Inverse-CDF Poisson(rate) on support {0..K_MAX} — THE shared count
     sampler of the jump processes."""
-    pmf = jnp.exp(-rate)
+    pmf = exp32(-rate)
     cdf = pmf
     count = jnp.zeros_like(u)
     for k in range(1, K_MAX + 1):
@@ -88,7 +89,7 @@ class Merton(NamedTuple("MertonFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32) -> MertonState:
         return MertonState(log_s=jnp.full(path_ids.shape,
-                                          jnp.log(self.s0).astype(dtype),
+                                          log32(self.s0).astype(dtype),
                                           dtype))
 
     def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
@@ -136,7 +137,7 @@ class Merton(NamedTuple("MertonFields", [
         n = self._poisson_count(u, dtype)
         sigma = self.sigma.astype(dtype)
         dt = self.dt.astype(dtype)
-        m = jnp.exp(self.jump_mean + 0.5 * jnp.square(self.jump_std)) - 1.0
+        m = exp32(self.jump_mean + 0.5 * jnp.square(self.jump_std)) - 1.0
         drift = ((self.mu - self.lam * m - 0.5 * jnp.square(self.sigma))
                  * self.dt).astype(dtype)
         jump = (self.jump_mean.astype(dtype) * n
@@ -146,7 +147,7 @@ class Merton(NamedTuple("MertonFields", [
                            + (drift + sigma * jnp.sqrt(dt) * z1 + jump))
 
     def prices(self, state: MertonState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)
 
 
 def merton_call_series(s0, strike, r, sigma, lam, jump_mean, jump_std, T,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
@@ -45,7 +47,7 @@ class MultiGBM(NormalDrawsMixin, NamedTuple("MultiGBMFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32) -> MultiGBMState:
         n = path_ids.shape[0]
-        log_s0 = jnp.log(self.s0).astype(dtype)
+        log_s0 = log32(self.s0).astype(dtype)
         return MultiGBMState(log_s=jnp.broadcast_to(
             log_s0[None, :], (n, self.n_draws)).astype(dtype))
 
@@ -62,4 +64,4 @@ class MultiGBM(NormalDrawsMixin, NamedTuple("MultiGBMFields", [
                              + (drift[None, :] + scale[None, :] * zc))
 
     def prices(self, state: MultiGBMState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)

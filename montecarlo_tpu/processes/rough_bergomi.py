@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.rng.normal import normal_draw
+from montecarlo_tpu.rng.normal import exp32, log32, normal_draw
 from montecarlo_tpu.engine.simulate import path_ids_for
 
 
@@ -136,7 +136,7 @@ def rbergomi_simulate(model: RoughBergomi, n_paths: int, *, seed: int,
     dw = joint[:, T:]                                 # Brownian increments
 
     t = model.t_grid
-    v = model.xi0 * jnp.exp(model.eta * w_tilde
+    v = model.xi0 * exp32(model.eta * w_tilde
                             - 0.5 * jnp.square(model.eta)
                             * t[None, :] ** (2.0 * model.h))  # (N, T)
 
@@ -151,9 +151,9 @@ def rbergomi_simulate(model: RoughBergomi, n_paths: int, *, seed: int,
                          jnp.float32)
     dws = rho * dw + jnp.sqrt(1.0 - jnp.square(rho)) * z_perp \
         * jnp.sqrt(model.dt)
-    log_s = (jnp.log(model.s0)
+    log_s = (log32(model.s0)
              + jnp.sum(sqrt_v * dws - 0.5 * v_left * model.dt, axis=1))
-    s_t = jnp.exp(log_s)
+    s_t = exp32(log_s)
     if mode == "paths":
         return v, s_t
     return s_t

@@ -20,6 +20,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from montecarlo_tpu.rng.normal import exp32, log32
+
 from montecarlo_tpu.processes.base import NormalDrawsMixin
 
 
@@ -65,7 +67,7 @@ class SABR(NormalDrawsMixin, NamedTuple("SABRFields", [
             * sqdt * z1
         f_new = jnp.maximum(f_plus + df, 0.0)
         # Vol leg: exact lognormal transition.
-        sig_new = state.sigma * jnp.exp(
+        sig_new = state.sigma * exp32(
             nu * sqdt * w2 - 0.5 * jnp.square(nu) * self.dt.astype(dtype))
         return SABRState(f=f_new, sigma=sig_new)
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import curve_at, NormalDrawsMixin
@@ -67,9 +69,9 @@ class Vasicek(NormalDrawsMixin, NamedTuple("VasicekFields", [
 
     def step(self, state: RateState, eps, t) -> RateState:
         dtype = state.r.dtype
-        decay = jnp.exp(-self.kappa * self.dt).astype(dtype)
+        decay = exp32(-self.kappa * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(
-            (1.0 - jnp.exp(-2.0 * self.kappa * self.dt))
+            (1.0 - exp32(-2.0 * self.kappa * self.dt))
             / (2.0 * self.kappa))).astype(dtype)
         theta = jnp.asarray(self.theta, dtype)
         return RateState(r=theta + (state.r - theta) * decay
@@ -187,9 +189,9 @@ class HullWhite(NormalDrawsMixin, NamedTuple("HullWhiteFields", [
         ti = jnp.asarray(t, jnp.int32)
         kernel_layout = eps[0].ndim == 2
         theta = self._theta_at(ti, kernel_layout).astype(dtype)
-        decay = jnp.exp(-self.a * self.dt).astype(dtype)
+        decay = exp32(-self.a * self.dt).astype(dtype)
         scale = (self.sigma * jnp.sqrt(
-            (1.0 - jnp.exp(-2.0 * self.a * self.dt))
+            (1.0 - exp32(-2.0 * self.a * self.dt))
             / (2.0 * self.a))).astype(dtype)
         mean_term = (theta / self.a.astype(dtype)) * (1.0 - decay)
         return RateState(r=state.r * decay + mean_term + scale * eps[0])

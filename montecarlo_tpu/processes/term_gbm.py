@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from montecarlo_tpu.rng.normal import exp32, log32
 import numpy as np
 
 from montecarlo_tpu.processes.base import curve_at, NormalDrawsMixin
@@ -64,7 +66,7 @@ class TermStructureGBM(NormalDrawsMixin, NamedTuple("TermGBMFields", [
 
     def init_state(self, path_ids, dtype=jnp.float32) -> TermGBMState:
         return TermGBMState(log_s=jnp.full(path_ids.shape,
-                                           jnp.log(self.s0).astype(dtype),
+                                           log32(self.s0).astype(dtype),
                                            dtype))
 
     def _curve_at(self, curve, ti, kernel_layout: bool):
@@ -82,5 +84,5 @@ class TermStructureGBM(NormalDrawsMixin, NamedTuple("TermGBMFields", [
         return TermGBMState(log_s=state.log_s + (drift + scale * eps[0]))
 
     def prices(self, state: TermGBMState):
-        return jnp.exp(state.log_s)
+        return exp32(state.log_s)
 

@@ -99,6 +99,83 @@ def uniform_pair(seed: int, stream: int, c0, c1, dtype=jnp.float32):
     return uniform_from_bits(b0, dtype), uniform_from_bits(b1, dtype)
 
 
+def exp32(x):
+    """Accurate float32 exp — replaces the TPU's approximate lowering.
+
+    The TPU's runtime `exp` is biased LOW by ~1.1e-6 *relative* (measured
+    on v5e against f64, experiments/transcendental_probe.py); compounded
+    per-step or amplified by the ~50x spot-sensitivity of a call payoff
+    that is a real price bias QMC error bars expose (the log(s0) partner
+    bug was worth -1.8e-3 on the 1y call — see `log32`).  This version is
+    Cody-Waite range reduction + the Cephes expf minimax polynomial using
+    only IEEE-exact f32 mul/add and integer shifts, so it is Mosaic-safe
+    (scalar python constants, no captured arrays — same constraint as
+    `ndtri32`), bitwise identical across CPU/TPU/XLA/Mosaic, and unbiased
+    to ~1e-8 mean relative (max ~2 ULP).
+
+    Domain: |x| <= 20 (result scaling splits 2^n into two exact int
+    shifts, n in [-29, 29]); inputs outside clamp to the boundary value.
+    Finance pipelines stay far inside (log-prices, rate decays, jump
+    sizes).
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        # f64 runtime exp is accurate on every backend (and the fused
+        # kernels never run x64) — only f32 needs the replacement.
+        return jnp.exp(x)
+    x = x.astype(jnp.float32)
+    x = jnp.clip(x, jnp.float32(-20.0), jnp.float32(20.0))
+    # n = round(x / ln2); nf stays in float for the exact Cody-Waite
+    # products (LN2_HI has 9 significant bits; |nf| <= 29 needs 5 more).
+    nf = jnp.floor(x * jnp.float32(1.4426950408889634) + jnp.float32(0.5))
+    r = x - nf * jnp.float32(0.693359375)          # exact
+    r = r - nf * jnp.float32(-2.12194440054690583e-4)
+    # Cephes expf minimax on |r| <= ln2/2 + half-ulp slack.
+    p = jnp.float32(1.9875691500e-4)
+    p = p * r + jnp.float32(1.3981999507e-3)
+    p = p * r + jnp.float32(8.3334519073e-3)
+    p = p * r + jnp.float32(4.1665795894e-2)
+    p = p * r + jnp.float32(1.6666665459e-1)
+    p = p * r + jnp.float32(5.0000001201e-1)
+    er = p * r * r + r + jnp.float32(1.0)
+    # 2^n via two exact integer shifts (n split so both stay in [0, 31]).
+    n = nf.astype(jnp.int32)
+    n1 = jnp.right_shift(n, 1)  # arithmetic shift: floor(n/2), negatives ok
+    n2 = n - n1
+    s1 = jnp.left_shift(jnp.int32(1), n1 + jnp.int32(15)).astype(jnp.float32)
+    s2 = jnp.left_shift(jnp.int32(1), n2 + jnp.int32(15)).astype(jnp.float32)
+    return er * s1 * (s2 * jnp.float32(2.0 ** -30))
+
+
+def log32(x):
+    """Accurate float32 log — replaces the TPU's approximate lowering.
+
+    THE fused-kernel bias bug (found round 3): every log-state process
+    initializes `log_s = log(s0)`, and the TPU's runtime `log` is off by
+    up to ~1e-4 *additive* at price-scale arguments (-74 ULPs at s0=100,
+    measured on v5e).  Through the ~50x spot sensitivity of the 1y 105-call
+    that was a -1.8e-3 price bias on every fused-kernel/operand-traced
+    estimate — invisible to plain-MC error bars, 390 sigma under the
+    bridge-RQMC bar (experiments/bias_bisect.py tells the story).  XLA
+    sometimes hid it by constant-folding log(s0) on host when s0 was a
+    compile-time literal; with process params as jit operands (every real
+    pipeline) the bad runtime log executed.
+
+    One Newton step y' = y + (x*exp32(-y) - 1) for f(y) = e^y - x from the
+    platform log's seed (any ~1e-4-accurate seed converges): additive
+    error lands at the f32 rounding floor (~ULP(log x)/2, mean bias
+    ~1e-8).  Mosaic-safe, domain x in [2.5e-9, 5e8] (so -log x stays in
+    exp32's range); inputs clamp to that interval.
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        return jnp.log(x)  # accurate in f64 on every backend
+    x = x.astype(jnp.float32)
+    x = jnp.clip(x, jnp.float32(2.5e-9), jnp.float32(5e8))
+    y = jnp.log(x)
+    return y + (x * exp32(-y) - jnp.float32(1.0))
+
+
 def ndtri32(u, dtype=jnp.float32):
     """Inverse standard-normal CDF, Pallas-lowerable.
 

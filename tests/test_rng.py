@@ -134,3 +134,82 @@ def test_uniform_draw_moments():
 def test_random_bits_shapes_broadcast():
     b0, b1 = random_bits(0, 0, jnp.zeros((4, 8), jnp.uint32), jnp.uint32(3))
     assert b0.shape == (4, 8) and b1.shape == (4, 8)
+
+
+# --- accurate f32 elementary functions (exp32 / log32) -------------------
+#
+# Round-3 bias bug: the TPU's runtime f32 log is ~-74 ULPs off at
+# price-scale arguments (log(100) low by 3.5e-5) and exp is ~-1.1e-6
+# relative low; through the ~50x spot sensitivity of a 1y call that was a
+# -1.8e-3 price bias on every fused-kernel estimate — 390 sigma under the
+# bridge-RQMC error bar.  exp32/log32 (rng/normal.py) replace them with
+# IEEE-exact-composed versions; these tests pin their accuracy so a future
+# "simplification" back to jnp.exp/jnp.log fails loudly.
+
+from montecarlo_tpu.rng.normal import exp32, log32  # noqa: E402
+
+
+def test_exp32_accuracy_and_mean_bias():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-20, 20, 500_000).astype(np.float32)
+    got = np.asarray(jax.jit(exp32)(x), np.float64)
+    exact = np.exp(x.astype(np.float64))
+    rel = (got - exact) / exact
+    assert np.abs(rel).max() < 2.5e-7, np.abs(rel).max()  # ~2 ULP
+    # The property the TPU runtime exp lacks: mean bias ~0 (its -1.1e-6
+    # would compound per step / per path).
+    assert abs(rel.mean()) < 1e-8, rel.mean()
+
+
+def test_log32_accuracy_and_mean_bias():
+    for lo, hi in ((1e-7, 1.0), (0.5, 500.0)):
+        v = np.linspace(lo, hi, 500_001).astype(np.float32)
+        got = np.asarray(jax.jit(log32)(v), np.float64)
+        d = got - np.log(v.astype(np.float64))
+        assert np.abs(d).max() < 6e-7, (lo, hi, np.abs(d).max())
+        assert abs(d.mean()) < 2e-8, (lo, hi, d.mean())
+    # The headline case of the bug:
+    err100 = float(jax.jit(log32)(jnp.float32(100.0))) - np.log(100.0)
+    assert abs(err100) < 3e-7, err100
+
+
+def test_exp32_log32_domain_clamps_and_f64_passthrough():
+    # Out-of-domain inputs clamp instead of overflowing/NaN-ing.
+    assert np.isfinite(float(exp32(jnp.float32(100.0))))
+    assert float(exp32(jnp.float32(100.0))) == float(exp32(jnp.float32(20.0)))
+    assert np.isfinite(float(log32(jnp.float32(0.0))))
+    # Round-trip consistency inside the domain.
+    v = jnp.float32(123.456)
+    assert abs(float(exp32(log32(v))) - 123.456) < 1e-3
+    # f64 inputs delegate to the (accurate) runtime functions, preserving
+    # the x64 oracle paths' precision.
+    x64 = jnp.asarray(1.2345678901234567, jnp.float64)
+    if x64.dtype == jnp.float64:  # only under jax_enable_x64
+        np.testing.assert_allclose(float(log32(x64)),
+                                   np.log(1.2345678901234567), rtol=1e-15)
+        np.testing.assert_allclose(float(exp32(x64)),
+                                   np.exp(1.2345678901234567), rtol=1e-15)
+
+
+def test_exp32_log32_pallas_lowering():
+    """Interpret-mode Pallas lowering must agree with plain XLA exactly
+    (the real-chip Mosaic agreement is checked by
+    experiments/tpu_compile_smoke.py)."""
+    from jax.experimental import pallas as pl
+
+    x = np.linspace(-18.0, 18.0, 8 * 128).astype(np.float32).reshape(8, 128)
+    v = np.linspace(0.01, 400.0, 8 * 128).astype(np.float32).reshape(8, 128)
+
+    def kexp(x_ref, o_ref):
+        o_ref[...] = exp32(x_ref[...])
+
+    def klog(x_ref, o_ref):
+        o_ref[...] = log32(x_ref[...])
+
+    run = lambda body, a: pl.pallas_call(
+        body, out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        interpret=True)(a)
+    np.testing.assert_array_equal(np.asarray(run(kexp, jnp.asarray(x))),
+                                  np.asarray(jax.jit(exp32)(x)))
+    np.testing.assert_array_equal(np.asarray(run(klog, jnp.asarray(v))),
+                                  np.asarray(jax.jit(log32)(v)))
