@@ -117,6 +117,14 @@ def price_to_tolerance_rqmc(process, payoff_fn, *, target_std_err, seed,
     One host round-trip total — the sequential-dispatch `rqmc_estimate`
     through the axon relay paid ~0.25 s per replicate in pure orchestration.
 
+    Honesty floor: below ``std_err ~ 3e-6 * price`` the replicate spread
+    is tighter than the f32 pipeline itself — accumulation-order rounding
+    (block-moments tree vs flat mean) alone moves the estimate by ~2e-6
+    relative, which the spread cannot see.  Measured on the 1y call: the
+    bridge sampler reaches se 4.9e-6 with the estimate within 2.1e-5 of
+    the f64 Black-Scholes value (BENCHMARKS.md).  Don't interpret bars
+    below ~1e-5 absolute as calibrated.
+
     Returns ``{"price", "std_err", "n_paths", "n_chunks", "n_replicates"}``.
     """
     from montecarlo_tpu.rng.sobol import SobolDeviceSampler
