@@ -22,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -41,8 +42,7 @@ def main() -> None:
                          "Sobol dim 0 -> far fewer points)")
     args = ap.parse_args()
 
-    from montecarlo_tpu.engine import (black_scholes_call,
-                                       price_to_tolerance,
+    from montecarlo_tpu.engine import (price_to_tolerance,
                                        price_to_tolerance_rqmc)
     from montecarlo_tpu.processes import GBM
 
@@ -54,8 +54,14 @@ def main() -> None:
 
     proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / args.steps)
     payoff = lambda s: jnp.maximum(s - 105.0, 0.0)
-    disc = float(jnp.exp(-0.03))
-    bs = float(black_scholes_call(100.0, 105.0, 0.03, 0.2, 1.0))
+    disc = float(np.exp(-0.03))
+    # The reference must be f64 host-side: an on-device f32 Black-Scholes
+    # is only ~1e-4 accurate, which would dominate gap_sigma for the
+    # bridge-RQMC rows (se ~5e-6).
+    from scipy.stats import norm
+    d1 = (np.log(100.0 / 105.0) + 0.03 + 0.02) / 0.2
+    bs = float(100.0 * norm.cdf(d1)
+               - 105.0 * np.exp(-0.03) * norm.cdf(d1 - 0.2))
 
     def run(fn, label, **kw):
         def once(seed):

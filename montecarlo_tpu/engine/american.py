@@ -164,7 +164,14 @@ def lsm_price_path_dependent(process, payoff_fn, functional, n_paths: int,
 
     # Running functional value a_t at every step (finalized with t so the
     # to-date normalization is correct, e.g. mean over t+1 observations).
-    acc0 = functional.init(paths[0])
+    # Log-space functionals observe log prices (engine.functionals) —
+    # here recovered from the materialized price paths.
+    from montecarlo_tpu.rng.normal import log32
+
+    obs_paths = (log32(paths)
+                 if getattr(functional, "space", "price") == "log"
+                 else paths)
+    acc0 = functional.init(obs_paths[0])
 
     def acc_step(acc, st):
         s_t, t = st
@@ -172,7 +179,7 @@ def lsm_price_path_dependent(process, payoff_fn, functional, n_paths: int,
         return acc, functional.finalize(acc, t)
 
     ts = jnp.arange(1, n_steps + 1, dtype=jnp.float32)
-    _, a_traj = jax.lax.scan(acc_step, acc0, (paths[1:], ts))
+    _, a_traj = jax.lax.scan(acc_step, acc0, (obs_paths[1:], ts))
     a_full = jnp.concatenate(
         [functional.finalize(acc0, 0.0)[None], a_traj], axis=0)  # (T+1, N)
 

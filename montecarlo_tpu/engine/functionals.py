@@ -27,20 +27,53 @@ import jax.numpy as jnp
 
 from montecarlo_tpu.engine.simulate import path_ids_for
 from montecarlo_tpu.engine.simulate import check_sampler
+from montecarlo_tpu.rng.normal import exp32, log32
 from montecarlo_tpu.samplers import PlainSampler
 
 
 class PathFunctional(NamedTuple):
-    """(init, update, finalize) fold over per-step prices.
+    """(init, update, finalize) fold over per-step observations.
 
-    init(s0_prices) -> acc;  update(acc, prices, t) -> acc;
+    init(obs0) -> acc;  update(acc, obs, t) -> acc;
     finalize(acc, n_steps) -> value.  ``t`` is the 1-based step index of the
-    price being folded (the spot is folded by ``init``).
+    observation being folded (the spot is folded by ``init``).
+
+    ``space`` selects what the fold observes each step:
+
+    - ``"price"``: per-step prices (``process.prices(state)``).
+    - ``"log"``: per-step LOG prices — the log-state processes hand their
+      state over directly, skipping the per-step exp (worth 14% kernel
+      throughput on the functional workload) AND the TPU's biased runtime
+      ``log`` the price-space fold would reapply (DEVNOTES "TPU
+      transcendental accuracy").  ``finalize`` still returns price-space
+      values, so payoffs are space-agnostic.  Requires positive prices on
+      processes without ``log_prices`` (the fallback is ``log32(prices)``)
+      — don't use log-space functionals on short-rate processes.
+
+    The engines compute only the observables some functional asks for
+    (the other branch is dead-code-eliminated).
     """
 
     init: callable
     update: callable
     finalize: callable
+    space: str = "price"
+
+
+def functional_observables(process, state, functionals):
+    """Per-functional observation tuple for one step — THE shared
+    dispatch of ``space`` (scan engine, fused kernels, and the LSM fold
+    must agree or log/price folds silently diverge)."""
+    spaces = [getattr(f, "space", "price") for f in functionals]
+    need_price = ("price" in spaces
+                  or ("log" in spaces
+                      and not hasattr(process, "log_prices")))
+    prices = process.prices(state) if need_price else None
+    logp = None
+    if "log" in spaces:
+        logp = (process.log_prices(state)
+                if hasattr(process, "log_prices") else log32(prices))
+    return tuple(logp if sp == "log" else prices for sp in spaces)
 
 
 #: Arithmetic mean of the T+1 observations (spot included) — Asian options.
@@ -52,21 +85,25 @@ ARITH_MEAN = PathFunctional(
 
 #: Geometric mean of the T+1 observations — has a closed form under GBM.
 GEO_MEAN = PathFunctional(
-    init=lambda s: jnp.log(s),
-    update=lambda acc, s, t: acc + jnp.log(s),
-    finalize=lambda acc, n_steps: jnp.exp(acc / (n_steps + 1.0)),
+    init=lambda lp: lp,
+    update=lambda acc, lp, t: acc + lp,
+    finalize=lambda acc, n_steps: exp32(acc / (n_steps + 1.0)),
+    space="log",
 )
 
-#: Running maximum / minimum — barriers and lookbacks.
+#: Running maximum / minimum — barriers and lookbacks.  Folded in log
+#: space (monotone, so max/min commute with exp); finalized to prices.
 RUNNING_MAX = PathFunctional(
-    init=lambda s: s,
-    update=lambda acc, s, t: jnp.maximum(acc, s),
-    finalize=lambda acc, n_steps: acc,
+    init=lambda lp: lp,
+    update=lambda acc, lp, t: jnp.maximum(acc, lp),
+    finalize=lambda acc, n_steps: exp32(acc),
+    space="log",
 )
 RUNNING_MIN = PathFunctional(
-    init=lambda s: s,
-    update=lambda acc, s, t: jnp.minimum(acc, s),
-    finalize=lambda acc, n_steps: acc,
+    init=lambda lp: lp,
+    update=lambda acc, lp, t: jnp.minimum(acc, lp),
+    finalize=lambda acc, n_steps: exp32(acc),
+    space="log",
 )
 
 
@@ -89,25 +126,27 @@ def barrier_survival_up(barrier: float, sigma: float, dt: float
         E[payoff(S_T) * survival]        (knock-out)
         E[payoff(S_T) * (1 - survival)]  (knock-in, same run)
 
-    The accumulator carries (survival probability, previous log price).
+    The accumulator carries (survival probability, previous log price);
+    the fold runs in log space — the crossing probability only needs log
+    prices, which the log-state processes provide exactly (the price-space
+    fold's per-step ``jnp.log`` was the TPU's biased approximation).
     """
     log_b = math.log(barrier)
     inv = 1.0 / (float(sigma) ** 2 * float(dt))
 
-    def update(acc, s, t):
+    def update(acc, log_s, t):
         surv, prev = acc
-        log_s = jnp.log(s)
         a = log_b - prev
         b = log_b - log_s
-        p_cross = jnp.exp(-2.0 * a * b * inv)
+        p_cross = exp32(-2.0 * a * b * inv)
         alive = (a > 0) & (b > 0)
         return (surv * jnp.where(alive, 1.0 - p_cross, 0.0), log_s)
 
     return PathFunctional(
-        init=lambda s: (jnp.where(jnp.log(s) < log_b, 1.0, 0.0),
-                        jnp.log(s)),
+        init=lambda log_s: (jnp.where(log_s < log_b, 1.0, 0.0), log_s),
         update=update,
         finalize=lambda acc, n_steps: acc[0],
+        space="log",
     )
 
 
@@ -172,7 +211,7 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
         j = tf / period  # integer-valued at observations
         at_obs = (jnp.asarray(t) % period) == 0
         called = at_obs & (alive > 0.5) & (s >= trigger)
-        call_value = (1.0 + coupon * j) * jnp.exp(-r_dt * tf)
+        call_value = (1.0 + coupon * j) * exp32(-r_dt * tf)
         pay = jnp.where(called, call_value, pay)
         alive = jnp.where(called, jnp.zeros_like(alive), alive)
         return (alive, pay, run_min, s)
@@ -191,7 +230,7 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
         # ever breached, else short the s0-struck put — min(S_T/s0, 1)
         # (uncapped S_T/s0 would pay MORE than notional when a breached
         # path recovers above s0).
-        df_t = jnp.exp(jnp.asarray(-r_dt * n_steps, pay.dtype))
+        df_t = exp32(jnp.asarray(-r_dt * n_steps, pay.dtype))
         breached = run_min <= pdi_barrier
         settle = df_t * jnp.where(breached,
                                   jnp.minimum(last / s0, 1.0),
@@ -208,12 +247,14 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
 def realized_variance() -> PathFunctional:
     """Sum of squared log returns over the step grid — the variance-swap
     payoff leg.  Annualize with 1/T: fair strike = E[sum] / T.  The
-    accumulator carries (running sum, previous log price)."""
+    accumulator carries (running sum, previous log price); log-space fold
+    (squared log-return increments need nothing but log prices)."""
     return PathFunctional(
-        init=lambda s: (jnp.zeros_like(s), jnp.log(s)),
-        update=lambda acc, s, t: (
-            acc[0] + jnp.square(jnp.log(s) - acc[1]), jnp.log(s)),
+        init=lambda lp: (jnp.zeros_like(lp), lp),
+        update=lambda acc, lp, t: (
+            acc[0] + jnp.square(lp - acc[1]), lp),
         finalize=lambda acc, n_steps: acc[0],
+        space="log",
     )
 
 
@@ -245,16 +286,16 @@ def _simulate_functionals(process, n_paths, n_steps, seed, stream, sampler,
     check_sampler(sampler, process, n_steps)
     ids = path_ids_for(n_paths, path_offset)
     state0 = process.init_state(ids, dtype)
-    s0_prices = process.prices(state0)
-    accs0 = tuple(f.init(s0_prices) for f in fns)
+    accs0 = tuple(f.init(o) for f, o in
+                  zip(fns, functional_observables(process, state0, fns)))
 
     def body(carry, t):
         state, accs = carry
         eps = sampler.draws(process, seed, stream, ids, t, dtype)
         state = process.step(state, eps, t)
-        prices = process.prices(state)
-        accs = tuple(f.update(a, prices, t + 1)
-                     for f, a in zip(fns, accs))
+        obs = functional_observables(process, state, fns)
+        accs = tuple(f.update(a, o, t + 1)
+                     for f, a, o in zip(fns, accs, obs))
         return (state, accs), None
 
     (final_state, accs), _ = jax.lax.scan(

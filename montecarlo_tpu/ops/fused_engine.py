@@ -262,9 +262,11 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
                              for m, e in zip(m1, eps1))
             return eps0, eps1
 
+        from montecarlo_tpu.engine.functionals import functional_observables
+
         state0 = proc.init_state(ids, jnp.float32)
-        p0 = proc.prices(state0)
-        accs0 = tuple(f.init(p0) for f in functionals)
+        accs0 = tuple(f.init(o) for f, o in zip(
+            functionals, functional_observables(proc, state0, functionals)))
 
         if smp is not None and getattr(smp, "kernel_scratch", False):
             # Scratch-cached sampler: same update order as the scan
@@ -277,9 +279,9 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
                 state, accs = carry
                 eps = _bridge_step_draws(smp, scratch_ref, t, block_rows)
                 state = proc.step(state, eps, t)
-                prices_t = proc.prices(state)
-                accs = tuple(f.update(a, prices_t, t + 1)
-                             for f, a in zip(functionals, accs))
+                obs = functional_observables(proc, state, functionals)
+                accs = tuple(f.update(a, o, t + 1)
+                             for f, a, o in zip(functionals, accs, obs))
                 return state, accs
 
             state, accs = jax.lax.fori_loop(0, n_steps, bridge_body,
@@ -299,16 +301,16 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
             else:
                 stepped_pair = None
                 state = proc.step(state, eps0, t0)
-            prices0 = proc.prices(state)
-            accs = tuple(f.update(a, prices0, t0 + 1)
-                         for f, a in zip(functionals, accs))
+            obs0 = functional_observables(proc, state, functionals)
+            accs = tuple(f.update(a, o, t0 + 1)
+                         for f, a, o in zip(functionals, accs, obs0))
             t1 = 2 * j + 1
             stepped = (stepped_pair if stepped_pair is not None
                        else proc.step(state, eps1, t1))
-            prices1 = proc.prices(stepped)
+            obs1 = functional_observables(proc, stepped, functionals)
             live = t1 < n_steps
-            new_accs = tuple(f.update(a, prices1, t1 + 1)
-                             for f, a in zip(functionals, accs))
+            new_accs = tuple(f.update(a, o, t1 + 1)
+                             for f, a, o in zip(functionals, accs, obs1))
             accs = tuple(_tree_where(live, na, a)
                          for na, a in zip(new_accs, accs))
             return _tree_where(live, stepped, state), accs

@@ -139,6 +139,11 @@ class Bates(NamedTuple("BatesFields", [
     def prices(self, state: BatesState):
         return exp32(state.log_s)
 
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s
+
 
 def bates_log_cf(s0, r, v0, kappa, theta, xi, rho, lam, jump_mean,
                  jump_std, T):

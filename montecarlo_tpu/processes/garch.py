@@ -200,3 +200,8 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
 
     def prices(self, state: GARCHState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

@@ -60,3 +60,8 @@ class GBM(NormalDrawsMixin, NamedTuple("GBMFields", [
 
     def prices(self, state: GBMState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

@@ -81,3 +81,8 @@ class Heston(NormalDrawsMixin, NamedTuple("HestonFields", [
 
     def prices(self, state: HestonState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

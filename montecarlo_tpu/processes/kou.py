@@ -146,3 +146,8 @@ class Kou(NamedTuple("KouFields", [
 
     def prices(self, state: KouState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

@@ -142,3 +142,8 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
 
     def prices(self, state: LocalVolState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

@@ -149,6 +149,11 @@ class Merton(NamedTuple("MertonFields", [
     def prices(self, state: MertonState):
         return exp32(state.log_s)
 
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s
+
 
 def merton_call_series(s0, strike, r, sigma, lam, jump_mean, jump_std, T,
                        n_terms: int = 30) -> float:

@@ -65,3 +65,8 @@ class MultiGBM(NormalDrawsMixin, NamedTuple("MultiGBMFields", [
 
     def prices(self, state: MultiGBMState):
         return exp32(state.log_s)
+
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s

@@ -86,3 +86,8 @@ class TermStructureGBM(NormalDrawsMixin, NamedTuple("TermGBMFields", [
     def prices(self, state: TermGBMState):
         return exp32(state.log_s)
 
+    def log_prices(self, state):
+        """Native log prices — the functional engines fold log-space
+        functionals on these directly (no per-step exp/log)."""
+        return state.log_s
+
