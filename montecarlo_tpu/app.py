@@ -291,7 +291,8 @@ def _derivatives_page():
 
     st.sidebar.header("Pricing Settings")
     process = st.sidebar.selectbox(
-        "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "SABR"])
+        "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "NIG",
+                    "SABR"])
     payoff = st.sidebar.selectbox(
         "Payoff", ["European call", "European put", "Asian call",
                    "Lookback", "Up-and-out call"])
@@ -331,6 +332,16 @@ def _derivatives_page():
     elif process == "Kou":
         proc = Kou.create(s0=s0, mu=rate, sigma=sigma, lam=1.0, p_up=0.4,
                           eta1=10.0, eta2=5.0, dt=dt)
+    elif process == "NIG":
+        from montecarlo_tpu.processes import NIG
+
+        # Map the vol slider onto the NIG scale: log-return variance per
+        # unit time is delta*alpha^2/gamma^3, so delta = sigma^2*gamma^3/
+        # alpha^2 reproduces the slider's annualized vol (skew beta=-5).
+        alpha, beta = 15.0, -5.0
+        gamma = float((alpha**2 - beta**2) ** 0.5)
+        proc = NIG.create(s0=s0, mu=rate, alpha=alpha, beta=beta,
+                          delta=sigma**2 * gamma**3 / alpha**2, dt=dt)
     else:
         # SABR dynamics are driftless (forward measure): simulate the
         # T-forward of the spot, f0 = s0*e^{rT}, so the discounted price is
@@ -387,7 +398,8 @@ def _derivatives_page():
         from montecarlo_tpu.api.stress import stress_report
 
         fields = ("s0", "v0") if process == "Heston" else (
-            ("f0", "alpha") if process == "SABR" else ("s0", "sigma"))
+            ("f0", "alpha") if process == "SABR" else
+            ("s0", "delta") if process == "NIG" else ("s0", "sigma"))
         rep = stress_report(
             proc, (lambda s: jnp.maximum(s - strike, 0.0)),
             min(n_paths, 1 << 14), n_steps, seed=0, fields=fields,

@@ -80,7 +80,7 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "bates", "merton",
-                            "kou", "sabr", "rbergomi"])
+                            "kou", "nig", "sabr", "rbergomi"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -137,6 +137,13 @@ def _add_price(sub):
                    help="Kou: up-jump decay (>1)")
     p.add_argument("--eta2", type=float, default=5.0,
                    help="Kou: down-jump decay")
+    # NIG extras (pure-jump Levy; --sigma unused)
+    p.add_argument("--nig-alpha", type=float, default=15.0,
+                   help="NIG: tail heaviness (> |nig-beta + 1|)")
+    p.add_argument("--nig-beta", type=float, default=-5.0,
+                   help="NIG: skewness (< 0 skews the down-tail)")
+    p.add_argument("--nig-delta", type=float, default=0.5,
+                   help="NIG: scale per unit time")
     # SABR extras (--sigma is alpha, --beta the CEV exponent, --rho the corr)
     p.add_argument("--nu", type=float, default=0.3,
                    help="SABR vol-of-vol")
@@ -284,6 +291,11 @@ def cmd_price(args) -> int:
         proc = Kou.create(s0=args.s0, mu=args.rate, sigma=args.sigma,
                           lam=args.jump_intensity, p_up=args.p_up,
                           eta1=args.eta1, eta2=args.eta2, dt=dt)
+    elif args.process == "nig":
+        from montecarlo_tpu.processes import NIG
+
+        proc = NIG.create(s0=args.s0, mu=args.rate, alpha=args.nig_alpha,
+                          beta=args.nig_beta, delta=args.nig_delta, dt=dt)
     elif args.process == "sabr":
         import numpy as _np
 
@@ -384,11 +396,11 @@ def cmd_price(args) -> int:
         return 0
 
     if (args.sampler.startswith("sobol")
-            and args.process in ("merton", "kou", "bates")):
+            and args.process in ("merton", "kou", "bates", "nig")):
         raise SystemExit(
             f"--sampler {args.sampler} substitutes normals for every draw, "
-            f"but {args.process} consumes jump-count uniforms — use plain "
-            "or antithetic sampling for jump processes")
+            f"but {args.process} consumes non-normal uniforms (jump counts "
+            "/ IG accepts) — use plain or antithetic sampling")
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
@@ -610,6 +622,19 @@ def cmd_price(args) -> int:
                 kou_log_cf(args.s0, args.rate, args.sigma,
                            args.jump_intensity, args.p_up, args.eta1,
                            args.eta2, args.maturity),
+                args.s0, args.strike, args.maturity, args.rate))
+        if _math.isfinite(cf):
+            out["cf_price"] = cf
+    if args.process == "nig" and args.payoff == "call" and not args.american:
+        import jax
+        import math as _math
+
+        from montecarlo_tpu.engine.cf_pricing import cf_call_price, nig_log_cf
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            cf = float(cf_call_price(
+                nig_log_cf(args.s0, args.rate, args.nig_alpha,
+                           args.nig_beta, args.nig_delta, args.maturity),
                 args.s0, args.strike, args.maturity, args.rate))
         if _math.isfinite(cf):
             out["cf_price"] = cf

@@ -54,6 +54,7 @@ from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     cf_call_price,
     kou_log_cf,
     merton_log_cf,
+    nig_log_cf,
 )
 from montecarlo_tpu.engine.bermudan import (  # noqa: F401
     bermudan_swaption_lsm,

@@ -86,4 +86,24 @@ def kou_log_cf(s0, r, sigma, lam, p_up, eta1, eta2, T):
     return phi
 
 
-__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf"]
+def nig_log_cf(s0, r, alpha, beta, delta, T):
+    """Risk-neutral CF of ln S_T under the normal-inverse-Gaussian process.
+
+    The Levy symbol is ``delta*(gamma - sqrt(alpha^2 - (beta+iu)^2))`` with
+    ``gamma = sqrt(alpha^2 - beta^2)``; the drift carries the martingale
+    correction ``omega = delta*(sqrt(alpha^2-(beta+1)^2) - gamma)`` exactly
+    as :class:`montecarlo_tpu.processes.nig.NIG` applies it, so this CF is
+    the exact law of the simulated terminal log-price (NIG increments have
+    no time-discretization error)."""
+    gamma = jnp.sqrt(alpha * alpha - beta * beta)
+    omega = delta * (jnp.sqrt(alpha * alpha - (beta + 1.0) ** 2) - gamma)
+    drift = jnp.log(s0) + (r + omega) * T
+
+    def phi(us):
+        iu = 1j * us
+        root = jnp.sqrt(alpha * alpha - (beta + iu) ** 2)
+        return jnp.exp(iu * drift + delta * T * (gamma - root))
+    return phi
+
+
+__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf", "nig_log_cf"]

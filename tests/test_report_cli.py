@@ -207,3 +207,20 @@ def test_cli_target_se_modes(capsys):
         cli.main(base + ["0.05", "--sampler", "antithetic"])
     with pytest.raises(SystemExit):
         cli.main(base + ["0.05", "--payoff", "asian"])
+
+
+def test_cli_nig_matches_cf_oracle(capsys):
+    """price --process nig reports a cf_price and agrees with it; Sobol
+    samplers are rejected (NIG consumes IG accept uniforms)."""
+    import pytest
+
+    from montecarlo_tpu import cli
+
+    args = ["price", "--process", "nig", "--paths", "65536", "--steps",
+            "32", "--seed", "2"]
+    rc = cli.main(args)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["price"] - out["cf_price"]) < 5 * out["std_err"] + 5e-3
+    with pytest.raises(SystemExit):
+        cli.main(args + ["--sampler", "sobol-device"])
