@@ -14,7 +14,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
 
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
 from montecarlo_tpu.processes import (CIR, NIG, SABR, Bates, EulerGBM,
-                                      HullWhite, Kou, Merton, Vasicek)
+                                      HullWhite, Kou, Merton,
+                                      VarianceGamma, Vasicek)
 from montecarlo_tpu.utils.profiling import throughput_path_steps
 
 N_PATHS, N_STEPS = 1 << 20, 1024
@@ -30,6 +31,8 @@ PROCS = {
                             jump_mean=-.05, jump_std=.1, dt=1 / 252),
     "NIG": NIG.create(s0=100., mu=.03, alpha=15., beta=-5., delta=.5,
                       dt=1 / 252),
+    "VG": VarianceGamma.create(s0=100., mu=.03, sigma=.2, theta=-.14,
+                               nu=.2, dt=1 / 252),
     "SABR": SABR.create(f0=100., alpha=.2 * 100. ** .3, beta=.7, nu=.3,
                         rho=-.3, dt=1 / 252),
     "Vasicek": Vasicek.create(.03, .8, .05, .015, 1 / 252),

@@ -291,7 +291,7 @@ def _derivatives_page():
 
     st.sidebar.header("Pricing Settings")
     process = st.sidebar.selectbox(
-        "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "NIG",
+        "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "NIG", "VG",
                     "SABR"])
     payoff = st.sidebar.selectbox(
         "Payoff", ["European call", "European put", "Asian call",
@@ -332,6 +332,13 @@ def _derivatives_page():
     elif process == "Kou":
         proc = Kou.create(s0=s0, mu=rate, sigma=sigma, lam=1.0, p_up=0.4,
                           eta1=10.0, eta2=5.0, dt=dt)
+    elif process == "VG":
+        from montecarlo_tpu.processes import VarianceGamma
+
+        # --sigma is the subordinated-BM scale, so the slider's annualized
+        # vol carries straight through (classic MCC-1998 skew/kurtosis).
+        proc = VarianceGamma.create(s0=s0, mu=rate, sigma=sigma,
+                                    theta=-0.14, nu=0.2, dt=dt)
     elif process == "NIG":
         from montecarlo_tpu.processes import NIG
 

@@ -80,7 +80,7 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "bates", "merton",
-                            "kou", "nig", "sabr", "rbergomi"])
+                            "kou", "nig", "vg", "sabr", "rbergomi"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
@@ -144,6 +144,12 @@ def _add_price(sub):
                    help="NIG: skewness (< 0 skews the down-tail)")
     p.add_argument("--nig-delta", type=float, default=0.5,
                    help="NIG: scale per unit time")
+    # Variance-gamma extras (--sigma is the subordinated BM scale)
+    p.add_argument("--vg-theta", type=float, default=-0.14,
+                   help="VG: subordinated drift (< 0 skews the down-tail)")
+    p.add_argument("--vg-nu", type=float, default=0.2,
+                   help="VG: subordinator variance rate (kurtosis; "
+                        "needs dt <= nu)")
     # SABR extras (--sigma is alpha, --beta the CEV exponent, --rho the corr)
     p.add_argument("--nu", type=float, default=0.3,
                    help="SABR vol-of-vol")
@@ -296,6 +302,12 @@ def cmd_price(args) -> int:
 
         proc = NIG.create(s0=args.s0, mu=args.rate, alpha=args.nig_alpha,
                           beta=args.nig_beta, delta=args.nig_delta, dt=dt)
+    elif args.process == "vg":
+        from montecarlo_tpu.processes import VarianceGamma
+
+        proc = VarianceGamma.create(s0=args.s0, mu=args.rate,
+                                    sigma=args.sigma, theta=args.vg_theta,
+                                    nu=args.vg_nu, dt=dt)
     elif args.process == "sabr":
         import numpy as _np
 
@@ -396,11 +408,11 @@ def cmd_price(args) -> int:
         return 0
 
     if (args.sampler.startswith("sobol")
-            and args.process in ("merton", "kou", "bates", "nig")):
+            and args.process in ("merton", "kou", "bates", "nig", "vg")):
         raise SystemExit(
             f"--sampler {args.sampler} substitutes normals for every draw, "
             f"but {args.process} consumes non-normal uniforms (jump counts "
-            "/ IG accepts) — use plain or antithetic sampling")
+            "/ subordinator inversions) — use plain or antithetic sampling")
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
@@ -635,6 +647,19 @@ def cmd_price(args) -> int:
             cf = float(cf_call_price(
                 nig_log_cf(args.s0, args.rate, args.nig_alpha,
                            args.nig_beta, args.nig_delta, args.maturity),
+                args.s0, args.strike, args.maturity, args.rate))
+        if _math.isfinite(cf):
+            out["cf_price"] = cf
+    if args.process == "vg" and args.payoff == "call" and not args.american:
+        import jax
+        import math as _math
+
+        from montecarlo_tpu.engine.cf_pricing import cf_call_price, vg_log_cf
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            cf = float(cf_call_price(
+                vg_log_cf(args.s0, args.rate, args.sigma, args.vg_theta,
+                          args.vg_nu, args.maturity),
                 args.s0, args.strike, args.maturity, args.rate))
         if _math.isfinite(cf):
             out["cf_price"] = cf

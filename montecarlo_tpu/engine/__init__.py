@@ -55,6 +55,7 @@ from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     kou_log_cf,
     merton_log_cf,
     nig_log_cf,
+    vg_log_cf,
 )
 from montecarlo_tpu.engine.bermudan import (  # noqa: F401
     bermudan_swaption_lsm,

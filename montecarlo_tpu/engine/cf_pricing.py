@@ -106,4 +106,26 @@ def nig_log_cf(s0, r, alpha, beta, delta, T):
     return phi
 
 
-__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf", "nig_log_cf"]
+def vg_log_cf(s0, r, sigma, theta, nu, T):
+    """Risk-neutral CF of ln S_T under the variance-gamma process.
+
+    The VG Levy exponent gives ``phi_X(u) = (1 - iu*theta*nu +
+    sigma^2*nu*u^2/2)^(-T/nu)``; the drift carries the martingale
+    correction ``omega = log(1 - theta*nu - sigma^2*nu/2)/nu`` exactly as
+    :class:`montecarlo_tpu.processes.vg.VarianceGamma` applies it, so this
+    CF is the exact law of the simulated terminal log-price (VG increments
+    have no time-discretization error).  The CF base ``1 + sigma^2*nu*u^2/2
+    - iu*theta*nu`` has strictly positive real part for real u, so the
+    principal complex log is continuous (no branch tracking needed)."""
+    omega = jnp.log(1.0 - theta * nu - 0.5 * sigma * sigma * nu) / nu
+    drift = jnp.log(s0) + (r + omega) * T
+
+    def phi(us):
+        iu = 1j * us
+        base = 1.0 - iu * theta * nu + 0.5 * sigma * sigma * nu * us * us
+        return jnp.exp(iu * drift - (T / nu) * jnp.log(base))
+    return phi
+
+
+__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf", "nig_log_cf",
+           "vg_log_cf"]

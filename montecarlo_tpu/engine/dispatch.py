@@ -1,7 +1,8 @@
 """Engine dispatch: pick the fastest correct backend for a terminal run.
 
-- On TPU, scalar-state processes (all 18 in _FUSABLE: GBM/GARCH/Heston/
-  Bates/jump/NIG/rate/local-vol/term-structure families) with plain,
+- On TPU, scalar-state processes (all 19 in _FUSABLE: GBM/GARCH/Heston/
+  Bates/jump/Levy (NIG, VG)/rate/local-vol/term-structure families) with
+  plain,
   antithetic, or device-Sobol sampling and kernel-compatible path counts
   run the fused Pallas kernel (~5-34e9 path-steps/s/chip on v5e).
 - Everything else (CPU, paths mode, custom samplers, multi-asset states,
@@ -29,6 +30,7 @@ from montecarlo_tpu.processes.term_gbm import TermStructureGBM
 from montecarlo_tpu.processes.euler_gbm import EulerGBM
 from montecarlo_tpu.processes.kou import Kou
 from montecarlo_tpu.processes.nig import NIG
+from montecarlo_tpu.processes.vg import VarianceGamma
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.processes.term_basket import TermBasketGBM
@@ -38,7 +40,7 @@ from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou, NIG,
-            Vasicek, CIR, HullWhite, SABR, TermBasketGBM)
+            VarianceGamma, Vasicek, CIR, HullWhite, SABR, TermBasketGBM)
 
 
 def _kernel_block_rows(n_paths: int, max_rows: int = 256) -> int | None:

@@ -22,6 +22,7 @@ from montecarlo_tpu.processes.euler_gbm import EulerGBM, EulerGBMState  # noqa: 
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
 from montecarlo_tpu.processes.nig import NIG, NIGState  # noqa: F401
+from montecarlo_tpu.processes.vg import VarianceGamma, VGState  # noqa: F401
 from montecarlo_tpu.processes.term_basket import TermBasketGBM  # noqa: F401
 from montecarlo_tpu.processes.dupire import (  # noqa: F401
     dupire_local_vol_grid,

@@ -224,3 +224,20 @@ def test_cli_nig_matches_cf_oracle(capsys):
     assert abs(out["price"] - out["cf_price"]) < 5 * out["std_err"] + 5e-3
     with pytest.raises(SystemExit):
         cli.main(args + ["--sampler", "sobol-device"])
+
+
+def test_cli_vg_matches_cf_oracle(capsys):
+    """price --process vg reports a cf_price and agrees with it; Sobol
+    samplers are rejected (VG consumes gamma-inversion uniforms)."""
+    import pytest
+
+    from montecarlo_tpu import cli
+
+    args = ["price", "--process", "vg", "--paths", "65536", "--steps",
+            "32", "--seed", "2"]
+    rc = cli.main(args)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["price"] - out["cf_price"]) < 5 * out["std_err"] + 5e-3
+    with pytest.raises(SystemExit):
+        cli.main(args + ["--sampler", "sobol-device"])
