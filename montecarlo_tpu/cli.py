@@ -14,8 +14,9 @@ Subcommands:
   greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   stress   — scenario grids / named stress P&L (common random numbers)
-  calibrate— fit Heston / SABR to an implied-vol surface (Adam on exact
-             gradients; --demo generates and recovers a known surface)
+  calibrate— fit Heston / SABR / VG / NIG to an implied-vol surface (Adam
+             on exact gradients; omitting --surface generates and recovers
+             a known surface)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -915,8 +916,10 @@ def cmd_stress(args) -> int:
 
 def _add_calibrate(sub):
     p = sub.add_parser("calibrate",
-                       help="fit Heston/SABR to an implied-vol surface")
-    p.add_argument("--model", default="heston", choices=["heston", "sabr"])
+                       help="fit Heston/SABR/VG/NIG to an implied-vol "
+                            "surface")
+    p.add_argument("--model", default="heston",
+                   choices=["heston", "sabr", "vg", "nig"])
     p.add_argument("--surface", default=None,
                    help="CSV with header strike,maturity,iv (long form); "
                         "omit for --demo behavior")
@@ -959,6 +962,29 @@ def cmd_calibrate(args) -> int:
                 prices, args.s0, jnp.asarray(ks), args.rate,
                 jnp.asarray(mats)))
             strikes = ks
+        elif args.model in ("vg", "nig"):
+            from montecarlo_tpu.engine.cf_pricing import (cf_call_price,
+                                                          nig_log_cf,
+                                                          vg_log_cf)
+            from montecarlo_tpu.engine.implied_vol import implied_vol_call
+
+            strikes = np.array([80., 90., 100., 110., 120.] * 3)
+            mats = np.repeat([0.25, 0.5, 1.0], 5)
+            if args.model == "vg":
+                demo = dict(sigma=0.18, theta=-0.12, nu=0.25)
+                phi = vg_log_cf(args.s0, args.rate, demo["sigma"],
+                                demo["theta"], demo["nu"],
+                                jnp.asarray(mats))
+            else:
+                demo = dict(alpha=12.0, beta=-4.0, delta=0.4)
+                phi = nig_log_cf(args.s0, args.rate, demo["alpha"],
+                                 demo["beta"], demo["delta"],
+                                 jnp.asarray(mats))
+            prices = cf_call_price(phi, args.s0, jnp.asarray(strikes),
+                                   jnp.asarray(mats), args.rate)
+            ivs = np.asarray(implied_vol_call(
+                prices, args.s0, jnp.asarray(strikes), args.rate,
+                jnp.asarray(mats)))
         else:
             from montecarlo_tpu.processes import sabr_hagan_iv
 
@@ -978,6 +1004,14 @@ def cmd_calibrate(args) -> int:
         est = calibrate_heston_to_ivs(strikes, mats, ivs, s0=args.s0,
                                       r=args.rate, n_iters=args.iters)
         out = {k: round(float(v), 6) for k, v in est._asdict().items()}
+    elif args.model in ("vg", "nig"):
+        from montecarlo_tpu.engine.levy_calibration import (
+            calibrate_levy_to_ivs)
+
+        fit = calibrate_levy_to_ivs(args.model, strikes, mats, ivs,
+                                    s0=args.s0, r=args.rate,
+                                    n_iters=max(args.iters, 1500))
+        out = {k: round(float(v), 6) for k, v in fit.items()}
     else:
         if not np.allclose(mats, mats[0]):
             raise SystemExit("SABR fits one expiry at a time; the surface "

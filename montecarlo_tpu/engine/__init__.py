@@ -57,6 +57,9 @@ from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     nig_log_cf,
     vg_log_cf,
 )
+from montecarlo_tpu.engine.levy_calibration import (  # noqa: F401
+    calibrate_levy_to_ivs,
+)
 from montecarlo_tpu.engine.bermudan import (  # noqa: F401
     bermudan_swaption_lsm,
     vasicek_swaption_jamshidian,

@@ -36,6 +36,15 @@ def cf_call_price(phi, s0, strike, T, r, *, n_quad: int = 256,
     ``u`` (vectorized over a 1-D array).  Scalar or broadcast batches of
     strike/T follow the Heston pricer's convention.
     """
+    return cf_call_price_impl(phi, s0, strike, T, r, n_quad=n_quad,
+                              u_max=u_max)
+
+
+def cf_call_price_impl(phi, s0, strike, T, r, *, n_quad: int = 256,
+                       u_max: float = 200.0):
+    """Unjitted body of :func:`cf_call_price` — call this when ``phi``
+    closes over *traced* values (e.g. calibration parameters inside an
+    optimizer scan), where a static-argname jit would leak tracers."""
     u, w = _quad_nodes(n_quad, u_max)
     s0 = jnp.asarray(s0)
     strike = jnp.asarray(strike)
@@ -127,5 +136,5 @@ def vg_log_cf(s0, r, sigma, theta, nu, T):
     return phi
 
 
-__all__ = ["cf_call_price", "merton_log_cf", "kou_log_cf", "nig_log_cf",
-           "vg_log_cf"]
+__all__ = ["cf_call_price", "cf_call_price_impl", "merton_log_cf",
+           "kou_log_cf", "nig_log_cf", "vg_log_cf"]
