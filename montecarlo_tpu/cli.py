@@ -96,7 +96,15 @@ def _add_price(sub):
                             "sobol-device", "sobol-bridge"])
     p.add_argument("--payoff", default="call",
                    choices=["call", "put", "digital", "asian", "lookback",
-                            "up-and-out", "up-and-in"])
+                            "up-and-out", "up-and-in", "max-call"])
+    # Multi-asset extras (--payoff max-call)
+    p.add_argument("--n-assets", type=int, default=2,
+                   help="max-call: number of (symmetric) assets")
+    p.add_argument("--div", type=float, default=0.0,
+                   help="max-call: continuous dividend yield (risk-neutral "
+                        "drift = rate - div)")
+    p.add_argument("--asset-corr", type=float, default=0.0,
+                   help="max-call: common pairwise correlation")
     p.add_argument("--barrier", type=float, default=None,
                    help="barrier level for up-and-out (default 1.2*strike)")
     p.add_argument("--bridge", action="store_true",
@@ -439,6 +447,54 @@ def cmd_price(args) -> int:
                                       proc.n_draws, seed=args.seed)
 
     disc = discount_factor(args.rate, args.maturity)
+    if args.payoff == "max-call":
+        # Best-of-A call (the Bermudan max-call benchmark family,
+        # Andersen-Broadie 2004): symmetric assets, common correlation.
+        import numpy as _np
+
+        from montecarlo_tpu.engine import max_call, simulate
+        from montecarlo_tpu.processes import MultiGBM
+
+        if args.process != "gbm":
+            raise SystemExit("--payoff max-call prices symmetric "
+                             "multi-asset GBM (--process gbm)")
+        if args.sampler != "plain":
+            raise SystemExit("--payoff max-call uses plain Threefry "
+                             "draws; --sampler has no effect there")
+        a = args.n_assets
+        corr = _np.full((a, a), args.asset_corr)
+        _np.fill_diagonal(corr, 1.0)
+        proc_m = MultiGBM.create(s0=[args.s0] * a,
+                                 mu=[args.rate - args.div] * a,
+                                 sigma=[args.sigma] * a, corr=corr, dt=dt)
+        payoff_m = lambda p: max_call(p, args.strike)
+        if args.american:
+            from montecarlo_tpu.engine import (
+                andersen_broadie_bound_multi, lsm_policy_multi)
+
+            est, policy = lsm_policy_multi(
+                proc_m, payoff_m, args.paths, args.steps, seed=args.seed,
+                rate=args.rate, dt=dt, degree=3, value_degree=3,
+                fit_value=args.american_bound)
+            out = {"price": float(est["price"]),
+                   "std_err": float(est["std_err"]),
+                   "n_paths": int(est["n_paths"]), "n_assets": a}
+            if args.american_bound:
+                ab = andersen_broadie_bound_multi(
+                    proc_m, payoff_m, policy, min(args.paths, 4096), 256,
+                    args.steps, seed=args.seed + 1, rate=args.rate, dt=dt,
+                    degree=3, value_degree=3)
+                out["upper_bound"] = float(ab["upper"])
+                out["upper_bound_std_err"] = float(ab["std_err"])
+        else:
+            terminal = simulate(proc_m, args.paths, args.steps,
+                                seed=args.seed)
+            est = mc_estimate(payoff_m(terminal), disc)
+            out = {"price": float(est["price"]),
+                   "std_err": float(est["std_err"]),
+                   "n_paths": int(est["n_paths"]), "n_assets": a}
+        print(json.dumps(out))
+        return 0
     if args.american:
         from montecarlo_tpu.engine.american import (
             andersen_broadie_bound, lsm_policy)

@@ -9,6 +9,7 @@ from montecarlo_tpu.engine.payoffs import (  # noqa: F401
     discount_factor,
     european_call,
     european_put,
+    max_call,
 )
 from montecarlo_tpu.engine.pricing import (  # noqa: F401
     mc_estimate,
@@ -77,8 +78,11 @@ from montecarlo_tpu.engine.surface import (  # noqa: F401
     price_snapshot,
 )
 from montecarlo_tpu.engine.american import (  # noqa: F401
+    andersen_broadie_bound_multi,
     binomial_american_put,
+    lsm_policy_multi,
     lsm_price,
+    lsm_price_multi,
     lsm_price_path_dependent,
 )
 from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401

@@ -310,6 +310,218 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
     }
 
 
+def _multi_indices(n_vars: int, degree: int):
+    """All exponent tuples with total degree <= ``degree`` (host-side,
+    static), ordered by total degree then lexicographically."""
+    from itertools import product as _product
+
+    idxs = [m for m in _product(range(degree + 1), repeat=n_vars)
+            if sum(m) <= degree]
+    return sorted(idxs, key=lambda m: (sum(m), m))
+
+
+def _basis_multi(x, degree: int):
+    """Multivariate polynomial basis of total degree <= ``degree``.
+
+    ``x`` is (..., A); returns (..., n_terms) with
+    n_terms = C(A+degree, A).  Monomials are built by repeated multiplies
+    (degree is tiny), so the whole basis is fused elementwise VPU work.
+    """
+    a = x.shape[-1]
+    # Power table per coordinate: pows[c][p] = x[..., c]**p.
+    pows = []
+    for c in range(a):
+        col = [jnp.ones_like(x[..., c])]
+        for _ in range(degree):
+            col.append(col[-1] * x[..., c])
+        pows.append(col)
+    cols = []
+    for m in _multi_indices(a, degree):
+        term = None
+        for c, p in enumerate(m):
+            if p == 0:
+                continue
+            term = pows[c][p] if term is None else term * pows[c][p]
+        cols.append(jnp.ones_like(x[..., 0]) if term is None else term)
+    return jnp.stack(cols, axis=-1)
+
+
+def _wstats(x, w, wsum):
+    """Weighted per-coordinate mean/std of x (N, A) under weights w (N,)."""
+    m = jnp.sum(w[:, None] * x, axis=0) / wsum
+    sd = jnp.sqrt(jnp.sum(w[:, None] * jnp.square(x - m[None, :]), axis=0)
+                  / wsum + 1e-12)
+    return m, sd
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "degree", "value_degree",
+                                   "dtype", "fit_value", "sort_assets"))
+def lsm_policy_multi(process, payoff_fn, n_paths: int, n_steps: int, *,
+                     seed: int, rate, dt, degree: int = 3,
+                     value_degree: int | None = None, dtype=jnp.float32,
+                     fit_value: bool = True, sort_assets: bool = True):
+    """Multi-asset LSM price **and** value surrogate (the Bermudan
+    max-call workhorse — Longstaff-Schwartz 2001 §8.1 / Andersen-Broadie
+    2004 benchmark family).
+
+    ``payoff_fn(prices)`` maps (N, A) immediate prices to (N,) exercise
+    values (e.g. :func:`engine.payoffs.max_call`).  The continuation
+    regression uses a total-degree-``degree`` multivariate polynomial in
+    the per-step ITM-standardized **sorted** prices: for exchangeable
+    payoffs (max/min/basket on symmetric assets) sorting makes the fitted
+    function symmetric by construction — one function of the order
+    statistics instead of A! orderings, the standard basis for max-calls.
+    Set ``sort_assets=False`` for payoffs that are not exchangeable.
+
+    Returns ``(result, policy)`` where ``policy = (vbetas, vmeans, vstds)``
+    feeds :func:`andersen_broadie_bound_multi` (all-paths value fit of
+    total degree ``value_degree``, default ``degree + 1``).
+    """
+    vdeg = degree + 1 if value_degree is None else value_degree
+    paths = simulate(process, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)  # (T+1, N, A)
+    n_assets = paths.shape[-1]
+    n_terms = len(_multi_indices(n_assets, degree))
+    n_vterms = len(_multi_indices(n_assets, vdeg))
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+    n = jnp.asarray(n_paths, dtype)
+    cashflow = payoff_fn(paths[-1])
+
+    def feats_of(s_t):
+        return jnp.sort(s_t, axis=-1)[..., ::-1] if sort_assets else s_t
+
+    def step(cashflow, s_t):
+        disc = df * cashflow
+        feats = feats_of(s_t)
+        exercise = payoff_fn(s_t)
+        itm = exercise > 0
+        w = itm.astype(dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        m, sd = _wstats(feats, w, wsum)
+        x = _basis_multi((feats - m[None, :]) / sd[None, :], degree)
+        xw = x * w[:, None]
+        a_mat = xw.T @ x / wsum + 1e-6 * jnp.eye(n_terms, dtype=dtype)
+        b = xw.T @ disc / wsum
+        beta = jnp.linalg.solve(a_mat, b)
+        continuation = x @ beta
+        take = itm & (exercise >= continuation)
+        new_cash = jnp.where(take, exercise, disc)
+        if not fit_value:
+            return new_cash, (jnp.zeros((n_vterms,), dtype),
+                              jnp.zeros((n_assets,), dtype),
+                              jnp.ones((n_assets,), dtype))
+        ones = jnp.ones_like(w)
+        ma, sda = _wstats(feats, ones, n)
+        xa = _basis_multi((feats - ma[None, :]) / sda[None, :], vdeg)
+        aa = xa.T @ xa / n + 1e-6 * jnp.eye(n_vterms, dtype=dtype)
+        ba = xa.T @ new_cash / n
+        vbeta = jnp.linalg.solve(aa, ba)
+        return new_cash, (vbeta, ma, sda)
+
+    cashflow, (vb_rev, vm_rev, vs_rev) = jax.lax.scan(
+        step, cashflow, paths[1:-1][::-1])
+    value = df * cashflow
+    result = {
+        "price": jnp.mean(value),
+        "std_err": jnp.std(value, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_paths,
+    }
+    return result, (vb_rev[::-1], vm_rev[::-1], vs_rev[::-1])
+
+
+def lsm_price_multi(process, payoff_fn, n_paths: int, n_steps: int, *,
+                    seed: int, rate, dt, degree: int = 3,
+                    dtype=jnp.float32, sort_assets: bool = True):
+    """Multi-asset American/Bermudan LSM price (see
+    :func:`lsm_policy_multi`).  Returns ``{"price","std_err","n_paths"}``
+    with plain LSM's small low bias."""
+    result, _ = lsm_policy_multi(
+        process, payoff_fn, n_paths, n_steps, seed=seed, rate=rate, dt=dt,
+        degree=degree, dtype=dtype, fit_value=False,
+        sort_assets=sort_assets)
+    return result
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_outer", "n_inner",
+                                   "n_steps", "seed", "degree",
+                                   "value_degree", "dtype", "sort_assets"))
+def andersen_broadie_bound_multi(process, payoff_fn, policy, n_outer: int,
+                                 n_inner: int, n_steps: int, *, seed: int,
+                                 rate, dt, degree: int = 3,
+                                 value_degree: int | None = None,
+                                 dtype=jnp.float32,
+                                 sort_assets: bool = True):
+    """Duality upper bound for multi-asset Bermudan payoffs, from
+    :func:`lsm_policy_multi`'s value surrogate (the multi-asset analog of
+    :func:`andersen_broadie_bound`; same martingale construction and
+    disjoint outer/inner streams).  With the LSM lower bound this brackets
+    the published Andersen-Broadie (2004) max-call values.
+    """
+    from montecarlo_tpu.engine.simulate import path_ids_for
+    from montecarlo_tpu.samplers import PlainSampler
+
+    vdeg = degree + 1 if value_degree is None else value_degree
+    betas, means, stds = policy
+    sampler = PlainSampler()
+    ids = path_ids_for(n_outer, 0)
+    state0 = process.init_state(ids, dtype)
+    df_t = jnp.exp(jnp.asarray(-rate * dt, dtype))
+
+    outer_stream = 0xAB52
+    inner_ids = (ids[:, None] * jnp.uint32(n_inner)
+                 + jnp.arange(n_inner, dtype=jnp.uint32)[None, :])
+    inner_stream = 0xAB53
+
+    def feats_of(s):
+        return jnp.sort(s, axis=-1)[..., ::-1] if sort_assets else s
+
+    def surrogate(prices, beta, m, sd, disc, is_last):
+        h = payoff_fn(prices)
+        z = (feats_of(prices) - m) / sd
+        fit = _basis_multi(z, vdeg) @ beta
+        v = jnp.where(is_last, h, jnp.maximum(h, fit))
+        return disc * v, disc * h
+
+    def body(carry, t):
+        state, mart, best, disc = carry
+        disc = disc * df_t
+        is_last = t == n_steps - 1
+        k = jnp.minimum(t, n_steps - 2)
+        beta, m, sd = betas[k], means[k], stds[k]
+
+        rep = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None],
+                                       (n_outer, n_inner) + x.shape[1:]),
+            state)
+        eps_in = sampler.draws(process, seed, inner_stream, inner_ids, t,
+                               dtype)
+        stepped_in = process.step(rep, eps_in, t)
+        v_in, _ = surrogate(process.prices(stepped_in), beta, m, sd, disc,
+                            is_last)
+        vbar = jnp.mean(v_in, axis=1)
+
+        eps = sampler.draws(process, seed, outer_stream, ids, t, dtype)
+        state = process.step(state, eps, t)
+        v_out, h_out = surrogate(process.prices(state), beta, m, sd, disc,
+                                 is_last)
+
+        mart = mart + (v_out - vbar)
+        best = jnp.maximum(best, h_out - mart)
+        return (state, mart, best, disc), None
+
+    h0 = payoff_fn(process.prices(state0))
+    init = (state0, jnp.zeros(n_outer, dtype), h0, jnp.asarray(1.0, dtype))
+    (_, _, best, _), _ = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32))
+    n = jnp.asarray(n_outer, dtype)
+    return {
+        "upper": jnp.mean(best),
+        "std_err": jnp.std(best, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_outer,
+    }
+
+
 def binomial_american_put(s0, strike, r, sigma, T, n_steps: int = 1000):
     """CRR binomial-tree American put — the validation oracle."""
     import numpy as np

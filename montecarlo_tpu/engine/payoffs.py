@@ -21,6 +21,14 @@ def basket_call(prices, weights, strike):
     return jnp.maximum(basket - strike, 0.0)
 
 
+def max_call(prices, strike):
+    """Call on the best of several assets: prices (..., n_assets).
+
+    The Bermudan max-call benchmark payoff (Longstaff-Schwartz 2001 §8.1,
+    Andersen-Broadie 2004 Table 2/3)."""
+    return jnp.maximum(jnp.max(prices, axis=-1) - strike, 0.0)
+
+
 def discount_factor(r, T, dtype=jnp.float32):
     return jnp.exp(jnp.asarray(-r * T, dtype))
 
