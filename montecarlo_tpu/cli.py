@@ -81,13 +81,16 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "bates", "merton",
-                            "kou", "nig", "vg", "sabr", "rbergomi"])
+                            "kou", "nig", "vg", "sabr", "rbergomi", "slv"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
     p.add_argument("--sigma", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=0.7,
                    help="CEV elasticity (--process cev)")
+    p.add_argument("--skew", type=float, default=-0.1,
+                   help="slv: demo-surface IV skew per unit log-moneyness "
+                        "(iv = sigma + skew*log(K/S0))")
     p.add_argument("--maturity", type=float, default=1.0, help="years")
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=252)
@@ -336,6 +339,29 @@ def cmd_price(args) -> int:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    elif args.process == "slv":
+        # Heston-SLV: leverage particle-calibrated (Gyongy) to a demo
+        # skewed IV surface iv(K) = --sigma + --skew * log(K/S0), so the
+        # model reprices those vanillas while --v0/--kappa/--theta/--xi/
+        # --rho set the smile DYNAMICS (processes/slv.py).
+        import numpy as _np
+
+        from montecarlo_tpu.processes import LocalVolGBM as _LV
+        from montecarlo_tpu.processes import calibrate_slv
+        from montecarlo_tpu.processes.dupire import local_vol_fn_from_ivs
+
+        ks = _np.linspace(0.7, 1.4, 15) * args.s0
+        mats = _np.array([0.5, 1.0]) * args.maturity
+        ivs = (args.sigma
+               + args.skew * _np.log(ks / args.s0))[None, :].repeat(2, 0)
+        vol_fn = local_vol_fn_from_ivs(ks, mats, ivs, s0=args.s0,
+                                       rate=args.rate)
+        lv = _LV.create(args.s0, args.rate, dt, args.steps, vol_fn,
+                        x_min=-0.9, x_max=0.9)
+        proc = calibrate_slv(
+            lv, v0=args.v0, kappa=args.kappa, theta=args.theta, xi=args.xi,
+            rho=args.rho, n_steps=args.steps,
+            n_particles=min(args.paths, 1 << 17), seed=args.seed)
     elif args.process == "bates":
         from montecarlo_tpu.processes import Bates
 
