@@ -85,10 +85,10 @@ def _nig_phi(p, s0, r, T):
     return phi
 
 
-_FAMILIES = {"vg": (_vg_constrain, _vg_phi,
-                    jnp.asarray([0.5, -0.5, 0.5], jnp.float32)),
-             "nig": (_nig_constrain, _nig_phi,
-                     jnp.asarray([1.0, -0.5, 0.5], jnp.float32))}
+# Raw starts are plain tuples (converted at call time): module import must
+# not touch the device backend.
+_FAMILIES = {"vg": (_vg_constrain, _vg_phi, (0.5, -0.5, 0.5)),
+             "nig": (_nig_constrain, _nig_phi, (1.0, -0.5, 0.5))}
 
 
 @partial(jax.jit, static_argnames=("family", "n_iters"))
@@ -134,6 +134,7 @@ def calibrate_levy_to_ivs(family: str, strikes, maturities, ivs, *, s0, r,
         raise ValueError(f"unknown Levy family {family!r} "
                          f"(have {sorted(_FAMILIES)})")
     constrain, _, raw0 = _FAMILIES[family]
+    raw0 = jnp.asarray(raw0, jnp.float32)
     strikes = jnp.asarray(strikes, jnp.float32)
     maturities = jnp.asarray(maturities, jnp.float32)
     ivs = jnp.asarray(ivs, jnp.float32)

@@ -171,5 +171,169 @@ def gamma_from_uniforms32(a, u_w, u_boost):
     return w * expneg_wide32(log32(u_boost) / a)
 
 
+# ---------------------------------------------------------------------------
+# Table-accelerated inversion: the gamma shape b = 1 + dt/nu is a TRACE-TIME
+# constant for every VG simulation, so the quantile function can be
+# tabulated once (host-side, f64) and evaluated in-kernel as a cubic-Hermite
+# interpolation over GARCH-style same-shape lane gathers — ~10x cheaper than
+# the 4-step log-Newton while holding the same ~1e-6 accuracy bound.
+#
+# Coordinate design: index by z = Phi^{-1}(u) (the normal quantile the
+# kernels already compute cheaply via ndtri32) and store the RESIDUAL
+#
+#     resid(z) = log Q_b(Phi(z)) - log(Phi(z)) / b
+#
+# which is asymptotically FLAT in the left tail (Q ~ (u Gamma(b+1))^{1/b}
+# is an exact power law, carried analytically by the log(u)/b term added
+# back at evaluation time from the *sampled* uniform) and slowly varying on
+# the right — total range ~4, so f32 storage costs ~2.4e-7 relative, far
+# under the Newton path's 1.6e-6 bound.  ndtri32's own error only enters
+# through resid' (small by construction), not through the power law.
+
+_TABLE_Z_LO = -5.45   # ndtri32(6e-8) ~ -5.38: covers the clipped u range
+_TABLE_Z_HI = 5.45
+
+
+def _regularized_gamma_f64(b: float, x, n_series: int = 256,
+                           n_cf: int = 256):
+    """P(b, x) in f64 numpy (host-side): lower series below b+1, Lentz
+    continued fraction above — the f32 kernel algebra at oracle precision
+    (self-contained; validated against scipy in tests/test_gamma_rng.py)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    import math
+
+    lg = math.lgamma(b)
+    out = np.empty_like(x)
+    lo = x < b + 1.0
+    # Series: P = x^b e^-x / Gamma(b+1) * sum x^n / prod(b+1..b+n)
+    xs = x[lo]
+    term = np.ones_like(xs)
+    acc = np.ones_like(xs)
+    for n in range(1, n_series):
+        term = term * xs / (b + n)
+        acc += term
+    out[lo] = acc * np.exp(b * np.log(np.maximum(xs, 1e-300)) - xs
+                           - lg - np.log(b))
+    # CF: Q = x^b e^-x / Gamma(b) * cf
+    xc = x[~lo]
+    tiny = 1e-300
+    bb = xc + 1.0 - b
+    c = np.full_like(xc, 1e300)
+    d = 1.0 / np.maximum(bb, tiny)
+    h = d.copy()
+    for i in range(1, n_cf):
+        an = -i * (i - b)
+        bb = bb + 2.0
+        d = an * d + bb
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = bb + an / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h = h * d * c
+    out[~lo] = 1.0 - h * np.exp(b * np.log(xc) - xc - lg)
+    return out
+
+
+def gamma_icdf_resid_table64(b: float, n: int = 512):
+    """Host-side f64 residual table for Gamma(b, 1) quantiles, b in (1, 2].
+
+    Returns ``(z0, dz, resid, dresid)`` — f32 numpy arrays of the residual
+    log-quantile and its z-derivative on ``n`` uniform z knots (n must be a
+    multiple of 128 for the kernel row gathers).  Quantiles are solved by
+    f64 bisection on :func:`_regularized_gamma_f64` (no scipy dependency).
+    """
+    import math
+
+    import numpy as np
+
+    if n % 128 != 0:
+        raise ValueError("table size must be a multiple of 128 lanes")
+    if not 1.0 < b <= 2.0:
+        raise ValueError("table covers shapes b in (1, 2]")
+    z = np.linspace(_TABLE_Z_LO, _TABLE_Z_HI, n)
+    erf = np.vectorize(math.erf)
+    u = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
+    phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    # Bisection: P(b, .) is strictly increasing on [0, inf).
+    lo = np.full(n, 1e-30)
+    hi = np.full(n, 80.0)
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        below = _regularized_gamma_f64(b, mid) < u
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    q = 0.5 * (lo + hi)
+    log_q = np.log(q)
+    resid = log_q - np.log(u) / b
+    pdf = np.exp((b - 1.0) * log_q - q - math.lgamma(b))
+    dlogq = phi / (pdf * q)
+    dresid = dlogq - phi / (u * b)
+    return (np.float32(z[0]), np.float32(z[1] - z[0]),
+            resid.astype(np.float32), dresid.astype(np.float32))
+
+
+def _hermite_rows_gather(resid, dresid, i, ip1):
+    """Gather (resid[i], resid[i+1], dresid[i], dresid[i+1]).
+
+    1-D inputs use plain gathers; (rows, 128) kernel blocks decompose the
+    table into 128-lane rows — one lane-gather + masked-add per (row,
+    request), the Mosaic-compatible pattern of `processes/garch.py`
+    (bitwise identical values either way).
+    """
+    if i.ndim != 2:
+        return resid[i], resid[ip1], dresid[i], dresid[ip1]
+    n_rows = resid.shape[0] // 128
+    r2 = resid.reshape(n_rows, 128)
+    d2 = dresid.reshape(n_rows, 128)
+    reqs = [(r2, i), (r2, ip1), (d2, i), (d2, ip1)]
+    outs = [jnp.zeros(i.shape, resid.dtype) for _ in reqs]
+    rows = [(idx >> 7).astype(jnp.int32) for _, idx in reqs]
+    cols = [(idx & 127).astype(jnp.int32) for _, idx in reqs]
+    for r in range(n_rows):
+        for k, (tb, _) in enumerate(reqs):
+            vals = jnp.broadcast_to(tb[r][None, :], i.shape)
+            g = jnp.take_along_axis(vals, cols[k], axis=1)
+            outs[k] = jnp.where(rows[k] == r, g, outs[k])
+    return tuple(outs)
+
+
+def gamma_from_uniforms_table32(a, u_w, u_boost, z0, dz, resid, dresid):
+    """One Gamma(a, 1) variate from two uniforms via the residual table —
+    drop-in for :func:`gamma_from_uniforms32` (same boost identity, same
+    clipped-u domain, ~1e-6 quantile accuracy) at ~1/10 the VPU cost.
+
+    ``(z0, dz, resid, dresid)`` come from :func:`gamma_icdf_resid_table64`
+    for shape b = 1 + a and must be operands (process pytree leaves), not
+    captured constants, to ride the fused Pallas kernels.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    u = jnp.clip(jnp.asarray(u_w, jnp.float32),
+                 jnp.float32(6e-8), jnp.float32(1.0 - 6e-8))
+    z = ndtri32(u)
+    n = resid.shape[0]
+    t = (z - z0) / dz
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    frac = jnp.clip(t - i.astype(jnp.float32), jnp.float32(0.0),
+                    jnp.float32(1.0))
+    g0, g1, d0, d1 = _hermite_rows_gather(resid, dresid, i, i + 1)
+    # Cubic Hermite on the knot interval (C1, monotone data well-resolved).
+    m0 = d0 * dz
+    m1 = d1 * dz
+    f2 = frac * frac
+    f3 = f2 * frac
+    h = (g0 * (jnp.float32(2.0) * f3 - jnp.float32(3.0) * f2 + 1.0)
+         + m0 * (f3 - jnp.float32(2.0) * f2 + frac)
+         + g1 * (jnp.float32(-2.0) * f3 + jnp.float32(3.0) * f2)
+         + m1 * (f3 - f2))
+    b = jnp.float32(1.0) + a
+    log_w = jnp.clip(h + log32(u) / b, jnp.float32(-20.0),
+                     jnp.float32(20.0))
+    w = exp32(log_w)
+    return w * expneg_wide32(log32(jnp.asarray(u_boost, jnp.float32)) / a)
+
+
 __all__ = ["gamma1p32", "expneg_wide32", "gamma_icdf_boost32",
-           "gamma_from_uniforms32"]
+           "gamma_from_uniforms32", "gamma_icdf_resid_table64",
+           "gamma_from_uniforms_table32"]

@@ -112,3 +112,63 @@ def test_gamma_reflection_anticorrelates():
     g_anti = np.asarray(gamma_from_uniforms32(
         jnp.float32(0.5), 1.0 - u_w, 1.0 - u_b), np.float64)
     assert np.corrcoef(g, g_anti)[0, 1] < -0.3
+
+
+@pytest.mark.parametrize("b", [1.02, 1.2, 1.5, 1.8, 2.0])
+def test_gamma_table_vs_scipy(b):
+    """The residual-table quantile (`gamma_from_uniforms_table32`, the VG
+    hot path) against the same f32-faithful scipy oracles as the Newton
+    path.  Body at the f32 floor; the last few representable u before the
+    clip inherit ndtri32's tail error scaled by resid' (~1e-4 relative on
+    a quantile drawn with probability ~1e-7 — invisible to MC)."""
+    from scipy.special import gammainccinv, gammaincinv
+
+    from montecarlo_tpu.rng.gamma import (gamma_from_uniforms_table32,
+                                          gamma_icdf_resid_table64)
+
+    z0, dz, resid, dresid = gamma_icdf_resid_table64(b)
+    lo = np.geomspace(1e-6, 0.5, 50)
+    hi = np.geomspace(1e-4, 0.5, 50)          # body + moderate tail
+    deep = np.geomspace(6e-8, 1e-4, 20)       # deep upper tail, loose tol
+    u = np.concatenate([lo, 1.0 - hi]).astype(np.float32)
+    ref = np.concatenate([
+        gammaincinv(b, lo.astype(np.float32).astype(np.float64)),
+        gammainccinv(b, 1.0 - (1.0 - hi).astype(np.float32)
+                     .astype(np.float64))])
+    # u_boost = 1 makes the boost factor exactly 1: isolates the W part.
+    got = np.asarray(gamma_from_uniforms_table32(
+        jnp.float32(b - 1.0), jnp.asarray(u), jnp.ones_like(jnp.asarray(u)),
+        z0, dz, jnp.asarray(resid), jnp.asarray(dresid)))
+    np.testing.assert_allclose(got, ref, rtol=2e-6)
+    u_deep = (1.0 - deep).astype(np.float32)
+    ref_deep = gammainccinv(b, 1.0 - u_deep.astype(np.float64))
+    got_deep = np.asarray(gamma_from_uniforms_table32(
+        jnp.float32(b - 1.0), jnp.asarray(u_deep),
+        jnp.ones_like(jnp.asarray(u_deep)), z0, dz, jnp.asarray(resid),
+        jnp.asarray(dresid)))
+    np.testing.assert_allclose(got_deep, ref_deep, rtol=5e-4)
+
+
+def test_gamma_table_matches_newton_in_block_layout():
+    """(rows, 128) kernel-block evaluation equals the 1-D evaluation
+    bitwise (the GARCH-style row-masked gather), and both agree with the
+    Newton path to the documented tolerance."""
+    from montecarlo_tpu.rng.gamma import (gamma_from_uniforms_table32,
+                                          gamma_icdf_resid_table64)
+
+    a = 0.04
+    z0, dz, resid, dresid = gamma_icdf_resid_table64(1.0 + a)
+    u_w, u_b = _uniform_pairs(1 << 12, seed=23)
+    flat = gamma_from_uniforms_table32(jnp.float32(a), u_w, u_b, z0, dz,
+                                       jnp.asarray(resid),
+                                       jnp.asarray(dresid))
+    blocked = gamma_from_uniforms_table32(
+        jnp.float32(a), u_w.reshape(32, 128), u_b.reshape(32, 128), z0, dz,
+        jnp.asarray(resid), jnp.asarray(dresid))
+    np.testing.assert_array_equal(np.asarray(flat),
+                                  np.asarray(blocked).reshape(-1))
+    newton = gamma_from_uniforms32(jnp.float32(a), u_w, u_b)
+    mask = np.asarray(newton) > 1e-20  # below: both underflow-dominated
+    rel = np.abs(np.asarray(flat)[mask] - np.asarray(newton)[mask]) \
+        / np.asarray(newton)[mask]
+    assert rel.max() < 5e-5, rel.max()
