@@ -17,6 +17,7 @@ Subcommands:
   calibrate— fit Heston / SABR / VG / NIG to an implied-vol surface (Adam
              on exact gradients; omitting --surface generates and recovers
              a known surface)
+  xva      — swap exposure profiles (EPE/ENE/PFE) + CVA/DVA/FVA (Vasicek)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -1235,6 +1236,82 @@ def cmd_bond(args) -> int:
     return 0
 
 
+def _add_xva(sub):
+    p = sub.add_parser("xva", help="counterparty exposure profiles "
+                                   "(EPE/ENE/PFE) and CVA/DVA/FVA for an "
+                                   "interest-rate swap under Vasicek")
+    p.add_argument("--r0", type=float, default=0.03)
+    p.add_argument("--kappa", type=float, default=0.8)
+    p.add_argument("--theta", type=float, default=0.05)
+    p.add_argument("--sigma", type=float, default=0.015)
+    p.add_argument("--maturity", type=float, default=5.0,
+                   help="swap maturity, years")
+    p.add_argument("--periods", type=int, default=10,
+                   help="number of swap payments (semiannual default)")
+    p.add_argument("--swap-strike", type=float, default=None,
+                   help="fixed rate (default: the par-ish model yield)")
+    p.add_argument("--paths", type=int, default=1 << 15)
+    p.add_argument("--steps", type=int, default=100,
+                   help="exposure grid resolution")
+    p.add_argument("--hazard", type=float, default=0.02,
+                   help="counterparty flat hazard rate (CVA)")
+    p.add_argument("--recovery", type=float, default=0.4)
+    p.add_argument("--own-hazard", type=float, default=0.01,
+                   help="own flat hazard rate (DVA; 0 = unilateral)")
+    p.add_argument("--own-recovery", type=float, default=0.4)
+    p.add_argument("--funding-spread", type=float, default=0.005,
+                   help="flat funding spread (FVA; 0 disables)")
+    p.add_argument("--quantile", type=float, default=0.95,
+                   help="PFE quantile")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_xva(args) -> int:
+    import numpy as np
+
+    from montecarlo_tpu.engine.exposure import (exposure_profile,
+                                                swap_value_fn)
+    from montecarlo_tpu.engine.rates import vasicek_zcb
+    from montecarlo_tpu.processes import Vasicek
+
+    pay_dt = args.maturity / args.periods
+    payment_times = pay_dt * np.arange(1, args.periods + 1)
+    model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                           args.maturity / args.steps)
+    if args.swap_strike is None:
+        # Par rate of the spot-starting swap: (1 - P(T)) / (dt * sum P(ti)).
+        ps = [vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, t)
+              for t in payment_times]
+        strike = (1.0 - ps[-1]) / (pay_dt * sum(ps))
+    else:
+        strike = args.swap_strike
+    import jax.numpy as jnp
+
+    # f32 here: the engine defaults to f64 for the x64 test environment,
+    # but the CLI runs without x64 — request f32 explicitly rather than
+    # let JAX truncate with a warning per call site.
+    value_fn = swap_value_fn(model, strike, payment_times, pay_dt,
+                             dtype=jnp.float32)
+    prof = exposure_profile(
+        model, value_fn, args.paths, args.steps, T=args.maturity,
+        seed=args.seed, quantile=args.quantile, hazard_rate=args.hazard,
+        recovery=args.recovery, own_hazard_rate=args.own_hazard,
+        own_recovery=args.own_recovery,
+        funding_spread=args.funding_spread,
+        fixing_times=payment_times - pay_dt, dtype=jnp.float32)
+    epe = np.asarray(prof["epe"])
+    out = {"strike": round(float(strike), 6),
+           "peak_epe": round(float(epe.max()), 6),
+           "peak_epe_time": round(float(np.asarray(prof["times"])
+                                        [int(epe.argmax())]), 4),
+           "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6),
+           "eepe": round(float(np.asarray(prof["eepe"])[-1]), 6)}
+    for k in ("cva", "dva", "bcva", "fca", "fba", "fva"):
+        out[k] = round(float(prof[k]), 6)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="montecarlo_tpu",
@@ -1252,6 +1329,7 @@ def main(argv=None) -> int:
     _add_stress(sub)
     _add_calibrate(sub)
     _add_bond(sub)
+    _add_xva(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
 
@@ -1275,6 +1353,8 @@ def main(argv=None) -> int:
         return cmd_calibrate(args)
     if args.cmd == "bond":
         return cmd_bond(args)
+    if args.cmd == "xva":
+        return cmd_xva(args)
     if args.cmd == "bench":
         import importlib.util
         import os

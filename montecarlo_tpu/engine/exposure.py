@@ -1,16 +1,18 @@
-"""Counterparty exposure profiles (EPE / PFE) for CVA-style analytics.
+"""Counterparty exposure profiles (EPE/ENE/PFE) and the xVA set.
 
 Given a short-rate model and a valuation function v(r, t) for the
 instrument's mark-to-market at grid time t (affine closed forms make this
 exact for swaps/bonds under Vasicek), simulate rate paths once and reduce:
 
     EPE(t)   = E[max(V_t, 0)]               (expected positive exposure)
+    ENE(t)   = E[max(-V_t, 0)]              (expected negative exposure)
     PFE_q(t) = quantile_q(max(V_t, 0))      (potential future exposure)
     EE*(t)   = running max of EPE           (effective EPE, Basel)
 
-plus the discounted CVA integral  sum_t D(0,t) EPE(t) dPD(t)  for a flat
-hazard rate.  All profiles come from ONE (T+1, N) simulation — the paths
-are the expensive part; every profile is a per-row reduction.
+plus the discounted credit/funding adjustments — unilateral & bilateral
+CVA, DVA, and FCA/FBA/FVA under flat hazards and a flat funding spread.
+All of it comes from ONE (T+1, N) simulation — the paths are the expensive
+part; every profile is a per-row reduction and every xVA a weighted sum.
 
 The reference app has nothing in this space; this extends the risk surface
 (VaR/CVaR in :mod:`montecarlo_tpu.api.var`) to counterparty credit.
@@ -87,6 +89,9 @@ def swap_value_fn(model: Vasicek, strike: float, payment_times,
 def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                       T: float, seed: int, quantile: float = 0.95,
                       hazard_rate: float = 0.0, recovery: float = 0.4,
+                      own_hazard_rate: float = 0.0,
+                      own_recovery: float = 0.4,
+                      funding_spread: float = 0.0,
                       dtype=jnp.float64, fixing_times=None,
                       has_fixings: bool = False) -> dict:
     dt = T / n_steps
@@ -116,34 +121,58 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         else:
             v = value_fn(paths[k], t)
         pos = jnp.maximum(v, 0.0)
+        neg = jnp.maximum(-v, 0.0)
         epe = jnp.mean(pos)
+        ene = jnp.mean(neg)
         pfe = jnp.quantile(pos, quantile)
-        depe = jnp.mean(disc[k] * pos)        # discounted EPE for CVA
-        return epe, pfe, depe
+        depe = jnp.mean(disc[k] * pos)        # discounted EPE for CVA/FCA
+        dene = jnp.mean(disc[k] * neg)        # discounted ENE for DVA/FBA
+        return epe, ene, pfe, depe, dene
 
     # vmap over rows would rebuild the (P,) bond vector per element; a scan
     # over the T+1 rows keeps everything batched per time.
     def scan_body(carry, k):
         t = times[k]
-        epe, pfe, depe = row((k, t))
-        return carry, (epe, pfe, depe)
+        out = row((k, t))
+        return carry, out
 
-    _, (epe, pfe, depe) = jax.lax.scan(
+    _, (epe, ene, pfe, depe, dene) = jax.lax.scan(
         scan_body, 0, jnp.arange(n_steps + 1))
     eepe = jax.lax.associative_scan(jnp.maximum, epe)
-    lam = jnp.asarray(hazard_rate, dtype)
-    surv = jnp.exp(-lam * times)
-    dpd = jnp.concatenate([jnp.zeros((1,), dtype), surv[:-1] - surv[1:]])
-    cva = (1.0 - recovery) * jnp.sum(depe * dpd)
-    return {"times": times, "epe": epe, "pfe": pfe, "eepe": eepe,
-            "cva": cva}
+    lam_c = jnp.asarray(hazard_rate, dtype)
+    lam_o = jnp.asarray(own_hazard_rate, dtype)
+    surv_c = jnp.exp(-lam_c * times)
+    surv_o = jnp.exp(-lam_o * times)
+    zero1 = jnp.zeros((1,), dtype)
+    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
+    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
+    # Bilateral weighting: a party's default loss counts only while the
+    # OTHER party has survived to the period start (the standard
+    # first-to-default discretization; own_hazard = 0 reduces CVA to the
+    # unilateral formula exactly).
+    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
+    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
+    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
+    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
+    # Funding while both parties are alive: cost of funding the positive
+    # exposure at the spread, benefit on the negative side.
+    sf = jnp.asarray(funding_spread, dtype)
+    alive = surv_c * surv_o
+    fca = sf * jnp.sum(depe * alive) * dt
+    fba = sf * jnp.sum(dene * alive) * dt
+    return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
+            "eepe": eepe, "cva": cva, "dva": dva, "bcva": cva - dva,
+            "fca": fca, "fba": fba, "fva": fca - fba}
 
 
 def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                      T: float, seed: int, quantile: float = 0.95,
                      hazard_rate: float = 0.0, recovery: float = 0.4,
+                     own_hazard_rate: float = 0.0,
+                     own_recovery: float = 0.4,
+                     funding_spread: float = 0.0,
                      dtype=jnp.float64, fixing_times=None) -> dict:
-    """EPE / PFE / effective-EPE profiles and a flat-hazard CVA.
+    """Exposure profiles and the xVA set, all from ONE simulation.
 
     ``fixing_times``: optional (F,) period-start times (e.g.
     ``payment_times - pay_dt`` for a spot-starting swap).  When given,
@@ -153,14 +182,28 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     (which silently mis-valued profiles on grids finer than the payment
     calendar).
 
-    Returns ``{"times", "epe", "pfe", "eepe", "cva"}`` with profile arrays
-    of length ``n_steps + 1``; ``cva`` is scalar
-    ``(1-R) * sum D(0,t) EPE(t) dPD(t)`` with ``dPD`` from the flat hazard
-    (zero hazard -> cva 0.0).
+    Credit/funding inputs (flat hazards; zero switches a term off):
+      hazard_rate/recovery: counterparty (drives CVA).
+      own_hazard_rate/own_recovery: own credit (drives DVA).
+      funding_spread: flat funding spread over the risk-free curve (drives
+        FCA/FBA/FVA, accrued while BOTH parties survive).
+
+    Returns profile arrays of length ``n_steps + 1`` plus scalars::
+
+      {"times", "epe", "ene", "pfe", "eepe",
+       "cva",   # (1-R_c) sum D EPE dPD_c S_own(start)  — bilateral weight
+       "dva",   # (1-R_o) sum D ENE dPD_o S_cpty(start)
+       "bcva",  # cva - dva
+       "fca", "fba", "fva"}  # s_f sum D {EPE, ENE} S_c S_o dt; fva=fca-fba
+
+    With ``own_hazard_rate=0`` the CVA reduces exactly to the unilateral
+    ``(1-R) sum D(0,t) EPE(t) dPD(t)`` of earlier revisions.
     """
     return _exposure_profile(
         model, value_fn, n_paths, n_steps, T=T, seed=seed,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
+        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+        funding_spread=funding_spread,
         dtype=dtype, fixing_times=fixing_times,
         has_fixings=fixing_times is not None)
 

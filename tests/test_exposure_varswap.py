@@ -147,3 +147,85 @@ def test_exposure_profile_with_fixings_runs_and_matches_at_resets():
     assert abs(epe[0] - max(v0, 0.0)) < 1e-9
     assert epe[-1] < 1e-12
     assert np.all(np.asarray(prof["pfe"]) >= 0)
+
+
+def test_cva_dva_symmetry():
+    """Negating the instrument swaps EPE<->ENE pathwise, so CVA under a
+    counterparty hazard equals DVA under the same OWN hazard exactly."""
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    vfn = swap_value_fn(model, strike=0.035, payment_times=pay_times,
+                        pay_dt=0.5)
+    neg_vfn = lambda r, t: -vfn(r, t)
+    a = exposure_profile(model, vfn, 1 << 13, N_STEPS, T=T, seed=7,
+                         hazard_rate=0.02, recovery=0.4)
+    b = exposure_profile(model, neg_vfn, 1 << 13, N_STEPS, T=T, seed=7,
+                         own_hazard_rate=0.02, own_recovery=0.4)
+    np.testing.assert_allclose(float(a["cva"]), float(b["dva"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a["epe"]), np.asarray(b["ene"]),
+                               rtol=1e-12)
+    assert float(a["dva"]) == 0.0 and float(b["cva"]) == 0.0
+
+
+def test_xva_deterministic_closed_form():
+    """sigma ~ 0 makes the rate path and discounting deterministic; a
+    constant-value instrument then has every xVA in closed form — checks
+    the survival weighting, dPD algebra, and funding accrual exactly."""
+    sig0 = 1e-12
+    model = Vasicek.create(R0, KAPPA, THETA, sig0, T / N_STEPS,
+                           dtype=jnp.float64)
+    c = 2.5
+    vfn = lambda r, t: jnp.full_like(r, c)
+    lam_c, lam_o, rec_c, rec_o, sf = 0.03, 0.015, 0.4, 0.35, 0.004
+    prof = exposure_profile(model, vfn, 256, N_STEPS, T=T, seed=1,
+                            hazard_rate=lam_c, recovery=rec_c,
+                            own_hazard_rate=lam_o, own_recovery=rec_o,
+                            funding_spread=sf)
+    dt = T / N_STEPS
+    times = dt * np.arange(N_STEPS + 1)
+    # Exact OU path at sigma=0 and the engine's trapezoid discounting.
+    r = THETA + (R0 - THETA) * np.exp(-KAPPA * times)
+    mid = 0.5 * (r[:-1] + r[1:]) * dt
+    disc = np.exp(-np.concatenate([[0.0], np.cumsum(mid)]))
+    surv_c = np.exp(-lam_c * times)
+    surv_o = np.exp(-lam_o * times)
+    dpd_c = np.concatenate([[0.0], surv_c[:-1] - surv_c[1:]])
+    dpd_o = np.concatenate([[0.0], surv_o[:-1] - surv_o[1:]])
+    w_o = np.concatenate([[1.0], surv_o[:-1]])
+    w_c = np.concatenate([[1.0], surv_c[:-1]])
+    cva_want = (1 - rec_c) * np.sum(c * disc * dpd_c * w_o)
+    np.testing.assert_allclose(float(prof["cva"]), cva_want, rtol=1e-9)
+    # DVA = 0: the value never goes negative.
+    assert float(prof["dva"]) == 0.0
+    fca_want = sf * np.sum(c * disc * surv_c * surv_o) * dt
+    np.testing.assert_allclose(float(prof["fca"]), fca_want, rtol=1e-9)
+    assert float(prof["fba"]) == 0.0
+    np.testing.assert_allclose(float(prof["fva"]), fca_want, rtol=1e-9)
+    np.testing.assert_allclose(float(prof["bcva"]), cva_want, rtol=1e-9)
+
+
+def test_bilateral_reduces_to_unilateral():
+    """own_hazard = 0: CVA must equal the unilateral formula bitwise (the
+    backward-compatibility contract in the docstring)."""
+    model, vfn, prof = _profile(hazard=0.02)
+    prof2 = exposure_profile(model, vfn, 1 << 14, N_STEPS, T=T, seed=7,
+                             hazard_rate=0.02, own_hazard_rate=0.0)
+    np.testing.assert_allclose(float(prof["cva"]), float(prof2["cva"]),
+                               rtol=1e-12)
+    assert float(prof2["dva"]) == 0.0 and float(prof2["fva"]) == 0.0
+
+
+def test_cli_xva(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--paths", "4096", "--steps", "40"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cva"] > 0 and out["dva"] > 0
+    assert abs(out["bcva"] - (out["cva"] - out["dva"])) < 1e-9
+    assert out["fva"] == round(out["fca"] - out["fba"], 6) or \
+        abs(out["fva"] - (out["fca"] - out["fba"])) < 2e-6
+    assert out["peak_epe"] > 0 and out["peak_pfe"] >= out["peak_epe"]
