@@ -553,17 +553,36 @@ def cmd_price(args) -> int:
         payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
                   if args.payoff == "call"
                   else (lambda s: jnp.maximum(args.strike - s, 0.0)))
-        est, policy = lsm_policy(proc, payoff, args.paths, args.steps,
-                                 seed=args.seed, rate=args.rate, dt=dt,
-                                 degree=3)
-        if args.american_bound:
-            ab = andersen_broadie_bound(
-                proc, payoff, policy, min(args.paths, 4096), 512,
-                args.steps, seed=args.seed + 1, rate=args.rate, dt=dt,
-                degree=3)
-            est = dict(est)
-            est["upper_bound"] = ab["upper"]
-            est["upper_bound_std_err"] = ab["std_err"]
+        if args.process in ("heston", "bates", "slv"):
+            # Stochastic vol: regress the continuation on (S, v) jointly —
+            # the spot-only policy cannot see the vol state and prices
+            # strictly worse (engine/american.py::lsm_policy_sv).
+            from montecarlo_tpu.engine.american import (
+                andersen_broadie_bound_sv, lsm_policy_sv)
+
+            est, policy = lsm_policy_sv(
+                proc, payoff, args.paths, args.steps, seed=args.seed,
+                rate=args.rate, dt=dt, degree=2, value_degree=5)
+            if args.american_bound:
+                ab = andersen_broadie_bound_sv(
+                    proc, payoff, policy, min(args.paths, 2048), 256,
+                    args.steps, seed=args.seed + 1, rate=args.rate, dt=dt,
+                    degree=2, value_degree=5)
+                est = dict(est)
+                est["upper_bound"] = ab["upper"]
+                est["upper_bound_std_err"] = ab["std_err"]
+        else:
+            est, policy = lsm_policy(proc, payoff, args.paths, args.steps,
+                                     seed=args.seed, rate=args.rate, dt=dt,
+                                     degree=3)
+            if args.american_bound:
+                ab = andersen_broadie_bound(
+                    proc, payoff, policy, min(args.paths, 4096), 512,
+                    args.steps, seed=args.seed + 1, rate=args.rate, dt=dt,
+                    degree=3)
+                est = dict(est)
+                est["upper_bound"] = ab["upper"]
+                est["upper_bound_std_err"] = ab["std_err"]
     elif args.payoff in ("asian", "lookback", "up-and-out", "up-and-in"):
         from montecarlo_tpu.engine import (
             ARITH_MEAN,

@@ -79,11 +79,14 @@ from montecarlo_tpu.engine.surface import (  # noqa: F401
 )
 from montecarlo_tpu.engine.american import (  # noqa: F401
     andersen_broadie_bound_multi,
+    andersen_broadie_bound_sv,
     binomial_american_put,
     lsm_policy_multi,
+    lsm_policy_sv,
     lsm_price,
     lsm_price_multi,
     lsm_price_path_dependent,
+    lsm_price_sv,
 )
 from montecarlo_tpu.engine.control_variate import cv_estimate  # noqa: F401
 from montecarlo_tpu.engine.heston_analytic import (  # noqa: F401

@@ -310,6 +310,188 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
     }
 
 
+def _default_aux(state):
+    """Auxiliary regression state for stochastic-vol LSM: the variance
+    leaf every SV process here carries (Heston/Bates/SLV `v`, GARCH
+    `var`)."""
+    for name in ("v", "var"):
+        if hasattr(state, name):
+            return getattr(state, name)
+    raise ValueError(
+        f"{type(state).__name__} has no variance leaf — pass aux_fn")
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "aux_fn", "n_paths",
+                                   "n_steps", "seed", "degree",
+                                   "value_degree", "dtype", "fit_value"))
+def lsm_policy_sv(process, payoff_fn, n_paths: int, n_steps: int, *,
+                  seed: int, rate, dt, aux_fn=_default_aux,
+                  degree: int = 2, value_degree: int | None = None,
+                  dtype=jnp.float32, fit_value: bool = True):
+    """LSM for STOCHASTIC-VOL processes: the continuation regression runs
+    on the joint (spot, auxiliary-state) pair — Heston/Bates/SLV variance,
+    the GARCH conditional variance, or anything ``aux_fn(state)`` exposes.
+
+    Regressing on spot alone (plain :func:`lsm_policy`) still yields a
+    valid lower bound, but the exercise policy cannot see the vol state —
+    under stochastic vol the continuation value at fixed S *depends on v*
+    (high variance raises it, deferring exercise), so the 2-D basis prices
+    strictly better.  Basis: total-degree-``degree`` polynomial in the
+    per-step ITM-standardized pair (`_basis2`, as the path-dependent LSM).
+
+    Returns ``(result, policy)``; ``policy = (vbetas, vmeans(2,), vstds(2,)
+    per step)`` feeds :func:`andersen_broadie_bound_sv`.
+    """
+    from montecarlo_tpu.engine.simulate import path_ids_for
+    from montecarlo_tpu.samplers import PlainSampler
+
+    vdeg = degree + 1 if value_degree is None else value_degree
+    sampler = PlainSampler()
+    ids = path_ids_for(n_paths, 0)
+    state0 = process.init_state(ids, dtype)
+
+    def fwd(state, t):
+        eps = sampler.draws(process, seed, jnp.uint32(0), ids, t, dtype)
+        state = process.step(state, eps, t)
+        return state, (process.prices(state), aux_fn(state))
+
+    _, (s_traj, a_traj) = jax.lax.scan(
+        fwd, state0, jnp.arange(n_steps, dtype=jnp.int32))
+
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+    n = jnp.asarray(n_paths, dtype)
+    n_terms = (degree + 1) * (degree + 2) // 2
+    n_vterms = (vdeg + 1) * (vdeg + 2) // 2
+    cashflow = payoff_fn(s_traj[-1])
+
+    def step(cashflow, inputs):
+        s_t, a_t = inputs
+        disc = df * cashflow
+        exercise = payoff_fn(s_t)
+        itm = exercise > 0
+        w = itm.astype(dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        ms = jnp.sum(w * s_t) / wsum
+        ss = jnp.sqrt(jnp.sum(w * jnp.square(s_t - ms)) / wsum + 1e-12)
+        ma = jnp.sum(w * a_t) / wsum
+        sa = jnp.sqrt(jnp.sum(w * jnp.square(a_t - ma)) / wsum + 1e-12)
+        x = _basis2((s_t - ms) / ss, (a_t - ma) / sa, degree)
+        xw = x * w[:, None]
+        a_mat = xw.T @ x / wsum + 1e-6 * jnp.eye(n_terms, dtype=dtype)
+        beta = jnp.linalg.solve(a_mat, xw.T @ disc / wsum)
+        continuation = x @ beta
+        take = itm & (exercise >= continuation)
+        new_cash = jnp.where(take, exercise, disc)
+        if not fit_value:
+            return new_cash, (jnp.zeros((n_vterms,), dtype),
+                              jnp.zeros((2,), dtype),
+                              jnp.ones((2,), dtype))
+        msa = jnp.mean(s_t)
+        ssa = jnp.std(s_t) + 1e-12
+        maa = jnp.mean(a_t)
+        saa = jnp.std(a_t) + 1e-12
+        xa = _basis2((s_t - msa) / ssa, (a_t - maa) / saa, vdeg)
+        aa = xa.T @ xa / n + 1e-6 * jnp.eye(n_vterms, dtype=dtype)
+        vbeta = jnp.linalg.solve(aa, xa.T @ new_cash / n)
+        return new_cash, (vbeta, jnp.stack([msa, maa]),
+                          jnp.stack([ssa, saa]))
+
+    cashflow, (vb_rev, vm_rev, vs_rev) = jax.lax.scan(
+        step, cashflow, (s_traj[:-1][::-1], a_traj[:-1][::-1]))
+    value = df * cashflow
+    result = {
+        "price": jnp.mean(value),
+        "std_err": jnp.std(value, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_paths,
+    }
+    return result, (vb_rev[::-1], vm_rev[::-1], vs_rev[::-1])
+
+
+def lsm_price_sv(process, payoff_fn, n_paths: int, n_steps: int, *,
+                 seed: int, rate, dt, aux_fn=_default_aux, degree: int = 2,
+                 dtype=jnp.float32):
+    """Stochastic-vol American LSM price (see :func:`lsm_policy_sv`)."""
+    result, _ = lsm_policy_sv(process, payoff_fn, n_paths, n_steps,
+                              seed=seed, rate=rate, dt=dt, aux_fn=aux_fn,
+                              degree=degree, dtype=dtype, fit_value=False)
+    return result
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "aux_fn", "n_outer",
+                                   "n_inner", "n_steps", "seed", "degree",
+                                   "value_degree", "dtype"))
+def andersen_broadie_bound_sv(process, payoff_fn, policy, n_outer: int,
+                              n_inner: int, n_steps: int, *, seed: int,
+                              rate, dt, aux_fn=_default_aux,
+                              degree: int = 2,
+                              value_degree: int | None = None,
+                              dtype=jnp.float32):
+    """Duality upper bound with the (spot, aux) value surrogate of
+    :func:`lsm_policy_sv` — same martingale construction and stream
+    separation as :func:`andersen_broadie_bound`, the surrogate just sees
+    the vol state too (which is what makes it tight under stochastic
+    vol)."""
+    from montecarlo_tpu.engine.simulate import path_ids_for
+    from montecarlo_tpu.samplers import PlainSampler
+
+    vdeg = degree + 1 if value_degree is None else value_degree
+    betas, means, stds = policy
+    sampler = PlainSampler()
+    ids = path_ids_for(n_outer, 0)
+    state0 = process.init_state(ids, dtype)
+    df_t = jnp.exp(jnp.asarray(-rate * dt, dtype))
+
+    outer_stream = 0xAB54
+    inner_ids = (ids[:, None] * jnp.uint32(n_inner)
+                 + jnp.arange(n_inner, dtype=jnp.uint32)[None, :])
+    inner_stream = 0xAB55
+
+    def surrogate(state, beta, m, sd, disc, is_last):
+        prices = process.prices(state)
+        h = payoff_fn(prices)
+        xs = (prices - m[0]) / sd[0]
+        xa = (aux_fn(state) - m[1]) / sd[1]
+        fit = _basis2(xs, xa, vdeg) @ beta
+        v = jnp.where(is_last, h, jnp.maximum(h, fit))
+        return disc * v, disc * h
+
+    def body(carry, t):
+        state, mart, best, disc = carry
+        disc = disc * df_t
+        is_last = t == n_steps - 1
+        k = jnp.minimum(t, n_steps - 2)
+        beta, m, sd = betas[k], means[k], stds[k]
+
+        rep = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None],
+                                       (n_outer, n_inner) + x.shape[1:]),
+            state)
+        eps_in = sampler.draws(process, seed, inner_stream, inner_ids, t,
+                               dtype)
+        stepped_in = process.step(rep, eps_in, t)
+        v_in, _ = surrogate(stepped_in, beta, m, sd, disc, is_last)
+        vbar = jnp.mean(v_in, axis=1)
+
+        eps = sampler.draws(process, seed, outer_stream, ids, t, dtype)
+        state = process.step(state, eps, t)
+        v_out, h_out = surrogate(state, beta, m, sd, disc, is_last)
+
+        mart = mart + (v_out - vbar)
+        best = jnp.maximum(best, h_out - mart)
+        return (state, mart, best, disc), None
+
+    h0 = payoff_fn(process.prices(state0))
+    init = (state0, jnp.zeros(n_outer, dtype), h0, jnp.asarray(1.0, dtype))
+    (_, _, best, _), _ = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32))
+    n = jnp.asarray(n_outer, dtype)
+    return {
+        "upper": jnp.mean(best),
+        "std_err": jnp.std(best, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_outer,
+    }
+
+
 def _multi_indices(n_vars: int, degree: int):
     """All exponent tuples with total degree <= ``degree`` (host-side,
     static), ordered by total degree then lexicographically."""
