@@ -292,7 +292,7 @@ def _derivatives_page():
     st.sidebar.header("Pricing Settings")
     process = st.sidebar.selectbox(
         "Process", ["GBM", "Heston", "Bates", "Merton", "Kou", "NIG", "VG",
-                    "SABR"])
+                    "SABR", "SLV"])
     payoff = st.sidebar.selectbox(
         "Payoff", ["European call", "European put", "Asian call",
                    "Lookback", "Up-and-out call"])
@@ -349,6 +349,25 @@ def _derivatives_page():
         gamma = float((alpha**2 - beta**2) ** 0.5)
         proc = NIG.create(s0=s0, mu=rate, alpha=alpha, beta=beta,
                           delta=sigma**2 * gamma**3 / alpha**2, dt=dt)
+    elif process == "SLV":
+        # Heston-SLV: leverage particle-calibrated to a demo surface with
+        # ATM vol = the slider and a -0.1 skew per unit log-moneyness
+        # (processes/slv.py) — vanillas reprice the surface, exotics see
+        # the Heston smile dynamics.
+        import numpy as _np
+
+        from montecarlo_tpu.processes import LocalVolGBM, calibrate_slv
+        from montecarlo_tpu.processes.dupire import local_vol_fn_from_ivs
+
+        ks = _np.linspace(0.7, 1.4, 15) * s0
+        mats = _np.array([0.5, 1.0]) * maturity
+        ivs = (sigma - 0.1 * _np.log(ks / s0))[None, :].repeat(2, 0)
+        vol_fn = local_vol_fn_from_ivs(ks, mats, ivs, s0=s0, rate=rate)
+        lv = LocalVolGBM.create(s0, rate, dt, n_steps, vol_fn,
+                                x_min=-0.9, x_max=0.9)
+        proc = calibrate_slv(lv, v0=sigma**2, kappa=2.0, theta=sigma**2,
+                             xi=0.8, rho=-0.6, n_steps=n_steps,
+                             n_particles=min(n_paths, 1 << 16), seed=0)
     else:
         # SABR dynamics are driftless (forward measure): simulate the
         # T-forward of the spot, f0 = s0*e^{rT}, so the discounted price is
@@ -404,9 +423,12 @@ def _derivatives_page():
     with st.expander("Stress scenarios (common random numbers)"):
         from montecarlo_tpu.api.stress import stress_report
 
-        fields = ("s0", "v0") if process == "Heston" else (
-            ("f0", "alpha") if process == "SABR" else
-            ("s0", "delta") if process == "NIG" else ("s0", "sigma"))
+        # Bump fields the process actually carries (Bates/SLV have v0, not
+        # a flat sigma; bumping a missing field would KeyError).
+        fields = (("s0", "v0") if process in ("Heston", "Bates", "SLV")
+                  else ("f0", "alpha") if process == "SABR"
+                  else ("s0", "delta") if process == "NIG"
+                  else ("s0", "sigma"))
         rep = stress_report(
             proc, (lambda s: jnp.maximum(s - strike, 0.0)),
             min(n_paths, 1 << 14), n_steps, seed=0, fields=fields,
@@ -426,6 +448,56 @@ def _derivatives_page():
                       surf["ivs"][0].round(4),
                       f"iv @ {surf['maturities'][1]:.2f}y":
                       surf["ivs"][1].round(4)})
+
+    if process != "SABR":
+        with st.expander("American exercise (LSM lower bound)"):
+            # Vol-aware (S, v) regression for the SV processes, spot-only
+            # polynomial LSM otherwise (engine/american.py).
+            am_paths = min(n_paths, 1 << 15)
+            am_payoff = lambda s: jnp.maximum(strike - s, 0.0)
+            if process in ("Heston", "Bates", "SLV"):
+                from montecarlo_tpu.engine import lsm_price_sv
+
+                am = lsm_price_sv(proc, am_payoff, am_paths, n_steps,
+                                  seed=0, rate=rate, dt=dt, degree=2)
+            else:
+                from montecarlo_tpu.engine import lsm_price
+
+                am = lsm_price(proc, am_payoff, am_paths, n_steps, seed=0,
+                               rate=rate, dt=dt, degree=3)
+            st.metric("American put (LSM)",
+                      f"{float(am['price']):.4f} "
+                      f"± {float(am['std_err']):.4f}")
+
+    with st.expander("Counterparty xVA (Vasicek payer swap)"):
+        import numpy as _np
+
+        from montecarlo_tpu.engine.exposure import (exposure_profile,
+                                                    swap_value_fn)
+        from montecarlo_tpu.engine.rates import vasicek_zcb
+        from montecarlo_tpu.processes import Vasicek as _Vas
+
+        kap, th, sg = 0.8, rate + 0.01, 0.015
+        periods = 8
+        pay_dt = maturity / periods
+        pts = pay_dt * _np.arange(1, periods + 1)
+        vas = _Vas.create(rate, kap, th, sg, maturity / 50)
+        ps = [vasicek_zcb(rate, kap, th, sg, t) for t in pts]
+        par = (1.0 - ps[-1]) / (pay_dt * sum(ps))
+        vfn = swap_value_fn(vas, par, pts, pay_dt, dtype=jnp.float32)
+        prof = exposure_profile(
+            vas, vfn, 1 << 12, 50, T=maturity, seed=0, hazard_rate=0.02,
+            own_hazard_rate=0.01, funding_spread=0.005,
+            fixing_times=pts - pay_dt, dtype=jnp.float32)
+        x1, x2, x3 = st.columns(3)
+        x1.metric("CVA", f"{float(prof['cva']) * 1e4:.2f} bp")
+        x2.metric("DVA", f"{float(prof['dva']) * 1e4:.2f} bp")
+        x3.metric("FVA", f"{float(prof['fva']) * 1e4:.2f} bp")
+        st.dataframe({
+            "t (y)": _np.asarray(prof["times"]).round(3),
+            "EPE": _np.asarray(prof["epe"]).round(6),
+            "ENE": _np.asarray(prof["ene"]).round(6),
+            "PFE 95%": _np.asarray(prof["pfe"]).round(6)})
 
     with st.expander("Fixed income (Vasicek)"):
         from montecarlo_tpu.engine import vasicek_zcb, zcb_price_mc

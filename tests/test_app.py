@@ -128,3 +128,30 @@ def test_derivatives_lab_not_pressed(app_with):
     app, calls = app_with({"Mode": "Derivatives Lab", "Price": False})
     app.main()
     assert "info" in _methods(calls)
+
+
+def test_derivatives_lab_slv(app_with):
+    """SLV in the Lab: particle calibration + pricing + the American and
+    xVA expanders all execute."""
+    app, calls = app_with({"Mode": "Derivatives Lab", "Process": "SLV",
+                           "log2(paths)": 14})
+    app.main()
+    methods = _methods(calls)
+    assert "success" in methods
+    # price tiles + American LSM + CVA/DVA/FVA + fixed income
+    assert methods.count("metric") >= 7
+    labels = [str(label) for m, label in calls if m == "metric"]
+    assert any("American put" in s for s in labels)
+    assert any("CVA" in s for s in labels)
+
+
+def test_derivatives_lab_bates_stress(app_with):
+    """Regression: the stress expander used to bump a 'sigma' field Bates
+    does not carry (its vol state is v0) — the Lab must price Bates with
+    the stress scenarios intact."""
+    app, calls = app_with({"Mode": "Derivatives Lab", "Process": "Bates",
+                           "log2(paths)": 14})
+    app.main()
+    methods = _methods(calls)
+    assert "success" in methods
+    assert "dataframe" in methods  # stress table rendered
