@@ -812,6 +812,11 @@ def _add_greeks(sub):
     p.add_argument("--smooth-width", type=float, default=2.0,
                    help="payoff smoothing width for --method second-order "
                         "(price units; bias O(w^2), gamma noise O(1/w))")
+    p.add_argument("--american", action="store_true",
+                   help="American-exercise Greeks by policy freezing: LSM "
+                        "fits the exercise rule, then pathwise-"
+                        "differentiates the frozen stopped value "
+                        "(envelope theorem; call/put, pathwise method)")
     p.add_argument("--seed", type=int, default=0)
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
@@ -844,6 +849,29 @@ def cmd_greeks(args) -> int:
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta,
                              xi=args.xi, rho=args.rho, dt=dt)
+
+    if args.american:
+        from montecarlo_tpu.engine.american import (
+            american_price_and_greeks, lsm_exercise_policy)
+
+        if args.method != "pathwise" or args.payoff == "digital":
+            raise SystemExit("--american greeks use the pathwise method "
+                             "on call/put payoffs")
+        policy = lsm_exercise_policy(
+            proc, payoff, args.paths, args.steps, seed=args.seed,
+            rate=args.rate, dt=dt, degree=3)
+        price, g = american_price_and_greeks(
+            proc, payoff, policy, args.paths, args.steps, seed=args.seed,
+            rate=args.rate, dt=dt, degree=3)
+        out = {"price": float(price), "delta": float(g.s0)}
+        if args.process == "gbm":
+            out["vega"] = float(g.sigma)
+            out["drift_sens"] = float(g.mu)
+        else:
+            out["vega_v0"] = float(g.v0)
+            out["xi_sens"] = float(g.xi)
+        print(json.dumps(out))
+        return 0
 
     if args.method == "lr":
         if args.process != "gbm":

@@ -78,9 +78,11 @@ from montecarlo_tpu.engine.surface import (  # noqa: F401
     price_snapshot,
 )
 from montecarlo_tpu.engine.american import (  # noqa: F401
+    american_price_and_greeks,
     andersen_broadie_bound_multi,
     andersen_broadie_bound_sv,
     binomial_american_put,
+    lsm_exercise_policy,
     lsm_policy_multi,
     lsm_policy_sv,
     lsm_price,

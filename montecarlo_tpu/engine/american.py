@@ -310,6 +310,89 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
     }
 
 
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "degree", "dtype"))
+def lsm_exercise_policy(process, payoff_fn, n_paths: int, n_steps: int, *,
+                        seed: int, rate, dt, degree: int = 2,
+                        dtype=jnp.float32):
+    """The CONTINUATION regression parameters (beta, mean, std) for steps
+    1..T-1 — the exercise rule itself, as opposed to :func:`lsm_policy`'s
+    all-paths value surrogate (which feeds the dual).  Feeds
+    :func:`american_price_and_greeks`'s frozen-policy forward pass."""
+    paths = simulate(process, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+    cashflow = payoff_fn(paths[-1])
+
+    def step(cashflow, s_t):
+        new_cash, beta, m, sd = _regression_step(
+            s_t, df * cashflow, payoff_fn, degree, dtype)
+        return new_cash, (beta, m, sd)
+
+    _, (b_rev, m_rev, s_rev) = jax.lax.scan(step, cashflow,
+                                            paths[1:-1][::-1])
+    return b_rev[::-1], m_rev[::-1], s_rev[::-1]
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "stream", "degree", "dtype"))
+def american_price_and_greeks(process, payoff_fn, policy, n_paths: int,
+                              n_steps: int, *, seed: int, rate, dt,
+                              stream: int = 0x4A3E, degree: int = 2,
+                              dtype=jnp.float32):
+    """American price and pathwise Greeks by POLICY FREEZING.
+
+    With the exercise rule frozen (``policy`` from
+    :func:`lsm_exercise_policy`, treated as constants), the stopped value
+    E[D^tau h(S_tau)] is pathwise differentiable in the process parameters
+    wherever ``h`` is: the stopping indicators are piecewise constant, and
+    the first-order effect of the policy's own parameter dependence
+    vanishes at the optimum (envelope theorem — the Broadie-Glasserman /
+    Piterbarg American-Greeks construction).  The forward pass runs on a
+    FRESH stream, so the returned price is an out-of-sample (honest)
+    lower-bound estimate alongside the Greeks.
+
+    Returns ``(price, grads)`` with ``grads`` shaped like ``process``
+    (``grads.s0`` = delta, ``grads.sigma`` = vega, ...), common random
+    numbers by construction.
+    """
+    from montecarlo_tpu.engine.simulate import path_ids_for
+    from montecarlo_tpu.samplers import PlainSampler
+
+    betas, ms, sds = jax.tree.map(jax.lax.stop_gradient, policy)
+    sampler = PlainSampler()
+    ids = path_ids_for(n_paths, 0)
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+
+    def price_fn(proc):
+        state0 = proc.init_state(ids, dtype)
+
+        def body(carry, t):
+            state, alive, acc, disc = carry
+            eps = sampler.draws(proc, seed, stream, ids, t, dtype)
+            state = proc.step(state, eps, t)
+            disc = disc * df
+            s = proc.prices(state)
+            h = payoff_fn(s)
+            is_last = t == n_steps - 1
+            k = jnp.minimum(t, n_steps - 2)
+            cont = _basis((s - ms[k]) / sds[k], degree) @ betas[k]
+            take = alive & (h > 0) & (is_last | (h >= cont))
+            acc = acc + jnp.where(take, disc * h, 0.0)
+            alive = alive & ~take
+            return (state, alive, acc, disc), None
+
+        init = (state0, jnp.ones((n_paths,), bool),
+                jnp.zeros((n_paths,), dtype), jnp.asarray(1.0, dtype))
+        (_, _, acc, _), _ = jax.lax.scan(
+            jax.checkpoint(body), init,
+            jnp.arange(n_steps, dtype=jnp.int32))
+        return jnp.mean(acc)
+
+    price, grads = jax.value_and_grad(price_fn, allow_int=True)(process)
+    return price, grads
+
+
 def _default_aux(state):
     """Auxiliary regression state for stochastic-vol LSM: the variance
     leaf every SV process here carries (Heston/Bates/SLV `v`, GARCH
