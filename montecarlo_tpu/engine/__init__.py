@@ -39,6 +39,7 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
     down_and_out_call,
     lookback_call_floating,
     autocallable,
+    worst_of_autocallable,
     barrier_survival_up,
     cliquet_sum,
     realized_variance,

@@ -244,6 +244,63 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
     )
 
 
+def worst_of_autocallable(period: int, trigger: float, coupon: float,
+                          r_dt: float, pdi_barrier: float, s0
+                          ) -> PathFunctional:
+    """Discounted payoff of a WORST-OF autocallable on a multi-asset
+    process — the dominant retail equity structured product.
+
+    Identical contract to :func:`autocallable`, but every observation and
+    the PDI leg read the worst PERFORMANCE across assets,
+    ``W_t = min_a S_{t,a} / s0_a`` (so ``trigger`` and ``pdi_barrier`` are
+    in performance units, e.g. 1.0 and 0.7): autocall when the worst
+    performer is at/above trigger; if never called, capital at maturity is
+    ``min(W_T, 1)`` when the worst performer ever breached the barrier.
+
+    ``s0``: (A,) initial prices.  The accumulator leaves are (n_paths,)
+    while the observed state is (n_paths, A) — the functional protocol is
+    shape-agnostic, and with A = 1 this reproduces :func:`autocallable`
+    exactly (tested).  Multi-asset states run the scan engine.
+    """
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    s0v = jnp.asarray(s0)
+
+    def perf(s):
+        return jnp.min(s / s0v.astype(s.dtype), axis=-1)
+
+    def init(s):
+        w = perf(s)
+        return (jnp.ones_like(w), jnp.zeros_like(w), w, w)
+
+    def update(acc, s, t):
+        alive, pay, run_min, _ = acc
+        w = perf(s)
+        run_min = jnp.minimum(run_min, w)
+        tf = jnp.asarray(t).astype(w.dtype)
+        j = tf / period
+        at_obs = (jnp.asarray(t) % period) == 0
+        called = at_obs & (alive > 0.5) & (w >= trigger)
+        call_value = (1.0 + coupon * j) * exp32(-r_dt * tf)
+        pay = jnp.where(called, call_value, pay)
+        alive = jnp.where(called, jnp.zeros_like(alive), alive)
+        return (alive, pay, run_min, w)
+
+    def finalize(acc, n_steps):
+        if int(n_steps) % period != 0:
+            raise ValueError(
+                f"n_steps={int(n_steps)} must be a multiple of the "
+                f"observation period {period}")
+        alive, pay, run_min, last = acc
+        df_t = exp32(jnp.asarray(-r_dt * n_steps, pay.dtype))
+        breached = run_min <= pdi_barrier
+        settle = df_t * jnp.where(breached, jnp.minimum(last, 1.0),
+                                  jnp.ones_like(last))
+        return jnp.where(alive > 0.5, settle, pay)
+
+    return PathFunctional(init=init, update=update, finalize=finalize)
+
+
 def realized_variance() -> PathFunctional:
     """Sum of squared log returns over the step grid — the variance-swap
     payoff leg.  Annualize with 1/T: fair strike = E[sum] / T.  The

@@ -184,3 +184,81 @@ def test_autocallable_pdi_capped_at_notional():
 
     with pytest.raises(ValueError, match="multiple"):
         f.finalize(acc, 5.0)
+
+
+def test_worst_of_autocallable_degenerates_to_single():
+    """A = 1 worst-of == the single-asset autocallable on identical paths
+    (MultiGBM with one asset draws the same stream as GBM)."""
+    import numpy as np
+
+    from montecarlo_tpu.engine import (autocallable, simulate_functionals,
+                                       worst_of_autocallable)
+    from montecarlo_tpu.processes import GBM, MultiGBM
+
+    s0, r, sig = 100.0, 0.03, 0.25
+    period, n_obs = 16, 4
+    n_steps = period * n_obs
+    dt = 1.0 / n_steps
+    g = GBM.create(s0=s0, mu=r, sigma=sig, dt=dt)
+    m = MultiGBM.create(s0=[s0], mu=[r], sigma=[sig], corr=np.eye(1),
+                        dt=dt)
+    single = simulate_functionals(
+        g, 1 << 14, n_steps, seed=9,
+        functionals={"ac": autocallable(period, 1.0 * s0, 0.02, r * dt,
+                                        0.7 * s0, s0)})
+    worst = simulate_functionals(
+        m, 1 << 14, n_steps, seed=9,
+        functionals={"ac": worst_of_autocallable(period, 1.0, 0.02,
+                                                 r * dt, 0.7, [s0])})
+    np.testing.assert_allclose(np.asarray(worst["ac"]),
+                               np.asarray(single["ac"]), atol=1e-6)
+
+
+def test_worst_of_autocallable_orderings():
+    """Economic orderings: more assets -> cheaper note (worse worst), and
+    near-perfect correlation -> the single-asset price."""
+    import numpy as np
+
+    from montecarlo_tpu.engine import (mc_estimate, simulate_functionals,
+                                       worst_of_autocallable)
+    from montecarlo_tpu.processes import MultiGBM
+
+    s0, r, sig = 100.0, 0.03, 0.25
+    period, n_obs = 16, 4
+    n_steps = period * n_obs
+    dt = 1.0 / n_steps
+
+    def price(a, corr_val, seed=11):
+        corr = np.full((a, a), corr_val)
+        np.fill_diagonal(corr, 1.0)
+        proc = MultiGBM.create(s0=[s0] * a, mu=[r] * a, sigma=[sig] * a,
+                               corr=corr, dt=dt)
+        out = simulate_functionals(
+            proc, 1 << 15, n_steps, seed=seed,
+            functionals={"ac": worst_of_autocallable(
+                period, 1.0, 0.02, r * dt, 0.7, [s0] * a)})
+        est = mc_estimate(out["ac"], 1.0)
+        return float(est["price"]), float(est["std_err"])
+
+    p1, se1 = price(1, 0.0)
+    p3, se3 = price(3, 0.3)
+    p3_hi, se3_hi = price(3, 0.999)
+    assert p3 < p1 - 4 * (se1 + se3), (p1, p3)
+    assert abs(p3_hi - p1) < 4 * (se1 + se3_hi) + 0.003, (p1, p3_hi)
+
+
+def test_cli_note_autocall_and_cliquet(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["note", "--n-assets", "3", "--paths", "8192",
+                   "--steps", "64", "--observations", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.5 < out["autocall_note"] < 1.2, out
+    rc = cli.main(["note", "--type", "cliquet", "--paths", "8192",
+                   "--steps", "64", "--observations", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["cliquet_leg"] < 0.2, out
