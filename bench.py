@@ -22,8 +22,11 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compile cache: cold Mosaic compiles dominate a fresh run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Feature-scoped — a cache written on a different microarch can SIGSEGV on
+# load (montecarlo_tpu/utils/compile_cache.py).
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 BASELINE_PATH_STEPS_PER_SEC = 5e9  # BASELINE.json north_star target
 

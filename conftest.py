@@ -26,5 +26,30 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache — most test wall-clock is XLA compiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu")
+# The dir is scoped by jaxlib version + host CPU flags: XLA's CPU AOT
+# executables bake in the compile machine's vector features, and loading
+# one on a host with different features can SIGSEGV (observed when the
+# pool migrates this workspace across microarchitectures — the loader
+# warns "machine type ... doesn't match" right before the crash).
+
+
+def _cache_dir() -> str:
+    import hashlib
+
+    import jaxlib
+
+    tag = jaxlib.__version__
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += line
+                    break
+    except OSError:
+        pass
+    return "/tmp/jax_cache_mctpu_" + hashlib.sha1(
+        tag.encode()).hexdigest()[:10]
+
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

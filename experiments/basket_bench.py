@@ -5,8 +5,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.ops.basket_kernel import packed_basket_terminal_pallas
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas

@@ -18,7 +18,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.engine.functionals import (ARITH_MEAN, RUNNING_MAX,
                                                RUNNING_MIN,

@@ -10,7 +10,9 @@ chip:
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
 from montecarlo_tpu.processes import (CIR, NIG, SABR, Bates, EulerGBM,

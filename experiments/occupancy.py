@@ -10,7 +10,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.ops.gbm_kernel import _gbm_kernel, LANES
 from montecarlo_tpu.rng.threefry import key_from_seed_dynamic

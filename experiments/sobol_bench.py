@@ -12,8 +12,9 @@ chip:
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.engine import simulate
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas

@@ -12,7 +12,9 @@ process or the fused engine:
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mctpu_bench")
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
 from montecarlo_tpu.processes import (CIR, SABR, BasketGBM, Bates, CCCGarch,
