@@ -1309,6 +1309,10 @@ def _add_xva(sub):
     p.add_argument("--own-recovery", type=float, default=0.4)
     p.add_argument("--funding-spread", type=float, default=0.005,
                    help="flat funding spread (FVA; 0 disables)")
+    p.add_argument("--im-spread", type=float, default=0.0,
+                   help="initial-margin funding spread (MVA; 0 disables)")
+    p.add_argument("--mpor", type=float, default=10.0 / 252.0,
+                   help="margin period of risk in years (MVA)")
     p.add_argument("--quantile", type=float, default=0.95,
                    help="PFE quantile")
     p.add_argument("--seed", type=int, default=0)
@@ -1345,7 +1349,8 @@ def cmd_xva(args) -> int:
         seed=args.seed, quantile=args.quantile, hazard_rate=args.hazard,
         recovery=args.recovery, own_hazard_rate=args.own_hazard,
         own_recovery=args.own_recovery,
-        funding_spread=args.funding_spread,
+        funding_spread=args.funding_spread, im_spread=args.im_spread,
+        mpor=args.mpor,
         fixing_times=payment_times - pay_dt, dtype=jnp.float32)
     epe = np.asarray(prof["epe"])
     out = {"strike": round(float(strike), 6),
@@ -1354,7 +1359,8 @@ def cmd_xva(args) -> int:
                                         [int(epe.argmax())]), 4),
            "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6),
            "eepe": round(float(np.asarray(prof["eepe"])[-1]), 6)}
-    for k in ("cva", "dva", "bcva", "fca", "fba", "fva"):
+    out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
+    for k in ("cva", "dva", "bcva", "fca", "fba", "fva", "mva"):
         out[k] = round(float(prof[k]), 6)
     print(json.dumps(out))
     return 0

@@ -92,6 +92,9 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                       own_hazard_rate: float = 0.0,
                       own_recovery: float = 0.4,
                       funding_spread: float = 0.0,
+                      im_spread: float = 0.0,
+                      im_quantile: float = 0.99,
+                      mpor: float = 10.0 / 252.0,
                       dtype=jnp.float64, fixing_times=None,
                       has_fixings: bool = False) -> dict:
     dt = T / n_steps
@@ -114,12 +117,32 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     disc = jnp.exp(-jnp.concatenate(
         [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)], axis=0))
 
+    # Delta-normal dynamic initial margin: IM_t = z_q |dV/dr| sigma_r(MPOR)
+    # per path, with dV/dr from ONE jvp through the valuation (each path's
+    # value depends only on its own rate, so a ones-tangent jvp IS the
+    # elementwise derivative).  sigma_r over the margin period uses the
+    # model's OU conditional std when it exposes (kappa, sigma) — Vasicek/
+    # Hull-White — else the sigma sqrt(dt) diffusion limit.
+    z_im = jax.scipy.special.ndtri(jnp.asarray(im_quantile, dtype))
+    kap = getattr(model, "kappa", getattr(model, "a", None))
+    sig_model = jnp.asarray(model.sigma, dtype)
+    mpor_t = jnp.asarray(mpor, dtype)
+    if kap is not None:
+        kap = jnp.asarray(kap, dtype)
+        sig_mpor = sig_model * jnp.sqrt(
+            (1.0 - jnp.exp(-2.0 * kap * mpor_t))
+            / jnp.maximum(2.0 * kap, 1e-12))
+    else:
+        sig_mpor = sig_model * jnp.sqrt(mpor_t)
+
     def row(k_t):
         k, t = k_t
         if has_fixings:
-            v = value_fn(paths[k], t, paths[k_fix_arr[k]], t_fix_arr[k])
+            val = lambda rr: value_fn(rr, t, paths[k_fix_arr[k]],
+                                      t_fix_arr[k])
         else:
-            v = value_fn(paths[k], t)
+            val = lambda rr: value_fn(rr, t)
+        v, dv = jax.jvp(val, (paths[k],), (jnp.ones((n_paths,), dtype),))
         pos = jnp.maximum(v, 0.0)
         neg = jnp.maximum(-v, 0.0)
         epe = jnp.mean(pos)
@@ -127,7 +150,10 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         pfe = jnp.quantile(pos, quantile)
         depe = jnp.mean(disc[k] * pos)        # discounted EPE for CVA/FCA
         dene = jnp.mean(disc[k] * neg)        # discounted ENE for DVA/FBA
-        return epe, ene, pfe, depe, dene
+        im_path = z_im * jnp.abs(dv) * sig_mpor
+        im = jnp.mean(im_path)
+        dim = jnp.mean(disc[k] * im_path)     # discounted E[IM] for MVA
+        return epe, ene, pfe, depe, dene, im, dim
 
     # vmap over rows would rebuild the (P,) bond vector per element; a scan
     # over the T+1 rows keeps everything batched per time.
@@ -136,7 +162,7 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         out = row((k, t))
         return carry, out
 
-    _, (epe, ene, pfe, depe, dene) = jax.lax.scan(
+    _, (epe, ene, pfe, depe, dene, im, dim) = jax.lax.scan(
         scan_body, 0, jnp.arange(n_steps + 1))
     eepe = jax.lax.associative_scan(jnp.maximum, epe)
     lam_c = jnp.asarray(hazard_rate, dtype)
@@ -160,9 +186,12 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     alive = surv_c * surv_o
     fca = sf * jnp.sum(depe * alive) * dt
     fba = sf * jnp.sum(dene * alive) * dt
+    # MVA: funding the posted IM at its spread while both parties live.
+    mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive) * dt
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
-            "eepe": eepe, "cva": cva, "dva": dva, "bcva": cva - dva,
-            "fca": fca, "fba": fba, "fva": fca - fba}
+            "eepe": eepe, "im": im, "cva": cva, "dva": dva,
+            "bcva": cva - dva, "fca": fca, "fba": fba, "fva": fca - fba,
+            "mva": mva}
 
 
 def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
@@ -171,6 +200,9 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                      own_hazard_rate: float = 0.0,
                      own_recovery: float = 0.4,
                      funding_spread: float = 0.0,
+                     im_spread: float = 0.0,
+                     im_quantile: float = 0.99,
+                     mpor: float = 10.0 / 252.0,
                      dtype=jnp.float64, fixing_times=None) -> dict:
     """Exposure profiles and the xVA set, all from ONE simulation.
 
@@ -187,14 +219,20 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
       own_hazard_rate/own_recovery: own credit (drives DVA).
       funding_spread: flat funding spread over the risk-free curve (drives
         FCA/FBA/FVA, accrued while BOTH parties survive).
+      im_spread/im_quantile/mpor: initial-margin funding spread, IM
+        confidence level, and margin period of risk (years) — drive MVA
+        under a delta-normal dynamic IM, IM_t = z_q |dV/dr| sigma_r(MPOR),
+        with dV/dr by autodiff through the valuation (im_spread = 0
+        switches MVA off; the "im" profile is reported either way).
 
     Returns profile arrays of length ``n_steps + 1`` plus scalars::
 
-      {"times", "epe", "ene", "pfe", "eepe",
+      {"times", "epe", "ene", "pfe", "eepe", "im",
        "cva",   # (1-R_c) sum D EPE dPD_c S_own(start)  — bilateral weight
        "dva",   # (1-R_o) sum D ENE dPD_o S_cpty(start)
        "bcva",  # cva - dva
-       "fca", "fba", "fva"}  # s_f sum D {EPE, ENE} S_c S_o dt; fva=fca-fba
+       "fca", "fba", "fva",  # s_f sum D {EPE, ENE} S_c S_o dt; fva=fca-fba
+       "mva"}   # s_im sum D E[IM] S_c S_o dt
 
     With ``own_hazard_rate=0`` the CVA reduces exactly to the unilateral
     ``(1-R) sum D(0,t) EPE(t) dPD(t)`` of earlier revisions.
@@ -203,7 +241,8 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         model, value_fn, n_paths, n_steps, T=T, seed=seed,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
         own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
-        funding_spread=funding_spread,
+        funding_spread=funding_spread, im_spread=im_spread,
+        im_quantile=im_quantile, mpor=mpor,
         dtype=dtype, fixing_times=fixing_times,
         has_fixings=fixing_times is not None)
 

@@ -229,3 +229,46 @@ def test_cli_xva(capsys):
     assert out["fva"] == round(out["fca"] - out["fba"], 6) or \
         abs(out["fva"] - (out["fca"] - out["fba"])) < 2e-6
     assert out["peak_epe"] > 0 and out["peak_pfe"] >= out["peak_epe"]
+
+
+def test_mva_linear_instrument_closed_form():
+    """V = c*r makes dV/dr = c exactly, so IM_t = z |c| sigma_r(MPOR) is a
+    CONSTANT — E[D IM] then factors through the discount curve, and with
+    sigma -> 0 the discounting is deterministic too: MVA in closed form."""
+    sig0 = 1e-12
+    model = Vasicek.create(R0, KAPPA, THETA, sig0, T / N_STEPS,
+                           dtype=jnp.float64)
+    c = 50.0
+    vfn = lambda r, t: c * r
+    s_im, q_im, mpor = 0.002, 0.99, 10.0 / 252.0
+    prof = exposure_profile(model, vfn, 128, N_STEPS, T=T, seed=1,
+                            im_spread=s_im, im_quantile=q_im, mpor=mpor)
+    dt = T / N_STEPS
+    times = dt * np.arange(N_STEPS + 1)
+    r = THETA + (R0 - THETA) * np.exp(-KAPPA * times)
+    mid = 0.5 * (r[:-1] + r[1:]) * dt
+    disc = np.exp(-np.concatenate([[0.0], np.cumsum(mid)]))
+    from scipy.stats import norm
+
+    sig_mpor = sig0 * np.sqrt((1 - np.exp(-2 * KAPPA * mpor))
+                              / (2 * KAPPA))
+    im_const = norm.ppf(q_im) * c * sig_mpor
+    np.testing.assert_allclose(np.asarray(prof["im"]), im_const,
+                               rtol=1e-6)
+    mva_want = s_im * np.sum(im_const * disc) * dt
+    np.testing.assert_allclose(float(prof["mva"]), mva_want, rtol=1e-9)
+
+
+def test_mva_zero_spread_and_swap_im_shape():
+    """im_spread = 0 -> mva 0; the swap's IM profile amortizes to ~0 at
+    maturity (dV/dr -> 0 as payments roll off)."""
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    vfn = swap_value_fn(model, strike=0.035, payment_times=pay_times,
+                        pay_dt=0.5)
+    prof = exposure_profile(model, vfn, 1 << 12, N_STEPS, T=T, seed=7)
+    assert float(prof["mva"]) == 0.0
+    im = np.asarray(prof["im"])
+    assert im[0] > 0.0
+    assert im[-1] < 0.05 * im[0], (im[0], im[-1])
