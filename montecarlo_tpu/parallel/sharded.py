@@ -289,6 +289,107 @@ def sharded_basket_estimate(basket, payoff_fn, n_paths: int, n_steps: int,
     }
 
 
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "degree", "dtype", "block_size",
+                                   "axis", "mesh"))
+def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
+                      seed: int, rate, dt, mesh, degree: int = 3,
+                      dtype=jnp.float32, block_size: int = DEFAULT_BLOCK,
+                      axis: str = PATHS_AXIS):
+    """POD-SCALE AMERICAN PRICING: Longstaff-Schwartz LSM sharded over the
+    path axis.
+
+    Each shard simulates and keeps only its own (T+1, local_n) paths; the
+    backward induction runs in lockstep, and the ONLY cross-shard traffic
+    per exercise date is the tiny sufficient statistics of the continuation
+    regression — per-block partial sums of (w, w s, w s^2) for the ITM
+    standardization and the (k x k) weighted Gram / moment vector of the
+    polynomial basis.  Blocks are ``block_size`` consecutive GLOBAL paths
+    and the gathered (n_blocks, ...) arrays are reduced in a fixed order,
+    so — like `sharded_mc_estimate` — the price is **bitwise identical
+    across mesh shapes** (1 device included, which is how the tests pin
+    it).  The normal-equation solve runs replicated on every shard from
+    identical inputs.
+
+    Differences vs the single-chip `engine.american.lsm_price` (same
+    policy family, NOT bitwise-equal to it): the ITM std uses the one-pass
+    E[s^2] - m^2 form (block sums compose across shards) and sums are
+    block-ordered; the two agree to regression-conditioning noise and the
+    tests assert statistical equality.
+
+    Returns ``{"price", "std_err", "n_paths"}`` replicated everywhere.
+    """
+    from montecarlo_tpu.engine.american import _basis
+    from montecarlo_tpu.engine.simulate import simulate
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    if local_n % block_size:
+        raise ValueError("local path count must be a block multiple")
+    if n_slices > 1:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+    gather_axes = (SLICES_AXIS, axis) if n_slices > 1 else axis
+    k_terms = degree + 1
+    df = jnp.exp(jnp.asarray(-rate * dt, dtype))
+
+    def blocksum(x):
+        """Per-block sums over local paths: (..., local_n) ->
+        (local_blocks, ...) then gathered to global block order."""
+        summed = jnp.sum(x.reshape(-1, block_size) if x.ndim == 1
+                         else x.reshape(-1, block_size, *x.shape[1:]),
+                         axis=1)
+        return jax.lax.all_gather(summed, gather_axes, axis=0, tiled=True)
+
+    def shard_fn(proc):
+        shard_idx = jax.lax.axis_index(axis)
+        if n_slices > 1:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = shard_idx * local_n
+        paths = simulate(proc, local_n, n_steps, seed=seed, mode="paths",
+                         dtype=dtype, path_offset=offset)  # (T+1, local_n)
+        cashflow = payoff_fn(paths[-1])
+
+        def step(cashflow, s_t):
+            disc = df * cashflow
+            exercise = payoff_fn(s_t)
+            itm = exercise > 0
+            w = itm.astype(dtype)
+            # --- replicated sufficient statistics (fixed block order) ---
+            sums = jnp.sum(blocksum(jnp.stack([w, w * s_t, w * s_t * s_t],
+                                              axis=-1)), axis=0)
+            wsum = jnp.maximum(sums[0], 1.0)
+            m = sums[1] / wsum
+            sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
+            x = _basis((s_t - m) / sd, degree)
+            xw = x * w[:, None]
+            gram_b = blocksum(jnp.einsum("ni,nj->nij", xw, x))
+            rhs_b = blocksum(xw * disc[:, None])
+            a_mat = (jnp.sum(gram_b, axis=0) / wsum
+                     + 1e-6 * jnp.eye(k_terms, dtype=dtype))
+            b_vec = jnp.sum(rhs_b, axis=0) / wsum
+            beta = jnp.linalg.solve(a_mat, b_vec)  # replicated, identical
+            continuation = x @ beta
+            take = itm & (exercise >= continuation)
+            return jnp.where(take, exercise, disc), None
+
+        cashflow, _ = jax.lax.scan(step, cashflow, paths[1:-1][::-1])
+        value = df * cashflow
+        local_stats = block_moments(value, block_size)
+        return _gather_two_level(local_stats, axis, n_slices > 1)
+
+    spec_in = jax.tree.map(lambda _: P(), process)
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,),
+                          out_specs=P(), check_vma=False)(process)
+    total = moments_reduce(stats)
+    return {
+        "price": total.mean,
+        "std_err": std_error(total),
+        "n_paths": total.count,
+    }
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "stream",
                                    "dtype", "block_size", "axis", "mesh",
                                    "bins", "lo", "hi"))
