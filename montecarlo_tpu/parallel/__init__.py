@@ -10,6 +10,7 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     DEFAULT_BLOCK,
     block_moments,
     sharded_basket_estimate,
+    sharded_functional_estimate,
     sharded_lsm_price,
     sharded_mc_estimate,
     sharded_terminal,

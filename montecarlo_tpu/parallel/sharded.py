@@ -289,6 +289,71 @@ def sharded_basket_estimate(basket, payoff_fn, n_paths: int, n_steps: int,
     }
 
 
+@partial(jax.jit, static_argnames=("functional_items", "payoff_of",
+                                   "n_paths", "n_steps", "seed", "stream",
+                                   "dtype", "block_size", "axis", "mesh"))
+def _sharded_functional_estimate(process, functional_items, payoff_of,
+                                 n_paths: int, n_steps: int, *, seed: int,
+                                 mesh, discount, stream: int, sampler,
+                                 dtype, block_size: int, axis: str):
+    from montecarlo_tpu.engine.functionals import simulate_functionals
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+
+    def shard_fn(proc, sampler_):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = shard_idx * local_n
+        out = simulate_functionals(
+            proc, local_n, n_steps, seed=seed,
+            functionals=dict(functional_items), stream=stream,
+            sampler=sampler_, dtype=dtype, path_offset=offset)
+        payoffs = payoff_of(out)
+        local_stats = block_moments(payoffs, block_size)
+        return _gather_two_level(local_stats, axis, has_slices)
+
+    spec_in = jax.tree.map(lambda _: P(), (process, sampler))
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
+                          out_specs=P(), check_vma=False)(process, sampler)
+    total = moments_reduce(stats)
+    d = jnp.asarray(discount, total.mean.dtype)
+    return {
+        "price": d * total.mean,
+        "std_err": d * std_error(total),
+        "n_paths": total.count,
+    }
+
+
+def sharded_functional_estimate(process, functionals, payoff_of,
+                                n_paths: int, n_steps: int, *, seed: int,
+                                mesh, discount=1.0, stream: int = 0,
+                                sampler=None, dtype=jnp.float32,
+                                block_size: int = DEFAULT_BLOCK,
+                                axis: str = PATHS_AXIS):
+    """Pod-scale PATH-DEPENDENT pricing: `simulate_functionals` per shard
+    (running statistics folded into the time loop — the fused functional
+    kernel where eligible), block-stat gather + fixed-tree merge as
+    `sharded_mc_estimate`.
+
+    ``payoff_of`` maps the shard's functional outputs (a dict with
+    "terminal" plus every named functional, each (local_n,)) to per-path
+    payoffs — the same closure the unsharded CLI exotics use.  Bitwise
+    identical across mesh shapes, multi-slice meshes included; works for
+    multi-asset processes (worst-of notes) through the scan fallback.
+    """
+    return _sharded_functional_estimate(
+        process, tuple(functionals.items()), payoff_of, n_paths, n_steps,
+        seed=seed, mesh=mesh, discount=discount, stream=stream,
+        sampler=sampler, dtype=dtype, block_size=block_size, axis=axis)
+
+
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
                                    "seed", "degree", "dtype", "block_size",
                                    "axis", "mesh"))

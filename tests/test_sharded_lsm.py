@@ -73,3 +73,59 @@ def test_indivisible_rejected():
     with pytest.raises(ValueError):
         sharded_lsm_price(_proc(), _put, 1000, STEPS, seed=7, rate=R,
                           dt=DT, mesh=make_mesh(8), block_size=BLOCK)
+
+
+# --- sharded path-dependent pricing ---------------------------------------
+
+
+def test_sharded_functional_mesh_invariance():
+    """Asian call through `sharded_functional_estimate`: bitwise across
+    1/2/4/8-device and 2x4 multi-slice meshes."""
+    from montecarlo_tpu.engine import ARITH_MEAN, asian_call
+    from montecarlo_tpu.parallel import sharded_functional_estimate
+
+    proc = GBM.create(s0=100.0, mu=0.03, sigma=0.2, dt=1.0 / 64)
+    fns = {"avg": ARITH_MEAN}
+    payoff_of = lambda o: asian_call(o["avg"], 100.0)
+
+    def run(mesh):
+        res = sharded_functional_estimate(
+            proc, fns, payoff_of, 1 << 15, 64, seed=3, mesh=mesh,
+            discount=float(np.exp(-0.03)), block_size=BLOCK)
+        return float(res["price"]), float(res["std_err"])
+
+    ref = run(make_mesh(1))
+    assert ref[0] > 0
+    for n in (2, 4, 8):
+        assert run(make_mesh(n)) == ref, n
+    assert run(make_mesh(n_path_shards=4, n_slices=2)) == ref
+
+
+def test_sharded_functional_worst_of_note():
+    """Multi-asset worst-of autocallable at pod layout == mesh-1, and both
+    match the unsharded run to estimator noise."""
+    from montecarlo_tpu.engine import (mc_estimate, simulate_functionals,
+                                       worst_of_autocallable)
+    from montecarlo_tpu.parallel import sharded_functional_estimate
+    from montecarlo_tpu.processes import MultiGBM
+
+    corr = np.full((3, 3), 0.5)
+    np.fill_diagonal(corr, 1.0)
+    proc = MultiGBM.create(s0=[100.0] * 3, mu=[0.03] * 3,
+                           sigma=[0.25] * 3, corr=corr, dt=1.0 / 64)
+    fn = worst_of_autocallable(16, 1.0, 0.02, 0.03 / 64, 0.7, [100.0] * 3)
+    payoff_of = lambda o: o["ac"]
+
+    def run(mesh):
+        res = sharded_functional_estimate(
+            proc, {"ac": fn}, payoff_of, 1 << 14, 64, seed=13, mesh=mesh,
+            block_size=BLOCK)
+        return float(res["price"]), float(res["std_err"])
+
+    p1 = run(make_mesh(1))
+    p8 = run(make_mesh(8))
+    assert p1 == p8
+    flat = simulate_functionals(proc, 1 << 14, 64, seed=13,
+                                functionals={"ac": fn})
+    ref = mc_estimate(flat["ac"], 1.0)
+    np.testing.assert_allclose(p8[0], float(ref["price"]), rtol=2e-6)
