@@ -26,30 +26,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache — most test wall-clock is XLA compiles.
-# The dir is scoped by jaxlib version + host CPU flags: XLA's CPU AOT
-# executables bake in the compile machine's vector features, and loading
-# one on a host with different features can SIGSEGV (observed when the
-# pool migrates this workspace across microarchitectures — the loader
-# warns "machine type ... doesn't match" right before the crash).
+# Feature-scoped AND probed: on some pool hosts XLA's CPU executable
+# (de)serialization SIGSEGVs, killing the suite mid-run; the helper
+# exercises write+read in a throwaway subprocess and disables the cache
+# where it would crash (DEVNOTES "persistent compile cache").  Loaded by
+# file path so conftest does not import the whole package before the
+# platform/x64 config above takes effect elsewhere.
+import importlib.util as _ilu
 
-
-def _cache_dir() -> str:
-    import hashlib
-
-    import jaxlib
-
-    tag = jaxlib.__version__
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag += line
-                    break
-    except OSError:
-        pass
-    return "/tmp/jax_cache_mctpu_" + hashlib.sha1(
-        tag.encode()).hexdigest()[:10]
-
-
-jax.config.update("jax_compilation_cache_dir", _cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+_spec = _ilu.spec_from_file_location(
+    "_mc_compile_cache",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "montecarlo_tpu", "utils", "compile_cache.py"))
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+_mod.enable_persistent_cache()

@@ -32,12 +32,66 @@ def feature_scoped_cache_dir(tag: str = "") -> str:
     return f"/tmp/jax_cache_mctpu_{suffix}"
 
 
+_PROBE_CODE = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {d!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+f = jax.jit(lambda x: x @ x + 1.0)
+f(jnp.ones((64, 64))).block_until_ready()   # compile + cache WRITE
+jax.clear_caches()
+f(jnp.ones((64, 64))).block_until_ready()   # cache READ + deserialize
+print("cache-probe-ok")
+"""
+
+
+def _probe_cache_safe(cache_dir: str) -> bool:
+    """Exercise the persistent cache's write AND read paths in a THROWAWAY
+    subprocess.  On some pool hosts XLA:CPU executable (de)serialization
+    SIGSEGVs outright (observed in both `put_executable_and_time` and
+    `get_executable_and_time` — DEVNOTES "persistent compile cache") — a
+    crash that cannot be caught in-process, so the probe must die in a
+    child.  The verdict is memoized in a marker file next to the (already
+    host-feature-scoped) cache dir, so the ~10 s probe runs once per host.
+    """
+    import os
+    import subprocess
+    import sys
+
+    ok_marker = cache_dir + ".probe_ok"
+    bad_marker = cache_dir + ".probe_bad"
+    if os.path.exists(ok_marker):
+        return True
+    if os.path.exists(bad_marker):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE.format(d=cache_dir)],
+            capture_output=True, timeout=300)
+        safe = r.returncode == 0 and b"cache-probe-ok" in r.stdout
+    except Exception:
+        safe = False
+    try:
+        with open(ok_marker if safe else bad_marker, "w") as f:
+            f.write("")
+    except OSError:
+        pass
+    return safe
+
+
 def enable_persistent_cache(tag: str = "") -> None:
-    """Point JAX at the feature-scoped cache (call before first compile)."""
+    """Point JAX at the feature-scoped cache (call before first compile).
+
+    No-op on hosts whose XLA executable serializer crashes (see
+    :func:`_probe_cache_safe`) — a cold compile beats a dead process.
+    """
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      feature_scoped_cache_dir(tag))
+    cache_dir = feature_scoped_cache_dir(tag)
+    if not _probe_cache_safe(cache_dir):
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
