@@ -25,19 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 # All library code pins dtypes explicitly, so this does not change behavior.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache — most test wall-clock is XLA compiles.
-# Feature-scoped AND probed: on some pool hosts XLA's CPU executable
-# (de)serialization SIGSEGVs, killing the suite mid-run; the helper
-# exercises write+read in a throwaway subprocess and disables the cache
-# where it would crash (DEVNOTES "persistent compile cache").  Loaded by
-# file path so conftest does not import the whole package before the
-# platform/x64 config above takes effect elsewhere.
-import importlib.util as _ilu
-
-_spec = _ilu.spec_from_file_location(
-    "_mc_compile_cache",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 "montecarlo_tpu", "utils", "compile_cache.py"))
-_mod = _ilu.module_from_spec(_spec)
-_spec.loader.exec_module(_mod)
-_mod.enable_persistent_cache()
+# NO persistent compilation cache here: the suite runs on the CPU backend,
+# and XLA:CPU `deserialize_executable` SIGSEGVs on large multi-device/x64
+# executables on this pool's hosts — three full runs died at 80-95% inside
+# `compilation_cache.get_executable_and_time` (one with zero concurrent
+# load) before the cache was pulled.  `utils/compile_cache.py` (used by
+# bench.py and experiments/) centralizes the policy: cache on for TPU,
+# off for CPU.  The suite therefore compiles cold every run.

@@ -83,11 +83,19 @@ def _probe_cache_safe(cache_dir: str) -> bool:
 def enable_persistent_cache(tag: str = "") -> None:
     """Point JAX at the feature-scoped cache (call before first compile).
 
-    No-op on hosts whose XLA executable serializer crashes (see
-    :func:`_probe_cache_safe`) — a cold compile beats a dead process.
+    CPU backends get NO persistent cache: on this pool's hosts, XLA:CPU
+    `deserialize_executable` SIGSEGVs on large (multi-device / x64)
+    executables — three full-suite runs died at 80-95% in
+    `get_executable_and_time`, including one with zero concurrent load,
+    while the small-program probe passes.  A cold compile beats a dead
+    process.  TPU executables (de)serialize fine and cold Mosaic compiles
+    through the remote relay are expensive, so the cache stays on there,
+    still behind the write+read probe.
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     cache_dir = feature_scoped_cache_dir(tag)
     if not _probe_cache_safe(cache_dir):
         return
