@@ -1286,8 +1286,21 @@ def cmd_bond(args) -> int:
 
 def _add_xva(sub):
     p = sub.add_parser("xva", help="counterparty exposure profiles "
-                                   "(EPE/ENE/PFE) and CVA/DVA/FVA for an "
-                                   "interest-rate swap under Vasicek")
+                                   "(EPE/ENE/PFE) and CVA/DVA/FVA/MVA for "
+                                   "an interest-rate swap (Vasicek) or an "
+                                   "equity forward (GBM)")
+    p.add_argument("--underlying", default="rates",
+                   choices=["rates", "equity"],
+                   help="rates: Vasicek payer swap, pathwise discounting; "
+                        "equity: GBM forward, flat discounting (CVA has a "
+                        "Black-Scholes closed form, tested)")
+    p.add_argument("--s0", type=float, default=100.0,
+                   help="equity: spot")
+    p.add_argument("--fwd-strike", type=float, default=None,
+                   help="equity: forward strike (default: the par forward "
+                        "s0*e^{rT})")
+    p.add_argument("--equity-sigma", type=float, default=0.25,
+                   help="equity: GBM volatility")
     p.add_argument("--r0", type=float, default=0.03)
     p.add_argument("--kappa", type=float, default=0.8)
     p.add_argument("--theta", type=float, default=0.05)
@@ -1326,6 +1339,35 @@ def cmd_xva(args) -> int:
     from montecarlo_tpu.engine.rates import vasicek_zcb
     from montecarlo_tpu.processes import Vasicek
 
+    import jax.numpy as jnp
+
+    if args.underlying == "equity":
+        from montecarlo_tpu.processes import GBM
+
+        gbm = GBM.create(args.s0, args.r0, args.equity_sigma,
+                         args.maturity / args.steps)
+        k_fwd = args.fwd_strike or args.s0 * float(
+            np.exp(args.r0 * args.maturity))
+        t_mat = args.maturity
+        vfn_eq = lambda s, t: s - k_fwd * jnp.exp(-args.r0 * (t_mat - t))
+        prof = exposure_profile(
+            gbm, vfn_eq, args.paths, args.steps, T=args.maturity,
+            seed=args.seed, quantile=args.quantile,
+            hazard_rate=args.hazard, recovery=args.recovery,
+            own_hazard_rate=args.own_hazard,
+            own_recovery=args.own_recovery,
+            funding_spread=args.funding_spread, im_spread=args.im_spread,
+            mpor=args.mpor, flat_rate=args.r0, dtype=jnp.float32)
+        epe = np.asarray(prof["epe"])
+        out = {"underlying": "equity", "fwd_strike": round(k_fwd, 4),
+               "peak_epe": round(float(epe.max()), 6),
+               "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6),
+               "peak_im": round(float(np.asarray(prof["im"]).max()), 6)}
+        for k in ("cva", "dva", "bcva", "fca", "fba", "fva", "mva"):
+            out[k] = round(float(prof[k]), 6)
+        print(json.dumps(out))
+        return 0
+
     pay_dt = args.maturity / args.periods
     payment_times = pay_dt * np.arange(1, args.periods + 1)
     model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
@@ -1337,8 +1379,6 @@ def cmd_xva(args) -> int:
         strike = (1.0 - ps[-1]) / (pay_dt * sum(ps))
     else:
         strike = args.swap_strike
-    import jax.numpy as jnp
-
     # f32 here: the engine defaults to f64 for the x64 test environment,
     # but the CLI runs without x64 — request f32 explicitly rather than
     # let JAX truncate with a warning per call site.

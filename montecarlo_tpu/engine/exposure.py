@@ -95,6 +95,7 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                       im_spread: float = 0.0,
                       im_quantile: float = 0.99,
                       mpor: float = 10.0 / 252.0,
+                      flat_rate=None,
                       dtype=jnp.float64, fixing_times=None,
                       has_fixings: bool = False) -> dict:
     dt = T / n_steps
@@ -112,10 +113,18 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         k_fix_arr = jnp.clip(jnp.round(t_fix_arr / dt).astype(jnp.int32),
                              0, n_steps)
 
-    # pathwise discount factors D(0, t_k) (trapezoid, as in engine.rates)
-    mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-    disc = jnp.exp(-jnp.concatenate(
-        [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)], axis=0))
+    if flat_rate is None:
+        # Short-rate underlying: pathwise discount factors D(0, t_k)
+        # (trapezoid, as in engine.rates).
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)],
+            axis=0))
+    else:
+        # Equity/FX underlying (paths are PRICES, not rates): flat
+        # deterministic discounting.
+        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                       * times)[:, None] * jnp.ones((1, n_paths), dtype)
 
     # Delta-normal dynamic initial margin: IM_t = z_q |dV/dr| sigma_r(MPOR)
     # per path, with dV/dr from ONE jvp through the valuation (each path's
@@ -127,7 +136,8 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     kap = getattr(model, "kappa", getattr(model, "a", None))
     sig_model = jnp.asarray(model.sigma, dtype)
     mpor_t = jnp.asarray(mpor, dtype)
-    if kap is not None:
+    lognormal_im = flat_rate is not None
+    if kap is not None and not lognormal_im:
         kap = jnp.asarray(kap, dtype)
         sig_mpor = sig_model * jnp.sqrt(
             (1.0 - jnp.exp(-2.0 * kap * mpor_t))
@@ -150,7 +160,10 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         pfe = jnp.quantile(pos, quantile)
         depe = jnp.mean(disc[k] * pos)        # discounted EPE for CVA/FCA
         dene = jnp.mean(disc[k] * neg)        # discounted ENE for DVA/FBA
-        im_path = z_im * jnp.abs(dv) * sig_mpor
+        # Rate states shock additively (OU conditional std); price states
+        # shock multiplicatively — std(dS) ~ S sigma sqrt(mpor).
+        state_shock = (sig_mpor * paths[k] if lognormal_im else sig_mpor)
+        im_path = z_im * jnp.abs(dv) * state_shock
         im = jnp.mean(im_path)
         dim = jnp.mean(disc[k] * im_path)     # discounted E[IM] for MVA
         return epe, ene, pfe, depe, dene, im, dim
@@ -203,8 +216,16 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
                      im_spread: float = 0.0,
                      im_quantile: float = 0.99,
                      mpor: float = 10.0 / 252.0,
+                     flat_rate=None,
                      dtype=jnp.float64, fixing_times=None) -> dict:
     """Exposure profiles and the xVA set, all from ONE simulation.
+
+    ``model`` may be a short-rate process (Vasicek/CIR/Hull-White — paths
+    discount pathwise through the simulated rate) or, with ``flat_rate=r``,
+    ANY price process (GBM/Heston/...) for equity/FX underlyings —
+    ``value_fn(s, t)`` then marks the derivative at spot ``s`` and
+    discounting is the flat curve (the IM shock also switches to the
+    lognormal ``S sigma sqrt(MPOR)`` form).
 
     ``fixing_times``: optional (F,) period-start times (e.g.
     ``payment_times - pay_dt`` for a spot-starting swap).  When given,
@@ -242,7 +263,7 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
         own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
         funding_spread=funding_spread, im_spread=im_spread,
-        im_quantile=im_quantile, mpor=mpor,
+        im_quantile=im_quantile, mpor=mpor, flat_rate=flat_rate,
         dtype=dtype, fixing_times=fixing_times,
         has_fixings=fixing_times is not None)
 

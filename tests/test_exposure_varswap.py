@@ -272,3 +272,58 @@ def test_mva_zero_spread_and_swap_im_shape():
     im = np.asarray(prof["im"])
     assert im[0] > 0.0
     assert im[-1] < 0.05 * im[0], (im[0], im[-1])
+
+
+def test_equity_forward_cva_black_scholes_oracle():
+    """Equity-underlying exposure (flat_rate mode): for a forward on GBM,
+    disc*EPE(t) = BS_call(s0, K e^{-r(T-t)}, r, sigma, t) in CLOSED FORM,
+    so the whole CVA has an exact oracle; the delta-normal IM is
+    z sigma sqrt(MPOR) E[S_t] exactly (dV/dS = 1)."""
+    from scipy.stats import norm
+
+    from montecarlo_tpu.engine import black_scholes_call
+    from montecarlo_tpu.processes import GBM
+
+    s0, strike, r, sigma, T_fwd = 100.0, 100.0, 0.03, 0.25, 2.0
+    n_steps, n_paths = 64, 1 << 15
+    lam, rec = 0.02, 0.4
+    q_im, mpor = 0.99, 10.0 / 252.0
+    gbm = GBM.create(s0, r, sigma, T_fwd / n_steps, dtype=jnp.float64)
+    vfn = lambda s, t: s - strike * jnp.exp(-r * (T_fwd - t))
+    prof = exposure_profile(gbm, vfn, n_paths, n_steps, T=T_fwd, seed=3,
+                            hazard_rate=lam, recovery=rec, flat_rate=r,
+                            im_spread=0.001, im_quantile=q_im, mpor=mpor)
+    dt = T_fwd / n_steps
+    times = dt * np.arange(n_steps + 1)
+    depe_oracle = np.array([
+        max(s0 - strike * np.exp(-r * T_fwd), 0.0) if t == 0.0 else
+        float(black_scholes_call(s0, strike * np.exp(-r * (T_fwd - t)),
+                                 r, sigma, t))
+        for t in times])
+    surv = np.exp(-lam * times)
+    dpd = np.concatenate([[0.0], surv[:-1] - surv[1:]])
+    cva_oracle = (1 - rec) * np.sum(depe_oracle * dpd)
+    assert abs(float(prof["cva"]) - cva_oracle) < 0.03 * cva_oracle, \
+        (float(prof["cva"]), cva_oracle)
+    # IM oracle: z sigma sqrt(mpor) E[S_t] = z sigma sqrt(mpor) s0 e^{rt}.
+    im_oracle = (norm.ppf(q_im) * sigma * np.sqrt(mpor)
+                 * s0 * np.exp(r * times))
+    got = np.asarray(prof["im"])
+    np.testing.assert_allclose(got, im_oracle,
+                               rtol=4 * sigma * np.sqrt(T_fwd)
+                               / np.sqrt(n_paths) * 4 + 1e-3)
+
+
+def test_cli_xva_equity(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--underlying", "equity", "--paths", "4096",
+                   "--steps", "32", "--im-spread", "0.001"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["underlying"] == "equity"
+    # ATM forward: value 0 at inception, so EPE ~ ENE and FVA ~ 0.
+    assert out["cva"] > 0 and out["mva"] > 0
+    assert abs(out["fva"]) < 0.3 * max(out["fca"], 1e-9), out
