@@ -14,9 +14,9 @@ Subcommands:
   greeks   — pathwise (autodiff) or likelihood-ratio sensitivities
   var      — portfolio VaR/CVaR at scale (streaming sketch, checkpointable)
   stress   — scenario grids / named stress P&L (common random numbers)
-  calibrate— fit Heston / SABR / VG / NIG to an implied-vol surface (Adam
-             on exact gradients; omitting --surface generates and recovers
-             a known surface)
+  calibrate— fit Heston / SABR / VG / NIG / Merton / Kou to an implied-
+             vol surface (Adam on exact gradients; omitting --surface
+             generates and recovers a known surface)
   xva      — swap exposure profiles (EPE/ENE/PFE) + CVA/DVA/FVA (Vasicek)
   note     — structured notes: autocallables (worst-of capable), cliquets
   bench    — the headline GBM throughput benchmark
@@ -1047,10 +1047,11 @@ def cmd_stress(args) -> int:
 
 def _add_calibrate(sub):
     p = sub.add_parser("calibrate",
-                       help="fit Heston/SABR/VG/NIG to an implied-vol "
-                            "surface")
+                       help="fit Heston/SABR/VG/NIG/Merton/Kou to an "
+                            "implied-vol surface")
     p.add_argument("--model", default="heston",
-                   choices=["heston", "sabr", "vg", "nig"])
+                   choices=["heston", "sabr", "vg", "nig", "merton",
+                            "kou"])
     p.add_argument("--surface", default=None,
                    help="CSV with header strike,maturity,iv (long form); "
                         "omit for --demo behavior")
@@ -1093,24 +1094,29 @@ def cmd_calibrate(args) -> int:
                 prices, args.s0, jnp.asarray(ks), args.rate,
                 jnp.asarray(mats)))
             strikes = ks
-        elif args.model in ("vg", "nig"):
+        elif args.model in ("vg", "nig", "merton", "kou"):
             from montecarlo_tpu.engine.cf_pricing import (cf_call_price,
+                                                          kou_log_cf,
+                                                          merton_log_cf,
                                                           nig_log_cf,
                                                           vg_log_cf)
             from montecarlo_tpu.engine.implied_vol import implied_vol_call
 
             strikes = np.array([80., 90., 100., 110., 120.] * 3)
             mats = np.repeat([0.25, 0.5, 1.0], 5)
-            if args.model == "vg":
-                demo = dict(sigma=0.18, theta=-0.12, nu=0.25)
-                phi = vg_log_cf(args.s0, args.rate, demo["sigma"],
-                                demo["theta"], demo["nu"],
-                                jnp.asarray(mats))
-            else:
-                demo = dict(alpha=12.0, beta=-4.0, delta=0.4)
-                phi = nig_log_cf(args.s0, args.rate, demo["alpha"],
-                                 demo["beta"], demo["delta"],
-                                 jnp.asarray(mats))
+            demo_cfg = {
+                "vg": (vg_log_cf, dict(sigma=0.18, theta=-0.12, nu=0.25)),
+                "nig": (nig_log_cf, dict(alpha=12.0, beta=-4.0,
+                                         delta=0.4)),
+                "merton": (merton_log_cf, dict(sigma=0.15, lam=0.8,
+                                               jump_mean=-0.08,
+                                               jump_std=0.12)),
+                "kou": (kou_log_cf, dict(sigma=0.15, lam=1.0, p_up=0.35,
+                                         eta1=9.0, eta2=4.0)),
+            }
+            cf_fn, demo = demo_cfg[args.model]
+            phi = cf_fn(args.s0, args.rate, *demo.values(),
+                        jnp.asarray(mats))
             prices = cf_call_price(phi, args.s0, jnp.asarray(strikes),
                                    jnp.asarray(mats), args.rate)
             ivs = np.asarray(implied_vol_call(
@@ -1135,7 +1141,7 @@ def cmd_calibrate(args) -> int:
         est = calibrate_heston_to_ivs(strikes, mats, ivs, s0=args.s0,
                                       r=args.rate, n_iters=args.iters)
         out = {k: round(float(v), 6) for k, v in est._asdict().items()}
-    elif args.model in ("vg", "nig"):
+    elif args.model in ("vg", "nig", "merton", "kou"):
         from montecarlo_tpu.engine.levy_calibration import (
             calibrate_levy_to_ivs)
 

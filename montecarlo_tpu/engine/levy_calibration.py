@@ -1,4 +1,5 @@
-"""Calibrate the pure-jump Levy models (VG, NIG) to implied-vol surfaces.
+"""Calibrate the CF-priced model families — pure-jump Levy (VG, NIG) and
+jump-diffusions (Merton, Kou) — to implied-vol surfaces.
 
 Same recipe as `heston_analytic.calibrate_heston_to_ivs` (the pattern
 desks actually use): the loss lives in **implied-vol space** —
@@ -85,10 +86,43 @@ def _nig_phi(p, s0, r, T):
     return phi
 
 
+def _merton_constrain(raw):
+    return {"sigma": jax.nn.softplus(raw[0]) * 0.2,
+            "lam": jax.nn.softplus(raw[1]),
+            "jump_mean": raw[2] * 0.2,
+            "jump_std": jax.nn.softplus(raw[3]) * 0.2 + 1e-3}
+
+
+def _merton_phi(p, s0, r, T):
+    from montecarlo_tpu.engine.cf_pricing import merton_log_cf
+
+    return merton_log_cf(s0, r, p["sigma"], p["lam"], p["jump_mean"],
+                         p["jump_std"], T)
+
+
+def _kou_constrain(raw):
+    return {"sigma": jax.nn.softplus(raw[0]) * 0.2,
+            "lam": jax.nn.softplus(raw[1]),
+            "p_up": jax.nn.sigmoid(raw[2]),
+            "eta1": 1.0 + jax.nn.softplus(raw[3]) * 10.0,  # > 1: finite m
+            "eta2": jax.nn.softplus(raw[4]) * 10.0 + 1e-2}
+
+
+def _kou_phi(p, s0, r, T):
+    from montecarlo_tpu.engine.cf_pricing import kou_log_cf
+
+    return kou_log_cf(s0, r, p["sigma"], p["lam"], p["p_up"], p["eta1"],
+                      p["eta2"], T)
+
+
 # Raw starts are plain tuples (converted at call time): module import must
 # not touch the device backend.
 _FAMILIES = {"vg": (_vg_constrain, _vg_phi, (0.5, -0.5, 0.5)),
-             "nig": (_nig_constrain, _nig_phi, (1.0, -0.5, 0.5))}
+             "nig": (_nig_constrain, _nig_phi, (1.0, -0.5, 0.5)),
+             "merton": (_merton_constrain, _merton_phi,
+                        (0.5, 0.0, -0.3, 0.5)),
+             "kou": (_kou_constrain, _kou_phi,
+                     (0.5, 0.0, -0.4, 0.0, 0.0))}
 
 
 @partial(jax.jit, static_argnames=("family", "n_iters"))
@@ -125,11 +159,13 @@ def _calibrate_iv(family, strikes, maturities, ivs, s0, r, raw0,
 
 def calibrate_levy_to_ivs(family: str, strikes, maturities, ivs, *, s0, r,
                           n_iters: int = 1500, lr: float = 0.03) -> dict:
-    """Fit a Levy family ("vg" or "nig") to a market implied-vol surface.
+    """Fit a CF-priced family ("vg", "nig", "merton", "kou") to a market
+    implied-vol surface.
 
     Returns the constrained parameters plus ``rmse_vol`` (the residual IV
-    RMSE — for a Levy model on a multi-expiry surface this measures model
-    error, since one parameter set prices every maturity)."""
+    RMSE — these are all Levy/exponential-Levy models, so one parameter
+    set prices every maturity and the residual on a multi-expiry surface
+    measures model error, not noise)."""
     if family not in _FAMILIES:
         raise ValueError(f"unknown Levy family {family!r} "
                          f"(have {sorted(_FAMILIES)})")

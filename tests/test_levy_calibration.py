@@ -76,3 +76,32 @@ def test_cli_calibrate_vg_demo(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rmse_vol"] < 5e-4
     assert abs(out["sigma"] - out["demo_truth"]["sigma"]) < 0.01
+
+
+def test_merton_surface_recovery():
+    from montecarlo_tpu.engine.cf_pricing import merton_log_cf
+
+    truth = dict(sigma=0.15, lam=0.8, jump_mean=-0.08, jump_std=0.12)
+    ivs = _surface(merton_log_cf(S0, R, truth["sigma"], truth["lam"],
+                                 truth["jump_mean"], truth["jump_std"],
+                                 jnp.asarray(TS)))
+    fit = calibrate_levy_to_ivs("merton", KS, TS, ivs, s0=S0, r=R,
+                                n_iters=2500)
+    assert fit["rmse_vol"] < 1e-3, fit
+    # sigma and the jump-variance contribution are well identified; the
+    # (lam, jump_mean, jump_std) triple trades off along equal-smile lines.
+    assert abs(fit["sigma"] - truth["sigma"]) < 0.015, fit
+
+
+def test_kou_surface_recovery():
+    from montecarlo_tpu.engine.cf_pricing import kou_log_cf
+
+    truth = dict(sigma=0.15, lam=1.0, p_up=0.35, eta1=9.0, eta2=4.0)
+    ivs = _surface(kou_log_cf(S0, R, truth["sigma"], truth["lam"],
+                              truth["p_up"], truth["eta1"], truth["eta2"],
+                              jnp.asarray(TS)))
+    fit = calibrate_levy_to_ivs("kou", KS, TS, ivs, s0=S0, r=R,
+                                n_iters=2500)
+    assert fit["rmse_vol"] < 1e-3, fit
+    assert abs(fit["sigma"] - truth["sigma"]) < 0.02, fit
+    assert fit["eta1"] > 1.0 and fit["eta2"] > 0.0 and 0 < fit["p_up"] < 1
