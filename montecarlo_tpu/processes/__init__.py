@@ -18,7 +18,12 @@ from montecarlo_tpu.processes.merton import Merton, MertonState, merton_call_ser
 from montecarlo_tpu.processes.ccc_garch import CCCGarch  # noqa: F401
 from montecarlo_tpu.processes.dcc_garch import DCCGarch  # noqa: F401
 from montecarlo_tpu.processes.local_vol import LocalVolGBM  # noqa: F401
-from montecarlo_tpu.processes.slv import SLV, calibrate_slv  # noqa: F401
+from montecarlo_tpu.processes.slv import (  # noqa: F401
+    SLV,
+    SLVKnots,
+    calibrate_slv,
+    slv_to_kernel,
+)
 from montecarlo_tpu.processes.euler_gbm import EulerGBM, EulerGBMState  # noqa: F401
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401

@@ -33,10 +33,14 @@ TPU-native design:
   is self-consistent by construction;
 - the per-step leverage rows (n_steps, 128) are indexed by traced step id
   inside the scan engine (`lax.dynamic_index_in_dim`); Mosaic has no
-  dynamic row gather, so SLV runs on the scan engine (dispatch falls back
-  automatically), like the reference's exotic models would on a CPU
-  fallback.  The reference has no SLV at all (beyond-reference; its only
-  vol models are constant and GARCH — reference app.py:586-657).
+  dynamic row gather, so the exact-rows :class:`SLV` runs on the scan
+  engine (dispatch falls back automatically).  For fused-kernel pricing,
+  :func:`slv_to_kernel` resamples the leverage onto hat-blended time
+  knots (:class:`SLVKnots` — LocalVolGBM's Mosaic-safe time treatment);
+  the reprice difference of the piecewise-linear-in-time leverage is
+  tested to sit inside the MC noise.  The reference has no SLV at all
+  (beyond-reference; its only vol models are constant and GARCH —
+  reference app.py:586-657).
 """
 
 from __future__ import annotations
@@ -49,7 +53,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
-from montecarlo_tpu.processes.local_vol import KNOTS, LocalVolGBM
+from montecarlo_tpu.processes.local_vol import (DEFAULT_TIME_KNOTS,
+                                                 KNOTS, LocalVolGBM)
 from montecarlo_tpu.rng.normal import exp32, log32
 from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
 
@@ -151,6 +156,113 @@ class SLV(NormalDrawsMixin, NamedTuple("SLVFields", [
     def log_prices(self, state):
         """Native log prices for log-space functionals."""
         return state.log_s
+
+
+class SLVKnots(NormalDrawsMixin, NamedTuple("SLVKnotsFields", [
+        ("s0", jnp.ndarray),
+        ("rate", jnp.ndarray),
+        ("v0", jnp.ndarray),
+        ("kappa", jnp.ndarray),
+        ("theta", jnp.ndarray),
+        ("xi", jnp.ndarray),
+        ("rho", jnp.ndarray),
+        ("dt", jnp.ndarray),
+        ("x0", jnp.ndarray),
+        ("dx", jnp.ndarray),
+        ("dt_knot", jnp.ndarray),   # time-knot spacing (years)
+        ("lev_flat", jnp.ndarray),  # (n_knots * 128,) row-major leverage
+])):
+    """KERNEL-FUSABLE SLV: the leverage surface lives on hat-blended time
+    knots (LocalVolGBM's treatment — static unroll over the few knots, so
+    no dynamic row slice for Mosaic to reject) instead of :class:`SLV`'s
+    exact per-step rows.  Leverage is piecewise-LINEAR in time between
+    knots — vol surfaces are smooth in t, and the reprice difference vs
+    the per-step process is tested to be inside the MC noise.  Everything
+    else (full-truncation Heston dynamics, draw streams) matches
+    :class:`SLV`; build one with :func:`slv_to_kernel`.
+    """
+
+    n_draws = 2
+
+    @property
+    def n_time_knots(self) -> int:
+        return self.lev_flat.shape[0] // KNOTS
+
+    def init_state(self, path_ids, dtype=jnp.float32) -> SLVState:
+        shape = path_ids.shape
+        return SLVState(
+            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
+            v=jnp.full(shape, self.v0.astype(dtype), dtype),
+        )
+
+    def _row(self, t, dtype):
+        """Leverage row at traced step t via static hat-weight blending
+        (see LocalVolGBM._row — Mosaic-safe by construction)."""
+        table = self.lev_flat.astype(dtype).reshape(self.n_time_knots,
+                                                    KNOTS)
+        u = (jnp.asarray(t).astype(dtype) * self.dt.astype(dtype)
+             / self.dt_knot.astype(dtype))
+        u = jnp.clip(u, 0.0, self.n_time_knots - 1.0)
+        row = jnp.zeros((KNOTS,), dtype)
+        for j in range(self.n_time_knots):  # static unroll over knots
+            w = jnp.maximum(1.0 - jnp.abs(u - j), 0.0)
+            row = row + w * table[j]
+        return row
+
+    def leverage(self, log_s, t):
+        """L(t, S): hat-blended row + log-moneyness interpolation.  2-D
+        kernel blocks use same-shape lane gathers (the Mosaic pattern of
+        LocalVolGBM.local_vol); 1-D scan arrays use the two-level one-hot
+        contraction (XLA's gather is ~100x slower in a hot scan)."""
+        dtype = log_s.dtype
+        row = self._row(t, dtype)
+        x = log_s - log32(self.s0).astype(dtype)
+        if log_s.ndim == 2:
+            u = (x - self.x0.astype(dtype)) / self.dx.astype(dtype)
+            i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, KNOTS - 2)
+            frac = jnp.clip(u - i.astype(dtype), 0.0, 1.0)
+            vals = jnp.broadcast_to(row[None, :], log_s.shape)
+            v_lo = jnp.take_along_axis(vals, i, axis=1)
+            v_hi = jnp.take_along_axis(vals, jnp.minimum(i + 1, KNOTS - 1),
+                                       axis=1)
+            return v_lo * (1.0 - frac) + v_hi * frac
+        return _interp_row(row, x, self.x0.astype(dtype),
+                           self.dx.astype(dtype))
+
+    step = SLV.step
+    prices = SLV.prices
+    log_prices = SLV.log_prices
+
+
+def slv_to_kernel(slv: SLV, n_time_knots: int = DEFAULT_TIME_KNOTS
+                  ) -> SLVKnots:
+    """Resample an :class:`SLV`'s per-step leverage rows onto hat-blended
+    time knots, yielding the fused-kernel-eligible :class:`SLVKnots`.
+
+    Knot j sits at time j * horizon/(n_knots-1); its row is the linear
+    blend of the two bracketing per-step rows (flat at the ends), so the
+    knot surface interpolates the per-step surface exactly where steps and
+    knots coincide."""
+    import numpy as np
+
+    rows = np.asarray(slv.lev_rows, np.float64)   # (n_steps, KNOTS)
+    n_steps = rows.shape[0]
+    if n_time_knots < 2:
+        raise ValueError("need at least 2 time knots")
+    dt = float(slv.dt)
+    horizon = n_steps * dt
+    dt_knot = horizon / (n_time_knots - 1)
+    knot_rows = np.empty((n_time_knots, KNOTS))
+    for j in range(n_time_knots):
+        s = min(j * dt_knot / dt, n_steps - 1.0)
+        k = int(min(int(s), n_steps - 2))
+        f = s - k
+        knot_rows[j] = (1.0 - f) * rows[k] + f * rows[k + 1]
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return SLVKnots(s0=slv.s0, rate=slv.rate, v0=slv.v0, kappa=slv.kappa,
+                    theta=slv.theta, xi=slv.xi, rho=slv.rho, dt=slv.dt,
+                    x0=slv.x0, dx=slv.dx, dt_knot=f32(dt_knot),
+                    lev_flat=f32(knot_rows.reshape(-1)))
 
 
 @partial(jax.jit, static_argnames=("n_particles", "n_steps", "smooth_bins",
@@ -263,4 +375,5 @@ def calibrate_slv(lv: LocalVolGBM, *, v0, kappa, theta, xi, rho,
                lev_rows=lev_rows)
 
 
-__all__ = ["SLV", "SLVState", "calibrate_slv"]
+__all__ = ["SLV", "SLVKnots", "SLVState", "calibrate_slv",
+           "slv_to_kernel"]

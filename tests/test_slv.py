@@ -124,3 +124,48 @@ def test_bad_smooth_bins_rejected():
     with pytest.raises(ValueError):
         calibrate_slv(lv, v0=0.04, kappa=1.0, theta=0.04, xi=0.3, rho=0.0,
                       n_steps=8, smooth_bins=4)
+
+
+def _demo_slv(n_steps=64, xi=0.8):
+    lv = LocalVolGBM.create(
+        S0, RATE, 1.0 / n_steps, n_steps,
+        lambda t, s: 0.2 - 0.1 * np.log(np.maximum(s, 1e-9) / S0),
+        x_min=-0.9, x_max=0.9)
+    return calibrate_slv(lv, v0=0.04, kappa=2.0, theta=0.04, xi=xi,
+                         rho=-0.6, n_steps=n_steps, n_particles=1 << 14,
+                         seed=3)
+
+
+def test_slv_knots_fused_matches_scan():
+    """SLVKnots is fused-kernel eligible: the Pallas kernel (interpret
+    mode) must match the scan engine ULP-tight (same draws, same step
+    algebra; the hat blend + lane gathers introduce FMA-contraction
+    differences only)."""
+    from montecarlo_tpu.engine.dispatch import _FUSABLE
+    from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
+    from montecarlo_tpu.processes import slv_to_kernel
+
+    proc = slv_to_kernel(_demo_slv(), n_time_knots=8)
+    assert isinstance(proc, _FUSABLE)
+    n = 128 * 32
+    ref = np.asarray(simulate(proc, n, 17, seed=5))
+    ker = np.asarray(fused_terminal_pallas(proc, n, 17, seed=5,
+                                           block_rows=32, interpret=True))
+    np.testing.assert_allclose(ker, ref, rtol=2e-6)
+
+
+def test_slv_knots_reprices_like_exact_rows():
+    """The hat-blended (piecewise-linear-in-time) leverage must price
+    inside the MC noise of the exact per-step rows — the approximation
+    slv_to_kernel documents."""
+    from montecarlo_tpu.processes import slv_to_kernel
+
+    slv = _demo_slv(n_steps=64)
+    knots = slv_to_kernel(slv, n_time_knots=16)
+    disc = float(np.exp(-RATE))
+    a = mc_estimate(european_call(
+        simulate(slv, 1 << 15, 64, seed=11), 100.0), disc)
+    b = mc_estimate(european_call(
+        simulate(knots, 1 << 15, 64, seed=11), 100.0), disc)
+    diff = abs(float(a["price"]) - float(b["price"]))
+    assert diff < 2 * float(a["std_err"]) + 0.02, (a, b)
