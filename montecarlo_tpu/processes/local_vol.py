@@ -38,6 +38,35 @@ KNOTS = 128
 DEFAULT_TIME_KNOTS = 16
 
 
+def interp_row_1d(row, x, x0, dx):
+    """Linear interpolation of a (KNOTS,) row at 1-D coordinates x,
+    edge-clamped (flat extrapolation, market practice).
+
+    NOT a gather: XLA's TPU gather is catastrophically slow in a hot scan
+    (measured ~100x on the SLV step, 7x slower than even a flat (N, 128)
+    one-hot matmul).  Each bracketing read splits its index into
+    (hi = i >> 3, lo = i & 7) and contracts two SMALL one-hots — a
+    (N, 16) @ (16, 8) dot then a width-8 masked sum — the
+    `stats/quantiles.histogram_counts` two-level trick run in reverse,
+    with O(N x 16) intermediates instead of O(N x 128).
+    """
+    u = (x - x0) / dx
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, KNOTS - 2)
+    frac = jnp.clip(u - i.astype(x.dtype), 0.0, 1.0)
+    tab = row.reshape(KNOTS // 8, 8)
+    hi_cols = jnp.arange(KNOTS // 8, dtype=jnp.int32)
+    lo_cols = jnp.arange(8, dtype=jnp.int32)
+
+    def read(idx):
+        oh_hi = (hi_cols[None, :] == (idx >> 3)[:, None]).astype(x.dtype)
+        rows8 = jnp.dot(oh_hi, tab,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        oh_lo = (lo_cols[None, :] == (idx & 7)[:, None]).astype(x.dtype)
+        return jnp.sum(rows8 * oh_lo, axis=-1)
+
+    return read(i) * (1.0 - frac) + frac * read(i + 1)
+
+
 class LocalVolState(NamedTuple):
     log_s: jnp.ndarray  # (n_paths,)
 
@@ -126,6 +155,12 @@ class LocalVolGBM(NormalDrawsMixin, NamedTuple("LocalVolFields", [
             v_hi = jnp.take_along_axis(vals, jnp.minimum(i + 1, KNOTS - 1),
                                        axis=1)
         else:
+            # Plain gathers, NOT `interp_row_1d`: this branch must stay
+            # BITWISE equal to the kernel branch above (the LV fused/scan
+            # contract), and the one-hot contraction differs by ~1 ULP per
+            # step under XLA's FMA choices.  LV's scan path is only warm
+            # in paths-mode callers (LSM under CEV); SLV, whose contract
+            # is ULP-tight rather than bitwise, uses the fast read.
             v_lo = row[i]
             v_hi = row[jnp.minimum(i + 1, KNOTS - 1)]
         return v_lo * (1.0 - frac) + v_hi * frac

@@ -54,7 +54,8 @@ import numpy as np
 
 from montecarlo_tpu.processes.base import NormalDrawsMixin
 from montecarlo_tpu.processes.local_vol import (DEFAULT_TIME_KNOTS,
-                                                 KNOTS, LocalVolGBM)
+                                                 KNOTS, LocalVolGBM,
+                                                 interp_row_1d)
 from montecarlo_tpu.rng.normal import exp32, log32
 from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
 
@@ -64,33 +65,8 @@ class SLVState(NamedTuple):
     v: jnp.ndarray      # (n_paths,) — may go negative; truncated at use
 
 
-def _interp_row(row, x, x0, dx):
-    """Linear interpolation of a (KNOTS,) row at log-moneyness x (1-D),
-    edge-clamped (flat extrapolation, market practice).
-
-    NOT a gather: XLA's TPU gather is catastrophically slow in a hot scan
-    (measured ~100x on the full SLV step, 7x slower than even a flat
-    (N, 128) one-hot matmul).  Each bracketing read splits its index into
-    (hi = i >> 3, lo = i & 7) and contracts two SMALL one-hots — a
-    (N, 16) @ (16, 8) dot then a width-8 masked sum — the
-    `stats/quantiles.histogram_counts` two-level trick run in reverse,
-    with O(N x 16) intermediates instead of O(N x 128).
-    """
-    u = (x - x0) / dx
-    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, KNOTS - 2)
-    frac = jnp.clip(u - i.astype(x.dtype), 0.0, 1.0)
-    tab = row.reshape(KNOTS // 8, 8)
-    hi_cols = jnp.arange(KNOTS // 8, dtype=jnp.int32)
-    lo_cols = jnp.arange(8, dtype=jnp.int32)
-
-    def read(idx):
-        oh_hi = (hi_cols[None, :] == (idx >> 3)[:, None]).astype(x.dtype)
-        rows8 = jnp.dot(oh_hi, tab,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-        oh_lo = (lo_cols[None, :] == (idx & 7)[:, None]).astype(x.dtype)
-        return jnp.sum(rows8 * oh_lo, axis=-1)
-
-    return read(i) * (1.0 - frac) + frac * read(i + 1)
+# Canonical definition lives next to the grid machinery.
+_interp_row = interp_row_1d
 
 
 class SLV(NormalDrawsMixin, NamedTuple("SLVFields", [
