@@ -6,10 +6,12 @@ from montecarlo_tpu.engine.payoffs import (  # noqa: F401
     basket_call,
     black_scholes_call,
     black_scholes_put,
+    black_scholes_quanto_call,
     discount_factor,
     european_call,
     european_put,
     max_call,
+    quanto_drift,
 )
 from montecarlo_tpu.engine.pricing import (  # noqa: F401
     mc_estimate,

@@ -46,3 +46,30 @@ def black_scholes_put(s0, strike, r, sigma, T):
     s0, strike, r, sigma, T = map(jnp.asarray, (s0, strike, r, sigma, T))
     call = black_scholes_call(s0, strike, r, sigma, T)
     return call - s0 + strike * jnp.exp(-r * T)
+
+
+def quanto_drift(r_foreign, sigma_asset, sigma_fx, rho):
+    """Risk-neutral drift of a FOREIGN asset under the DOMESTIC measure for
+    quanto payoffs (paid in domestic currency at a fixed conversion rate):
+
+        mu_quanto = r_f - rho * sigma_S * sigma_FX
+
+    (Girsanov drift correction from the asset/FX covariance).  Build the
+    usual GBM with this ``mu`` and discount at the DOMESTIC rate — a
+    quanto option is then just that GBM's vanilla, and the closed form is
+    ``black_scholes_quanto_call`` (tested against the MC engine)."""
+    return r_foreign - rho * sigma_asset * sigma_fx
+
+
+def black_scholes_quanto_call(s0, strike, r_dom, r_for, sigma, sigma_fx,
+                              rho, T):
+    """Closed-form quanto call (fixed FX conversion, unit notional):
+    e^{-r_d T} E^d[(S_T - K)^+] with S drifting at `quanto_drift`."""
+    mu = quanto_drift(r_for, sigma, sigma_fx, rho)
+    s0, strike, mu, sigma, T = map(jnp.asarray, (s0, strike, mu, sigma, T))
+    sqrt_t = jnp.sqrt(T)
+    fwd = s0 * jnp.exp(mu * T)
+    d1 = (jnp.log(fwd / strike) + 0.5 * sigma**2 * T) / (sigma * sqrt_t)
+    d2 = d1 - sigma * sqrt_t
+    return jnp.exp(-jnp.asarray(r_dom) * T) * (fwd * norm.cdf(d1)
+                                               - strike * norm.cdf(d2))

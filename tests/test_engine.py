@@ -184,3 +184,35 @@ def test_price_to_tolerance_non_block_aligned_chunks():
         seed=0, chunk_paths=100_000, n_steps=16)
     assert float(out["std_err"]) > 0
     assert int(out["n_paths"]) % 100_000 == 0
+
+
+def test_quanto_call_matches_closed_form():
+    """A quanto option is the drift-adjusted GBM's vanilla: MC under
+    mu = r_f - rho sigma_S sigma_FX discounted at the DOMESTIC rate must
+    match the closed form; rho = 0 degenerates to plain BS with r_f drift."""
+    import numpy as np
+
+    from montecarlo_tpu.engine import (black_scholes_quanto_call,
+                                       european_call, mc_estimate,
+                                       quanto_drift, simulate)
+    from montecarlo_tpu.processes import GBM
+
+    s0, k, r_d, r_f = 100.0, 105.0, 0.05, 0.01
+    sig, sig_fx, rho, T = 0.25, 0.12, -0.45, 1.0
+    steps = 64
+    proc = GBM.create(s0, quanto_drift(r_f, sig, sig_fx, rho), sig,
+                      T / steps)
+    term = simulate(proc, 1 << 17, steps, seed=9)
+    est = mc_estimate(european_call(term, k), float(np.exp(-r_d * T)))
+    cf = float(black_scholes_quanto_call(s0, k, r_d, r_f, sig, sig_fx,
+                                         rho, T))
+    assert abs(float(est["price"]) - cf) < 4 * float(est["std_err"]), \
+        (float(est["price"]), cf)
+    # rho = 0: reduces to BS with drift r_f, domestic discounting.
+    from montecarlo_tpu.engine import black_scholes_call
+
+    cf0 = float(black_scholes_quanto_call(s0, k, r_d, r_f, sig, sig_fx,
+                                          0.0, T))
+    bs = float(black_scholes_call(s0 * np.exp((r_f - r_d) * T), k, r_d,
+                                  sig, T))
+    np.testing.assert_allclose(cf0, bs, rtol=1e-6)
