@@ -17,12 +17,14 @@ from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache("_bench")
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.processes import (CIR, SABR, BasketGBM, Bates, CCCGarch,
-                                      DCCGarch, EulerGBM, GBM,
-                                      GARCHBootstrap, Heston, HullWhite,
-                                      Kou, LocalVolGBM, Merton,
+from montecarlo_tpu.processes import (CIR, NIG, SABR, SLV, BasketGBM,
+                                      Bates, CCCGarch, DCCGarch, EulerGBM,
+                                      GBM, GARCHBootstrap, Heston,
+                                      HullWhite, Kou, LocalVolGBM, Merton,
                                       TermBasketGBM, TermStructureGBM,
-                                      Vasicek)
+                                      VarianceGamma, Vasicek,
+                                      slv_to_kernel)
+import jax.numpy as jnp
 
 # Short-rate observables may legitimately cross zero.
 MAY_BE_NEGATIVE = {"Vasicek", "CIR", "HullWhite"}
@@ -72,7 +74,23 @@ def all_fusable_processes():
             np.tile([[.03], [.02], [.04]], (1, 32)),
             np.tile([[.2], [.3], [.25]], (1, 32)), corr3, [1 / 3] * 3,
             1 / 64),
+        "NIG": NIG.create(s0=100., mu=.03, alpha=15., beta=-5., delta=.5,
+                          dt=1 / 252),
+        "VG": VarianceGamma.create(s0=100., mu=.03, sigma=.2, theta=-.14,
+                                   nu=.2, dt=1 / 252),
+        "SLV": _demo_slv(),
+        "SLVKnots": slv_to_kernel(_demo_slv(), n_time_knots=8),
     }
+
+
+def _demo_slv():
+    rows = jnp.asarray(
+        .2 + .05 * np.sin(np.linspace(0, 3, 32))[:, None]
+        + .02 * np.cos(np.linspace(0, 2, 128))[None, :], jnp.float32)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return SLV(s0=f32(100.), rate=f32(.03), v0=f32(.04), kappa=f32(2.),
+               theta=f32(.04), xi=f32(.8), rho=f32(-.6), dt=f32(1 / 64),
+               x0=f32(-.9), dx=f32(1.8 / 127), lev_rows=rows)
 
 
 # Rate-process steps pick up different FMA contraction between the scan and
@@ -81,7 +99,11 @@ def all_fusable_processes():
 # everything else must match bitwise.  Heston joined the class with the
 # grouped step increment ((mu - v/2)*dt + sqrt(v*dt)*z1 is an FMA
 # candidate — diverges on CPU interpret mode, DEVNOTES "Mosaic gotchas").
-ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates", "Heston"}
+# NIG joined when the smoke first covered it: the IG-subordinator's
+# sqrt/division chain is an FMA-contraction candidate when compiled
+# (~1e-6 relative on <1% of paths; interpret mode matches bitwise).
+ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates", "Heston",
+                 "NIG"}
 
 
 if __name__ == "__main__":

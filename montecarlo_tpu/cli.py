@@ -360,15 +360,14 @@ def cmd_price(args) -> int:
                                        rate=args.rate)
         lv = _LV.create(args.s0, args.rate, dt, args.steps, vol_fn,
                         x_min=-0.9, x_max=0.9)
-        from montecarlo_tpu.processes import slv_to_kernel
-
-        # Knot-blended leverage (SLVKnots): rides the fused Pallas kernels
-        # at ~14e9 path-steps/s; prices match the exact per-step rows
-        # inside MC noise (tests/test_slv.py).
-        proc = slv_to_kernel(calibrate_slv(
+        # Exact per-step leverage rows; rides the fused Pallas kernels at
+        # ~11e9 path-steps/s via the KernelRows ref protocol
+        # (ops/fused_engine.py) — slv_to_kernel's knot blend is the ~25%
+        # faster documented approximation if ever needed.
+        proc = calibrate_slv(
             lv, v0=args.v0, kappa=args.kappa, theta=args.theta, xi=args.xi,
             rho=args.rho, n_steps=args.steps,
-            n_particles=min(args.paths, 1 << 17), seed=args.seed))
+            n_particles=min(args.paths, 1 << 17), seed=args.seed)
     elif args.process == "bates":
         from montecarlo_tpu.processes import Bates
 

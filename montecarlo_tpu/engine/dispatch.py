@@ -26,7 +26,7 @@ from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.processes.dcc_garch import DCCGarch
 from montecarlo_tpu.processes.local_vol import LocalVolGBM
-from montecarlo_tpu.processes.slv import SLVKnots
+from montecarlo_tpu.processes.slv import SLV, SLVKnots
 from montecarlo_tpu.processes.term_gbm import TermStructureGBM
 from montecarlo_tpu.processes.euler_gbm import EulerGBM
 from montecarlo_tpu.processes.kou import Kou
@@ -42,7 +42,7 @@ from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou, NIG,
             VarianceGamma, Vasicek, CIR, HullWhite, SABR, TermBasketGBM,
-            SLVKnots)
+            SLVKnots, SLV)
 
 
 def _kernel_block_rows(n_paths: int, max_rows: int = 256) -> int | None:

@@ -17,7 +17,11 @@ Mechanics:
   Threefry call (draw convention `c1 = t >> 1`), so the cipher computation
   is CSE'd — same cost model as the specialized kernel;
 - draw streams are keyed by global path id -> identical to the scan engine
-  and shard-invariant.
+  and shard-invariant;
+- a process declaring ``kernel_rows_field`` keeps that time-indexed table
+  leaf as a Pallas REF (:class:`KernelRows`) — per-step rows read via
+  dynamic `pl.dslice`, the thing Mosaic cannot express on a value (the
+  exact-rows SLV leverage rides this).
 """
 
 from __future__ import annotations
@@ -35,6 +39,64 @@ from montecarlo_tpu.rng.threefry import key_from_seed_dynamic
 
 def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+class KernelRows:
+    """Pallas-REF view of a time-indexed (n_steps, LANES) table leaf.
+
+    Mosaic cannot lower a dynamic slice on a VALUE, so a process whose
+    step reads a per-step table row (exact-rows SLV leverage) declares
+    ``kernel_rows_field = "<leaf name>"``: inside the kernel that leaf is
+    handed over as this wrapper instead of a materialized array, and
+    ``row(t)`` is a dynamic `pl.dslice` on the underlying ref — the same
+    Mosaic-legal pattern as the bridge sampler's VMEM scratch reads.  The
+    scan engine sees the plain array leaf and its `dynamic_index_in_dim`
+    path; values are identical either way.
+    """
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    @property
+    def shape(self):
+        return self._ref.shape
+
+    def row(self, t, dtype=jnp.float32):
+        k = jnp.clip(jnp.asarray(t, jnp.int32), 0, self._ref.shape[0] - 1)
+        return self._ref[pl.dslice(k, 1), :][0, :].astype(dtype)
+
+
+def _rows_leaf_index(tree):
+    """Flatten-order index of the process's ``kernel_rows_field`` leaf
+    (None when the process declares none)."""
+    proc = tree if hasattr(tree, "step") else tree[0]
+    field = getattr(proc, "kernel_rows_field", None)
+    if field is None:
+        return None
+    target = getattr(proc, field)
+    leaves, _ = jax.tree.flatten(tree)
+    for j, leaf in enumerate(leaves):
+        if leaf is target:
+            return j
+    return None
+
+
+def _rebuild_leaves(leaf_refs, leaf_ndims, rows_idx):
+    """Rebuild pytree leaves at their original ranks: scalars from SMEM,
+    1-D vectors from their (1, n) VMEM row, 2-D matrices whole — except
+    the (optional) kernel-rows leaf, which stays a ref behind
+    :class:`KernelRows`."""
+    leaves = []
+    for j, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims)):
+        if j == rows_idx:
+            leaves.append(KernelRows(r))
+        elif nd == 0:
+            leaves.append(r[0, 0])
+        elif nd == 1:
+            leaves.append(r[0, :])
+        else:
+            leaves.append(r[:, :])
+    return leaves
 
 
 def _bridge_fill_scratch(smp, scratch_ref, k0, k1, draw_ids,
@@ -70,18 +132,15 @@ def _scratch_shapes(sampler, block_rows: int):
 
 
 def _make_kernel(treedef, leaf_ndims, n_steps: int, block_rows: int,
-                 antithetic: bool, payoff_fn=None, has_sampler: bool = False):
+                 antithetic: bool, payoff_fn=None, has_sampler: bool = False,
+                 rows_idx=None):
     def kernel(*refs):
         n_leaves = len(leaf_ndims)
         leaf_refs = refs[:n_leaves]
         scalar_ref = refs[n_leaves]
         out_ref = refs[n_leaves + 1]
 
-        # Rebuild leaves at their original ranks: scalars from SMEM, 1-D
-        # vectors from their (1, n) VMEM row, 2-D matrices (e.g. per-asset
-        # term-structure curves) whole.
-        leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
-                  for r, nd in zip(leaf_refs, leaf_ndims)]
+        leaves = _rebuild_leaves(leaf_refs, leaf_ndims, rows_idx)
         obj = jax.tree.unflatten(treedef, leaves)
         proc, smp = obj if has_sampler else (obj, None)
 
@@ -202,7 +261,8 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
 
     out = pl.pallas_call(
         _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
-                     antithetic, has_sampler=sampler is not None),
+                     antithetic, has_sampler=sampler is not None,
+                     rows_idx=_rows_leaf_index(tree)),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
@@ -218,7 +278,8 @@ def fused_terminal_pallas(process, n_paths: int, n_steps: int, *, seed,
 
 def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
                             block_rows: int, antithetic: bool,
-                            functionals, has_sampler: bool = False):
+                            functionals, has_sampler: bool = False,
+                            rows_idx=None):
     """Kernel variant folding path functionals (Asian means, barrier
     running max/min, discount integrals) into the time loop: the full
     trajectory is observed on-chip, only terminals + finalized functionals
@@ -230,8 +291,7 @@ def _make_functional_kernel(treedef, leaf_ndims, n_steps: int,
         scalar_ref = refs[n_leaves]
         out_refs = refs[n_leaves + 1:]
 
-        leaves = [r[0, 0] if nd == 0 else (r[0, :] if nd == 1 else r[:, :])
-                  for r, nd in zip(leaf_refs, leaf_ndims)]
+        leaves = _rebuild_leaves(leaf_refs, leaf_ndims, rows_idx)
         obj = jax.tree.unflatten(treedef, leaves)
         proc, smp = obj if has_sampler else (obj, None)
 
@@ -360,7 +420,8 @@ def fused_functionals_pallas(process, n_paths: int, n_steps: int, *, seed,
     outs = pl.pallas_call(
         _make_functional_kernel(treedef, leaf_ndims, n_steps, block_rows,
                                 antithetic, fns,
-                                has_sampler=sampler is not None),
+                                has_sampler=sampler is not None,
+                                rows_idx=_rows_leaf_index(tree)),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],
@@ -461,7 +522,8 @@ def fused_block_moments_pallas(process, payoff_fn, n_paths: int,
     rows = pl.pallas_call(
         _make_kernel(treedef, leaf_ndims, n_steps, block_rows,
                      antithetic, payoff_fn=payoff_fn,
-                     has_sampler=sampler is not None),
+                     has_sampler=sampler is not None,
+                     rows_idx=_rows_leaf_index(tree)),
         grid=(num_blocks,),
         in_specs=leaf_specs + [
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)],

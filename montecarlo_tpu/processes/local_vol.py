@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.rng.normal import exp32, log32
@@ -59,7 +60,12 @@ def interp_row_1d(row, x, x0, dx):
 
     def read(idx):
         oh_hi = (hi_cols[None, :] == (idx >> 3)[:, None]).astype(x.dtype)
+        # precision=HIGHEST: the TPU MXU's default single-pass bf16 matmul
+        # would TRUNCATE the table values to ~0.4% relative (caught by the
+        # compile smoke: 5.9e-4 scan-vs-kernel divergence) — one-hot
+        # weights are bf16-exact, the values are not.
         rows8 = jnp.dot(oh_hi, tab,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32).astype(x.dtype)
         oh_lo = (lo_cols[None, :] == (idx & 7)[:, None]).astype(x.dtype)
         return jnp.sum(rows8 * oh_lo, axis=-1)

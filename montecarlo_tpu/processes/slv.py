@@ -82,9 +82,16 @@ class SLV(NormalDrawsMixin, NamedTuple("SLVFields", [
         ("dx", jnp.ndarray),        # knot spacing
         ("lev_rows", jnp.ndarray),  # (n_steps, KNOTS) per-step leverage
 ])):
-    """Heston dynamics with a per-step leverage surface (scan engine)."""
+    """Heston dynamics with a per-step leverage surface.
+
+    Runs on the scan engine AND the fused Pallas kernels: the per-step
+    row read that Mosaic cannot express on a value (`dynamic_index_in_dim`)
+    is declared via ``kernel_rows_field`` — inside a kernel the
+    ``lev_rows`` leaf arrives as a `ops.fused_engine.KernelRows` ref view
+    whose ``row(t)`` is a dynamic REF slice (Mosaic-legal)."""
 
     n_draws = 2
+    kernel_rows_field = "lev_rows"
 
     def init_state(self, path_ids, dtype=jnp.float32) -> SLVState:
         shape = path_ids.shape
@@ -97,12 +104,26 @@ class SLV(NormalDrawsMixin, NamedTuple("SLVFields", [
         """L(t, S) — the step-t leverage row interpolated at the paths'
         log-moneyness."""
         dtype = log_s.dtype
-        n = self.lev_rows.shape[0]
-        k = jnp.clip(jnp.asarray(t), 0, n - 1)
-        row = jax.lax.dynamic_index_in_dim(self.lev_rows.astype(dtype), k,
-                                           axis=0, keepdims=False)
-        return _interp_row(row, log_s - log32(self.s0).astype(dtype),
-                           self.x0.astype(dtype), self.dx.astype(dtype))
+        if hasattr(self.lev_rows, "row"):        # KernelRows (fused kernel)
+            row = self.lev_rows.row(t, dtype)
+        else:
+            n = self.lev_rows.shape[0]
+            k = jnp.clip(jnp.asarray(t), 0, n - 1)
+            row = jax.lax.dynamic_index_in_dim(self.lev_rows.astype(dtype),
+                                               k, axis=0, keepdims=False)
+        x = log_s - log32(self.s0).astype(dtype)
+        if log_s.ndim == 2:
+            # Kernel block layout: same-shape lane gathers (see GARCH).
+            u = (x - self.x0.astype(dtype)) / self.dx.astype(dtype)
+            i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, KNOTS - 2)
+            frac = jnp.clip(u - i.astype(dtype), 0.0, 1.0)
+            vals = jnp.broadcast_to(row[None, :], log_s.shape)
+            v_lo = jnp.take_along_axis(vals, i, axis=1)
+            v_hi = jnp.take_along_axis(vals, jnp.minimum(i + 1, KNOTS - 1),
+                                       axis=1)
+            return v_lo * (1.0 - frac) + v_hi * frac
+        return _interp_row(row, x, self.x0.astype(dtype),
+                           self.dx.astype(dtype))
 
     def step(self, state: SLVState, eps, t) -> SLVState:
         dtype = state.log_s.dtype

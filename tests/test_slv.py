@@ -169,3 +169,22 @@ def test_slv_knots_reprices_like_exact_rows():
         simulate(knots, 1 << 15, 64, seed=11), 100.0), disc)
     diff = abs(float(a["price"]) - float(b["price"]))
     assert diff < 2 * float(a["std_err"]) + 0.02, (a, b)
+
+
+def test_slv_exact_rows_fused_matches_scan():
+    """The exact-rows SLV itself is fused-kernel eligible through the
+    KernelRows ref protocol (ops/fused_engine.py): kernel (interpret mode)
+    vs scan engine, ULP-tight.  Slightly looser than the 2e-6 of the
+    other ULP-tight processes: the two engines read the leverage row with
+    DIFFERENT exact formulations (lane gathers vs the two-level one-hot),
+    so the combine products round independently each step."""
+    from montecarlo_tpu.engine.dispatch import _FUSABLE
+    from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
+
+    proc = _demo_slv(n_steps=17)
+    assert isinstance(proc, _FUSABLE)
+    n = 128 * 32
+    ref = np.asarray(simulate(proc, n, 17, seed=5))
+    ker = np.asarray(fused_terminal_pallas(proc, n, 17, seed=5,
+                                           block_rows=32, interpret=True))
+    np.testing.assert_allclose(ker, ref, rtol=5e-6)
