@@ -83,13 +83,17 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "bates", "merton",
-                            "kou", "nig", "vg", "sabr", "rbergomi", "slv"])
+                            "kou", "nig", "vg", "sabr", "rbergomi", "slv",
+                            "hybrid"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)
     p.add_argument("--sigma", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=0.7,
                    help="CEV elasticity (--process cev)")
+    p.add_argument("--sigma-r", type=float, default=0.015,
+                   help="hybrid: Vasicek rate vol (equity-rate corr via "
+                        "--rho, mean reversion --kappa, level --theta)")
     p.add_argument("--skew", type=float, default=-0.1,
                    help="slv: demo-surface IV skew per unit log-moneyness "
                         "(iv = sigma + skew*log(K/S0))")
@@ -377,10 +381,41 @@ def cmd_price(args) -> int:
                             lam=args.jump_intensity,
                             jump_mean=args.jump_mean,
                             jump_std=args.jump_std, dt=dt)
-    elif args.process == "rbergomi":
-        proc = None  # dedicated branch below (its own simulator)
+    elif args.process in ("rbergomi", "hybrid"):
+        proc = None  # dedicated branches below (own simulators/discounting)
     else:
         raise SystemExit(f"unknown process {args.process!r}")
+    if args.process == "hybrid":
+        # Equity x Vasicek hybrid, EXACT joint transition (zero
+        # discretization error) with pathwise discounting — the closed
+        # form prints alongside (processes/hybrid.py).
+        from montecarlo_tpu.processes import (EquityVasicekHybrid,
+                                              hybrid_call_closed_form,
+                                              hybrid_price_mc)
+
+        if args.american or args.payoff not in ("call", "put"):
+            raise SystemExit("--process hybrid prices European call/put")
+        if args.sampler != "plain":
+            raise SystemExit("--process hybrid uses plain draws; remove "
+                             "--sampler")
+        hyb = EquityVasicekHybrid.create(
+            args.s0, args.rate, args.kappa, args.theta, args.sigma_r,
+            args.sigma, args.rho, dt)
+        pay = ((lambda s: jnp.maximum(s - args.strike, 0.0))
+               if args.payoff == "call"
+               else (lambda s: jnp.maximum(args.strike - s, 0.0)))
+        est = hybrid_price_mc(hyb, pay, args.paths, args.steps,
+                              seed=args.seed)
+        out = {"price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "n_paths": int(est["n_paths"])}
+        if args.payoff == "call":
+            out["closed_form"] = hybrid_call_closed_form(
+                args.s0, args.strike, args.maturity, args.rate,
+                args.kappa, args.theta, args.sigma_r, args.sigma,
+                args.rho)
+        print(json.dumps(out))
+        return 0
     if args.process == "rbergomi":
         from montecarlo_tpu.processes import RoughBergomi, rbergomi_simulate
 

@@ -25,6 +25,11 @@ from montecarlo_tpu.processes.slv import (  # noqa: F401
     slv_to_kernel,
 )
 from montecarlo_tpu.processes.euler_gbm import EulerGBM, EulerGBMState  # noqa: F401
+from montecarlo_tpu.processes.hybrid import (  # noqa: F401
+    EquityVasicekHybrid,
+    hybrid_call_closed_form,
+    hybrid_price_mc,
+)
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
 from montecarlo_tpu.processes.nig import NIG, NIGState  # noqa: F401
