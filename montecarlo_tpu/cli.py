@@ -285,11 +285,13 @@ def cmd_price(args) -> int:
     )
 
     if args.target_se is not None and (
-            args.american or args.mlmc or args.process == "rbergomi"
+            args.american or args.mlmc
+            or args.process in ("rbergomi", "hybrid")
             or args.payoff not in ("call", "put", "digital")):
         raise SystemExit(
             "--target-se applies to vanilla European payoffs "
-            "(call/put/digital) without --american/--mlmc; for --mlmc the "
+            "(call/put/digital) without --american/--mlmc and outside the "
+            "own-simulator processes (rbergomi/hybrid); for --mlmc the "
             "tolerance knob is --mlmc-rmse")
     dt = args.maturity / args.steps
     if args.process == "gbm":
