@@ -129,3 +129,34 @@ def test_sharded_functional_worst_of_note():
                                 functionals={"ac": fn})
     ref = mc_estimate(flat["ac"], 1.0)
     np.testing.assert_allclose(p8[0], float(ref["price"]), rtol=2e-6)
+
+
+def test_sharded_slv_mesh_invariance():
+    """The exact-rows SLV shards like everything else (its KernelRows
+    leaf only activates inside Pallas kernels; the CPU mesh runs the scan
+    path): bitwise across mesh shapes."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.parallel import sharded_mc_estimate
+    from montecarlo_tpu.processes.slv import SLV
+
+    steps = 16
+    rows = jnp.asarray(
+        0.2 + 0.05 * np.sin(np.linspace(0, 3, steps))[:, None]
+        + 0.02 * np.cos(np.linspace(0, 2, 128))[None, :], jnp.float32)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    proc = SLV(s0=f32(100.0), rate=f32(0.03), v0=f32(0.04), kappa=f32(2.0),
+               theta=f32(0.04), xi=f32(0.8), rho=f32(-0.6),
+               dt=f32(1.0 / steps), x0=f32(-0.9), dx=f32(1.8 / 127),
+               lev_rows=rows)
+
+    def run(n_dev):
+        est = sharded_mc_estimate(
+            proc, lambda s: jnp.maximum(s - 100.0, 0.0), 1 << 14, steps,
+            seed=3, mesh=make_mesh(n_dev), block_size=BLOCK)
+        return float(est["price"]), float(est["std_err"])
+
+    ref = run(1)
+    assert ref[0] > 0
+    for n in (2, 8):
+        assert run(n) == ref, n
