@@ -194,13 +194,18 @@ def _exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
     dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
     # Funding while both parties are alive: cost of funding the positive
-    # exposure at the spread, benefit on the negative side.
+    # exposure at the spread, benefit on the negative side.  Trapezoid
+    # weights (half dt at t=0 and t=T): a full-weight rectangle over all
+    # n_steps+1 points carries an extra ~dt panel (~1/n_steps upward bias)
+    # vs the continuous spread-accrual integral.
     sf = jnp.asarray(funding_spread, dtype)
     alive = surv_c * surv_o
-    fca = sf * jnp.sum(depe * alive) * dt
-    fba = sf * jnp.sum(dene * alive) * dt
+    trap = jnp.full((n_steps + 1,), dt, dtype)
+    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
+    fca = sf * jnp.sum(depe * alive * trap)
+    fba = sf * jnp.sum(dene * alive * trap)
     # MVA: funding the posted IM at its spread while both parties live.
-    mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive) * dt
+    mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive * trap)
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "eepe": eepe, "im": im, "cva": cva, "dva": dva,
             "bcva": cva - dva, "fca": fca, "fba": fba, "fva": fca - fba,

@@ -31,6 +31,26 @@ from montecarlo_tpu.rng.normal import exp32, log32
 from montecarlo_tpu.samplers import PlainSampler
 
 
+def _static_steps(n_steps, what: str) -> int:
+    """Concrete step count for finalizes that must validate it.
+
+    Autocallables check period divisibility (and build the maturity
+    discount factor) from ``n_steps``, so their ``finalize`` requires a
+    STATIC step count — `simulate_functionals` always provides one.  Call
+    sites that finalize with a traced index (e.g.
+    ``lsm_price_path_dependent`` finalizes at every exercise date ``t``)
+    would otherwise die in ``int(tracer)`` with an inscrutable
+    ConcretizationTypeError; fail with the actual contract instead.
+    """
+    if isinstance(n_steps, jax.core.Tracer):
+        raise TypeError(
+            f"{what}.finalize requires a static (concrete) step count: the "
+            "period-divisibility check and maturity discounting need a "
+            "Python int.  Engines that finalize at a traced time index "
+            "(e.g. lsm_price_path_dependent) cannot drive this functional.")
+    return int(n_steps)
+
+
 class PathFunctional(NamedTuple):
     """(init, update, finalize) fold over per-step observations.
 
@@ -217,11 +237,12 @@ def autocallable(period: int, trigger: float, coupon: float, r_dt: float,
         return (alive, pay, run_min, s)
 
     def finalize(acc, n_steps):
-        if int(n_steps) % period != 0:
+        n_steps = _static_steps(n_steps, "autocallable")
+        if n_steps % period != 0:
             # Without a maturity observation, surviving S_T >= trigger
             # paths would silently forfeit every accrued coupon.
             raise ValueError(
-                f"n_steps={int(n_steps)} must be a multiple of the "
+                f"n_steps={n_steps} must be a multiple of the "
                 f"observation period {period}")
         alive, pay, run_min, last = acc
         # The maturity observation (t = n_steps) already paid
@@ -287,9 +308,10 @@ def worst_of_autocallable(period: int, trigger: float, coupon: float,
         return (alive, pay, run_min, w)
 
     def finalize(acc, n_steps):
-        if int(n_steps) % period != 0:
+        n_steps = _static_steps(n_steps, "worst_of_autocallable")
+        if n_steps % period != 0:
             raise ValueError(
-                f"n_steps={int(n_steps)} must be a multiple of the "
+                f"n_steps={n_steps} must be a multiple of the "
                 f"observation period {period}")
         alive, pay, run_min, last = acc
         df_t = exp32(jnp.asarray(-r_dt * n_steps, pay.dtype))

@@ -34,7 +34,7 @@ def feature_scoped_cache_dir(tag: str = "") -> str:
 
 _PROBE_CODE = """
 import jax, jax.numpy as jnp
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", {backend!r})
 jax.config.update("jax_compilation_cache_dir", {d!r})
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -46,28 +46,33 @@ print("cache-probe-ok")
 """
 
 
-def _probe_cache_safe(cache_dir: str) -> bool:
+def _probe_cache_safe(cache_dir: str, backend: str) -> bool:
     """Exercise the persistent cache's write AND read paths in a THROWAWAY
-    subprocess.  On some pool hosts XLA:CPU executable (de)serialization
-    SIGSEGVs outright (observed in both `put_executable_and_time` and
-    `get_executable_and_time` — DEVNOTES "persistent compile cache") — a
-    crash that cannot be caught in-process, so the probe must die in a
-    child.  The verdict is memoized in a marker file next to the (already
-    host-feature-scoped) cache dir, so the ~10 s probe runs once per host.
+    subprocess ON THE BACKEND THE CACHE WILL SERVE.  On some pool hosts
+    XLA executable (de)serialization SIGSEGVs outright (observed in both
+    `put_executable_and_time` and `get_executable_and_time` — DEVNOTES
+    "persistent compile cache") — a crash that cannot be caught
+    in-process, so the probe must die in a child.  Probing a different
+    backend than the one the cache serves proves nothing (a healthy-CPU /
+    broken-TPU host would pass and then crash in real use), so the probe
+    pins `jax_platforms` to the caller's backend and the verdict marker is
+    scoped per backend.  Memoized next to the (already host-feature-scoped)
+    cache dir, so the probe runs once per (host, backend).
     """
     import os
     import subprocess
     import sys
 
-    ok_marker = cache_dir + ".probe_ok"
-    bad_marker = cache_dir + ".probe_bad"
+    ok_marker = f"{cache_dir}.{backend}.probe_ok"
+    bad_marker = f"{cache_dir}.{backend}.probe_bad"
     if os.path.exists(ok_marker):
         return True
     if os.path.exists(bad_marker):
         return False
     try:
         r = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE.format(d=cache_dir)],
+            [sys.executable, "-c",
+             _PROBE_CODE.format(d=cache_dir, backend=backend)],
             capture_output=True, timeout=300)
         safe = r.returncode == 0 and b"cache-probe-ok" in r.stdout
     except Exception:
@@ -94,10 +99,11 @@ def enable_persistent_cache(tag: str = "") -> None:
     """
     import jax
 
-    if jax.default_backend() == "cpu":
+    backend = jax.default_backend()
+    if backend == "cpu":
         return
     cache_dir = feature_scoped_cache_dir(tag)
-    if not _probe_cache_safe(cache_dir):
+    if not _probe_cache_safe(cache_dir, backend):
         return
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -26,6 +26,13 @@ done
 
 total_fail=0
 for c in $(seq 0 $((N_CHUNKS - 1))); do
+    # An empty chunk (N_CHUNKS > file count) would invoke pytest with no
+    # paths, which collects the whole tests/ tree in one long-lived
+    # process — the exact SIGSEGV scenario the chunking avoids.
+    if [ -z "${CHUNKS[c]:-}" ]; then
+        echo "=== chunk $((c + 1))/$N_CHUNKS === (empty, skipped)"
+        continue
+    fi
     echo "=== chunk $((c + 1))/$N_CHUNKS ==="
     # shellcheck disable=SC2086
     python -m pytest ${CHUNKS[c]} -q "$@"

@@ -198,7 +198,9 @@ def test_xva_deterministic_closed_form():
     np.testing.assert_allclose(float(prof["cva"]), cva_want, rtol=1e-9)
     # DVA = 0: the value never goes negative.
     assert float(prof["dva"]) == 0.0
-    fca_want = sf * np.sum(c * disc * surv_c * surv_o) * dt
+    trap = np.full(N_STEPS + 1, dt)
+    trap[0] = trap[-1] = 0.5 * dt
+    fca_want = sf * np.sum(c * disc * surv_c * surv_o * trap)
     np.testing.assert_allclose(float(prof["fca"]), fca_want, rtol=1e-9)
     assert float(prof["fba"]) == 0.0
     np.testing.assert_allclose(float(prof["fva"]), fca_want, rtol=1e-9)
@@ -255,7 +257,9 @@ def test_mva_linear_instrument_closed_form():
     im_const = norm.ppf(q_im) * c * sig_mpor
     np.testing.assert_allclose(np.asarray(prof["im"]), im_const,
                                rtol=1e-6)
-    mva_want = s_im * np.sum(im_const * disc) * dt
+    trap = np.full(N_STEPS + 1, dt)
+    trap[0] = trap[-1] = 0.5 * dt
+    mva_want = s_im * np.sum(im_const * disc * trap)
     np.testing.assert_allclose(float(prof["mva"]), mva_want, rtol=1e-9)
 
 

@@ -262,3 +262,19 @@ def test_cli_note_autocall_and_cliquet(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= out["cliquet_leg"] < 0.2, out
+
+
+def test_autocallable_traced_finalize_clear_error():
+    """Finalizing with a traced step count must fail with the contract
+    (static n_steps required), not an inscrutable ConcretizationTypeError
+    from int(tracer)."""
+    import jax
+    import pytest
+
+    from montecarlo_tpu.engine.functionals import autocallable
+
+    fn = autocallable(period=4, trigger=1.0, coupon=0.02, r_dt=0.0,
+                      pdi_barrier=0.7, s0=1.0)
+    acc = fn.init(jnp.ones((8,)))
+    with pytest.raises(TypeError, match="static"):
+        jax.jit(lambda n: fn.finalize(acc, n))(8)
