@@ -85,6 +85,16 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
     Returns the reference's risk keys (percentiles, expected_return/vol,
     prob_profit, var_95, cvar_95; app.py:647-657) plus ``std_err`` and
     ``n_paths``.
+
+    **Which error dominates when.**  The VaR estimate carries two error
+    sources, both reported: ``var_95_std_err`` (sampling, shrinks as
+    1/sqrt(n_paths)) and ``var_95_grid_err`` (the sketch's deterministic
+    resolution — one bin width, fixed by ``bins`` and the lo/hi span;
+    ``cvar_95_grid_err`` adds the bin-midpoint term).  They cross at
+    roughly ``n ~ q(1-q) / (f(x_q) * width)^2`` paths — with the default
+    auto-ranged 8192-bin grid that is around 10^8-10^9 paths for a
+    diffusion's p5; past it, adding paths no longer improves the estimate
+    and `risk_dict` warns to raise ``bins`` (or narrow lo/hi) instead.
     """
     auto_ranged = lo is None and hi is None
     if lo is None or hi is None:

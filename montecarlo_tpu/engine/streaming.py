@@ -308,19 +308,42 @@ def risk_dict(sk: HistogramSketch, *, mean: float, std: float,
     """Assemble the reference risk keys (app.py:647-657) from a sketch plus
     price moments — THE one place these formulas live (risk_from_state and
     both api/var.py branches all delegate here)."""
+    import warnings
+
     s0 = float(current_price)
     p = {f"p{q}": float(sketch_quantile(sk, float(q)))
          for q in (1, 5, 10, 25, 50, 75, 90, 95, 99)}
     tail_mean = float(sketch_tail_mean_below(sk, p["p5"]))
+    # Deterministic grid resolution of the sketch: every quantile is exact
+    # only up to one bin width (stats.quantiles docstring), and CVaR adds
+    # the bin-midpoint approximation (<= width/2) on top of the threshold's
+    # own one-width uncertainty.  Reported in the same percent-of-spot
+    # units as var_95_std_err so the two error sources compare directly:
+    # at small path counts the sampling bar dominates; past roughly
+    # n ~ q(1-q)/(f(x_q) * width)^2 paths the GRID floor dominates and more
+    # paths stop helping — raise ``bins`` (or tighten lo/hi) instead.
+    bins = sk.counts.shape[0]
+    width = float(sk.hi - sk.lo) / bins
+    var_grid_err = width / s0 * 100.0
+    cvar_grid_err = 1.5 * width / s0 * 100.0
+    var_std_err = float(sketch_quantile_std_err(sk, 5.0)) / s0 * 100.0
+    if var_std_err < var_grid_err:
+        warnings.warn(
+            f"VaR sampling std-err ({var_std_err:.3g}% of spot) is below "
+            f"the sketch's deterministic grid resolution "
+            f"({var_grid_err:.3g}% = one bin width): the estimate is "
+            "grid-limited — increase bins (or narrow the lo/hi range) "
+            "rather than adding paths", stacklevel=3)
     return {
         "percentiles": p,
         "expected_return": (mean / s0 - 1.0) * 100.0,
         "expected_vol": std / s0 * 100.0,
         "prob_profit": 100.0 * (1.0 - float(sketch_cdf(sk, s0))),
         "var_95": (s0 - p["p5"]) / s0 * 100.0,
-        "var_95_std_err": float(sketch_quantile_std_err(sk, 5.0))
-        / s0 * 100.0,
+        "var_95_std_err": var_std_err,
+        "var_95_grid_err": var_grid_err,
         "cvar_95": (s0 - tail_mean) / s0 * 100.0,
+        "cvar_95_grid_err": cvar_grid_err,
         "std_err": std_err,
         "n_paths": count,
         # Fraction of samples outside the sketch grid: > 0 means tail

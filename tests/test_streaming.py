@@ -261,3 +261,30 @@ def test_var_auto_reranges_fat_jump_tail():
     assert res_pinned["sketch_oob_fraction"] > 1e-6
     assert any("outside the explicit sketch range" in str(x.message)
                for x in w), [str(x.message) for x in w]
+
+
+def test_grid_error_brackets_exact_sort_var():
+    """The reported deterministic grid error (one bin width) must bracket
+    the exact-sort VaR on a deliberately coarse grid, and a path count
+    whose sampling bar has shrunk below the grid floor must warn that the
+    estimate is grid-limited."""
+    from montecarlo_tpu.api import portfolio_var
+    from montecarlo_tpu.engine.dispatch import terminal_prices
+
+    n = 1 << 22
+    with pytest.warns(UserWarning, match="grid"):
+        res = portfolio_var(_gbm(), n, N_STEPS, 100.0, seed=5,
+                            lo=40.0, hi=260.0, bins=64,
+                            chunk_paths=1 << 20)
+    assert res["var_95_std_err"] < res["var_95_grid_err"]
+    # Exact-sort oracle on the SAME terminals (counter-based draws make the
+    # chunked stream bitwise-equal to one shot).
+    term = np.asarray(terminal_prices(_gbm(), n, N_STEPS, seed=5))
+    var_exact = (100.0 - np.percentile(term, 5.0))  # percent of spot=100
+    assert abs(res["var_95"] - var_exact) <= res["var_95_grid_err"], (
+        res["var_95"], var_exact, res["var_95_grid_err"])
+    # CVaR bracket under its propagated grid error.
+    p5 = np.percentile(term, 5.0)
+    cvar_exact = 100.0 - term[term <= p5].mean()
+    assert abs(res["cvar_95"] - cvar_exact) <= res["cvar_95_grid_err"], (
+        res["cvar_95"], cvar_exact, res["cvar_95_grid_err"])
