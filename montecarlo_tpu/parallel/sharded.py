@@ -355,6 +355,119 @@ def sharded_functional_estimate(process, functionals, payoff_of,
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
+                                   "seed", "stream", "dtype", "block_size",
+                                   "axis", "mesh", "remat"))
+def sharded_price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int,
+                             *, seed: int, mesh, discount=1.0,
+                             stream: int = 0, dtype=jnp.float32,
+                             block_size: int = DEFAULT_BLOCK,
+                             axis: str = PATHS_AXIS, remat: bool = True):
+    """POD-SCALE PATHWISE GREEKS: price and its gradient w.r.t. every
+    process parameter, sharded over the path axis.
+
+    Risk at pod scale needs sensitivities, not just prices — this is
+    `engine.greeks.price_and_greeks` (reverse-mode through the simulator)
+    under the same fixed-block reduction contract as `sharded_mc_estimate`.
+    The mesh-shape-bitwise-invariance trick: a single backward pass per
+    shard would accumulate per-path gradient contributions in a
+    shard-local order (invariance dies with the mesh shape), so instead
+    each fixed ``block_size`` run of GLOBAL path ids is differentiated as
+    its own unit — `vmap(value_and_grad)` over the shard's blocks costs
+    one batched forward+backward, not n_blocks passes — and the per-block
+    gradient means are all-gathered in global block order and merged by
+    the same fixed pairwise tree as the payoff moments.  Every block's
+    computation is identical whatever mesh it lands on, so price AND
+    grads are **bitwise identical across mesh shapes** (multi-slice
+    two-level merges included).
+
+    ``remat``: checkpoint the scan body (O(paths) residual memory instead
+    of O(paths x steps)) — pod-scale runs keep it on.
+
+    Returns ``{"price", "std_err", "n_paths", "grads", "grad_std_err"}``
+    replicated on every device: ``grads`` is a pytree shaped like
+    ``process`` (e.g. GBM: ``grads.s0`` is delta, ``grads.sigma`` vega);
+    ``grad_std_err`` is its blockwise-CLT standard-error twin (block
+    gradient means are iid).  Integer process leaves (e.g. the GARCH
+    bootstrap's ``n_table``) get zero gradients (the unsharded engine
+    reports float0 there).  Non-smooth payoffs (digitals) need the
+    smoothed variants (`engine.greeks.smoothed_digital`) exactly as in the
+    unsharded engine.
+    """
+    from montecarlo_tpu.engine.simulate import simulate
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    n_local_blocks = local_n // block_size
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+    d = jnp.asarray(discount, dtype)
+    is_state = lambda x: isinstance(x, MomentState)
+
+    def _grad_or_zero(g, prim):
+        # allow_int returns float0 for integer leaves; zeros keep the
+        # gather/merge arithmetic uniform.
+        if g.dtype == jax.dtypes.float0:
+            return jnp.zeros(jnp.shape(prim), dtype)
+        return g
+
+    def shard_fn(proc):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offset = shard_idx * local_n
+
+        def block_stats(off_b):
+            def mean_payoff(p):
+                terminal = simulate(p, block_size, n_steps, seed=seed,
+                                    stream=stream, dtype=dtype,
+                                    path_offset=off_b, remat=remat)
+                pay = payoff_fn(terminal)
+                m = jnp.mean(pay)
+                return m, jnp.sum(jnp.square(pay - m))
+
+            (m, m2), g = jax.value_and_grad(
+                mean_payoff, has_aux=True, allow_int=True)(proc)
+            return m, m2, jax.tree.map(_grad_or_zero, g, proc)
+
+        offsets = (offset
+                   + jnp.arange(n_local_blocks, dtype=jnp.int32) * block_size)
+        means, m2s, g_blocks = jax.vmap(block_stats)(offsets)
+        pay_state = MomentState(
+            count=jnp.full((n_local_blocks,), jnp.asarray(block_size, dtype)),
+            mean=means, m2=m2s)
+        # One MomentState per gradient leaf: count 1 per block (equal-weight
+        # fixed-tree average of block gradient means), m2 accumulates the
+        # between-block spread for the CLT error bar.
+        grad_states = jax.tree.map(
+            lambda gb: MomentState(
+                count=jnp.ones((n_local_blocks,) + (1,) * (gb.ndim - 1),
+                               dtype),
+                mean=gb, m2=jnp.zeros_like(gb)),
+            g_blocks)
+        return jax.tree.map(
+            lambda st: _gather_two_level(st, axis, has_slices),
+            {"pay": pay_state, "grads": grad_states}, is_leaf=is_state)
+
+    spec_in = jax.tree.map(lambda _: P(), process)
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,),
+                          out_specs=P(), check_vma=False)(process)
+    totals = jax.tree.map(moments_reduce, stats, is_leaf=is_state)
+    pay = totals["pay"]
+    return {
+        "price": d * pay.mean,
+        "std_err": d * std_error(pay),
+        "n_paths": pay.count,
+        "grads": jax.tree.map(lambda st: d * st.mean, totals["grads"],
+                              is_leaf=is_state),
+        "grad_std_err": jax.tree.map(lambda st: d * std_error(st),
+                                     totals["grads"], is_leaf=is_state),
+    }
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",
                                    "seed", "degree", "dtype", "block_size",
                                    "axis", "mesh"))
 def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
