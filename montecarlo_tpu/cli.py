@@ -860,6 +860,11 @@ def _add_greeks(sub):
                         "differentiates the frozen stopped value "
                         "(envelope theorem; call/put, pathwise method)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="pod-scale pathwise Greeks: shard over an N-device "
+                        "paths mesh (sharded_price_and_greeks — bitwise "
+                        "mesh-shape-invariant price, grads, and error "
+                        "bars); pathwise method only")
     # Heston extras
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
@@ -875,6 +880,13 @@ def cmd_greeks(args) -> int:
 
     from montecarlo_tpu.engine.greeks import lr_greeks_gbm, price_and_greeks
     from montecarlo_tpu.processes import GBM, Heston
+
+    if getattr(args, "mesh", 0) and (args.method != "pathwise"
+                                     or args.american):
+        # Reject rather than silently ignore (round-2 contract: flags that
+        # would not apply must error).
+        raise SystemExit("--mesh applies to the pathwise method only "
+                         "(not --method lr/second-order, not --american)")
 
     dt = args.maturity / args.steps
     disc = float(np.exp(-args.rate * args.maturity))
@@ -950,6 +962,34 @@ def cmd_greeks(args) -> int:
     if args.payoff == "digital":
         print("note: pathwise gradients of a hard digital are ~0; use "
               "--method lr or a smoothed payoff", file=sys.stderr)
+    if getattr(args, "mesh", 0):
+        from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
+                                             sharded_price_and_greeks)
+
+        n_dev = len(jax.devices())
+        if args.mesh > n_dev:
+            raise SystemExit(
+                f"--mesh {args.mesh}: only {n_dev} device(s) available "
+                "(multi-chip sharding is validated on virtual CPU meshes "
+                "in the test suite)")
+        unit = args.mesh * DEFAULT_BLOCK
+        n_paths = -(-args.paths // unit) * unit
+        if n_paths != args.paths:
+            print(f"note: paths rounded up to {n_paths} "
+                  f"(mesh x {DEFAULT_BLOCK}-path stat blocks)",
+                  file=sys.stderr)
+        res = sharded_price_and_greeks(
+            proc, payoff, n_paths, args.steps, seed=args.seed,
+            mesh=make_mesh(args.mesh), discount=disc)
+        out = {"price": float(res["price"]),
+               "std_err": float(res["std_err"]),
+               "n_paths": int(res["n_paths"]), "mesh": args.mesh}
+        out.update({f"d_{k}": float(v)
+                    for k, v in res["grads"]._asdict().items()})
+        out.update({f"d_{k}_std_err": float(v)
+                    for k, v in res["grad_std_err"]._asdict().items()})
+        print(json.dumps(out))
+        return 0
     price, grads = price_and_greeks(proc, payoff, args.paths, args.steps,
                                     seed=args.seed, discount=disc)
     out = {"price": float(price)}

@@ -171,3 +171,28 @@ def test_pathwise_greeks_work_for_garch_bootstrap():
         proc, lambda s: european_call(s, 100.0), 1 << 12, 16, seed=1)
     assert np.isfinite(float(price))
     assert 0.3 < float(grads.s0) < 1.0  # ITM-ish call delta
+
+
+def test_cli_greeks_mesh(capsys):
+    """`greeks --mesh N` rides sharded_price_and_greeks: grads plus their
+    blockwise error bars, paths rounded up to the block contract; --mesh
+    composes with the pathwise method only."""
+    import json
+
+    import pytest
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["greeks", "--mesh", "2", "--paths", "9000",
+                   "--steps", "16"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mesh"] == 2
+    assert out["n_paths"] == 16384  # 9000 rounded up to 2 * 4096 * 2
+    assert 0.0 < out["d_s0"] < 1.0
+    assert out["d_s0_std_err"] > 0.0
+    assert out["d_sigma"] > 0.0
+    with pytest.raises(SystemExit, match="pathwise"):
+        cli.main(["greeks", "--mesh", "2", "--method", "lr"])
+    with pytest.raises(SystemExit, match="pathwise"):
+        cli.main(["greeks", "--mesh", "2", "--american"])

@@ -292,3 +292,81 @@ def test_multi_slice_guards():
                             mesh=mesh, block_size=BLOCK)
     with pytest.raises(ValueError, match="slices x assets"):
         make_mesh(n_path_shards=2, n_asset_shards=2, n_slices=2)
+
+
+# ---------------------------------------------------------------------------
+# Sharded pathwise Greeks
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def _greeks_mesh1():
+    from montecarlo_tpu.parallel import sharded_price_and_greeks
+
+    disc = float(np.exp(-0.03 * 64 / 252))
+    return sharded_price_and_greeks(_gbm(), _payoff, 1 << 16, 64, seed=11,
+                                    mesh=make_mesh(1), discount=disc,
+                                    block_size=BLOCK)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_greeks_bitwise_invariant(ndev, _greeks_mesh1):
+    """Price AND every gradient leaf (and their error bars) bitwise
+    identical across mesh shapes — the per-block vmap(value_and_grad) +
+    fixed-tree merge contract."""
+    from montecarlo_tpu.parallel import sharded_price_and_greeks
+
+    disc = float(np.exp(-0.03 * 64 / 252))
+    r = sharded_price_and_greeks(_gbm(), _payoff, 1 << 16, 64, seed=11,
+                                 mesh=make_mesh(ndev), discount=disc,
+                                 block_size=BLOCK)
+    ref = _greeks_mesh1
+    assert float(r["price"]) == float(ref["price"])
+    assert float(r["std_err"]) == float(ref["std_err"])
+    for leaf, leaf_ref in zip(jax.tree.leaves(r["grads"]),
+                              jax.tree.leaves(ref["grads"])):
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf_ref))
+    for leaf, leaf_ref in zip(jax.tree.leaves(r["grad_std_err"]),
+                              jax.tree.leaves(ref["grad_std_err"])):
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf_ref))
+
+
+def test_sharded_greeks_match_black_scholes(_greeks_mesh1):
+    """Delta (grads.s0) and vega (grads.sigma) agree with the closed forms
+    within their own blockwise-CLT error bars."""
+    from montecarlo_tpu.engine.greeks import (black_scholes_delta,
+                                              black_scholes_vega)
+
+    T = 64 / 252
+    r = _greeks_mesh1
+    delta_bs = float(black_scholes_delta(S0, STRIKE, 0.03, 0.2, T))
+    vega_bs = float(black_scholes_vega(S0, STRIKE, 0.03, 0.2, T))
+    d, dse = float(r["grads"].s0), float(r["grad_std_err"].s0)
+    v, vse = float(r["grads"].sigma), float(r["grad_std_err"].sigma)
+    assert abs(d - delta_bs) < 4 * dse + 1e-4, (d, delta_bs, dse)
+    assert abs(v - vega_bs) < 4 * vse + 1e-3, (v, vega_bs, vse)
+    assert int(r["n_paths"]) == 1 << 16
+
+
+def test_sharded_greeks_multislice_and_int_leaves():
+    """Multi-slice mesh stays bitwise-equal to the flat mesh, and integer
+    process leaves (GARCH's n_table) come back as zero gradients instead
+    of float0 (the gather/merge needs uniform float arithmetic)."""
+    from montecarlo_tpu.parallel import sharded_price_and_greeks
+    from montecarlo_tpu.processes.garch import GARCHBootstrap
+
+    flat = sharded_price_and_greeks(_gbm(), _payoff, 1 << 15, 16, seed=4,
+                                    mesh=make_mesh(8), block_size=BLOCK)
+    two_level = sharded_price_and_greeks(
+        _gbm(), _payoff, 1 << 15, 16, seed=4,
+        mesh=make_mesh(n_path_shards=4, n_slices=2), block_size=BLOCK)
+    assert float(flat["price"]) == float(two_level["price"])
+    assert float(flat["grads"].s0) == float(two_level["grads"].s0)
+
+    rng = np.random.default_rng(0)
+    garch = GARCHBootstrap.create(rng.normal(0, 0.02, size=300),
+                                  s0=S0, var0=1e-4)
+    r = sharded_price_and_greeks(garch, _payoff, 1 << 14, 16, seed=4,
+                                 mesh=make_mesh(4), block_size=BLOCK)
+    assert np.all(np.asarray(r["grads"].n_table) == 0.0)
+    assert np.isfinite(float(r["grads"].s0))
+    assert float(r["grads"].s0) > 0.0  # a call's delta
