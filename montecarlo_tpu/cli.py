@@ -1416,6 +1416,20 @@ def _add_xva(sub):
     p.add_argument("--quantile", type=float, default=0.95,
                    help="PFE quantile")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--portfolio", action="store_true",
+                   help="netting-set mode: a demo book of offsetting "
+                        "trades (swaps on rates, forwards on equity) "
+                        "netted against one counterparty, with CSA "
+                        "variation margin (threshold/MTA/MPoR); reports "
+                        "collateralized xVA plus the no-netting baseline")
+    p.add_argument("--threshold", type=float, default=0.0,
+                   help="portfolio: counterparty CSA threshold")
+    p.add_argument("--own-threshold", type=float, default=0.0,
+                   help="portfolio: own CSA threshold")
+    p.add_argument("--mta", type=float, default=0.0,
+                   help="portfolio: minimum transfer amount")
+    p.add_argument("--no-csa", action="store_true",
+                   help="portfolio: no collateral (netting only)")
 
 
 def cmd_xva(args) -> int:
@@ -1427,6 +1441,9 @@ def cmd_xva(args) -> int:
     from montecarlo_tpu.processes import Vasicek
 
     import jax.numpy as jnp
+
+    if args.portfolio:
+        return _cmd_xva_portfolio(args)
 
     if args.underlying == "equity":
         from montecarlo_tpu.processes import GBM
@@ -1488,6 +1505,85 @@ def cmd_xva(args) -> int:
            "eepe": round(float(np.asarray(prof["eepe"])[-1]), 6)}
     out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
     for k in ("cva", "dva", "bcva", "fca", "fba", "fva", "mva"):
+        out[k] = round(float(prof[k]), 6)
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_xva_portfolio(args) -> int:
+    """`xva --portfolio`: a netted, collateralized book on one simulation.
+
+    Rates book (Vasicek): long payer par swap (full calendar), short 0.6x
+    receiver-side on the front half, long 0.5x payer struck 10% over par.
+    Equity book (GBM): long forward struck under par, short 0.6x over par,
+    long 0.5x at par — same netting structure, flat discounting.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.exposure import (CSA, netting_set_profile,
+                                                swap_value_fn)
+    from montecarlo_tpu.engine.rates import vasicek_zcb
+    from montecarlo_tpu.processes import GBM, Vasicek
+
+    csa = None if args.no_csa else CSA(
+        threshold=args.threshold, own_threshold=args.own_threshold,
+        mta=args.mta, mpor=args.mpor)
+
+    def scaled(fn, a):
+        return lambda s, t: a * fn(s, t)
+
+    if args.underlying == "equity":
+        model = GBM.create(args.s0, args.r0, args.equity_sigma,
+                           args.maturity / args.steps)
+        k_par = args.s0 * float(np.exp(args.r0 * args.maturity))
+        t_mat, r0 = args.maturity, args.r0
+
+        def fwd(k):
+            return lambda s, t: s - k * jnp.exp(-r0 * (t_mat - t))
+
+        trades = (fwd(0.9 * k_par), scaled(fwd(1.05 * k_par), -0.6),
+                  scaled(fwd(k_par), 0.5))
+        flat_rate = args.r0
+    else:
+        model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                               args.maturity / args.steps,
+                               dtype=jnp.float32)
+        pay_dt = args.maturity / args.periods
+        times_full = pay_dt * np.arange(1, args.periods + 1)
+        times_half = times_full[:max(args.periods // 2, 1)]
+
+        def par(times):
+            ps = [vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma,
+                              t) for t in times]
+            return (1.0 - ps[-1]) / (pay_dt * sum(ps))
+
+        k_full, k_half = par(times_full), par(times_half)
+        trades = (
+            swap_value_fn(model, k_full, times_full, pay_dt,
+                          dtype=jnp.float32),
+            scaled(swap_value_fn(model, k_half, times_half, pay_dt,
+                                 dtype=jnp.float32), -0.6),
+            scaled(swap_value_fn(model, 1.1 * k_full, times_full, pay_dt,
+                                 dtype=jnp.float32), 0.5),
+        )
+        flat_rate = None
+
+    prof = netting_set_profile(
+        model, trades, args.paths, args.steps, T=args.maturity,
+        seed=args.seed, csa=csa, quantile=args.quantile,
+        hazard_rate=args.hazard, recovery=args.recovery,
+        own_hazard_rate=args.own_hazard, own_recovery=args.own_recovery,
+        funding_spread=args.funding_spread, flat_rate=flat_rate,
+        dtype=jnp.float32)
+    epe = np.asarray(prof["epe"])
+    epe_u = np.asarray(prof["epe_uncollateralized"])
+    out = {"underlying": args.underlying, "n_trades": len(trades),
+           "csa": not args.no_csa,
+           "peak_epe": round(float(epe.max()), 6),
+           "peak_epe_uncollateralized": round(float(epe_u.max()), 6),
+           "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6)}
+    for k in ("cva", "cva_no_netting", "dva", "bcva", "fca", "fba", "fva"):
         out[k] = round(float(prof[k]), 6)
     print(json.dumps(out))
     return 0

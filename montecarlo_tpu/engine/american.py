@@ -243,12 +243,34 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
     the dual estimator's own bias is positive, i.e. conservatively high).
     """
     from montecarlo_tpu.engine.simulate import path_ids_for
+
+    ids = path_ids_for(n_outer, 0)
+    best = _ab_best(process, payoff_fn, policy, ids, n_inner, n_steps,
+                    seed=seed, rate=rate, dt=dt, degree=degree,
+                    value_degree=value_degree, dtype=dtype)
+    n = jnp.asarray(n_outer, dtype)
+    return {
+        "upper": jnp.mean(best),
+        "std_err": jnp.std(best, ddof=1) / jnp.sqrt(n),
+        "n_paths": n_outer,
+    }
+
+
+def _ab_best(process, payoff_fn, policy, ids, n_inner: int, n_steps: int, *,
+             seed, rate, dt, degree: int, value_degree, dtype):
+    """Per-path dual pathwise maxima ``max_t (disc_t h_t - M_t)`` for the
+    GLOBAL path ids ``ids`` — the shared core of
+    :func:`andersen_broadie_bound` and the sharded variant
+    (`parallel.sharded.sharded_andersen_broadie_bound`).  Every draw (outer
+    and inner) is a pure function of (seed, stream, global id, t), so a
+    shard evaluating a subset of ids produces bitwise the values the full
+    run would."""
     from montecarlo_tpu.samplers import PlainSampler
 
     vdeg = 2 * degree + 1 if value_degree is None else value_degree
     betas, means, stds = policy
     sampler = PlainSampler()
-    ids = path_ids_for(n_outer, 0)
+    n_ids = ids.shape[0]
     state0 = process.init_state(ids, dtype)
     df_t = jnp.exp(jnp.asarray(-rate * dt, dtype))
 
@@ -278,7 +300,7 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
         # Inner one-step expectation from state_{t-1}.
         rep = jax.tree.map(
             lambda x: jnp.broadcast_to(x[:, None],
-                                       (n_outer, n_inner) + x.shape[1:]),
+                                       (n_ids, n_inner) + x.shape[1:]),
             state)
         eps_in = sampler.draws(process, seed, inner_stream, inner_ids, t,
                                dtype)
@@ -298,16 +320,11 @@ def andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
         return (state, mart, best, disc), None
 
     h0 = payoff_fn(process.prices(state0))
-    init = (state0, jnp.zeros(n_outer, dtype), h0,
+    init = (state0, jnp.zeros(n_ids, dtype), h0,
             jnp.asarray(1.0, dtype))
     (_, _, best, _), _ = jax.lax.scan(
         body, init, jnp.arange(n_steps, dtype=jnp.int32))
-    n = jnp.asarray(n_outer, dtype)
-    return {
-        "upper": jnp.mean(best),
-        "std_err": jnp.std(best, ddof=1) / jnp.sqrt(n),
-        "n_paths": n_outer,
-    }
+    return best
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "n_steps",

@@ -21,6 +21,7 @@ The reference app has nothing in this space; this extends the risk surface
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -273,4 +274,172 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
         has_fixings=fixing_times is not None)
 
 
-__all__ = ["exposure_profile", "swap_value_fn"]
+# ---------------------------------------------------------------------------
+# Netting sets + CSA collateral
+# ---------------------------------------------------------------------------
+
+class CSA(NamedTuple):
+    """Credit-support-annex terms for variation margin on a netting set.
+
+    ``threshold``: counterparty's threshold — they post collateral only on
+    netted value above it.  ``own_threshold``: ours, on the negative side.
+    ``mta``: minimum transfer amount — a collateral call below it is not
+    made (deadband; per-date recompute, no ratchet memory — the standard
+    simplification).  ``mpor``: margin period of risk in YEARS — the
+    collateral held at t was called against the netted value observed at
+    t - mpor (default 10 business days), which is exactly the gap risk
+    every real CSA leaves open.
+    """
+
+    threshold: float = 0.0
+    own_threshold: float = 0.0
+    mta: float = 0.0
+    mpor: float = 10.0 / 252.0
+
+
+@partial(jax.jit, static_argnames=("trades", "n_paths", "n_steps", "seed",
+                                   "csa", "T", "dtype"))
+def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
+                         T: float, seed: int, csa: CSA | None,
+                         quantile: float, hazard_rate: float,
+                         recovery: float, own_hazard_rate: float,
+                         own_recovery: float, funding_spread: float,
+                         flat_rate, dtype) -> dict:
+    dt = T / n_steps
+    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)                       # (T+1, N)
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+
+    if flat_rate is None:
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)],
+            axis=0))
+    else:
+        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                       * times)[:, None] * jnp.ones((1, n_paths), dtype)
+
+    # Every trade marked on the SAME paths: v_all[i, k, :] = trade i's value
+    # at grid time k.  The simulation is the expensive part; each mark is a
+    # per-row closed form.
+    def mark_trade(vfn):
+        def row(k):
+            return vfn(paths[k], times[k])
+        return jax.lax.map(row, jnp.arange(n_steps + 1))
+
+    v_all = jnp.stack([mark_trade(v) for v in trades])  # (n_tr, T+1, N)
+    v_net = jnp.sum(v_all, axis=0)                      # (T+1, N)
+
+    if csa is None:
+        coll = jnp.zeros_like(v_net)
+    else:
+        h_c = jnp.asarray(csa.threshold, dtype)
+        h_o = jnp.asarray(csa.own_threshold, dtype)
+        mta = jnp.asarray(csa.mta, dtype)
+        k_lag = int(round(float(csa.mpor) / dt))
+        if float(csa.mpor) > 0 and k_lag == 0:
+            import warnings
+
+            warnings.warn(
+                f"CSA margin period of risk ({float(csa.mpor):.4f}y) is "
+                f"finer than the exposure grid (dt={dt:.4f}y) and rounds "
+                "to a ZERO-step lag — the collateralized exposure will "
+                "show no gap risk; raise n_steps so dt <= mpor",
+                stacklevel=2)
+        # Collateral held at k was called on the value observed at k - lag
+        # (clamped at inception: the first call is against V_0).
+        lag_idx = jnp.maximum(jnp.arange(n_steps + 1) - k_lag, 0)
+        v_obs = v_net[lag_idx]
+        they_post = jnp.maximum(v_obs - h_c, 0.0)
+        we_post = jnp.maximum(-v_obs - h_o, 0.0)
+        they_post = jnp.where(they_post >= mta, they_post, 0.0)
+        we_post = jnp.where(we_post >= mta, we_post, 0.0)
+        coll = they_post - we_post
+
+    gap = v_net - coll                                  # collateralized MTM
+    epe_u = jnp.mean(jnp.maximum(v_net, 0.0), axis=1)
+    ene_u = jnp.mean(jnp.maximum(-v_net, 0.0), axis=1)
+    pos = jnp.maximum(gap, 0.0)
+    neg = jnp.maximum(-gap, 0.0)
+    epe = jnp.mean(pos, axis=1)
+    ene = jnp.mean(neg, axis=1)
+    pfe = jnp.quantile(pos, quantile, axis=1)
+    depe = jnp.mean(disc * pos, axis=1)
+    dene = jnp.mean(disc * neg, axis=1)
+    depe_u = jnp.mean(disc * jnp.maximum(v_all, 0.0), axis=2)  # per trade
+    eepe = jax.lax.associative_scan(jnp.maximum, epe)
+
+    lam_c = jnp.asarray(hazard_rate, dtype)
+    lam_o = jnp.asarray(own_hazard_rate, dtype)
+    surv_c = jnp.exp(-lam_c * times)
+    surv_o = jnp.exp(-lam_o * times)
+    zero1 = jnp.zeros((1,), dtype)
+    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
+    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
+    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
+    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
+    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
+    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
+    # No-netting comparison: the sum of standalone per-trade CVAs (each
+    # trade's positive exposure charged separately, no offsets, no
+    # collateral) — the number netting + CSA are bought to beat.
+    cva_no_netting = (1.0 - recovery) * jnp.sum(
+        depe_u * (dpd_c * w_o)[None, :])
+    sf = jnp.asarray(funding_spread, dtype)
+    alive = surv_c * surv_o
+    trap = jnp.full((n_steps + 1,), dt, dtype)
+    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
+    fca = sf * jnp.sum(depe * alive * trap)
+    fba = sf * jnp.sum(dene * alive * trap)
+    return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
+            "eepe": eepe, "epe_uncollateralized": epe_u,
+            "ene_uncollateralized": ene_u,
+            "cva": cva, "dva": dva, "bcva": cva - dva,
+            "cva_no_netting": cva_no_netting,
+            "fca": fca, "fba": fba, "fva": fca - fba}
+
+
+def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
+                        T: float, seed: int, csa: CSA | None = None,
+                        quantile: float = 0.95, hazard_rate: float = 0.0,
+                        recovery: float = 0.4,
+                        own_hazard_rate: float = 0.0,
+                        own_recovery: float = 0.4,
+                        funding_spread: float = 0.0,
+                        flat_rate=None, dtype=jnp.float64) -> dict:
+    """Collateralized netting-set exposure and xVA from ONE simulation.
+
+    ``trades``: tuple of valuation closures ``v(state_row, t)`` — swaps via
+    :func:`swap_value_fn` (possibly scaled/negated for notional/direction),
+    forwards, bonds — all marked on the same simulated underlying (a
+    short-rate model, or any price process with ``flat_rate``).  Values net
+    per date: ``V_net(t) = sum_i v_i`` — the counterparty owes / is owed
+    only the net.
+
+    ``csa``: variation-margin terms (:class:`CSA`).  Collateral held at t
+    was called on ``V_net(t - mpor)`` above the thresholds, with calls
+    below the minimum transfer amount skipped; the collateralized exposure
+    is ``(V_net(t) - C(t))^+`` — what the margin-period-of-risk gap leaves
+    open.  ``csa=None`` reproduces uncollateralized netting.
+
+    Returns profiles (``epe``/``ene``/``pfe``/``eepe`` on the
+    collateralized exposure, ``epe_uncollateralized`` for comparison) and
+    scalars ``cva``/``dva``/``bcva``/``fca``/``fba``/``fva`` (all on the
+    collateralized exposure, survival-weighted exactly as
+    :func:`exposure_profile`) plus ``cva_no_netting`` — the sum of
+    standalone per-trade CVAs, the netting benefit's baseline.
+
+    Pinned limits (tested): zero thresholds + zero MTA + zero MPoR make
+    the collateralized EPE identically 0; with MPoR = delta on a linear
+    trade ``c * r`` under near-Brownian rates the collateralized EPE
+    reproduces the closed-form gap risk ``c sigma sqrt(delta) / sqrt(2 pi)``.
+    """
+    return _netting_set_profile(
+        model, tuple(trades), n_paths, n_steps, T=T, seed=seed, csa=csa,
+        quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
+        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+        funding_spread=funding_spread, flat_rate=flat_rate, dtype=dtype)
+
+
+__all__ = ["CSA", "exposure_profile", "netting_set_profile",
+           "swap_value_fn"]

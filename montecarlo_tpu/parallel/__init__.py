@@ -9,6 +9,7 @@ from montecarlo_tpu.parallel.mesh import (  # noqa: F401
 from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     DEFAULT_BLOCK,
     block_moments,
+    sharded_andersen_broadie_bound,
     sharded_basket_estimate,
     sharded_functional_estimate,
     sharded_lsm_price,

@@ -495,6 +495,19 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
     block-ordered; the two agree to regression-conditioning noise and the
     tests assert statistical equality.
 
+    **Collective schedule** (the pod-scale cost): the round-3 version
+    fired THREE synchronous collectives per exercise date (ITM sums to
+    learn the standardization, then the Gram, then the rhs).  Here the
+    Gram and rhs ship in ONE fused gather — two collectives per date, the
+    minimum for per-date ITM standardization (the sums must be global
+    before the basis exists; every one-gather variant measured WORSE at
+    mesh=1: pipelining the next date's sums through the scan carry
+    streams two path rows per iteration instead of one (+40% marginal),
+    and batching all dates' sums up front costs an extra sweep over the
+    whole (T, n) array (+30%)).  The per-block Gram/rhs are batched MXU
+    matmuls — the explicit (n, k, k) outer-product intermediate of
+    round 3 cost ~55% marginal in HBM traffic alone.
+
     Returns ``{"price", "std_err", "n_paths"}`` replicated everywhere.
     """
     from montecarlo_tpu.engine.american import _basis
@@ -511,13 +524,18 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
     k_terms = degree + 1
     df = jnp.exp(jnp.asarray(-rate * dt, dtype))
 
-    def blocksum(x):
-        """Per-block sums over local paths: (..., local_n) ->
-        (local_blocks, ...) then gathered to global block order."""
-        summed = jnp.sum(x.reshape(-1, block_size) if x.ndim == 1
-                         else x.reshape(-1, block_size, *x.shape[1:]),
-                         axis=1)
-        return jax.lax.all_gather(summed, gather_axes, axis=0, tiled=True)
+    def blocksum_local(x):
+        """Per-block sums over local paths: (local_n[, k...]) ->
+        (local_blocks[, k...])."""
+        return jnp.sum(x.reshape(-1, block_size) if x.ndim == 1
+                       else x.reshape(-1, block_size, *x.shape[1:]),
+                       axis=1)
+
+    def gather_blocks(x, block_axis: int = 0):
+        """All-gather per-block partials along their block axis into global
+        block order (slice-major on multi-slice meshes)."""
+        return jax.lax.all_gather(x, gather_axes, axis=block_axis,
+                                  tiled=True)
 
     def shard_fn(proc):
         shard_idx = jax.lax.axis_index(axis)
@@ -528,31 +546,42 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
         paths = simulate(proc, local_n, n_steps, seed=seed, mode="paths",
                          dtype=dtype, path_offset=offset)  # (T+1, local_n)
         cashflow = payoff_fn(paths[-1])
+        s_inner = paths[1:-1]                    # (T-1, local_n)
 
         def step(cashflow, s_t):
             disc = df * cashflow
             exercise = payoff_fn(s_t)
             itm = exercise > 0
             w = itm.astype(dtype)
-            # --- replicated sufficient statistics (fixed block order) ---
-            sums = jnp.sum(blocksum(jnp.stack([w, w * s_t, w * s_t * s_t],
-                                              axis=-1)), axis=0)
+            # Gather #1: ITM standardization sums (must be global before
+            # the basis exists).
+            sums = jnp.sum(gather_blocks(blocksum_local(
+                jnp.stack([w, w * s_t, w * s_t * s_t], axis=-1))), axis=0)
             wsum = jnp.maximum(sums[0], 1.0)
             m = sums[1] / wsum
             sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
             x = _basis((s_t - m) / sd, degree)
             xw = x * w[:, None]
-            gram_b = blocksum(jnp.einsum("ni,nj->nij", xw, x))
-            rhs_b = blocksum(xw * disc[:, None])
-            a_mat = (jnp.sum(gram_b, axis=0) / wsum
+            xw_b = xw.reshape(-1, block_size, k_terms)
+            x_b = x.reshape(-1, block_size, k_terms)
+            gram_b = jnp.einsum("bni,bnj->bij", xw_b, x_b,
+                                preferred_element_type=dtype
+                                ).reshape(-1, k_terms ** 2)
+            rhs_b = jnp.einsum("bni,bn->bi", xw_b,
+                               disc.reshape(-1, block_size),
+                               preferred_element_type=dtype)
+            # Gather #2: [Gram | rhs] in one fused collective.
+            fused = jnp.sum(gather_blocks(jnp.concatenate(
+                [gram_b, rhs_b], axis=1)), axis=0) / wsum
+            a_mat = (fused[:k_terms ** 2].reshape(k_terms, k_terms)
                      + 1e-6 * jnp.eye(k_terms, dtype=dtype))
-            b_vec = jnp.sum(rhs_b, axis=0) / wsum
-            beta = jnp.linalg.solve(a_mat, b_vec)  # replicated, identical
+            beta = jnp.linalg.solve(
+                a_mat, fused[k_terms ** 2:])  # replicated, identical
             continuation = x @ beta
             take = itm & (exercise >= continuation)
             return jnp.where(take, exercise, disc), None
 
-        cashflow, _ = jax.lax.scan(step, cashflow, paths[1:-1][::-1])
+        cashflow, _ = jax.lax.scan(step, cashflow, s_inner[::-1])
         value = df * cashflow
         local_stats = block_moments(value, block_size)
         return _gather_two_level(local_stats, axis, n_slices > 1)
@@ -563,6 +592,65 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
     total = moments_reduce(stats)
     return {
         "price": total.mean,
+        "std_err": std_error(total),
+        "n_paths": total.count,
+    }
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_outer", "n_inner",
+                                   "n_steps", "seed", "degree",
+                                   "value_degree", "dtype", "block_size",
+                                   "axis", "mesh"))
+def sharded_andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
+                                   n_inner: int, n_steps: int, *, seed: int,
+                                   rate, dt, mesh, degree: int = 2,
+                                   value_degree: int | None = None,
+                                   dtype=jnp.float32,
+                                   block_size: int = DEFAULT_BLOCK,
+                                   axis: str = PATHS_AXIS):
+    """POD-SCALE AMERICAN UPPER BOUND: the Andersen-Broadie dual sharded
+    over the OUTER path axis — with `sharded_lsm_price` below, the
+    distributed American price is bracketed from both sides.
+
+    The dual is embarrassingly parallel: each outer path's martingale
+    increments need only its own ``n_inner`` one-step sub-samples, whose
+    ids derive from the GLOBAL outer id (`engine.american._ab_best`) — so
+    a shard owning outer ids [o, o+local_n) computes bitwise the same
+    per-path maxima the unsharded run would, and the ONLY collective is
+    the final block-stat gather + fixed-tree merge.  Upper bound and its
+    std-err are **bitwise identical across mesh shapes** (multi-slice
+    included); ``policy`` is the replicated `lsm_policy` surrogate.
+
+    Returns ``{"upper", "std_err", "n_paths"}`` replicated everywhere.
+    """
+    from montecarlo_tpu.engine.american import _ab_best
+    from montecarlo_tpu.engine.simulate import path_ids_for
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_outer, n_shards, block_size)
+    local_n = n_outer // n_shards
+    if has_slices:
+        _check_two_level_tree(n_outer // block_size // n_slices)
+
+    def shard_fn(proc, pol):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        ids = path_ids_for(local_n, shard_idx * local_n)
+        best = _ab_best(proc, payoff_fn, pol, ids, n_inner, n_steps,
+                        seed=seed, rate=rate, dt=dt, degree=degree,
+                        value_degree=value_degree, dtype=dtype)
+        local_stats = block_moments(best, block_size)
+        return _gather_two_level(local_stats, axis, has_slices)
+
+    spec_in = jax.tree.map(lambda _: P(), (process, policy))
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
+                          out_specs=P(), check_vma=False)(process, policy)
+    total = moments_reduce(stats)
+    return {
+        "upper": total.mean,
         "std_err": std_error(total),
         "n_paths": total.count,
     }

@@ -160,3 +160,53 @@ def test_sharded_slv_mesh_invariance():
     assert ref[0] > 0
     for n in (2, 8):
         assert run(n) == ref, n
+
+
+# --- sharded Andersen-Broadie dual ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _dual_setup():
+    from montecarlo_tpu.engine.american import lsm_policy
+
+    _, policy = lsm_policy(_proc(), _put, N_PATHS, STEPS, seed=7, rate=R,
+                           dt=DT, degree=3)
+    return policy
+
+
+def _dual(n_dev_or_mesh, policy):
+    from montecarlo_tpu.parallel import sharded_andersen_broadie_bound
+
+    mesh = (n_dev_or_mesh if not isinstance(n_dev_or_mesh, int)
+            else make_mesh(n_dev_or_mesh))
+    res = sharded_andersen_broadie_bound(
+        _proc(), _put, policy, 1 << 13, 16, STEPS, seed=7, rate=R, dt=DT,
+        mesh=mesh, degree=3, block_size=1024)
+    return float(res["upper"]), float(res["std_err"])
+
+
+def test_sharded_dual_bitwise_mesh_invariance(_dual_setup):
+    """Upper bound and std-err bitwise identical on 1/2/4/8-device and
+    2x4 multi-slice meshes — the pod-scale American price now brackets
+    from BOTH sides under the same invariance contract."""
+    ref = _dual(1, _dual_setup)
+    for n in (2, 4, 8):
+        assert _dual(n, _dual_setup) == ref, n
+    assert _dual(make_mesh(n_path_shards=4, n_slices=2), _dual_setup) == ref
+
+
+def test_sharded_dual_brackets_binomial(_dual_setup):
+    """LSM lower (its known small low bias) <= binomial oracle <= dual
+    upper, within error bars: the full distributed bracket."""
+    from montecarlo_tpu.engine.american import andersen_broadie_bound
+
+    oracle = binomial_american_put(S0, K, R, SIG, T, n_steps=1000)
+    lo, lo_se = _price(8)
+    up, up_se = _dual(8, _dual_setup)
+    assert lo - 4 * lo_se - 0.05 <= oracle <= up + 4 * up_se, \
+        (lo, oracle, up)
+    # Same per-path maxima as the unsharded dual (identical global ids and
+    # streams); only the mean's reduction tree differs.
+    un = andersen_broadie_bound(_proc(), _put, _dual_setup, 1 << 13, 16,
+                                STEPS, seed=7, rate=R, dt=DT, degree=3)
+    assert abs(up - float(un["upper"])) < 1e-4, (up, un)
