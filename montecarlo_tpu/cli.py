@@ -17,7 +17,9 @@ Subcommands:
   calibrate— fit Heston / SABR / VG / NIG / Merton / Kou to an implied-
              vol surface (Adam on exact gradients; omitting --surface
              generates and recovers a known surface)
-  xva      — swap exposure profiles (EPE/ENE/PFE) + CVA/DVA/FVA (Vasicek)
+  xva      — exposure profiles (EPE/ENE/PFE) + CVA/DVA/FVA/MVA for a swap
+             (Vasicek) or equity forward; --portfolio nets a multi-trade
+             book with CSA collateral (threshold/MTA/MPoR)
   note     — structured notes: autocallables (worst-of capable), cliquets
   bench    — the headline GBM throughput benchmark
 

@@ -331,3 +331,153 @@ def test_cli_xva_equity(capsys):
     # ATM forward: value 0 at inception, so EPE ~ ENE and FVA ~ 0.
     assert out["cva"] > 0 and out["mva"] > 0
     assert abs(out["fva"]) < 0.3 * max(out["fca"], 1e-9), out
+
+
+# ---------------------------------------------------------------------------
+# Netting sets + CSA collateral
+# ---------------------------------------------------------------------------
+
+
+def test_netting_zero_threshold_instant_collateral_kills_exposure():
+    """H=0, MTA=0, MPoR=0: collateral tracks the netted value exactly, so
+    the collateralized EPE/ENE are identically zero and every xVA on the
+    collateralized exposure vanishes — the pinned CSA limit."""
+    from montecarlo_tpu.engine.exposure import CSA, netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v1 = swap_value_fn(model, 0.035, pay_times, 0.5)
+    v2 = swap_value_fn(model, 0.04, pay_times[:2], 0.5)
+    trades = (v1, lambda r, t: -0.5 * v2(r, t))
+    prof = netting_set_profile(
+        model, trades, 2048, N_STEPS, T=T, seed=3,
+        csa=CSA(threshold=0.0, own_threshold=0.0, mta=0.0, mpor=0.0),
+        hazard_rate=0.02, recovery=0.4, funding_spread=0.004)
+    assert np.all(np.asarray(prof["epe"]) == 0.0)
+    assert np.all(np.asarray(prof["ene"]) == 0.0)
+    assert float(prof["cva"]) == 0.0
+    assert float(prof["fva"]) == 0.0
+    # The uncollateralized profile is NOT zero (the book has real risk).
+    assert np.asarray(prof["epe_uncollateralized"]).max() > 0.0
+
+
+def test_netting_mpor_gap_risk_closed_form():
+    """Linear trade V = c*(r - r0) under near-Brownian rates (kappa ~ 0,
+    theta = r0): with zero thresholds/MTA the collateralized exposure is
+    the MPoR increment (V_t - V_{t-delta})^+, whose mean is the
+    closed-form half-normal c*sigma*sqrt(delta)/sqrt(2*pi)."""
+    from montecarlo_tpu.engine.exposure import CSA, netting_set_profile
+
+    steps, t_end = 64, 2.0
+    dt = t_end / steps
+    lag_steps = 4
+    mpor = lag_steps * dt
+    c, sig = 50.0, 0.01
+    model = Vasicek.create(R0, 1e-9, R0, sig, dt, dtype=jnp.float64)
+    trades = (lambda r, t: c * (r - R0),)
+    n = 1 << 14
+    prof = netting_set_profile(
+        model, trades, n, steps, T=t_end, seed=9,
+        csa=CSA(threshold=0.0, own_threshold=0.0, mta=0.0, mpor=mpor))
+    epe = np.asarray(prof["epe"])
+    want = c * sig * np.sqrt(mpor) / np.sqrt(2 * np.pi)
+    # Half-normal mean's MC std-err: std = c*sig*sqrt(mpor*(1 - 1/pi)).
+    se = c * sig * np.sqrt(mpor * (1 - 1 / np.pi) / n)
+    got = epe[lag_steps:]  # rows past the first full lag window
+    np.testing.assert_allclose(got, want, atol=5 * se)
+    # Before the lag window fills, the gap is shorter -> smaller EPE.
+    assert epe[1] < want
+
+
+def test_netting_offsets_and_no_netting_baseline():
+    """A perfectly offsetting book nets to zero (cva == 0) while the
+    standalone per-trade baseline still charges both legs; partial
+    offsets land strictly between."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v = swap_value_fn(model, 0.035, pay_times, 0.5)
+    mirror = (v, lambda r, t: -v(r, t))
+    prof0 = netting_set_profile(model, mirror, 2048, N_STEPS, T=T, seed=3,
+                                hazard_rate=0.02, recovery=0.4)
+    assert float(prof0["cva"]) == 0.0
+    assert float(prof0["cva_no_netting"]) > 0.0
+
+    partial = (v, lambda r, t: -0.5 * v(r, t))
+    prof1 = netting_set_profile(model, partial, 2048, N_STEPS, T=T, seed=3,
+                                hazard_rate=0.02, recovery=0.4)
+    assert 0.0 < float(prof1["cva"]) < float(prof1["cva_no_netting"])
+
+
+def test_netting_single_trade_matches_exposure_profile():
+    """csa=None, one trade: the netting-set EPE equals the single-trade
+    engine's EPE on the same seed/paths (same simulation, same marks)."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v = swap_value_fn(model, 0.035, pay_times, 0.5)
+    single = exposure_profile(model, v, 2048, N_STEPS, T=T, seed=3,
+                              hazard_rate=0.02, recovery=0.4)
+    netted = netting_set_profile(model, (v,), 2048, N_STEPS, T=T, seed=3,
+                                 hazard_rate=0.02, recovery=0.4)
+    np.testing.assert_allclose(np.asarray(netted["epe"]),
+                               np.asarray(single["epe"]), rtol=1e-10)
+    np.testing.assert_allclose(float(netted["cva"]), float(single["cva"]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(netted["cva_no_netting"]),
+                               float(netted["cva"]), rtol=1e-10)
+
+
+def test_netting_csa_guards_and_mta():
+    """Huge thresholds/MTA disable collateral (profile == uncollateralized);
+    a sub-grid MPoR warns that the gap risk is invisible."""
+    import pytest
+
+    from montecarlo_tpu.engine.exposure import CSA, netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    trades = (swap_value_fn(model, 0.035, pay_times, 0.5),)
+    huge = netting_set_profile(
+        model, trades, 2048, N_STEPS, T=T, seed=3,
+        csa=CSA(threshold=1e9, own_threshold=1e9, mta=0.0, mpor=0.0))
+    np.testing.assert_array_equal(
+        np.asarray(huge["epe"]), np.asarray(huge["epe_uncollateralized"]))
+    big_mta = netting_set_profile(
+        model, trades, 2048, N_STEPS, T=T, seed=3,
+        csa=CSA(threshold=0.0, own_threshold=0.0, mta=1e9, mpor=0.0))
+    np.testing.assert_array_equal(
+        np.asarray(big_mta["epe"]),
+        np.asarray(big_mta["epe_uncollateralized"]))
+    with pytest.warns(UserWarning, match="margin period"):
+        netting_set_profile(
+            model, trades, 256, 8, T=T, seed=3,
+            csa=CSA(threshold=0.0, own_threshold=0.0, mta=0.0,
+                    mpor=0.25 * T / 8))
+
+
+def test_cli_xva_portfolio(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--paths", "2048", "--steps",
+                   "50", "--threshold", "0.005", "--mta", "0.001"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_trades"] == 3 and out["csa"] is True
+    assert out["peak_epe"] <= out["peak_epe_uncollateralized"]
+    assert 0.0 <= out["cva"] <= out["cva_no_netting"]
+
+    rc = cli.main(["xva", "--portfolio", "--underlying", "equity",
+                   "--no-csa", "--paths", "2048", "--steps", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["underlying"] == "equity" and out["csa"] is False
+    assert out["cva"] <= out["cva_no_netting"]
