@@ -45,11 +45,18 @@ _FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
             SLVKnots, SLV)
 
 
-def _kernel_block_rows(n_paths: int, max_rows: int = 256) -> int | None:
+def _kernel_block_rows(n_paths: int, max_rows: int = 256,
+                       prefer: int | None = None) -> int | None:
     """Best block_rows that divides the path count (128 is the measured
     v5e sweet spot; see README benchmarks).  ``max_rows`` caps the block
-    for kernels with per-block VMEM scratch."""
-    for rows in (128, 64, 256, 32, 16, 8):
+    for kernels with per-block VMEM scratch; ``prefer`` (a process's
+    ``preferred_block_rows``) is tried first — transcendental-heavy
+    kernels peak at smaller blocks (Kou: 8.1e9 at 64 rows vs 7.8e9 at
+    128, measured)."""
+    order = (128, 64, 256, 32, 16, 8)
+    if prefer in order:
+        order = (prefer,) + tuple(r for r in order if r != prefer)
+    for rows in order:
         if rows <= max_rows and n_paths % (rows * LANES) == 0:
             return rows
     return None
@@ -108,7 +115,9 @@ def _fused_eligible(process, sampler, n_paths: int, n_steps: int,
         return None
     max_rows = (_scratch_max_rows(sampler)
                 if getattr(sampler, "kernel_scratch", False) else 256)
-    return _kernel_block_rows(n_paths, max_rows)
+    return _kernel_block_rows(n_paths, max_rows,
+                              getattr(process, "preferred_block_rows",
+                                      None))
 
 
 def terminal_prices(process, n_paths: int, n_steps: int, *, seed,
