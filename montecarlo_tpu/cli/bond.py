@@ -1,0 +1,138 @@
+"""`bond` — short-rate bond / bond-option pricing (Vasicek, CIR,
+Hull-White) with affine closed-form oracles and autodiff duration/convexity."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def add_parsers(sub):
+    _add_bond(sub)
+
+
+def _add_bond(sub):
+    p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
+    p.add_argument("--model", default="vasicek",
+                   choices=["vasicek", "cir", "hullwhite"])
+    p.add_argument("--r0", type=float, default=0.03)
+    p.add_argument("--kappa", type=float, default=0.8,
+                   help="mean-reversion speed (a for hullwhite)")
+    p.add_argument("--theta", type=float, default=0.05,
+                   help="long-run level (vasicek/cir)")
+    p.add_argument("--sigma", type=float, default=0.015)
+    p.add_argument("--maturity", type=float, default=2.0, help="years")
+    p.add_argument("--paths", type=int, default=1 << 16)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--option", action="store_true",
+                   help="European call on a bond: expiry --t1, bond "
+                        "maturity --maturity (vasicek only)")
+    p.add_argument("--t1", type=float, default=1.0)
+    p.add_argument("--option-strike", type=float, default=None,
+                   help="default: ATM forward bond price")
+    p.add_argument("--fwd-slope", type=float, default=0.005,
+                   help="hullwhite: slope of the synthetic forward curve")
+    p.add_argument("--swaption", action="store_true",
+                   help="Bermudan payer swaption by pathwise-discounted "
+                        "LSM (vasicek; n_exercise=1 prints the Jamshidian "
+                        "European closed form too)")
+    p.add_argument("--swap-strike", type=float, default=None,
+                   help="fixed rate (default: ~par)")
+    p.add_argument("--periods", type=int, default=8,
+                   help="swaption: quarterly payment count")
+    p.add_argument("--n-exercise", type=int, default=4,
+                   help="swaption: number of Bermudan exercise dates")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_bond(args) -> int:
+    import numpy as np
+
+    from montecarlo_tpu.engine.rates import (
+        bond_option_mc, cir_zcb, vasicek_bond_option, vasicek_zcb,
+        zcb_price_mc)
+    from montecarlo_tpu.processes import CIR, HullWhite, Vasicek
+
+    T, n_steps = args.maturity, args.steps
+    dt = T / n_steps
+    if args.model == "vasicek":
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              dt)
+        cf = vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+    elif args.model == "cir":
+        proc = CIR.create(args.r0, args.kappa, args.theta, args.sigma, dt)
+        cf = cir_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+    else:
+        t_grid = np.arange(n_steps + 1) * dt
+        fwd = args.r0 + args.fwd_slope * t_grid
+        proc = HullWhite.from_forward_curve(fwd, a=args.kappa,
+                                            sigma=args.sigma, dt=dt)
+        cf = float(np.exp(-np.trapezoid(fwd, t_grid)))
+
+    if args.swaption:
+        import jax.numpy as jnp
+
+        from montecarlo_tpu.engine.bermudan import (
+            bermudan_swaption_lsm, vasicek_swaption_jamshidian)
+        from montecarlo_tpu.engine.rates import vasicek_zcb as _zcb
+
+        if args.model != "vasicek":
+            raise SystemExit("--swaption requires --model vasicek")
+        delta, spp = 0.25, 16
+        if args.swap_strike is None:
+            # Forward par rate of the swap entered at the first reset t=delta
+            # with payments at 2*delta..periods*delta:
+            # K = (P(delta) - P(n*delta)) / (delta * sum P(i*delta), i>=2).
+            # The annuity excludes P(delta) but the FLOAT leg starts there —
+            # using P(2*delta) in the numerator understated K ~0.5pp.
+            ps = [_zcb(args.r0, args.kappa, args.theta, args.sigma,
+                       i * delta) for i in range(2, args.periods + 1)]
+            p_start = _zcb(args.r0, args.kappa, args.theta, args.sigma,
+                           delta)
+            strike = (p_start - ps[-1]) / (delta * sum(ps)) if ps \
+                else args.theta
+        else:
+            strike = args.swap_strike
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              delta / spp, dtype=jnp.float64)
+        res = bermudan_swaption_lsm(
+            proc, strike, n_paths=args.paths, steps_per_period=spp,
+            n_periods=args.periods, n_exercise=args.n_exercise,
+            seed=args.seed)
+        out = {"bermudan_swaption": float(res["price"]),
+               "std_err": float(res["std_err"]),
+               "strike": float(strike),
+               "n_exercise": args.n_exercise}
+        if args.n_exercise == 1:
+            out["jamshidian_european"] = vasicek_swaption_jamshidian(
+                (args.kappa, args.theta, args.sigma), strike, t0=delta,
+                delta=delta, n_periods=args.periods - 1, r0=args.r0)
+        print(json.dumps(out))
+        return 0
+
+    if args.option:
+        if args.model != "vasicek":
+            raise SystemExit("--option requires --model vasicek (affine "
+                             "closed-form bond at expiry)")
+        t1 = args.t1
+        strike = args.option_strike or (
+            vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+            / vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, t1))
+        proc = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                              t1 / n_steps)
+        est = bond_option_mc(proc, t1, T, strike, n_steps, args.paths,
+                             seed=args.seed)
+        out = {"bond_option_price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "strike": strike,
+               "jamshidian": vasicek_bond_option(
+                   args.r0, args.kappa, args.theta, args.sigma, t1, T,
+                   strike)}
+    else:
+        est = zcb_price_mc(proc, T, n_steps, args.paths, seed=args.seed)
+        out = {"zcb_price": float(est["price"]),
+               "std_err": float(est["std_err"]),
+               "closed_form": cf}
+    print(json.dumps(out))
+    return 0
+

@@ -1,0 +1,231 @@
+"""`xva` — counterparty exposure profiles (EPE/ENE/PFE) and the xVA set
+for a Vasicek swap or GBM equity forward; `--portfolio` nets a multi-trade
+book against one counterparty with CSA variation margin."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def add_parsers(sub):
+    _add_xva(sub)
+
+
+def _add_xva(sub):
+    p = sub.add_parser("xva", help="counterparty exposure profiles "
+                                   "(EPE/ENE/PFE) and CVA/DVA/FVA/MVA for "
+                                   "an interest-rate swap (Vasicek) or an "
+                                   "equity forward (GBM)")
+    p.add_argument("--underlying", default="rates",
+                   choices=["rates", "equity"],
+                   help="rates: Vasicek payer swap, pathwise discounting; "
+                        "equity: GBM forward, flat discounting (CVA has a "
+                        "Black-Scholes closed form, tested)")
+    p.add_argument("--s0", type=float, default=100.0,
+                   help="equity: spot")
+    p.add_argument("--fwd-strike", type=float, default=None,
+                   help="equity: forward strike (default: the par forward "
+                        "s0*e^{rT})")
+    p.add_argument("--equity-sigma", type=float, default=0.25,
+                   help="equity: GBM volatility")
+    p.add_argument("--r0", type=float, default=0.03)
+    p.add_argument("--kappa", type=float, default=0.8)
+    p.add_argument("--theta", type=float, default=0.05)
+    p.add_argument("--sigma", type=float, default=0.015)
+    p.add_argument("--maturity", type=float, default=5.0,
+                   help="swap maturity, years")
+    p.add_argument("--periods", type=int, default=10,
+                   help="number of swap payments (semiannual default)")
+    p.add_argument("--swap-strike", type=float, default=None,
+                   help="fixed rate (default: the par-ish model yield)")
+    p.add_argument("--paths", type=int, default=1 << 15)
+    p.add_argument("--steps", type=int, default=100,
+                   help="exposure grid resolution")
+    p.add_argument("--hazard", type=float, default=0.02,
+                   help="counterparty flat hazard rate (CVA)")
+    p.add_argument("--recovery", type=float, default=0.4)
+    p.add_argument("--own-hazard", type=float, default=0.01,
+                   help="own flat hazard rate (DVA; 0 = unilateral)")
+    p.add_argument("--own-recovery", type=float, default=0.4)
+    p.add_argument("--funding-spread", type=float, default=0.005,
+                   help="flat funding spread (FVA; 0 disables)")
+    p.add_argument("--im-spread", type=float, default=0.0,
+                   help="initial-margin funding spread (MVA; 0 disables)")
+    p.add_argument("--mpor", type=float, default=10.0 / 252.0,
+                   help="margin period of risk in years (MVA)")
+    p.add_argument("--quantile", type=float, default=0.95,
+                   help="PFE quantile")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--portfolio", action="store_true",
+                   help="netting-set mode: a demo book of offsetting "
+                        "trades (swaps on rates, forwards on equity) "
+                        "netted against one counterparty, with CSA "
+                        "variation margin (threshold/MTA/MPoR); reports "
+                        "collateralized xVA plus the no-netting baseline")
+    p.add_argument("--threshold", type=float, default=0.0,
+                   help="portfolio: counterparty CSA threshold")
+    p.add_argument("--own-threshold", type=float, default=0.0,
+                   help="portfolio: own CSA threshold")
+    p.add_argument("--mta", type=float, default=0.0,
+                   help="portfolio: minimum transfer amount")
+    p.add_argument("--no-csa", action="store_true",
+                   help="portfolio: no collateral (netting only)")
+
+
+def cmd_xva(args) -> int:
+    import numpy as np
+
+    from montecarlo_tpu.engine.exposure import (exposure_profile,
+                                                swap_value_fn)
+    from montecarlo_tpu.engine.rates import vasicek_zcb
+    from montecarlo_tpu.processes import Vasicek
+
+    import jax.numpy as jnp
+
+    if args.portfolio:
+        return _cmd_xva_portfolio(args)
+
+    if args.underlying == "equity":
+        from montecarlo_tpu.processes import GBM
+
+        gbm = GBM.create(args.s0, args.r0, args.equity_sigma,
+                         args.maturity / args.steps)
+        k_fwd = args.fwd_strike or args.s0 * float(
+            np.exp(args.r0 * args.maturity))
+        t_mat = args.maturity
+        vfn_eq = lambda s, t: s - k_fwd * jnp.exp(-args.r0 * (t_mat - t))
+        prof = exposure_profile(
+            gbm, vfn_eq, args.paths, args.steps, T=args.maturity,
+            seed=args.seed, quantile=args.quantile,
+            hazard_rate=args.hazard, recovery=args.recovery,
+            own_hazard_rate=args.own_hazard,
+            own_recovery=args.own_recovery,
+            funding_spread=args.funding_spread, im_spread=args.im_spread,
+            mpor=args.mpor, flat_rate=args.r0, dtype=jnp.float32)
+        epe = np.asarray(prof["epe"])
+        out = {"underlying": "equity", "fwd_strike": round(k_fwd, 4),
+               "peak_epe": round(float(epe.max()), 6),
+               "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6),
+               "peak_im": round(float(np.asarray(prof["im"]).max()), 6)}
+        for k in ("cva", "dva", "bcva", "fca", "fba", "fva", "mva"):
+            out[k] = round(float(prof[k]), 6)
+        print(json.dumps(out))
+        return 0
+
+    pay_dt = args.maturity / args.periods
+    payment_times = pay_dt * np.arange(1, args.periods + 1)
+    model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                           args.maturity / args.steps)
+    if args.swap_strike is None:
+        # Par rate of the spot-starting swap: (1 - P(T)) / (dt * sum P(ti)).
+        ps = [vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, t)
+              for t in payment_times]
+        strike = (1.0 - ps[-1]) / (pay_dt * sum(ps))
+    else:
+        strike = args.swap_strike
+    # f32 here: the engine defaults to f64 for the x64 test environment,
+    # but the CLI runs without x64 — request f32 explicitly rather than
+    # let JAX truncate with a warning per call site.
+    value_fn = swap_value_fn(model, strike, payment_times, pay_dt,
+                             dtype=jnp.float32)
+    prof = exposure_profile(
+        model, value_fn, args.paths, args.steps, T=args.maturity,
+        seed=args.seed, quantile=args.quantile, hazard_rate=args.hazard,
+        recovery=args.recovery, own_hazard_rate=args.own_hazard,
+        own_recovery=args.own_recovery,
+        funding_spread=args.funding_spread, im_spread=args.im_spread,
+        mpor=args.mpor,
+        fixing_times=payment_times - pay_dt, dtype=jnp.float32)
+    epe = np.asarray(prof["epe"])
+    out = {"strike": round(float(strike), 6),
+           "peak_epe": round(float(epe.max()), 6),
+           "peak_epe_time": round(float(np.asarray(prof["times"])
+                                        [int(epe.argmax())]), 4),
+           "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6),
+           "eepe": round(float(np.asarray(prof["eepe"])[-1]), 6)}
+    out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
+    for k in ("cva", "dva", "bcva", "fca", "fba", "fva", "mva"):
+        out[k] = round(float(prof[k]), 6)
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_xva_portfolio(args) -> int:
+    """`xva --portfolio`: a netted, collateralized book on one simulation.
+
+    Rates book (Vasicek): long payer par swap (full calendar), short 0.6x
+    receiver-side on the front half, long 0.5x payer struck 10% over par.
+    Equity book (GBM): long forward struck under par, short 0.6x over par,
+    long 0.5x at par — same netting structure, flat discounting.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.exposure import (CSA, netting_set_profile,
+                                                swap_value_fn)
+    from montecarlo_tpu.engine.rates import vasicek_zcb
+    from montecarlo_tpu.processes import GBM, Vasicek
+
+    csa = None if args.no_csa else CSA(
+        threshold=args.threshold, own_threshold=args.own_threshold,
+        mta=args.mta, mpor=args.mpor)
+
+    def scaled(fn, a):
+        return lambda s, t: a * fn(s, t)
+
+    if args.underlying == "equity":
+        model = GBM.create(args.s0, args.r0, args.equity_sigma,
+                           args.maturity / args.steps)
+        k_par = args.s0 * float(np.exp(args.r0 * args.maturity))
+        t_mat, r0 = args.maturity, args.r0
+
+        def fwd(k):
+            return lambda s, t: s - k * jnp.exp(-r0 * (t_mat - t))
+
+        trades = (fwd(0.9 * k_par), scaled(fwd(1.05 * k_par), -0.6),
+                  scaled(fwd(k_par), 0.5))
+        flat_rate = args.r0
+    else:
+        model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
+                               args.maturity / args.steps,
+                               dtype=jnp.float32)
+        pay_dt = args.maturity / args.periods
+        times_full = pay_dt * np.arange(1, args.periods + 1)
+        times_half = times_full[:max(args.periods // 2, 1)]
+
+        def par(times):
+            ps = [vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma,
+                              t) for t in times]
+            return (1.0 - ps[-1]) / (pay_dt * sum(ps))
+
+        k_full, k_half = par(times_full), par(times_half)
+        trades = (
+            swap_value_fn(model, k_full, times_full, pay_dt,
+                          dtype=jnp.float32),
+            scaled(swap_value_fn(model, k_half, times_half, pay_dt,
+                                 dtype=jnp.float32), -0.6),
+            scaled(swap_value_fn(model, 1.1 * k_full, times_full, pay_dt,
+                                 dtype=jnp.float32), 0.5),
+        )
+        flat_rate = None
+
+    prof = netting_set_profile(
+        model, trades, args.paths, args.steps, T=args.maturity,
+        seed=args.seed, csa=csa, quantile=args.quantile,
+        hazard_rate=args.hazard, recovery=args.recovery,
+        own_hazard_rate=args.own_hazard, own_recovery=args.own_recovery,
+        funding_spread=args.funding_spread, flat_rate=flat_rate,
+        dtype=jnp.float32)
+    epe = np.asarray(prof["epe"])
+    epe_u = np.asarray(prof["epe_uncollateralized"])
+    out = {"underlying": args.underlying, "n_trades": len(trades),
+           "csa": not args.no_csa,
+           "peak_epe": round(float(epe.max()), 6),
+           "peak_epe_uncollateralized": round(float(epe_u.max()), 6),
+           "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6)}
+    for k in ("cva", "cva_no_netting", "dva", "bcva", "fca", "fba", "fva"):
+        out[k] = round(float(prof[k]), 6)
+    print(json.dumps(out))
+    return 0
+

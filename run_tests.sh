@@ -16,7 +16,10 @@ set -u
 cd "$(dirname "$0")"
 
 N_CHUNKS=${N_CHUNKS:-4}
-mapfile -t FILES < <(ls tests/test_*.py | sort)
+# The CLI combination matrix alone compiles a few hundred tiny XLA:CPU
+# programs — it runs as its OWN pytest process (after the chunks) rather
+# than stacking that onto a quarter of the suite (the SIGSEGV horizon).
+mapfile -t FILES < <(ls tests/test_*.py | grep -v test_cli_matrix | sort)
 
 declare -a CHUNKS
 for idx in "${!FILES[@]}"; do
@@ -42,6 +45,13 @@ for c in $(seq 0 $((N_CHUNKS - 1))); do
         total_fail=1
     fi
 done
+
+echo "=== cli-matrix (dedicated process) ==="
+python -m pytest tests/test_cli_matrix.py -q "$@"
+if [ $? -ne 0 ]; then
+    echo "cli-matrix FAILED"
+    total_fail=1
+fi
 
 if [ $total_fail -eq 0 ]; then
     echo "ALL CHUNKS GREEN"
