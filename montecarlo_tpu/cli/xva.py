@@ -71,6 +71,12 @@ def _add_xva(sub):
                    help="portfolio: minimum transfer amount")
     p.add_argument("--no-csa", action="store_true",
                    help="portfolio: no collateral (netting only)")
+    p.add_argument("--wwr-beta", type=float, default=0.0,
+                   help="portfolio: wrong-way risk — counterparty default "
+                        "intensity log-loading per sigma of the underlying "
+                        "state (survival curve stays calibrated to "
+                        "--hazard; reports cva_wwr alongside the "
+                        "independent cva; >0 wrong-way, <0 right-way)")
 
 
 def cmd_xva(args) -> int:
@@ -215,8 +221,8 @@ def _cmd_xva_portfolio(args) -> int:
         seed=args.seed, csa=csa, quantile=args.quantile,
         hazard_rate=args.hazard, recovery=args.recovery,
         own_hazard_rate=args.own_hazard, own_recovery=args.own_recovery,
-        funding_spread=args.funding_spread, flat_rate=flat_rate,
-        dtype=jnp.float32)
+        funding_spread=args.funding_spread, wwr_beta=args.wwr_beta,
+        flat_rate=flat_rate, dtype=jnp.float32)
     epe = np.asarray(prof["epe"])
     epe_u = np.asarray(prof["epe_uncollateralized"])
     out = {"underlying": args.underlying, "n_trades": len(trades),
@@ -226,6 +232,9 @@ def _cmd_xva_portfolio(args) -> int:
            "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6)}
     for k in ("cva", "cva_no_netting", "dva", "bcva", "fca", "fba", "fva"):
         out[k] = round(float(prof[k]), 6)
+    if args.wwr_beta != 0.0:
+        out["wwr_beta"] = args.wwr_beta
+        out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
     print(json.dumps(out))
     return 0
 

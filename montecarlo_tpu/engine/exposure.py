@@ -297,6 +297,49 @@ class CSA(NamedTuple):
     mpor: float = 10.0 / 252.0
 
 
+def _wwr_default_increments(paths, times, hazard_rate, beta, dt, dtype):
+    """Pathwise default-probability increments under wrong-way risk.
+
+    Intensity model (Hull–White 2012 style): over the period
+    ``(t_{k-1}, t_k]`` each path's hazard is ``c_k * exp(beta * z_{k-1})``
+    — predictable (period-start state), with ``z`` the per-date
+    cross-sectionally standardized underlying and the scalar ``c_k``
+    calibrated by Newton so the UNCONDITIONAL survival curve equals the
+    flat-hazard curve ``exp(-hazard_rate * t_k)`` EXACTLY for any beta
+    (the CDS curve is an input, not a model output; beta only reshapes
+    WHICH paths default).  Returns ``(dpd, surv_mean)``: (T+1, N)
+    per-path increments (row 0 is zero) and the calibrated mean survival
+    curve (a diagnostic — equals the flat curve to Newton tolerance).
+    """
+    lam = jnp.asarray(hazard_rate, dtype)
+    b = jnp.asarray(beta, dtype)
+    mean_k = jnp.mean(paths, axis=1, keepdims=True)
+    std_k = jnp.std(paths, axis=1, keepdims=True)
+    z = jnp.where(std_k > 0, (paths - mean_k) / jnp.where(std_k > 0,
+                                                          std_k, 1.0), 0.0)
+    w = jnp.exp(b * z)                                  # (T+1, N)
+    targets = jnp.exp(-lam * times)                     # (T+1,)
+
+    def per_date(s_prev, inp):
+        w_start, target = inp                           # state at t_{k-1}
+
+        def newton(_, c):
+            f = jnp.mean(s_prev * jnp.exp(-c * w_start * dt))
+            fp = dt * jnp.mean(s_prev * w_start
+                               * jnp.exp(-c * w_start * dt))
+            return c + (f - target) / jnp.maximum(fp, 1e-300)
+
+        c = jax.lax.fori_loop(0, 12, newton, lam)
+        s_new = s_prev * jnp.exp(-c * w_start * dt)
+        return s_new, (s_prev - s_new, jnp.mean(s_new))
+
+    s0 = jnp.ones((paths.shape[1],), dtype)
+    _, (dpd, surv) = jax.lax.scan(per_date, s0, (w[:-1], targets[1:]))
+    zero_row = jnp.zeros((1, paths.shape[1]), dtype)
+    return (jnp.concatenate([zero_row, dpd], axis=0),
+            jnp.concatenate([jnp.ones((1,), dtype), surv]))
+
+
 @partial(jax.jit, static_argnames=("trades", "n_paths", "n_steps", "seed",
                                    "csa", "T", "dtype"))
 def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
@@ -304,7 +347,7 @@ def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
                          quantile: float, hazard_rate: float,
                          recovery: float, own_hazard_rate: float,
                          own_recovery: float, funding_spread: float,
-                         flat_rate, dtype) -> dict:
+                         wwr_beta: float, flat_rate, dtype) -> dict:
     dt = T / n_steps
     paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
                      dtype=dtype)                       # (T+1, N)
@@ -391,11 +434,23 @@ def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
     trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
     fca = sf * jnp.sum(depe * alive * trap)
     fba = sf * jnp.sum(dene * alive * trap)
+    # Wrong-way risk: CVA as the PATHWISE tilted expectation
+    # (1-R) sum_k E[D_k V_k^+ dPD_k(path)] * S_own(start) with per-path
+    # default increments whose intensity loads on the underlying state
+    # (beta per cross-sectional sigma).  beta = 0 makes dpd deterministic
+    # and reduces to `cva` exactly; the unconditional survival curve is
+    # calibrated to the flat-hazard curve for ANY beta, so cva_wwr - cva
+    # isolates the exposure-default covariance.
+    dpd_paths, surv_wwr = _wwr_default_increments(
+        paths, times, hazard_rate, wwr_beta, dt, dtype)
+    cva_wwr = (1.0 - recovery) * jnp.sum(
+        jnp.mean(disc * pos * dpd_paths, axis=1) * w_o)
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "eepe": eepe, "epe_uncollateralized": epe_u,
             "ene_uncollateralized": ene_u,
             "cva": cva, "dva": dva, "bcva": cva - dva,
-            "cva_no_netting": cva_no_netting,
+            "cva_no_netting": cva_no_netting, "cva_wwr": cva_wwr,
+            "survival_wwr": surv_wwr,
             "fca": fca, "fba": fba, "fva": fca - fba}
 
 
@@ -406,6 +461,7 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
                         own_hazard_rate: float = 0.0,
                         own_recovery: float = 0.4,
                         funding_spread: float = 0.0,
+                        wwr_beta: float = 0.0,
                         flat_rate=None, dtype=jnp.float64) -> dict:
     """Collateralized netting-set exposure and xVA from ONE simulation.
 
@@ -429,16 +485,33 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
     :func:`exposure_profile`) plus ``cva_no_netting`` — the sum of
     standalone per-trade CVAs, the netting benefit's baseline.
 
+    ``wwr_beta``: wrong-way risk — the counterparty's default intensity
+    over each period loads on the period-start underlying state,
+    ``lambda_k(path) = c_k exp(beta * z_{k-1})`` with ``z`` the
+    cross-sectionally standardized state (beta is "intensity log-points
+    per sigma of the underlying") and ``c_k`` Newton-calibrated so the
+    unconditional survival curve equals the flat-hazard curve EXACTLY for
+    any beta — the CDS curve stays an input; beta only correlates WHO
+    defaults with WHERE the exposure is.  ``cva_wwr`` is the pathwise
+    ``(1-R) sum E[D V^+ dPD(path)]`` (own-survival weighted as ``cva``);
+    ``survival_wwr`` returns the calibrated mean survival curve as a
+    diagnostic.  ``beta = 0`` reduces ``cva_wwr`` to ``cva``; beta > 0
+    with exposure increasing in the state is wrong-way (cva_wwr > cva),
+    beta < 0 right-way.  DVA keeps the flat own-hazard (own-default WWR
+    is out of scope).
+
     Pinned limits (tested): zero thresholds + zero MTA + zero MPoR make
     the collateralized EPE identically 0; with MPoR = delta on a linear
     trade ``c * r`` under near-Brownian rates the collateralized EPE
-    reproduces the closed-form gap risk ``c sigma sqrt(delta) / sqrt(2 pi)``.
+    reproduces the closed-form gap risk ``c sigma sqrt(delta) / sqrt(2 pi)``;
+    a NumPy re-implementation of the WWR tilt reproduces ``cva_wwr``.
     """
     return _netting_set_profile(
         model, tuple(trades), n_paths, n_steps, T=T, seed=seed, csa=csa,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
         own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
-        funding_spread=funding_spread, flat_rate=flat_rate, dtype=dtype)
+        funding_spread=funding_spread, wwr_beta=wwr_beta,
+        flat_rate=flat_rate, dtype=dtype)
 
 
 __all__ = ["CSA", "exposure_profile", "netting_set_profile",

@@ -481,3 +481,130 @@ def test_cli_xva_portfolio(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["underlying"] == "equity" and out["csa"] is False
     assert out["cva"] <= out["cva_no_netting"]
+
+
+# ---------------------------------------------------------------------------
+# Wrong-way risk
+# ---------------------------------------------------------------------------
+
+def _wwr_book(n_paths=1 << 13, steps=N_STEPS, receiver=False):
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / steps,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    vfn = swap_value_fn(model, 0.035, pay_times, 0.5)
+    sign = -1.0 if receiver else 1.0
+    return model, (lambda r, t: sign * vfn(r, t),), n_paths
+
+
+def test_wwr_beta_zero_reduces_to_flat():
+    """beta = 0 makes the pathwise default increments deterministic, so
+    cva_wwr collapses to the flat-hazard cva (same sum, different fp
+    association), and the calibrated survival curve IS the flat curve."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    model, trades, n = _wwr_book()
+    prof = netting_set_profile(model, trades, n, N_STEPS, T=T, seed=11,
+                               hazard_rate=0.02, recovery=0.4,
+                               wwr_beta=0.0)
+    cva, cva_wwr = float(prof["cva"]), float(prof["cva_wwr"])
+    assert abs(cva_wwr - cva) < 1e-12 * max(abs(cva), 1e-30), (cva, cva_wwr)
+    times = np.asarray(prof["times"])
+    np.testing.assert_allclose(np.asarray(prof["survival_wwr"]),
+                               np.exp(-0.02 * times), rtol=1e-12)
+
+
+def test_wwr_survival_calibrated_for_any_beta():
+    """The Newton calibration pins the UNCONDITIONAL survival curve to the
+    flat-hazard curve regardless of beta — the CDS curve is an input, not
+    a model output.  Checked at a deliberately aggressive loading."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    model, trades, n = _wwr_book()
+    prof = netting_set_profile(model, trades, n, N_STEPS, T=T, seed=11,
+                               hazard_rate=0.03, wwr_beta=2.0)
+    times = np.asarray(prof["times"])
+    np.testing.assert_allclose(np.asarray(prof["survival_wwr"]),
+                               np.exp(-0.03 * times), rtol=1e-10)
+    # ... and the tilt actually moved the CVA.
+    assert abs(float(prof["cva_wwr"]) - float(prof["cva"])) > 1e-6
+
+
+def test_wwr_sign():
+    """Payer swap: exposure increases in r.  beta > 0 concentrates default
+    where r (and the exposure) is high -> cva_wwr > cva; beta < 0 is
+    right-way.  The receiver side mirrors both inequalities."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    for receiver in (False, True):
+        model, trades, n = _wwr_book(receiver=receiver)
+        out = {}
+        for beta in (1.0, -1.0):
+            prof = netting_set_profile(model, trades, n, N_STEPS, T=T,
+                                       seed=13, hazard_rate=0.02,
+                                       wwr_beta=beta)
+            out[beta] = (float(prof["cva_wwr"]), float(prof["cva"]))
+        wrong = 1.0 if not receiver else -1.0
+        cva_w, cva = out[wrong]
+        assert cva_w > cva * 1.02, (receiver, out)
+        cva_r, cva = out[-wrong]
+        assert cva_r < cva * 0.98, (receiver, out)
+
+
+def test_wwr_numpy_oracle():
+    """Independent NumPy re-implementation of the WWR tilt — same paths
+    (GBM forward book, flat discounting), same definition: per-date
+    standardization, Newton-calibrated survival, pathwise
+    (1-R) sum E[D V+ dPD].  Guards the JAX scan/fori machinery."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+    from montecarlo_tpu.engine.simulate import simulate
+
+    s0, r, sig, t_end, steps, n = 100.0, 0.03, 0.25, 1.0, 32, 4096
+    beta, lam, rec, seed = 0.8, 0.02, 0.4, 17
+    dt = t_end / steps
+    model = GBM.create(s0, r, sig, dt, dtype=jnp.float64)
+    k = s0 * np.exp(r * t_end)
+    trades = (lambda s, t: s - k * jnp.exp(-r * (t_end - t)),)
+    prof = netting_set_profile(model, trades, n, steps, T=t_end, seed=seed,
+                               hazard_rate=lam, recovery=rec,
+                               wwr_beta=beta, flat_rate=r)
+
+    paths = np.asarray(simulate(model, n, steps, seed=seed, mode="paths",
+                                dtype=jnp.float64))          # (T+1, N)
+    times = np.arange(steps + 1) * dt
+    disc = np.exp(-r * times)[:, None] * np.ones((1, n))
+    v = paths - k * np.exp(-r * (t_end - times))[:, None]
+    pos = np.maximum(v, 0.0)
+    mean_k = paths.mean(axis=1, keepdims=True)
+    std_k = paths.std(axis=1, keepdims=True)
+    z = np.where(std_k > 0, (paths - mean_k) / np.where(std_k > 0, std_k,
+                                                        1.0), 0.0)
+    w = np.exp(beta * z)
+    s_prev = np.ones(n)
+    cva_np = 0.0
+    for j in range(1, steps + 1):
+        target = np.exp(-lam * times[j])
+        c = lam
+        for _ in range(12):
+            f = np.mean(s_prev * np.exp(-c * w[j - 1] * dt))
+            fp = dt * np.mean(s_prev * w[j - 1] * np.exp(-c * w[j - 1] * dt))
+            c = c + (f - target) / fp
+        s_new = s_prev * np.exp(-c * w[j - 1] * dt)
+        cva_np += np.mean(disc[j] * pos[j] * (s_prev - s_new))
+        s_prev = s_new
+    cva_np *= (1.0 - rec)
+    assert abs(float(prof["cva_wwr"]) - cva_np) < 1e-12 * cva_np + 1e-15
+
+
+def test_cli_xva_portfolio_wwr(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--no-csa", "--paths", "2048",
+                   "--steps", "50", "--wwr-beta", "1.0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["wwr_beta"] == 1.0
+    # Demo book is net long the payer swap -> exposure increases in r ->
+    # beta > 0 is wrong-way.
+    assert out["cva_wwr"] > out["cva"]
