@@ -71,6 +71,13 @@ def _add_xva(sub):
                    help="portfolio: minimum transfer amount")
     p.add_argument("--no-csa", action="store_true",
                    help="portfolio: no collateral (netting only)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="portfolio: shard the simulation + marking over an "
+                        "N-device paths mesh (sharded_netting_profile — "
+                        "bitwise mesh-shape-invariant profiles; PFE via the "
+                        "integer-psum sketch, grid error reported; "
+                        "incompatible with --wwr-beta, which runs "
+                        "unsharded)")
     p.add_argument("--wwr-beta", type=float, default=0.0,
                    help="portfolio: wrong-way risk — counterparty default "
                         "intensity log-loading per sigma of the underlying "
@@ -216,13 +223,34 @@ def _cmd_xva_portfolio(args) -> int:
         )
         flat_rate = None
 
-    prof = netting_set_profile(
-        model, trades, args.paths, args.steps, T=args.maturity,
-        seed=args.seed, csa=csa, quantile=args.quantile,
-        hazard_rate=args.hazard, recovery=args.recovery,
-        own_hazard_rate=args.own_hazard, own_recovery=args.own_recovery,
-        funding_spread=args.funding_spread, wwr_beta=args.wwr_beta,
-        flat_rate=flat_rate, dtype=jnp.float32)
+    common = dict(T=args.maturity, seed=args.seed, csa=csa,
+                  quantile=args.quantile, hazard_rate=args.hazard,
+                  recovery=args.recovery, own_hazard_rate=args.own_hazard,
+                  own_recovery=args.own_recovery,
+                  funding_spread=args.funding_spread, flat_rate=flat_rate,
+                  dtype=jnp.float32)
+    if getattr(args, "mesh", 0):
+        import jax
+
+        from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
+                                             sharded_netting_profile)
+
+        if args.wwr_beta != 0.0:
+            raise SystemExit(
+                "--mesh is incompatible with --wwr-beta: the wrong-way "
+                "Newton calibration needs a global mean per iteration per "
+                "date; run WWR unsharded")
+        n_dev = len(jax.devices())
+        if args.mesh > n_dev:
+            raise SystemExit(f"--mesh {args.mesh}: only {n_dev} device(s) "
+                             "available")
+        block = min(DEFAULT_BLOCK, args.paths // args.mesh)
+        prof = sharded_netting_profile(
+            model, trades, args.paths, args.steps,
+            mesh=make_mesh(args.mesh), block_size=block, **common)
+    else:
+        prof = netting_set_profile(model, trades, args.paths, args.steps,
+                                   wwr_beta=args.wwr_beta, **common)
     epe = np.asarray(prof["epe"])
     epe_u = np.asarray(prof["epe_uncollateralized"])
     out = {"underlying": args.underlying, "n_trades": len(trades),
@@ -232,6 +260,10 @@ def _cmd_xva_portfolio(args) -> int:
            "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6)}
     for k in ("cva", "cva_no_netting", "dva", "bcva", "fca", "fba", "fva"):
         out[k] = round(float(prof[k]), 6)
+    if getattr(args, "mesh", 0):
+        out["mesh"] = args.mesh
+        out["peak_pfe_grid_err"] = round(
+            float(np.asarray(prof["pfe_grid_err"]).max()), 6)
     if args.wwr_beta != 0.0:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)

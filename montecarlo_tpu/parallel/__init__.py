@@ -14,6 +14,7 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     sharded_functional_estimate,
     sharded_lsm_price,
     sharded_mc_estimate,
+    sharded_netting_profile,
     sharded_price_and_greeks,
     sharded_terminal,
     sharded_terminal_sketch,

@@ -723,3 +723,207 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
         check_vma=False,
     )(process, sampler)
     return sketch, moments_reduce(moments)
+
+
+# ---------------------------------------------------------------------------
+# Pod-scale netting-set xVA
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("trades", "n_paths", "n_steps", "seed",
+                                   "csa", "T", "dtype", "mesh", "axis",
+                                   "block_size", "pfe_bins"))
+def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
+                            T: float, seed: int, mesh, csa=None,
+                            quantile: float = 0.95, pfe_bins: int = 4096,
+                            hazard_rate: float = 0.0, recovery: float = 0.4,
+                            own_hazard_rate: float = 0.0,
+                            own_recovery: float = 0.4,
+                            funding_spread: float = 0.0,
+                            flat_rate=None, dtype=jnp.float64,
+                            block_size: int = DEFAULT_BLOCK,
+                            axis: str = PATHS_AXIS) -> dict:
+    """Collateralized netting-set exposure + xVA, sharded over paths.
+
+    The pod-scale twin of `engine.exposure.netting_set_profile`: each shard
+    simulates its contiguous run of global path ids, marks every trade, nets,
+    and applies the CSA lag locally; cross-shard traffic is ONE gather of the
+    stacked per-(quantity, date) block-moment states (fixed global block
+    order, pairwise-tree merged — every mean is bitwise identical across
+    mesh shapes, multi-slice included) plus ONE int32 `psum` of the per-date
+    PFE histograms (integer adds are exact and order-free) whose grids come
+    from an exact `pmax`.  PFE is therefore the sketch quantile: its
+    deterministic grid error (one bin width at the quantile) is reported as
+    ``pfe_grid_err`` — same honesty contract as `api.var`.
+
+    Differences from the unsharded profile, by design:
+      - ``pfe`` carries a <= one-bin-width grid error (exact sorting does
+        not scale to pod path counts); raise ``pfe_bins`` to shrink it.
+      - no ``wwr_beta``: the wrong-way Newton calibration needs a global
+        mean per iteration per date (T x 12 serialized collectives) —
+        run WWR unsharded, it is a reduction over the same paths.
+      - memory is O(n_steps * local_paths) per device — the exposure grid
+        must be marked at every date; shard counts size the local run.
+      - simulation + marking run per fixed ``block_size``-wide block
+        (`lax.map`), because XLA's fused draw->step codegen is only
+        value-stable at a fixed batch width (see `_one_block`); raise
+        ``block_size`` if block-dispatch overhead shows at pod scale.
+
+    Returns the unsharded profile's keys (minus ``cva_wwr``/
+    ``survival_wwr``) plus ``pfe_grid_err``.
+    """
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+    sum_axes = (axis, SLICES_AXIS) if has_slices else axis
+    from montecarlo_tpu.engine.simulate import simulate
+    from montecarlo_tpu.stats.quantiles import histogram_counts
+
+    dt = T / n_steps
+    n_tr = len(trades)
+    n_dates = n_steps + 1
+
+    n_q = 6 + n_tr
+    n_blk = local_n // block_size
+
+    def _one_block(model_, off):
+        """Simulate + mark + net + collateralize ONE fixed-width block.
+
+        The fixed compile width is what makes the profile bitwise
+        mesh-invariant: XLA's codegen for the fused draw->step chain is
+        only guaranteed value-stable at a FIXED batch shape (measured: the
+        f64 Vasicek scan flips 1 ULP on ~1/1000 paths between 1024- and
+        4096-wide compilations of the same global ids on XLA:CPU), so
+        every mesh shape must run the identical block-wide program.
+        """
+        paths = simulate(model_, block_size, n_steps, seed=seed,
+                         mode="paths", dtype=dtype,
+                         path_offset=off)                  # (T+1, bs)
+        times = jnp.arange(n_dates, dtype=dtype) * dt
+        if flat_rate is None:
+            mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+            disc = jnp.exp(-jnp.concatenate(
+                [jnp.zeros((1, block_size), dtype),
+                 jnp.cumsum(mid, axis=0)], axis=0))
+        else:
+            disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                           * times)[:, None] * jnp.ones((1, block_size),
+                                                        dtype)
+
+        def mark_trade(vfn):
+            return jax.lax.map(lambda k: vfn(paths[k], times[k]),
+                               jnp.arange(n_dates))
+
+        v_all = jnp.stack([mark_trade(v) for v in trades])
+        v_net = jnp.sum(v_all, axis=0)                      # (T+1, bs)
+
+        if csa is None:
+            gap = v_net
+        else:
+            h_c = jnp.asarray(csa.threshold, dtype)
+            h_o = jnp.asarray(csa.own_threshold, dtype)
+            mta = jnp.asarray(csa.mta, dtype)
+            k_lag = int(round(float(csa.mpor) / dt))
+            lag_idx = jnp.maximum(jnp.arange(n_dates) - k_lag, 0)
+            v_obs = v_net[lag_idx]
+            they_post = jnp.maximum(v_obs - h_c, 0.0)
+            we_post = jnp.maximum(-v_obs - h_o, 0.0)
+            they_post = jnp.where(they_post >= mta, they_post, 0.0)
+            we_post = jnp.where(we_post >= mta, we_post, 0.0)
+            gap = v_net - (they_post - we_post)
+
+        pos = jnp.maximum(gap, 0.0)
+        # Every per-date mean target stacked into ONE (Q, T+1, bs) array:
+        # rows 0..5 = pos, neg, disc*pos, disc*neg, pos_u, neg_u;
+        # rows 6..  = per-trade disc * v_i^+ (the no-netting baseline).
+        quants = jnp.concatenate([
+            jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
+                       disc * jnp.maximum(-gap, 0.0),
+                       jnp.maximum(v_net, 0.0),
+                       jnp.maximum(-v_net, 0.0)]),
+            disc[None] * jnp.maximum(v_all, 0.0),
+        ])
+        stats = moments_from_array(
+            quants.reshape(n_q * n_dates, block_size), axis=-1)
+        stats = MomentState(*(x.reshape(n_q, n_dates) for x in stats))
+        return stats, pos
+
+    def shard_fn(model_):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+        offs = shard_idx * local_n + jnp.arange(n_blk) * block_size
+        # lax.map over the shard's fixed-width blocks: block b's program is
+        # the SAME compiled body at every mesh shape (only the trip count
+        # changes), so block stats and exposures are bitwise reproducible.
+        local_stats, pos = jax.lax.map(partial(_one_block, model_), offs)
+        # pos: (n_blk, T+1, bs) -> (T+1, local_n) in global path order.
+        pos = jnp.moveaxis(pos, 0, 1).reshape(n_dates, local_n)
+        gathered = _gather_two_level(local_stats, axis, has_slices)
+
+        # PFE histograms: per-date grid [0, hi_k) with hi_k an exact pmax
+        # (order-free -> mesh-invariant grids), counts via ONE flattened
+        # (T+1)*pfe_bins histogram, int32-psum'd (exact adds; the bin index
+        # is elementwise on bitwise-stable pos/width, so it is exact too).
+        hi = jax.lax.pmax(jnp.max(pos, axis=1), sum_axes)   # (T+1,)
+        hi = jnp.where(hi > 0, hi * (1.0 + 1e-9), 1.0)
+        width = hi / pfe_bins
+        idx = jnp.clip((pos / width[:, None]).astype(jnp.int32),
+                       0, pfe_bins - 1)
+        idx = idx + (jnp.arange(n_dates,
+                                dtype=jnp.int32) * pfe_bins)[:, None]
+        counts = histogram_counts(idx, n_dates * pfe_bins, jnp.int32)
+        counts = jax.lax.psum(counts.reshape(n_dates, pfe_bins), sum_axes)
+        return gathered, counts, width
+
+    spec_in = jax.tree.map(lambda _: P(), model)
+    stats, counts, width = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=(P(), P(), P()),
+        check_vma=False)(model)
+    means = moments_reduce(stats).mean                      # (Q, T+1)
+    epe, ene, depe, dene, epe_u, ene_u = (means[i] for i in range(6))
+    depe_per_trade = means[6:]
+
+    # Sketch quantile per date: rank within the counts' cumsum, linear
+    # interpolation inside the crossing bin (same scheme as
+    # stats.quantiles.sketch_quantile, vectorized over dates).
+    rank = quantile * n_paths
+    cum = jnp.cumsum(counts, axis=1)
+    bin_idx = jnp.argmax(cum >= rank, axis=1)               # (T+1,)
+    take = lambda a, j: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+    cum_before = jnp.where(bin_idx > 0,
+                           take(cum, jnp.maximum(bin_idx - 1, 0)), 0)
+    in_bin = jnp.maximum(take(counts, bin_idx), 1)
+    frac = jnp.clip((rank - cum_before) / in_bin, 0.0, 1.0)
+    pfe = (bin_idx.astype(width.dtype) + frac) * width
+
+    times = jnp.arange(n_dates, dtype=dtype) * dt
+    eepe = jax.lax.associative_scan(jnp.maximum, epe)
+    lam_c = jnp.asarray(hazard_rate, dtype)
+    lam_o = jnp.asarray(own_hazard_rate, dtype)
+    surv_c = jnp.exp(-lam_c * times)
+    surv_o = jnp.exp(-lam_o * times)
+    zero1 = jnp.zeros((1,), dtype)
+    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
+    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
+    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
+    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
+    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
+    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
+    cva_no_netting = (1.0 - recovery) * jnp.sum(
+        depe_per_trade * (dpd_c * w_o)[None, :])
+    sf = jnp.asarray(funding_spread, dtype)
+    alive = surv_c * surv_o
+    trap = jnp.full((n_dates,), dt, dtype)
+    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
+    fca = sf * jnp.sum(depe * alive * trap)
+    fba = sf * jnp.sum(dene * alive * trap)
+    return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
+            "pfe_grid_err": width, "eepe": eepe,
+            "epe_uncollateralized": epe_u, "ene_uncollateralized": ene_u,
+            "cva": cva, "dva": dva, "bcva": cva - dva,
+            "cva_no_netting": cva_no_netting,
+            "fca": fca, "fba": fba, "fva": fca - fba}

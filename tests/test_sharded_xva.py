@@ -1,0 +1,142 @@
+"""Pod-scale netting-set xVA: `sharded_netting_profile` vs the unsharded
+engine and the bitwise mesh-shape-invariance contract."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.exposure import CSA, netting_set_profile, \
+    swap_value_fn
+from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+from montecarlo_tpu.processes import GBM, Vasicek
+
+R0, KAPPA, THETA, SIG = 0.03, 0.6, 0.04, 0.012
+T, N_STEPS = 2.0, 32
+N_PATHS, BLOCK = 4096, 256
+
+
+def _rates_book():
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v1 = swap_value_fn(model, 0.035, pay_times, 0.5)
+    v2 = swap_value_fn(model, 0.04, pay_times[:2], 0.5)
+    return model, (v1, lambda r, t: -0.5 * v2(r, t))
+
+
+_KW = dict(T=T, seed=7, hazard_rate=0.02, recovery=0.4,
+           own_hazard_rate=0.01, funding_spread=0.004,
+           csa=CSA(threshold=0.002, mta=0.0005, mpor=4 * T / N_STEPS))
+
+# Coarse PFE grid so the one-bin-width bracket against the exact
+# (order-statistic-interpolated) quantile is meaningful at 4096 paths —
+# same convention as test_streaming's VaR grid-error bracket.
+_PFE_BINS = 64
+
+
+def _sharded(n_dev, **over):
+    model, trades = _rates_book()
+    kw = {**_KW, **over}
+    return sharded_netting_profile(model, trades, N_PATHS, N_STEPS,
+                                   mesh=make_mesh(n_dev),
+                                   block_size=BLOCK, pfe_bins=_PFE_BINS,
+                                   **kw)
+
+
+def test_bitwise_mesh_shape_invariance():
+    """Every profile array and scalar is bitwise identical on 1/2/4/8-device
+    meshes — the framework's signature reproducibility contract."""
+    base = _sharded(1)
+    for n_dev in (2, 4, 8):
+        prof = _sharded(n_dev)
+        for k, v in base.items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(prof[k]), err_msg=f"{k}@{n_dev}")
+
+
+def test_matches_unsharded_profile():
+    """Means/xVA agree with `netting_set_profile` to fp-reassociation noise;
+    PFE agrees within its reported grid error (the sketch's honesty bar)."""
+    model, trades = _rates_book()
+    want = netting_set_profile(model, trades, N_PATHS, N_STEPS, **_KW)
+    got = _sharded(4)
+    for k in ("epe", "ene", "eepe", "epe_uncollateralized",
+              "ene_uncollateralized"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-11, atol=1e-14, err_msg=k)
+    for k in ("cva", "dva", "bcva", "cva_no_netting", "fca", "fba", "fva"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=1e-10, atol=1e-15, err_msg=k)
+    # PFE: sketch quantile within one bin width of the exact quantile.
+    gap = np.abs(np.asarray(got["pfe"]) - np.asarray(want["pfe"]))
+    assert np.all(gap <= np.asarray(got["pfe_grid_err"]) + 1e-12), gap.max()
+
+
+def test_zero_threshold_instant_collateral_under_mesh():
+    """The pinned CSA limit survives sharding: H=0/MTA=0/MPoR=0 collateral
+    kills the collateralized exposure on every mesh shape."""
+    prof = _sharded(4, csa=CSA(threshold=0.0, own_threshold=0.0,
+                               mta=0.0, mpor=0.0))
+    assert np.all(np.asarray(prof["epe"]) == 0.0)
+    assert float(prof["cva"]) == 0.0
+    assert np.asarray(prof["epe_uncollateralized"]).max() > 0.0
+
+
+def test_equity_flat_rate_book():
+    """Equity underlying (GBM forwards, flat discounting) parity with the
+    unsharded profile."""
+    t_end, steps, n = 1.0, 16, 2048
+    model = GBM.create(100.0, 0.03, 0.25, t_end / steps, dtype=jnp.float64)
+    k = 100.0 * np.exp(0.03 * t_end)
+
+    def fwd(strike):
+        return lambda s, t: s - strike * jnp.exp(-0.03 * (t_end - t))
+
+    trades = (fwd(0.95 * k), lambda s, t: -0.4 * fwd(1.05 * k)(s, t))
+    kw = dict(T=t_end, seed=3, hazard_rate=0.02, flat_rate=0.03)
+    want = netting_set_profile(model, trades, n, steps, **kw)
+    got = sharded_netting_profile(model, trades, n, steps,
+                                  mesh=make_mesh(8), block_size=128,
+                                  pfe_bins=_PFE_BINS, **kw)
+    np.testing.assert_allclose(np.asarray(got["epe"]),
+                               np.asarray(want["epe"]), rtol=1e-11)
+    np.testing.assert_allclose(float(got["cva"]), float(want["cva"]),
+                               rtol=1e-10)
+    gap = np.abs(np.asarray(got["pfe"]) - np.asarray(want["pfe"]))
+    assert np.all(gap <= np.asarray(got["pfe_grid_err"]) + 1e-12)
+
+
+def test_multi_slice_two_level_matches_flat():
+    """A ("slices", "paths") 2x4 mesh (DCN two-level reduction) is bitwise
+    equal to the flat 8-device mesh."""
+    model, trades = _rates_book()
+    flat = sharded_netting_profile(model, trades, N_PATHS, N_STEPS,
+                                   mesh=make_mesh(8), block_size=BLOCK,
+                                   pfe_bins=_PFE_BINS, **_KW)
+    two = sharded_netting_profile(model, trades, N_PATHS, N_STEPS,
+                                  mesh=make_mesh(n_path_shards=4,
+                                                 n_slices=2),
+                                  block_size=BLOCK, pfe_bins=_PFE_BINS,
+                                  **_KW)
+    for k, v in flat.items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(two[k]),
+                                      err_msg=k)
+
+
+def test_cli_xva_portfolio_mesh(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--paths", "4096", "--steps", "50",
+                   "--mesh", "2", "--threshold", "0.005"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mesh"] == 2 and out["peak_pfe_grid_err"] > 0
+    assert 0.0 <= out["cva"] <= out["cva_no_netting"]
+
+    # --mesh + --wwr-beta is rejected with a clean message.
+    import pytest
+
+    with pytest.raises(SystemExit, match="wwr"):
+        cli.main(["xva", "--portfolio", "--paths", "4096", "--steps", "50",
+                  "--mesh", "2", "--wwr-beta", "1.0"])
