@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.rng.normal import exp32, log32
@@ -123,12 +124,17 @@ class DCCGarch(NormalDrawsMixin, NamedTuple("DCCGarchFields", [
         dtype = log_s[0].dtype
         ql = self._q_lists(q)
 
-        # R_t = normalized Q_t, then its per-path Cholesky.
-        dinv = [1.0 / jnp.sqrt(jnp.maximum(ql[i][i], _EPS))
+        # chol(R_t) without forming R_t: R = D^-1/2 Q D^-1/2 with
+        # D = diag(Q), and (D^-1/2 chol(Q)) is lower-triangular with
+        # (D^-1/2 chol(Q))(D^-1/2 chol(Q))' = R — so the normalized
+        # matrix's Cholesky is the Q-Cholesky row-scaled by rsqrt(q_ii).
+        # Measured +4% over normalize-then-chol (experiments/
+        # dcc_profile.py, max rel diff 1.2e-6 on terminals).
+        dinv = [jax.lax.rsqrt(jnp.maximum(ql[i][i], _EPS))
                 for i in range(a_n)]
-        r = [[ql[i][j] * dinv[i] * dinv[j] for j in range(i + 1)]
-             for i in range(a_n)]
-        chol = _chol_unrolled(r, a_n, dtype)
+        cq = _chol_unrolled(ql, a_n, dtype)
+        chol = [[cq[i][j] * dinv[i] for j in range(i + 1)]
+                for i in range(a_n)]
 
         # Correlated standardized shocks eta, returns, variance updates.
         eta, new_log_s, new_var = [], [], []

@@ -122,40 +122,60 @@ def rbergomi_simulate(model: RoughBergomi, n_paths: int, *, seed: int,
                       mode: str = "terminal"):
     """Terminal prices (or (v paths, S terminals)) under rough Bergomi.
 
-    One (n_paths, 2T) standard-normal block (counter-based, columns are the
-    draw index) hits the Cholesky factor on the MXU; the price integral is
-    a `lax.scan` over the exact-in-distribution v/dW arrays.
+    One (3T, n_paths) standard-normal block (counter-based: entry (m, i)
+    is draw index m of global path i) hits the Cholesky factor on the MXU
+    as ``chol @ Z`` — (dims, paths) layout end to end, no transposes; the
+    price integral is a sum over the exact-in-distribution v/dW rows.
+
+    On TPU the draw matrix comes from the Pallas bulk-normal kernel
+    (`ops.rng_kernel.normal_matrix_pallas`, bitwise-identical stream to
+    `normal_draw` — the XLA-level generation was the measured bottleneck,
+    `experiments/rbergomi_bench.py`); elsewhere, or when ``n_paths`` is
+    not a multiple of 1024, the XLA path produces the same values.
     """
     T = model.n_steps
-    ids = path_ids_for(n_paths, path_offset)
-    cols = jnp.arange(2 * T, dtype=jnp.uint32)
-    z = normal_draw(seed, stream, ids[:, None], cols[None, :],
-                    jnp.float32)                      # (N, 2T)
-    joint = z @ model.chol.T                          # (N, 2T) MXU matmul
-    w_tilde = joint[:, :T]                            # W~ at grid times
-    dw = joint[:, T:]                                 # Brownian increments
+    on_accel = jax.devices()[0].platform != "cpu"
+    rows = next((b for b in (128, 64, 32, 16, 8)
+                 if n_paths % (b * 128) == 0), None)
+    if on_accel and rows is not None:
+        from montecarlo_tpu.ops.rng_kernel import normal_matrix_pallas
+
+        z = normal_matrix_pallas(seed, stream, n_paths, 3 * T,
+                                 path_offset=path_offset,
+                                 block_rows=rows)           # (3T, N)
+    else:
+        ids = path_ids_for(n_paths, path_offset)
+        cols = jnp.arange(3 * T, dtype=jnp.uint32)
+        z = normal_draw(seed, stream, ids[None, :], cols[:, None],
+                        jnp.float32)                        # (3T, N)
+    # HIGHEST precision: the TPU's default f32 matmul truncates operands to
+    # bf16, which would distort the sampled Gaussians' covariance by ~0.4%
+    # (the same trap BENCHMARKS.md documents for the SLV one-hot reads —
+    # caught there by the compile smoke).  The factor matmul is a tiny
+    # fraction of the run, exactness wins.
+    joint = jnp.matmul(model.chol, z[:2 * T],
+                       precision=jax.lax.Precision.HIGHEST)  # (2T, N)
+    w_tilde = joint[:T]                               # W~ at grid times
+    dw = joint[T:]                                    # Brownian increments
+    z_perp = z[2 * T:]                                # dW_perp normals
 
     t = model.t_grid
     v = model.xi0 * exp32(model.eta * w_tilde
                             - 0.5 * jnp.square(model.eta)
-                            * t[None, :] ** (2.0 * model.h))  # (N, T)
+                            * t[:, None] ** (2.0 * model.h))  # (T, N)
 
     # log S: left-point Riemann (v evaluated at interval start; v_0 = xi0).
     v_left = jnp.concatenate(
-        [jnp.full((n_paths, 1), model.xi0, v.dtype), v[:, :-1]], axis=1)
+        [jnp.full((1, n_paths), model.xi0, v.dtype), v[:-1]], axis=0)
     sqrt_v = jnp.sqrt(v_left)
     rho = model.rho
-    # dW_perp: independent normals (fresh counter columns 2T..3T-1).
-    cols_p = jnp.arange(2 * T, 3 * T, dtype=jnp.uint32)
-    z_perp = normal_draw(seed, stream, ids[:, None], cols_p[None, :],
-                         jnp.float32)
     dws = rho * dw + jnp.sqrt(1.0 - jnp.square(rho)) * z_perp \
         * jnp.sqrt(model.dt)
     log_s = (log32(model.s0)
-             + jnp.sum(sqrt_v * dws - 0.5 * v_left * model.dt, axis=1))
+             + jnp.sum(sqrt_v * dws - 0.5 * v_left * model.dt, axis=0))
     s_t = exp32(log_s)
     if mode == "paths":
-        return v, s_t
+        return v.T, s_t
     return s_t
 
 
