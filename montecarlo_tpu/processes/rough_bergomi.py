@@ -137,12 +137,15 @@ def rbergomi_simulate(model: RoughBergomi, n_paths: int, *, seed: int,
     on_accel = jax.devices()[0].platform != "cpu"
     rows = next((b for b in (128, 64, 32, 16, 8)
                  if n_paths % (b * 128) == 0), None)
+    fused = (on_accel and rows is not None and mode == "terminal"
+             and T % 2 == 0)
     if on_accel and rows is not None:
         from montecarlo_tpu.ops.rng_kernel import normal_matrix_pallas
 
-        z = normal_matrix_pallas(seed, stream, n_paths, 3 * T,
+        n_cols = 2 * T if fused else 3 * T   # fused: z_perp stays in-kernel
+        z = normal_matrix_pallas(seed, stream, n_paths, n_cols,
                                  path_offset=path_offset,
-                                 block_rows=rows)           # (3T, N)
+                                 block_rows=rows)           # (n_cols, N)
     else:
         ids = path_ids_for(n_paths, path_offset)
         cols = jnp.arange(3 * T, dtype=jnp.uint32)
@@ -155,6 +158,23 @@ def rbergomi_simulate(model: RoughBergomi, n_paths: int, *, seed: int,
     # fraction of the run, exactness wins.
     joint = jnp.matmul(model.chol, z[:2 * T],
                        precision=jax.lax.Precision.HIGHEST)  # (2T, N)
+    if fused:
+        # Fused tail: z_perp generation + v_t + the price integral in one
+        # Pallas pass over the joint matrix (same draw stream — the
+        # perpendicular normals are columns 2T..3T-1 of the counter
+        # convention, generated in-kernel).  ~1.9x the XLA tail.
+        from montecarlo_tpu.ops.rbergomi_kernel import rbergomi_terminal_pallas
+
+        params = jnp.stack([
+            model.xi0, model.eta, model.rho,
+            jnp.sqrt(1.0 - jnp.square(model.rho)) * jnp.sqrt(model.dt),
+            0.5 * model.dt, log32(model.s0),
+            0.5 * jnp.square(model.eta),
+        ]).astype(jnp.float32)
+        tpow = model.t_grid ** (2.0 * model.h)
+        return rbergomi_terminal_pallas(
+            joint, tpow, params, seed, stream, n_steps=T,
+            path_offset=path_offset, block_rows=min(rows, 16))
     w_tilde = joint[:T]                               # W~ at grid times
     dw = joint[T:]                                    # Brownian increments
     z_perp = z[2 * T:]                                # dW_perp normals

@@ -47,3 +47,33 @@ def test_rbergomi_cpu_path_unchanged():
     a = np.asarray(rbergomi_simulate(m, 512, seed=3))
     b = np.asarray(rbergomi_simulate(m, 512, seed=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_rbergomi_fused_tail_matches_xla_tail():
+    """The fused terminal kernel (interpret mode) reproduces the XLA tail
+    from the same joint matrix to accumulation-order tolerance, including
+    the in-kernel perpendicular normals (draw-matrix columns 2T..3T-1)."""
+    import jax
+
+    from montecarlo_tpu.ops.rbergomi_kernel import rbergomi_terminal_pallas
+    from montecarlo_tpu.processes.rough_bergomi import (RoughBergomi,
+                                                        rbergomi_simulate)
+    from montecarlo_tpu.rng.normal import log32, normal_draw
+
+    T, n = 16, 1024
+    m = RoughBergomi.create(100.0, 0.04, 1.5, -0.7, 0.1, n_steps=T, T=0.5)
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    cols = jnp.arange(2 * T, dtype=jnp.uint32)
+    z = normal_draw(7, 0, ids[None, :], cols[:, None], jnp.float32)
+    joint = jnp.matmul(m.chol.astype(jnp.float32), z,
+                       precision=jax.lax.Precision.HIGHEST)
+    params = jnp.stack([
+        m.xi0, m.eta, m.rho,
+        jnp.sqrt(1.0 - jnp.square(m.rho)) * jnp.sqrt(m.dt),
+        0.5 * m.dt, log32(m.s0), 0.5 * jnp.square(m.eta),
+    ]).astype(jnp.float32)
+    got = np.asarray(rbergomi_terminal_pallas(
+        joint, m.t_grid ** (2.0 * m.h), params, 7, 0, n_steps=T,
+        block_rows=8, interpret=True))
+    want = np.asarray(rbergomi_simulate(m, n, seed=7))  # CPU: XLA tail
+    np.testing.assert_allclose(got, want, rtol=3e-5)
