@@ -16,6 +16,7 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     sharded_mc_estimate,
     sharded_netting_profile,
     sharded_price_and_greeks,
+    sharded_rbergomi_estimate,
     sharded_terminal,
     sharded_terminal_sketch,
 )

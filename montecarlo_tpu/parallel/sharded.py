@@ -927,3 +927,61 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             "cva": cva, "dva": dva, "bcva": cva - dva,
             "cva_no_netting": cva_no_netting,
             "fca": fca, "fba": fba, "fva": fca - fba}
+
+
+@partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "seed", "stream",
+                                   "block_size", "axis", "mesh"))
+def sharded_rbergomi_estimate(model, payoff_fn, n_paths: int, *, seed: int,
+                              mesh, discount=1.0, stream: int = 0,
+                              block_size: int = DEFAULT_BLOCK,
+                              axis: str = PATHS_AXIS):
+    """Pod-scale rough Bergomi: the own-simulator sampler sharded over paths.
+
+    `rbergomi_simulate` is not a per-step process (the Volterra factor is
+    one matmul per path block), so it cannot ride `sharded_mc_estimate` —
+    this applies the same fixed-block contract directly: each shard runs
+    the sampler per fixed ``block_size``-wide block of GLOBAL path ids
+    (`lax.map` — the fixed compile width is what makes per-path values
+    reproducible across mesh shapes, see DEVNOTES "Determinism contract"),
+    payoffs reduce to per-block moments, and blocks merge by the fixed
+    pairwise tree — price and std-err bitwise identical on any mesh,
+    multi-slice included.
+
+    Throughput note: blocks run sequentially per shard; raise
+    ``block_size`` (multiples of 1024 keep the Pallas draw kernel engaged)
+    when per-block dispatch shows at scale.
+    """
+    from montecarlo_tpu.processes.rough_bergomi import rbergomi_simulate
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    n_blk = local_n // block_size
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+
+    def shard_fn(model_):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+
+        def one_block(off):
+            s_t = rbergomi_simulate(model_, block_size, seed=seed,
+                                    stream=stream, path_offset=off)
+            return moments_from_array(payoff_fn(s_t).reshape(1, block_size),
+                                      axis=-1)
+
+        offs = shard_idx * local_n + jnp.arange(n_blk) * block_size
+        stats = jax.lax.map(one_block, offs)       # leaves (n_blk, 1)
+        local_stats = MomentState(*(x.reshape(n_blk) for x in stats))
+        return _gather_two_level(local_stats, axis, has_slices)
+
+    spec_in = jax.tree.map(lambda _: P(), model)
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,),
+                          out_specs=P(), check_vma=False)(model)
+    total = moments_reduce(stats)
+    d = jnp.asarray(discount, total.mean.dtype)
+    return {"price": d * total.mean, "std_err": d * std_error(total),
+            "n_paths": total.count}
