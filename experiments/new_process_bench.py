@@ -15,7 +15,8 @@ from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache("_bench")
 
 from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
-from montecarlo_tpu.processes import (CIR, NIG, SABR, Bates, EulerGBM,
+from montecarlo_tpu.processes import (CIR, NIG, SABR, Bates,
+                                      EquityVasicekHybrid, EulerGBM,
                                       HullWhite, Kou, Merton,
                                       VarianceGamma, Vasicek)
 from montecarlo_tpu.utils.profiling import throughput_path_steps
@@ -42,6 +43,8 @@ PROCS = {
     "HullWhite": HullWhite.from_forward_curve(
         .02 + .005 * np.arange(N_STEPS + 1) / N_STEPS, a=.6, sigma=.012,
         dt=1 / 252),
+    "Hybrid": EquityVasicekHybrid.create(100., .03, .8, .05, .015, .2,
+                                         -.3, 1 / 252),
 }
 
 
