@@ -250,7 +250,9 @@ def _cmd_xva_portfolio(args) -> int:
             mesh=make_mesh(args.mesh), block_size=block, **common)
     else:
         prof = netting_set_profile(model, trades, args.paths, args.steps,
-                                   wwr_beta=args.wwr_beta, **common)
+                                   wwr_beta=args.wwr_beta,
+                                   im_spread=args.im_spread,
+                                   im_mpor=args.mpor, **common)
     epe = np.asarray(prof["epe"])
     epe_u = np.asarray(prof["epe_uncollateralized"])
     out = {"underlying": args.underlying, "n_trades": len(trades),
@@ -264,6 +266,9 @@ def _cmd_xva_portfolio(args) -> int:
         out["mesh"] = args.mesh
         out["peak_pfe_grid_err"] = round(
             float(np.asarray(prof["pfe_grid_err"]).max()), 6)
+    else:
+        out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
+        out["mva"] = round(float(prof["mva"]), 6)
     if args.wwr_beta != 0.0:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)

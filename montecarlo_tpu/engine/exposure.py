@@ -347,7 +347,9 @@ def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
                          quantile: float, hazard_rate: float,
                          recovery: float, own_hazard_rate: float,
                          own_recovery: float, funding_spread: float,
-                         wwr_beta: float, flat_rate, dtype) -> dict:
+                         wwr_beta: float, im_spread: float,
+                         im_quantile: float, im_mpor: float,
+                         flat_rate, dtype) -> dict:
     dt = T / n_steps
     paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
                      dtype=dtype)                       # (T+1, N)
@@ -364,14 +366,19 @@ def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
 
     # Every trade marked on the SAME paths: v_all[i, k, :] = trade i's value
     # at grid time k.  The simulation is the expensive part; each mark is a
-    # per-row closed form.
+    # per-row closed form.  One jvp per mark carries dV/d(state) along for
+    # the netted delta-normal IM (each path's value depends only on its own
+    # state, so a ones-tangent jvp IS the elementwise derivative).
     def mark_trade(vfn):
         def row(k):
-            return vfn(paths[k], times[k])
+            return jax.jvp(lambda rr: vfn(rr, times[k]), (paths[k],),
+                           (jnp.ones((n_paths,), dtype),))
         return jax.lax.map(row, jnp.arange(n_steps + 1))
 
-    v_all = jnp.stack([mark_trade(v) for v in trades])  # (n_tr, T+1, N)
+    marked = [mark_trade(v) for v in trades]
+    v_all = jnp.stack([m[0] for m in marked])           # (n_tr, T+1, N)
     v_net = jnp.sum(v_all, axis=0)                      # (T+1, N)
+    dv_net = sum(m[1] for m in marked)                  # (T+1, N)
 
     if csa is None:
         coll = jnp.zeros_like(v_net)
@@ -445,13 +452,33 @@ def _netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
         paths, times, hazard_rate, wwr_beta, dt, dtype)
     cva_wwr = (1.0 - recovery) * jnp.sum(
         jnp.mean(disc * pos * dpd_paths, axis=1) * w_o)
+    # Netted delta-normal dynamic IM + MVA — same model as the single-trade
+    # profile (`_exposure_profile`), with dV/dr the NETTED sensitivity:
+    # IM_t = z_q |sum_i dV_i/dr| sigma_state(im_mpor) per path.
+    z_im = jax.scipy.special.ndtri(jnp.asarray(im_quantile, dtype))
+    kap = getattr(model, "kappa", getattr(model, "a", None))
+    sig_model = jnp.asarray(model.sigma, dtype)
+    mpor_t = jnp.asarray(im_mpor, dtype)
+    lognormal_im = flat_rate is not None
+    if kap is not None and not lognormal_im:
+        kap = jnp.asarray(kap, dtype)
+        sig_mpor = sig_model * jnp.sqrt(
+            (1.0 - jnp.exp(-2.0 * kap * mpor_t))
+            / jnp.maximum(2.0 * kap, 1e-12))
+    else:
+        sig_mpor = sig_model * jnp.sqrt(mpor_t)
+    state_shock = sig_mpor * paths if lognormal_im else sig_mpor
+    im_path = z_im * jnp.abs(dv_net) * state_shock      # (T+1, N)
+    im = jnp.mean(im_path, axis=1)
+    dim = jnp.mean(disc * im_path, axis=1)
+    mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive * trap)
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "eepe": eepe, "epe_uncollateralized": epe_u,
-            "ene_uncollateralized": ene_u,
+            "ene_uncollateralized": ene_u, "im": im,
             "cva": cva, "dva": dva, "bcva": cva - dva,
             "cva_no_netting": cva_no_netting, "cva_wwr": cva_wwr,
             "survival_wwr": surv_wwr,
-            "fca": fca, "fba": fba, "fva": fca - fba}
+            "fca": fca, "fba": fba, "fva": fca - fba, "mva": mva}
 
 
 def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
@@ -462,6 +489,9 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
                         own_recovery: float = 0.4,
                         funding_spread: float = 0.0,
                         wwr_beta: float = 0.0,
+                        im_spread: float = 0.0,
+                        im_quantile: float = 0.99,
+                        im_mpor: float = 10.0 / 252.0,
                         flat_rate=None, dtype=jnp.float64) -> dict:
     """Collateralized netting-set exposure and xVA from ONE simulation.
 
@@ -500,6 +530,14 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
     beta < 0 right-way.  DVA keeps the flat own-hazard (own-default WWR
     is out of scope).
 
+    ``im_spread``/``im_quantile``/``im_mpor``: delta-normal dynamic
+    initial margin on the NETTED book — IM_t = z_q |dV_net/d state|
+    sigma_state(im_mpor) per path, with dV_net carried by one jvp per
+    trade mark; the ``im`` profile is always reported, ``mva`` funds it
+    at ``im_spread`` while both parties survive (0 switches MVA off).
+    A single-trade netting set reproduces `exposure_profile`'s ``im``/
+    ``mva`` (tested).
+
     Pinned limits (tested): zero thresholds + zero MTA + zero MPoR make
     the collateralized EPE identically 0; with MPoR = delta on a linear
     trade ``c * r`` under near-Brownian rates the collateralized EPE
@@ -511,6 +549,7 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
         own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
         funding_spread=funding_spread, wwr_beta=wwr_beta,
+        im_spread=im_spread, im_quantile=im_quantile, im_mpor=im_mpor,
         flat_rate=flat_rate, dtype=dtype)
 
 

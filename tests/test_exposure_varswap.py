@@ -422,15 +422,47 @@ def test_netting_single_trade_matches_exposure_profile():
     pay_times = np.arange(1, 5) * 0.5
     v = swap_value_fn(model, 0.035, pay_times, 0.5)
     single = exposure_profile(model, v, 2048, N_STEPS, T=T, seed=3,
-                              hazard_rate=0.02, recovery=0.4)
+                              hazard_rate=0.02, recovery=0.4,
+                              im_spread=0.003)
     netted = netting_set_profile(model, (v,), 2048, N_STEPS, T=T, seed=3,
-                                 hazard_rate=0.02, recovery=0.4)
+                                 hazard_rate=0.02, recovery=0.4,
+                                 im_spread=0.003)
     np.testing.assert_allclose(np.asarray(netted["epe"]),
                                np.asarray(single["epe"]), rtol=1e-10)
     np.testing.assert_allclose(float(netted["cva"]), float(single["cva"]),
                                rtol=1e-10)
     np.testing.assert_allclose(float(netted["cva_no_netting"]),
                                float(netted["cva"]), rtol=1e-10)
+    # Netted delta-normal IM/MVA degenerate to the single-trade engine's
+    # (both use the OU conditional std over the default 10d MPoR).
+    np.testing.assert_allclose(np.asarray(netted["im"]),
+                               np.asarray(single["im"]), rtol=1e-10)
+    np.testing.assert_allclose(float(netted["mva"]), float(single["mva"]),
+                               rtol=1e-10)
+    assert float(netted["mva"]) > 0
+
+
+def test_netting_im_nets_across_offsetting_trades():
+    """IM is computed on the NETTED sensitivity: a book of (v, -v) has
+    dV_net/dr == 0, so the netted IM vanishes while each standalone trade
+    carries real IM — and a scaled single trade scales IM linearly."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v = swap_value_fn(model, 0.035, pay_times, 0.5)
+    flat = netting_set_profile(model, (v, lambda r, t: -1.0 * v(r, t)),
+                               2048, N_STEPS, T=T, seed=3,
+                               im_spread=0.003)
+    np.testing.assert_allclose(np.asarray(flat["im"]), 0.0, atol=1e-12)
+    assert float(flat["mva"]) == 0.0
+    one = netting_set_profile(model, (v,), 2048, N_STEPS, T=T, seed=3,
+                              im_spread=0.003)
+    two = netting_set_profile(model, (v, v), 2048, N_STEPS, T=T, seed=3,
+                              im_spread=0.003)
+    np.testing.assert_allclose(np.asarray(two["im"]),
+                               2.0 * np.asarray(one["im"]), rtol=1e-10)
 
 
 def test_netting_csa_guards_and_mta():
