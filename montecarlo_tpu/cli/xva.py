@@ -5,7 +5,6 @@ book against one counterparty with CSA variation margin."""
 from __future__ import annotations
 
 import json
-import sys
 
 
 def add_parsers(sub):

@@ -784,6 +784,17 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
     dt = T / n_steps
     n_tr = len(trades)
     n_dates = n_steps + 1
+    if (csa is not None and float(csa.mpor) > 0
+            and int(round(float(csa.mpor) / dt)) == 0):
+        import warnings
+
+        # Same guard as the unsharded profile: a zero-step lag silently
+        # hides ALL gap risk.
+        warnings.warn(
+            f"CSA margin period of risk ({float(csa.mpor):.4f}y) is finer "
+            f"than the exposure grid (dt={dt:.4f}y) and rounds to a "
+            "ZERO-step lag — the collateralized exposure will show no gap "
+            "risk; raise n_steps so dt <= mpor", stacklevel=2)
 
     n_q = 6 + n_tr
     n_blk = local_n // block_size
