@@ -77,6 +77,14 @@ def _add_xva(sub):
                         "integer-psum sketch, grid error reported; "
                         "incompatible with --wwr-beta, which runs "
                         "unsharded)")
+    p.add_argument("--kva-cost", type=float, default=0.0,
+                   help="portfolio: cost-of-capital hurdle rate (KVA; 0 "
+                        "disables). Capital is modeled as "
+                        "kva-capital-ratio x collateralized EEPE")
+    p.add_argument("--kva-capital-ratio", type=float, default=0.112,
+                   help="portfolio: capital per unit EEPE (the Basel "
+                        "alpha x RW x 8%% chain collapsed; default "
+                        "1.4 x 1.0 x 0.08)")
     p.add_argument("--wwr-beta", type=float, default=0.0,
                    help="portfolio: wrong-way risk — counterparty default "
                         "intensity log-loading per sigma of the underlying "
@@ -226,8 +234,10 @@ def _cmd_xva_portfolio(args) -> int:
                   quantile=args.quantile, hazard_rate=args.hazard,
                   recovery=args.recovery, own_hazard_rate=args.own_hazard,
                   own_recovery=args.own_recovery,
-                  funding_spread=args.funding_spread, flat_rate=flat_rate,
-                  dtype=jnp.float32)
+                  funding_spread=args.funding_spread,
+                  kva_cost=args.kva_cost,
+                  kva_capital_ratio=args.kva_capital_ratio,
+                  flat_rate=flat_rate, dtype=jnp.float32)
     if getattr(args, "mesh", 0):
         import jax
 
@@ -261,6 +271,8 @@ def _cmd_xva_portfolio(args) -> int:
            "peak_pfe": round(float(np.asarray(prof["pfe"]).max()), 6)}
     for k in ("cva", "cva_no_netting", "dva", "bcva", "fca", "fba", "fva"):
         out[k] = round(float(prof[k]), 6)
+    if args.kva_cost != 0.0:
+        out["kva"] = round(float(prof["kva"]), 6)
     if getattr(args, "mesh", 0):
         out["mesh"] = args.mesh
         out["peak_pfe_grid_err"] = round(

@@ -739,6 +739,8 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
                             own_hazard_rate: float = 0.0,
                             own_recovery: float = 0.4,
                             funding_spread: float = 0.0,
+                            kva_cost: float = 0.0,
+                            kva_capital_ratio: float = 0.112,
                             flat_rate=None, dtype=jnp.float64,
                             block_size: int = DEFAULT_BLOCK,
                             axis: str = PATHS_AXIS) -> dict:
@@ -769,7 +771,11 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         ``block_size`` if block-dispatch overhead shows at pod scale.
 
     Returns the unsharded profile's keys (minus ``cva_wwr``/
-    ``survival_wwr``) plus ``pfe_grid_err``.
+    ``survival_wwr`` — see above — and minus ``im``/``mva``, whose jvp
+    marking doubles the per-block work; run IM/MVA unsharded or ask for
+    it) plus ``pfe_grid_err``; ``kva`` rides the block-moment contract
+    (the capital profile is a deterministic function of EEPE and the mean
+    discount) and is bitwise mesh-invariant like every mean.
     """
     n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
     has_slices = n_slices > 1
@@ -796,7 +802,7 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             "ZERO-step lag — the collateralized exposure will show no gap "
             "risk; raise n_steps so dt <= mpor", stacklevel=2)
 
-    n_q = 6 + n_tr
+    n_q = 7 + n_tr
     n_blk = local_n // block_size
 
     def _one_block(model_, off):
@@ -848,12 +854,13 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         pos = jnp.maximum(gap, 0.0)
         # Every per-date mean target stacked into ONE (Q, T+1, bs) array:
         # rows 0..5 = pos, neg, disc*pos, disc*neg, pos_u, neg_u;
-        # rows 6..  = per-trade disc * v_i^+ (the no-netting baseline).
+        # row 6 = disc itself (P(0,t) for the KVA capital integral);
+        # rows 7..  = per-trade disc * v_i^+ (the no-netting baseline).
         quants = jnp.concatenate([
             jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
                        disc * jnp.maximum(-gap, 0.0),
                        jnp.maximum(v_net, 0.0),
-                       jnp.maximum(-v_net, 0.0)]),
+                       jnp.maximum(-v_net, 0.0), disc]),
             disc[None] * jnp.maximum(v_all, 0.0),
         ])
         stats = moments_from_array(
@@ -895,8 +902,8 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=(P(), P(), P()),
         check_vma=False)(model)
     means = moments_reduce(stats).mean                      # (Q, T+1)
-    epe, ene, depe, dene, epe_u, ene_u = (means[i] for i in range(6))
-    depe_per_trade = means[6:]
+    epe, ene, depe, dene, epe_u, ene_u, pbar = (means[i] for i in range(7))
+    depe_per_trade = means[7:]
 
     # Sketch quantile per date: rank within the counts' cumsum, linear
     # interpolation inside the crossing bin (same scheme as
@@ -932,12 +939,18 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
     trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
     fca = sf * jnp.sum(depe * alive * trap)
     fba = sf * jnp.sum(dene * alive * trap)
+    # KVA on the collateralized EEPE — same capital model as the unsharded
+    # engine (K(t) = ratio * EEPE(t), mean-discount accrual); pbar rides
+    # the block-moment contract so kva is bitwise mesh-invariant too.
+    kva = (jnp.asarray(kva_cost, dtype)
+           * jnp.sum(jnp.asarray(kva_capital_ratio, dtype) * eepe
+                     * pbar * alive * trap))
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "pfe_grid_err": width, "eepe": eepe,
             "epe_uncollateralized": epe_u, "ene_uncollateralized": ene_u,
             "cva": cva, "dva": dva, "bcva": cva - dva,
             "cva_no_netting": cva_no_netting,
-            "fca": fca, "fba": fba, "fva": fca - fba}
+            "fca": fca, "fba": fba, "fva": fca - fba, "kva": kva}
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "seed", "stream",

@@ -640,3 +640,67 @@ def test_cli_xva_portfolio_wwr(capsys):
     # Demo book is net long the payer swap -> exposure increases in r ->
     # beta > 0 is wrong-way.
     assert out["cva_wwr"] > out["cva"]
+
+
+def test_kva_deterministic_exposure_closed_form():
+    """A constant-value trade under flat-rate discounting makes every
+    factor of the KVA integral deterministic (EEPE = c, P(0,t) = e^{-rt}),
+    so MC must reproduce the closed-form capital integral exactly."""
+    from montecarlo_tpu.engine.exposure import netting_set_profile
+
+    c, r, lam_c, lam_o = 3.0, 0.03, 0.02, 0.01
+    cost, ratio = 0.10, 0.112
+    steps, t_end = 16, 2.0
+    dt = t_end / steps
+    model = GBM.create(100.0, r, 0.2, dt, dtype=jnp.float64)
+    trades = (lambda s, t: jnp.full_like(s, c),)
+    prof = netting_set_profile(model, trades, 256, steps, T=t_end, seed=1,
+                               hazard_rate=lam_c, own_hazard_rate=lam_o,
+                               kva_cost=cost, kva_capital_ratio=ratio,
+                               flat_rate=r, dtype=jnp.float64)
+    times = dt * np.arange(steps + 1)
+    trap = np.full(steps + 1, dt)
+    trap[0] = trap[-1] = 0.5 * dt
+    alive = np.exp(-(lam_c + lam_o) * times)
+    want = cost * np.sum(ratio * c * np.exp(-r * times) * alive * trap)
+    np.testing.assert_allclose(float(prof["kva"]), want, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(prof["eepe"]), c, rtol=1e-12)
+
+
+def test_kva_off_by_default_and_collateral_limits():
+    """kva_cost defaults to 0 (term off); KVA is charged on the
+    COLLATERALIZED EEPE, so the pinned instant-collateral limit (H=0,
+    MTA=0, MPoR=0 — collateral tracks the netted value exactly) kills the
+    capital charge entirely while the uncollateralized book pays it.
+    (A lagged CSA need NOT reduce KVA on a mostly-negative book: our own
+    posted collateral against the MPoR-old mark creates gap exposure —
+    that direction is deliberately not asserted.)"""
+    from montecarlo_tpu.engine.exposure import CSA, netting_set_profile
+
+    model = Vasicek.create(R0, KAPPA, THETA, SIG, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v = swap_value_fn(model, 0.035, pay_times, 0.5)
+    off = netting_set_profile(model, (v,), 2048, N_STEPS, T=T, seed=3,
+                              hazard_rate=0.02)
+    assert float(off["kva"]) == 0.0
+    bare = netting_set_profile(model, (v,), 2048, N_STEPS, T=T, seed=3,
+                               hazard_rate=0.02, kva_cost=0.10)
+    assert float(bare["kva"]) > 0.0
+    instant = netting_set_profile(
+        model, (v,), 2048, N_STEPS, T=T, seed=3, hazard_rate=0.02,
+        kva_cost=0.10,
+        csa=CSA(threshold=0.0, own_threshold=0.0, mta=0.0, mpor=0.0))
+    assert float(instant["kva"]) == 0.0
+
+
+def test_cli_xva_portfolio_kva(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--no-csa", "--paths", "2048",
+                   "--steps", "50", "--kva-cost", "0.1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kva"] > 0.0

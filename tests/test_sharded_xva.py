@@ -24,7 +24,7 @@ def _rates_book():
 
 
 _KW = dict(T=T, seed=7, hazard_rate=0.02, recovery=0.4,
-           own_hazard_rate=0.01, funding_spread=0.004,
+           own_hazard_rate=0.01, funding_spread=0.004, kva_cost=0.10,
            csa=CSA(threshold=0.002, mta=0.0005, mpor=4 * T / N_STEPS))
 
 # Coarse PFE grid so the one-bin-width bracket against the exact
@@ -63,9 +63,11 @@ def test_matches_unsharded_profile():
               "ene_uncollateralized"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=1e-11, atol=1e-14, err_msg=k)
-    for k in ("cva", "dva", "bcva", "cva_no_netting", "fca", "fba", "fva"):
+    for k in ("cva", "dva", "bcva", "cva_no_netting", "fca", "fba", "fva",
+              "kva"):
         np.testing.assert_allclose(float(got[k]), float(want[k]),
                                    rtol=1e-10, atol=1e-15, err_msg=k)
+    assert float(got["kva"]) > 0.0
     # PFE: sketch quantile within one bin width of the exact quantile.
     gap = np.abs(np.asarray(got["pfe"]) - np.asarray(want["pfe"]))
     assert np.all(gap <= np.asarray(got["pfe_grid_err"]) + 1e-12), gap.max()
