@@ -77,6 +77,13 @@ def _add_xva(sub):
                         "integer-psum sketch, grid error reported; "
                         "incompatible with --wwr-beta, which runs "
                         "unsharded)")
+    p.add_argument("--greeks", action="store_true",
+                   help="portfolio: pathwise-AD xVA sensitivities "
+                        "(d{cva,dva,bcva,fva,mva}/d{r0|s0, sigma, "
+                        "hazard_rate} via engine.exposure.xva_greeks; "
+                        "runs unsharded — incompatible with --mesh; with "
+                        "--mta > 0 the deadband boundary is ignored and a "
+                        "warning is raised)")
     p.add_argument("--kva-cost", type=float, default=0.0,
                    help="portfolio: cost-of-capital hurdle rate (KVA; 0 "
                         "disables). Capital is modeled as "
@@ -194,22 +201,31 @@ def _cmd_xva_portfolio(args) -> int:
     def scaled(fn, a):
         return lambda s, t: a * fn(s, t)
 
+    # The book as a function of the differentiable scalars: strikes are
+    # FIXED floats (computed once from the CLI inputs), so --greeks
+    # reports sensitivities at constant contract terms; the trades are
+    # rebuilt from the params so valuation sensitivity flows through the
+    # swap closed forms, not just the simulation (see xva_greeks docs).
+    dt = args.maturity / args.steps
     if args.underlying == "equity":
-        model = GBM.create(args.s0, args.r0, args.equity_sigma,
-                           args.maturity / args.steps)
         k_par = args.s0 * float(np.exp(args.r0 * args.maturity))
         t_mat, r0 = args.maturity, args.r0
 
-        def fwd(k):
-            return lambda s, t: s - k * jnp.exp(-r0 * (t_mat - t))
-
-        trades = (fwd(0.9 * k_par), scaled(fwd(1.05 * k_par), -0.6),
-                  scaled(fwd(k_par), 0.5))
-        flat_rate = args.r0
-    else:
-        model = Vasicek.create(args.r0, args.kappa, args.theta, args.sigma,
-                               args.maturity / args.steps,
+        def build(p):
+            model = GBM.create(p["s0"], r0, p["sigma"], dt,
                                dtype=jnp.float32)
+
+            def fwd(k):
+                return lambda s, t: s - k * jnp.exp(-r0 * (t_mat - t))
+
+            trades = (fwd(0.9 * k_par), scaled(fwd(1.05 * k_par), -0.6),
+                      scaled(fwd(k_par), 0.5))
+            return model, trades, r0
+
+        params = {"s0": args.s0, "sigma": args.equity_sigma,
+                  "hazard_rate": args.hazard}
+        state_param = "s0"
+    else:
         pay_dt = args.maturity / args.periods
         times_full = pay_dt * np.arange(1, args.periods + 1)
         times_half = times_full[:max(args.periods // 2, 1)]
@@ -220,15 +236,25 @@ def _cmd_xva_portfolio(args) -> int:
             return (1.0 - ps[-1]) / (pay_dt * sum(ps))
 
         k_full, k_half = par(times_full), par(times_half)
-        trades = (
-            swap_value_fn(model, k_full, times_full, pay_dt,
-                          dtype=jnp.float32),
-            scaled(swap_value_fn(model, k_half, times_half, pay_dt,
-                                 dtype=jnp.float32), -0.6),
-            scaled(swap_value_fn(model, 1.1 * k_full, times_full, pay_dt,
-                                 dtype=jnp.float32), 0.5),
-        )
-        flat_rate = None
+
+        def build(p):
+            model = Vasicek.create(p["r0"], args.kappa, args.theta,
+                                   p["sigma"], dt, dtype=jnp.float32)
+            trades = (
+                swap_value_fn(model, k_full, times_full, pay_dt,
+                              dtype=jnp.float32),
+                scaled(swap_value_fn(model, k_half, times_half, pay_dt,
+                                     dtype=jnp.float32), -0.6),
+                scaled(swap_value_fn(model, 1.1 * k_full, times_full,
+                                     pay_dt, dtype=jnp.float32), 0.5),
+            )
+            return model, trades, None
+
+        params = {"r0": args.r0, "sigma": args.sigma,
+                  "hazard_rate": args.hazard}
+        state_param = "r0"
+
+    model, trades, flat_rate = build(params)
 
     common = dict(T=args.maturity, seed=args.seed, csa=csa,
                   quantile=args.quantile, hazard_rate=args.hazard,
@@ -283,6 +309,40 @@ def _cmd_xva_portfolio(args) -> int:
     if args.wwr_beta != 0.0:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
+    if args.greeks:
+        common_g = dict(T=args.maturity, seed=args.seed, csa=csa,
+                        quantile=args.quantile, recovery=args.recovery,
+                        own_hazard_rate=args.own_hazard,
+                        own_recovery=args.own_recovery,
+                        funding_spread=args.funding_spread,
+                        kva_cost=args.kva_cost,
+                        kva_capital_ratio=args.kva_capital_ratio,
+                        dtype=jnp.float32)
+        if getattr(args, "mesh", 0):
+            from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
+                                                 sharded_xva_greeks)
+
+            outs = ["cva", "dva", "bcva", "fva"]
+            if args.kva_cost != 0.0:
+                outs.append("kva")
+            block = min(DEFAULT_BLOCK, args.paths // args.mesh)
+            g = sharded_xva_greeks(build, params, args.paths, args.steps,
+                                   mesh=make_mesh(args.mesh),
+                                   block_size=block, outputs=tuple(outs),
+                                   **common_g)
+        else:
+            from montecarlo_tpu.engine.exposure import xva_greeks
+
+            outs = ["cva", "dva", "bcva", "fva", "mva"]
+            if args.kva_cost != 0.0:
+                outs.append("kva")
+            g = xva_greeks(build, params, args.paths, args.steps,
+                           outputs=tuple(outs), wwr_beta=args.wwr_beta,
+                           im_spread=args.im_spread, im_mpor=args.mpor,
+                           **common_g)
+        out["greeks"] = {o: {k: round(float(v), 8) for k, v in gg.items()}
+                         for o, gg in g["greeks"].items()}
+        out["state_param"] = state_param
     print(json.dumps(out))
     return 0
 

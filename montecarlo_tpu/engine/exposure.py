@@ -278,6 +278,110 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
 # Netting sets + CSA collateral
 # ---------------------------------------------------------------------------
 
+class PathDependentTrade(NamedTuple):
+    """A netting-set trade whose mark needs the path state at ONE earlier
+    observation date — e.g. a physically-settled swaption's exercise
+    indicator at expiry.
+
+    The engines call ``value_fn(state_t, t, state_obs)`` where
+    ``state_obs`` is the path row at ``obs_time`` (rounded to the exposure
+    grid) for dates at/after the observation, and the CURRENT row for
+    earlier dates (so no future information can leak — the closure's
+    pre-observation branch must not use ``state_obs``, and whatever it
+    would read there is the adapted present state anyway).
+    """
+
+    value_fn: object
+    obs_time: float
+
+
+def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
+                      payment_times, pay_dt: float, *, payer: bool = True,
+                      physical: bool = True, dtype=jnp.float64):
+    """European swaption as a netting-set trade, marked in closed form.
+
+    Before expiry the mark is the Jamshidian (1989) decomposition: the
+    payer (receiver) swaption is a portfolio of puts (calls) on the
+    zero-coupon bonds maturing at each payment date, struck at the
+    critical-rate bond prices ``K_i = P(T0, T_i; r*)``.  Time-homogeneity
+    makes ``r*`` a function of the EXPIRY-date par condition only — one
+    scalar root shared by every (path, grid date) mark.  The root is a
+    clipped jnp Newton iteration (the par gap is a smooth, monotone
+    exponential sum), NOT a host brentq, so the whole mark is
+    differentiable and swaption books work under :func:`xva_greeks`.
+
+    After expiry: ``physical=True`` returns a :class:`PathDependentTrade`
+    whose mark is ``1{swap value at expiry > 0} * remaining swap value``
+    (the exercise indicator is read from the path row at ``expiry`` — the
+    standard physically-settled exposure tail); ``physical=False`` is the
+    cash-settled contract — the payoff settles at expiry and the exposure
+    drops to zero after it.
+
+    Validation (tested): the t=0 mark equals
+    :func:`montecarlo_tpu.engine.bermudan.vasicek_swaption_jamshidian`;
+    payer minus receiver equals the forward swap value (parity); the
+    discounted mark is a martingale across the whole grid (physical) /
+    up to expiry (cash).
+    """
+    times_np = [float(t) for t in payment_times]
+    if min(times_np) <= float(expiry):
+        raise ValueError("every payment must be after the swaption expiry "
+                         f"(expiry={expiry}, first payment={min(times_np)})")
+    n_pay = len(times_np)
+    coupons_np = [strike * pay_dt] * n_pay
+    coupons_np[-1] += 1.0
+    taus_exp = jnp.asarray([t - float(expiry) for t in times_np], dtype)
+    cs = jnp.asarray(coupons_np, dtype)
+    tms = jnp.asarray(times_np, dtype)
+    t0 = jnp.asarray(expiry, dtype)
+    kap, th, sg = model.kappa, model.theta, model.sigma
+
+    # r*: coupon bond at par at expiry.  Newton on the (convex, strictly
+    # decreasing) exponential sum, clipped to a wide bracket; 40
+    # iterations converge to f64 roundoff from any start in the bracket.
+    def par_gap_and_slope(r):
+        p = vasicek_bond_from_rate(r, kap, th, sg, taus_exp)
+        b = (1.0 - jnp.exp(-jnp.asarray(kap, dtype) * taus_exp)) \
+            / jnp.asarray(kap, dtype)
+        f = jnp.sum(cs * p) - 1.0
+        fp = -jnp.sum(cs * b * p)
+        return f, fp
+
+    def newton(_, r):
+        f, fp = par_gap_and_slope(r)
+        return jnp.clip(r - f / fp, -2.0, 3.0)
+
+    r_star = jax.lax.fori_loop(0, 40, newton, jnp.asarray(th, dtype))
+    ks = vasicek_bond_from_rate(r_star, kap, th, sg, taus_exp)   # (P,)
+
+    swap = swap_value_fn(model, strike, times_np, pay_dt, dtype=dtype)
+    sign = 1.0 if payer else -1.0
+
+    def option_value(r, t):
+        from montecarlo_tpu.engine.rates import vasicek_bond_option_from_rate
+
+        tau1 = jnp.maximum(t0 - t, 1e-12)
+        tau2 = jnp.maximum(tms - t, 1e-9)
+        # payer swaption = coupon-bond PUT struck at par; receiver = CALL.
+        return jnp.sum(cs * vasicek_bond_option_from_rate(
+            r[..., None], kap, th, sg, tau1, tau2, ks, call=not payer),
+            axis=-1)
+
+    if not physical:
+        def value_cash(r, t):
+            return jnp.where(t <= t0, option_value(r, t),
+                             jnp.zeros_like(r))
+
+        return value_cash
+
+    def value_physical(r, t, r_obs):
+        exercised = sign * swap(r_obs, t0) > 0
+        post = jnp.where(exercised, sign * swap(r, t), 0.0)
+        return jnp.where(t <= t0, option_value(r, t), post)
+
+    return PathDependentTrade(value_physical, float(expiry))
+
+
 class CSA(NamedTuple):
     """Credit-support-annex terms for variation margin on a netting set.
 
@@ -371,10 +475,24 @@ def _netting_body(model, trades, n_paths: int, n_steps: int, *,
     # per-row closed form.  One jvp per mark carries dV/d(state) along for
     # the netted delta-normal IM (each path's value depends only on its own
     # state, so a ones-tangent jvp IS the elementwise derivative).
-    def mark_trade(vfn):
-        def row(k):
-            return jax.jvp(lambda rr: vfn(rr, times[k]), (paths[k],),
-                           (jnp.ones((n_paths,), dtype),))
+    # PathDependentTrades additionally see the path row at their
+    # observation date (current row before it — no future leakage); the
+    # IM jvp stays w.r.t. the CURRENT state only (the observation, e.g. a
+    # swaption's exercise indicator, is frozen history by then).
+    def mark_trade(trade):
+        if isinstance(trade, PathDependentTrade):
+            k_obs = min(max(int(round(float(trade.obs_time) / dt)), 0),
+                        n_steps)
+
+            def row(k):
+                obs = paths[jnp.minimum(k, k_obs)]
+                return jax.jvp(
+                    lambda rr: trade.value_fn(rr, times[k], obs),
+                    (paths[k],), (jnp.ones((n_paths,), dtype),))
+        else:
+            def row(k):
+                return jax.jvp(lambda rr: trade(rr, times[k]), (paths[k],),
+                               (jnp.ones((n_paths,), dtype),))
         return jax.lax.map(row, jnp.arange(n_steps + 1))
 
     marked = [mark_trade(v) for v in trades]
@@ -699,5 +817,6 @@ def xva_greeks(build_fn, params, n_paths: int, n_steps: int, *, T: float,
     return {"values": vals, "greeks": grads}
 
 
-__all__ = ["CSA", "exposure_profile", "netting_set_profile",
-           "swap_value_fn", "xva_greeks"]
+__all__ = ["CSA", "PathDependentTrade", "exposure_profile",
+           "netting_set_profile", "swap_value_fn", "swaption_value_fn",
+           "xva_greeks"]

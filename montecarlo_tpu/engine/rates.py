@@ -82,6 +82,35 @@ def vasicek_bond_from_rate(r, kappa, theta, sigma, tau):
     return A * jnp.exp(-B * r)
 
 
+def vasicek_bond_option_from_rate(r, kappa, theta, sigma, tau1, tau2,
+                                  strike, call: bool = True):
+    """Jamshidian bond option valued AT time t from the short rate r_t —
+    the jnp-broadcasting (and differentiable) twin of
+    :func:`vasicek_bond_option`: ``tau1``/``tau2`` are the year fractions
+    from the valuation date to the option expiry and the bond maturity.
+    Time-homogeneity of Vasicek makes the t=0 formula reusable at any t.
+
+    ``tau1 -> 0`` degenerates smoothly to the intrinsic value (sig_p is
+    floored, h saturates the normal CDF), so exposure grids that include
+    the expiry date itself need no special-casing.
+    """
+    import jax
+
+    ncdf = jax.scipy.stats.norm.cdf
+    p1 = vasicek_bond_from_rate(r, kappa, theta, sigma, tau1)
+    p2 = vasicek_bond_from_rate(r, kappa, theta, sigma, tau2)
+    k = jnp.asarray(kappa)
+    s = jnp.asarray(sigma)
+    b = (1.0 - jnp.exp(-k * (tau2 - tau1))) / k
+    var = (1.0 - jnp.exp(-2.0 * k * jnp.maximum(tau1, 0.0))) / (2.0 * k)
+    sig_p = jnp.maximum(b * s * jnp.sqrt(var), 1e-12)
+    strike = jnp.asarray(strike)
+    h = jnp.log(p2 / (strike * p1)) / sig_p + 0.5 * sig_p
+    if call:
+        return p2 * ncdf(h) - strike * p1 * ncdf(h - sig_p)
+    return strike * p1 * ncdf(sig_p - h) - p2 * ncdf(-h)
+
+
 # --- Monte Carlo pricers ------------------------------------------------------
 
 def zcb_price_mc(model, T: float, n_steps: int, n_paths: int, *, seed: int,
@@ -121,5 +150,6 @@ def bond_option_mc(model: Vasicek, T1: float, T2: float, strike: float,
 
 __all__ = [
     "vasicek_zcb", "cir_zcb", "vasicek_bond_option",
-    "vasicek_bond_from_rate", "zcb_price_mc", "bond_option_mc",
+    "vasicek_bond_from_rate", "vasicek_bond_option_from_rate",
+    "zcb_price_mc", "bond_option_mc",
 ]

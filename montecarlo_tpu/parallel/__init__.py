@@ -18,5 +18,6 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     sharded_price_and_greeks,
     sharded_rbergomi_estimate,
     sharded_terminal,
+    sharded_xva_greeks,
     sharded_terminal_sketch,
 )

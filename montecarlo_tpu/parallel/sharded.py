@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
+from montecarlo_tpu.engine.exposure import PathDependentTrade
 from montecarlo_tpu.parallel.mesh import PATHS_AXIS, SLICES_AXIS
 from montecarlo_tpu.stats.welford import (
     MomentState,
@@ -829,8 +830,18 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
                            * times)[:, None] * jnp.ones((1, block_size),
                                                         dtype)
 
-        def mark_trade(vfn):
-            return jax.lax.map(lambda k: vfn(paths[k], times[k]),
+        def mark_trade(trade):
+            # Same PathDependentTrade protocol as the unsharded engine:
+            # the observation row is block-local (each block simulates its
+            # own full time grid), so sharding cannot change the indicator.
+            if isinstance(trade, PathDependentTrade):
+                k_obs = min(max(int(round(float(trade.obs_time) / dt)), 0),
+                            n_steps)
+                return jax.lax.map(
+                    lambda k: trade.value_fn(
+                        paths[k], times[k], paths[jnp.minimum(k, k_obs)]),
+                    jnp.arange(n_dates))
+            return jax.lax.map(lambda k: trade(paths[k], times[k]),
                                jnp.arange(n_dates))
 
         v_all = jnp.stack([mark_trade(v) for v in trades])
@@ -886,10 +897,15 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         # (order-free -> mesh-invariant grids), counts via ONE flattened
         # (T+1)*pfe_bins histogram, int32-psum'd (exact adds; the bin index
         # is elementwise on bitwise-stable pos/width, so it is exact too).
-        hi = jax.lax.pmax(jnp.max(pos, axis=1), sum_axes)   # (T+1,)
+        # stop_gradient: the PFE sketch is not a greek output (quantile
+        # sensitivities need the unsharded engine's exact quantile), and
+        # `pmax` has no JVP rule — zero tangents here let
+        # `sharded_xva_greeks` forward-differentiate the rest.
+        pos_sg = jax.lax.stop_gradient(pos)
+        hi = jax.lax.pmax(jnp.max(pos_sg, axis=1), sum_axes)  # (T+1,)
         hi = jnp.where(hi > 0, hi * (1.0 + 1e-9), 1.0)
         width = hi / pfe_bins
-        idx = jnp.clip((pos / width[:, None]).astype(jnp.int32),
+        idx = jnp.clip((pos_sg / width[:, None]).astype(jnp.int32),
                        0, pfe_bins - 1)
         idx = idx + (jnp.arange(n_dates,
                                 dtype=jnp.int32) * pfe_bins)[:, None]
@@ -951,6 +967,82 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             "cva": cva, "dva": dva, "bcva": cva - dva,
             "cva_no_netting": cva_no_netting,
             "fca": fca, "fba": fba, "fva": fca - fba, "kva": kva}
+
+
+@partial(jax.jit, static_argnames=("build_fn", "n_paths", "n_steps", "seed",
+                                   "mesh", "csa", "T", "outputs", "dtype",
+                                   "pfe_bins", "block_size", "axis"))
+def _sharded_xva_greeks(build_fn, params, base, n_paths, n_steps, *, T,
+                        seed, mesh, csa, outputs, dtype, pfe_bins,
+                        block_size, axis):
+    def scalars(p):
+        model, trades, flat_rate = build_fn(p)
+        kw = dict(base)
+        for k in ("hazard_rate", "recovery", "own_hazard_rate",
+                  "own_recovery", "funding_spread", "kva_cost",
+                  "kva_capital_ratio"):
+            if k in p:
+                kw[k] = p[k]
+        res = sharded_netting_profile(
+            model, trades, n_paths, n_steps, T=T, seed=seed, mesh=mesh,
+            csa=csa, pfe_bins=pfe_bins, flat_rate=flat_rate, dtype=dtype,
+            block_size=block_size, axis=axis, **kw)
+        return {k: res[k] for k in outputs}
+
+    return scalars(params), jax.jacfwd(scalars)(params)
+
+
+def sharded_xva_greeks(build_fn, params, n_paths: int, n_steps: int, *,
+                       T: float, seed: int, mesh, csa=None,
+                       outputs=("cva", "dva", "bcva", "fca", "fba", "fva"),
+                       quantile: float = 0.95, pfe_bins: int = 4096,
+                       hazard_rate: float = 0.0, recovery: float = 0.4,
+                       own_hazard_rate: float = 0.0,
+                       own_recovery: float = 0.4,
+                       funding_spread: float = 0.0,
+                       kva_cost: float = 0.0,
+                       kva_capital_ratio: float = 0.112,
+                       dtype=jnp.float64, block_size: int = DEFAULT_BLOCK,
+                       axis: str = PATHS_AXIS) -> dict:
+    """Pod-scale xVA sensitivities: forward-mode AD through
+    `sharded_netting_profile`.
+
+    The pod twin of `engine.exposure.xva_greeks` (same ``build_fn`` /
+    ``params`` contract — rebuild the book from the differentiable
+    scalars so valuation sensitivity flows through the trade closures;
+    same caveats: CSA terms are static, a nonzero ``mta`` biases pathwise
+    greeks and warns).  One jvp tangent per parameter rides the SAME
+    fixed-block program as the level profile — tangents of a fixed-width
+    block program are themselves fixed-width, and every tangent mean
+    crosses the mesh through the identical block-moment gather +
+    pairwise-tree merge — so values AND greeks are bitwise identical
+    across mesh shapes (tested on 1/2/4/8-device and multi-slice meshes).
+
+    ``outputs`` may include any scalar the sharded profile reports
+    (``cva``/``dva``/``bcva``/``fca``/``fba``/``fva``/``kva`` — no
+    ``mva``/``cva_wwr``: the sharded level profile does not carry them).
+
+    Returns ``{"values": {out: scalar}, "greeks": {out: {param: grad}}}``.
+    """
+    if csa is not None and float(csa.mta) > 0:
+        import warnings
+
+        warnings.warn(
+            "sharded_xva_greeks with csa.mta > 0: the MTA deadband is a "
+            "jump discontinuity in collateral and pathwise AD drops its "
+            "boundary term — set mta=0 for exact pathwise greeks",
+            stacklevel=2)
+    params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    base = dict(quantile=quantile, hazard_rate=hazard_rate,
+                recovery=recovery, own_hazard_rate=own_hazard_rate,
+                own_recovery=own_recovery, funding_spread=funding_spread,
+                kva_cost=kva_cost, kva_capital_ratio=kva_capital_ratio)
+    base = {k: jnp.asarray(v, dtype) for k, v in base.items()}
+    vals, grads = _sharded_xva_greeks(
+        build_fn, params, base, n_paths, n_steps, T=T, seed=seed,
+        mesh=mesh, csa=csa, outputs=tuple(outputs), dtype=dtype,
+        pfe_bins=pfe_bins, block_size=block_size, axis=axis)
+    return {"values": vals, "greeks": grads}
 
 
 @partial(jax.jit, static_argnames=("payoff_fn", "n_paths", "seed", "stream",

@@ -142,3 +142,64 @@ def test_cli_xva_portfolio_mesh(capsys):
     with pytest.raises(SystemExit, match="wwr"):
         cli.main(["xva", "--portfolio", "--paths", "4096", "--steps", "50",
                   "--mesh", "2", "--wwr-beta", "1.0"])
+
+
+def _build_greeks(p):
+    model = Vasicek.create(p.get("r0", R0), KAPPA, THETA,
+                           p.get("sigma", SIG), T / N_STEPS,
+                           dtype=jnp.float64)
+    pay_times = np.arange(1, 5) * 0.5
+    v1 = swap_value_fn(model, 0.035, pay_times, 0.5)
+    v2 = swap_value_fn(model, 0.04, pay_times[:2], 0.5)
+    return model, (v1, lambda r, t: -0.5 * v2(r, t)), None
+
+
+def test_sharded_greeks_bitwise_mesh_invariant_and_match_unsharded():
+    """Pod-scale xVA greeks: tangents ride the same fixed-block contract
+    as the level profile, so values AND greeks are bitwise identical
+    across mesh shapes; the unsharded engine agrees to reassociation
+    noise."""
+    from montecarlo_tpu.engine.exposure import xva_greeks
+    from montecarlo_tpu.parallel import sharded_xva_greeks
+
+    kwg = dict(T=T, seed=7, hazard_rate=0.02, recovery=0.4,
+               own_hazard_rate=0.01, funding_spread=0.004, kva_cost=0.10,
+               csa=CSA(threshold=0.002, mta=0.0, mpor=4 * T / N_STEPS))
+    params = {"r0": R0, "sigma": SIG}
+    outs = ("cva", "fva", "kva")
+    res = {n: sharded_xva_greeks(_build_greeks, params, N_PATHS, N_STEPS,
+                                 mesh=make_mesh(n), block_size=BLOCK,
+                                 pfe_bins=_PFE_BINS, outputs=outs, **kwg)
+           for n in (1, 4)}
+    for out in outs:
+        assert float(res[1]["values"][out]) == float(res[4]["values"][out])
+        for pname in params:
+            a = float(res[1]["greeks"][out][pname])
+            b = float(res[4]["greeks"][out][pname])
+            assert a == b, (out, pname, a, b)
+    want = xva_greeks(_build_greeks, params, N_PATHS, N_STEPS,
+                      outputs=outs, **kwg)
+    for out in outs:
+        np.testing.assert_allclose(float(res[4]["values"][out]),
+                                   float(want["values"][out]), rtol=1e-9,
+                                   err_msg=out)
+        for pname in params:
+            np.testing.assert_allclose(
+                float(res[4]["greeks"][out][pname]),
+                float(want["greeks"][out][pname]), rtol=1e-6, atol=1e-12,
+                err_msg=f"{out}/{pname}")
+
+
+def test_cli_xva_portfolio_mesh_greeks(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--paths", "4096", "--steps",
+                   "32", "--mesh", "2", "--no-csa", "--greeks",
+                   "--kva-cost", "0.1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["state_param"] == "r0"
+    assert set(out["greeks"]) == {"cva", "dva", "bcva", "fva", "kva"}
+    assert out["greeks"]["cva"]["hazard_rate"] > 0
