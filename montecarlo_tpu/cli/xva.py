@@ -77,6 +77,12 @@ def _add_xva(sub):
                         "integer-psum sketch, grid error reported; "
                         "incompatible with --wwr-beta, which runs "
                         "unsharded)")
+    p.add_argument("--swaption-leg", action="store_true",
+                   help="portfolio (rates): add a 0.5x physically-settled "
+                        "payer swaption (expiry at half maturity into the "
+                        "back-half calendar, Jamshidian-marked; exercise "
+                        "indicator and float fixings read from the path "
+                        "rows — engine.exposure.swaption_value_fn)")
     p.add_argument("--greeks", action="store_true",
                    help="portfolio: pathwise-AD xVA sensitivities "
                         "(d{cva,dva,bcva,fva,mva}/d{r0|s0, sigma, "
@@ -197,6 +203,9 @@ def _cmd_xva_portfolio(args) -> int:
     csa = None if args.no_csa else CSA(
         threshold=args.threshold, own_threshold=args.own_threshold,
         mta=args.mta, mpor=args.mpor)
+    if args.swaption_leg and args.underlying == "equity":
+        raise SystemExit("--swaption-leg is a rates trade; use "
+                         "--underlying rates")
 
     def scaled(fn, a):
         return lambda s, t: a * fn(s, t)
@@ -236,8 +245,14 @@ def _cmd_xva_portfolio(args) -> int:
             return (1.0 - ps[-1]) / (pay_dt * sum(ps))
 
         k_full, k_half = par(times_full), par(times_half)
+        t_exp = args.maturity / 2.0
+        times_back = tuple(float(t) for t in times_full
+                           if t > t_exp + 1e-9)
 
         def build(p):
+            from montecarlo_tpu.engine.exposure import (
+                PathDependentTrade, swaption_value_fn)
+
             model = Vasicek.create(p["r0"], args.kappa, args.theta,
                                    p["sigma"], dt, dtype=jnp.float32)
             trades = (
@@ -248,6 +263,13 @@ def _cmd_xva_portfolio(args) -> int:
                 scaled(swap_value_fn(model, 1.1 * k_full, times_full,
                                      pay_dt, dtype=jnp.float32), 0.5),
             )
+            if args.swaption_leg:
+                sw = swaption_value_fn(model, k_full, t_exp, times_back,
+                                       pay_dt, payer=True, physical=True,
+                                       dtype=jnp.float32)
+                trades += (PathDependentTrade(
+                    lambda r, t, *obs: 0.5 * sw.value_fn(r, t, *obs),
+                    sw.obs_times),)
             return model, trades, None
 
         params = {"r0": args.r0, "sigma": args.sigma,

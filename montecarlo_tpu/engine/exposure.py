@@ -279,20 +279,20 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
 # ---------------------------------------------------------------------------
 
 class PathDependentTrade(NamedTuple):
-    """A netting-set trade whose mark needs the path state at ONE earlier
-    observation date — e.g. a physically-settled swaption's exercise
-    indicator at expiry.
+    """A netting-set trade whose mark needs the path state at earlier
+    observation dates — e.g. a physically-settled swaption's exercise
+    indicator at expiry plus the float-leg fixings at each period start.
 
-    The engines call ``value_fn(state_t, t, state_obs)`` where
-    ``state_obs`` is the path row at ``obs_time`` (rounded to the exposure
-    grid) for dates at/after the observation, and the CURRENT row for
+    The engines call ``value_fn(state_t, t, *obs_rows)`` with one row per
+    entry of ``obs_times`` (each rounded to the exposure grid): the path
+    row AT that date for grid dates at/after it, and the CURRENT row for
     earlier dates (so no future information can leak — the closure's
-    pre-observation branch must not use ``state_obs``, and whatever it
+    pre-observation branches must not use those rows, and whatever they
     would read there is the adapted present state anyway).
     """
 
     value_fn: object
-    obs_time: float
+    obs_times: tuple
 
 
 def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
@@ -312,10 +312,13 @@ def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
 
     After expiry: ``physical=True`` returns a :class:`PathDependentTrade`
     whose mark is ``1{swap value at expiry > 0} * remaining swap value``
-    (the exercise indicator is read from the path row at ``expiry`` — the
-    standard physically-settled exposure tail); ``physical=False`` is the
-    cash-settled contract — the payoff settles at expiry and the exposure
-    drops to zero after it.
+    — the exercise indicator is read from the path row at ``expiry``, and
+    the swap is valued with its EXACT in-period float-leg fixing (the
+    path row at the latest period start, `swap_value_fn`'s 4-argument
+    form), so the discounted mark is a true martingale between payment
+    dates on grids finer than the payment calendar; ``physical=False`` is
+    the cash-settled contract — the payoff settles at expiry and the
+    exposure drops to zero after it.
 
     Validation (tested): the t=0 mark equals
     :func:`montecarlo_tpu.engine.bermudan.vasicek_swaption_jamshidian`;
@@ -374,12 +377,23 @@ def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
 
         return value_cash
 
-    def value_physical(r, t, r_obs):
-        exercised = sign * swap(r_obs, t0) > 0
-        post = jnp.where(exercised, sign * swap(r, t), 0.0)
+    # Observation rows: expiry (exercise indicator) doubles as the first
+    # period's fixing; later fixings at each subsequent period start.
+    resets_np = [float(expiry) + i * pay_dt for i in range(n_pay)]
+    resets = jnp.asarray(resets_np, dtype)
+
+    def value_physical(r, t, *rows):
+        exercised = sign * swap(rows[0], t0) > 0
+        # Latest reset <= t supplies the in-period float fixing (before
+        # expiry the selection is masked off by the pre-branch anyway).
+        le = resets <= t + 1e-9
+        idx = jnp.argmax(jnp.where(le, resets, -jnp.inf))
+        t_fix = resets[idx]
+        r_fix = jnp.stack(rows)[idx]
+        post = jnp.where(exercised, sign * swap(r, t, r_fix, t_fix), 0.0)
         return jnp.where(t <= t0, option_value(r, t), post)
 
-    return PathDependentTrade(value_physical, float(expiry))
+    return PathDependentTrade(value_physical, tuple(resets_np))
 
 
 class CSA(NamedTuple):
@@ -481,13 +495,13 @@ def _netting_body(model, trades, n_paths: int, n_steps: int, *,
     # swaption's exercise indicator, is frozen history by then).
     def mark_trade(trade):
         if isinstance(trade, PathDependentTrade):
-            k_obs = min(max(int(round(float(trade.obs_time) / dt)), 0),
-                        n_steps)
+            k_obs = tuple(min(max(int(round(float(ot) / dt)), 0), n_steps)
+                          for ot in trade.obs_times)
 
             def row(k):
-                obs = paths[jnp.minimum(k, k_obs)]
+                obs = tuple(paths[jnp.minimum(k, ko)] for ko in k_obs)
                 return jax.jvp(
-                    lambda rr: trade.value_fn(rr, times[k], obs),
+                    lambda rr: trade.value_fn(rr, times[k], *obs),
                     (paths[k],), (jnp.ones((n_paths,), dtype),))
         else:
             def row(k):

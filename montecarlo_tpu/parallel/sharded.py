@@ -835,11 +835,12 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             # the observation row is block-local (each block simulates its
             # own full time grid), so sharding cannot change the indicator.
             if isinstance(trade, PathDependentTrade):
-                k_obs = min(max(int(round(float(trade.obs_time) / dt)), 0),
-                            n_steps)
+                k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
+                                  n_steps) for ot in trade.obs_times)
                 return jax.lax.map(
                     lambda k: trade.value_fn(
-                        paths[k], times[k], paths[jnp.minimum(k, k_obs)]),
+                        paths[k], times[k],
+                        *(paths[jnp.minimum(k, ko)] for ko in k_obs)),
                     jnp.arange(n_dates))
             return jax.lax.map(lambda k: trade(paths[k], times[k]),
                                jnp.arange(n_dates))
