@@ -83,6 +83,13 @@ def _add_xva(sub):
                         "back-half calendar, Jamshidian-marked; exercise "
                         "indicator and float fixings read from the path "
                         "rows — engine.exposure.swaption_value_fn)")
+    p.add_argument("--swaption-exercise", type=int, default=1,
+                   metavar="N",
+                   help="with --swaption-leg: number of Bermudan exercise "
+                        "dates (1 = European, Jamshidian-marked; >1 = "
+                        "American-Monte-Carlo regression marks, "
+                        "engine.amc.bermudan_swaption_amc_trade; AMC "
+                        "books run unsharded)")
     p.add_argument("--greeks", action="store_true",
                    help="portfolio: pathwise-AD xVA sensitivities "
                         "(d{cva,dva,bcva,fva,mva}/d{r0|s0, sigma, "
@@ -206,6 +213,11 @@ def _cmd_xva_portfolio(args) -> int:
     if args.swaption_leg and args.underlying == "equity":
         raise SystemExit("--swaption-leg is a rates trade; use "
                          "--underlying rates")
+    if args.swaption_exercise > 1 and getattr(args, "mesh", 0):
+        raise SystemExit("Bermudan (AMC) swaption legs run unsharded — "
+                         "the regression fit needs global cross-path "
+                         "solves; drop --mesh or use "
+                         "--swaption-exercise 1")
 
     def scaled(fn, a):
         return lambda s, t: a * fn(s, t)
@@ -263,7 +275,21 @@ def _cmd_xva_portfolio(args) -> int:
                 scaled(swap_value_fn(model, 1.1 * k_full, times_full,
                                      pay_dt, dtype=jnp.float32), 0.5),
             )
-            if args.swaption_leg:
+            if args.swaption_leg and args.swaption_exercise > 1:
+                from montecarlo_tpu.engine.amc import (
+                    bermudan_swaption_amc_trade)
+                from montecarlo_tpu.engine.exposure import (
+                    SimulationMarkedTrade)
+
+                am = bermudan_swaption_amc_trade(
+                    model, k_full, times_back, pay_dt,
+                    n_exercise=min(args.swaption_exercise,
+                                   len(times_back)),
+                    dtype=jnp.float32)
+                trades += (SimulationMarkedTrade(
+                    lambda p_, t_, T_: tuple(
+                        0.5 * x for x in am.mark_fn(p_, t_, T_))),)
+            elif args.swaption_leg:
                 sw = swaption_value_fn(model, k_full, t_exp, times_back,
                                        pay_dt, payer=True, physical=True,
                                        dtype=jnp.float32)

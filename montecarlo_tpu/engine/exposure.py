@@ -278,6 +278,28 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
 # Netting sets + CSA collateral
 # ---------------------------------------------------------------------------
 
+class SimulationMarkedTrade(NamedTuple):
+    """A netting-set trade marked by regression on the engine's OWN
+    simulation (American Monte Carlo) — for products without closed-form
+    conditional values: Bermudan swaptions, callables.
+
+    ``mark_fn(paths, times, T) -> (values, dvalues)``: full-grid
+    ``(T+1, N)`` marks and their per-path state derivatives (for the
+    netted delta-normal IM); ``T`` is the static horizon, so the trade
+    can place its calendar on the grid.  The fit runs on the same paths the
+    exposure is measured on — the standard AMC shortcut; its regression
+    noise/foresight bias is O(1/n_paths) and second-order in the basis
+    error (documented at the concrete trades, e.g.
+    :func:`montecarlo_tpu.engine.amc.bermudan_swaption_amc_trade`).
+
+    Not supported by `sharded_netting_profile` (the fit needs global
+    cross-path regressions per date — run AMC books unsharded, or shard
+    everything else and add the AMC trade's standalone CVA).
+    """
+
+    mark_fn: object
+
+
 class PathDependentTrade(NamedTuple):
     """A netting-set trade whose mark needs the path state at earlier
     observation dates — e.g. a physically-settled swaption's exercise
@@ -494,6 +516,8 @@ def _netting_body(model, trades, n_paths: int, n_steps: int, *,
     # IM jvp stays w.r.t. the CURRENT state only (the observation, e.g. a
     # swaption's exercise indicator, is frozen history by then).
     def mark_trade(trade):
+        if isinstance(trade, SimulationMarkedTrade):
+            return trade.mark_fn(paths, times, T)
         if isinstance(trade, PathDependentTrade):
             k_obs = tuple(min(max(int(round(float(ot) / dt)), 0), n_steps)
                           for ot in trade.obs_times)
@@ -831,6 +855,6 @@ def xva_greeks(build_fn, params, n_paths: int, n_steps: int, *, T: float,
     return {"values": vals, "greeks": grads}
 
 
-__all__ = ["CSA", "PathDependentTrade", "exposure_profile",
-           "netting_set_profile", "swap_value_fn", "swaption_value_fn",
-           "xva_greeks"]
+__all__ = ["CSA", "PathDependentTrade", "SimulationMarkedTrade",
+           "exposure_profile", "netting_set_profile", "swap_value_fn",
+           "swaption_value_fn", "xva_greeks"]

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.engine.exposure import PathDependentTrade
+from montecarlo_tpu.engine.exposure import (PathDependentTrade,
+                                            SimulationMarkedTrade)
 from montecarlo_tpu.parallel.mesh import PATHS_AXIS, SLICES_AXIS
 from montecarlo_tpu.stats.welford import (
     MomentState,
@@ -834,6 +835,13 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             # Same PathDependentTrade protocol as the unsharded engine:
             # the observation row is block-local (each block simulates its
             # own full time grid), so sharding cannot change the indicator.
+            if isinstance(trade, SimulationMarkedTrade):
+                raise TypeError(
+                    "sharded_netting_profile cannot mark "
+                    "SimulationMarkedTrade (AMC) trades: the regression "
+                    "fit needs global cross-path Gram solves per date; "
+                    "run the AMC book through netting_set_profile "
+                    "unsharded")
             if isinstance(trade, PathDependentTrade):
                 k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
                                   n_steps) for ot in trade.obs_times)
