@@ -499,6 +499,43 @@ def _derivatives_page():
             "ENE": _np.asarray(prof["ene"]).round(6),
             "PFE 95%": _np.asarray(prof["pfe"]).round(6)})
 
+        st.caption("Netting set: par swap + 0.5x physical swaption under "
+                   "CSA variation margin; KVA on the collateralized EEPE; "
+                   "pathwise CVA greeks by forward-mode AD")
+        from montecarlo_tpu.engine.exposure import (CSA, PathDependentTrade,
+                                                    netting_set_profile,
+                                                    swaption_value_fn,
+                                                    xva_greeks)
+
+        t_exp = float(pts[periods // 2] - pay_dt)
+        back = tuple(float(t) for t in pts if t > t_exp + 1e-9)
+        sw = swaption_value_fn(vas, par, t_exp, back, pay_dt,
+                               dtype=jnp.float32)
+        book = (vfn, PathDependentTrade(
+            lambda r, t, *o: 0.5 * sw.value_fn(r, t, *o), sw.obs_times))
+        nb = netting_set_profile(
+            vas, book, 1 << 12, 50, T=maturity, seed=0,
+            csa=CSA(threshold=0.002, mpor=4 * maturity / 50),
+            hazard_rate=0.02, kva_cost=0.10, dtype=jnp.float32)
+        y1, y2, y3 = st.columns(3)
+        y1.metric("Netted CVA", f"{float(nb['cva']) * 1e4:.2f} bp")
+        y2.metric("No-netting CVA",
+                  f"{float(nb['cva_no_netting']) * 1e4:.2f} bp")
+        y3.metric("KVA", f"{float(nb['kva']) * 1e4:.2f} bp")
+
+        def _xva_build(p):
+            v = _Vas.create(p["r0"], kap, th, p["sigma"], maturity / 50)
+            return v, (swap_value_fn(v, par, pts, pay_dt,
+                                     dtype=jnp.float32),), None
+
+        g = xva_greeks(_xva_build,
+                       {"r0": rate, "sigma": sg, "hazard_rate": 0.02},
+                       1 << 11, 50, T=maturity, seed=0,
+                       outputs=("cva",), dtype=jnp.float32)
+        st.write("CVA greeks (swap book):",
+                 {k: round(float(v), 6)
+                  for k, v in g["greeks"]["cva"].items()})
+
     with st.expander("Fixed income (Vasicek)"):
         from montecarlo_tpu.engine import vasicek_zcb, zcb_price_mc
         from montecarlo_tpu.processes import Vasicek

@@ -90,6 +90,15 @@ def _add_xva(sub):
                         "American-Monte-Carlo regression marks, "
                         "engine.amc.bermudan_swaption_amc_trade; AMC "
                         "books run unsharded)")
+    p.add_argument("--var-horizon", type=float, default=0.0, metavar="H",
+                   help="portfolio: also report desk market-risk VaR/CVaR "
+                        "of the netted book — FULL revaluation at horizon "
+                        "H years (engine.exposure.book_var; exact-sort "
+                        "quantiles with order-statistic error bars; "
+                        "incompatible with Bermudan AMC legs)")
+    p.add_argument("--var-steps", type=int, default=10,
+                   help="portfolio: simulation sub-steps to the VaR "
+                        "horizon (pathwise discounting accuracy)")
     p.add_argument("--greeks", action="store_true",
                    help="portfolio: pathwise-AD xVA sensitivities "
                         "(d{cva,dva,bcva,fva,mva}/d{r0|s0, sigma, "
@@ -357,6 +366,19 @@ def _cmd_xva_portfolio(args) -> int:
     if args.wwr_beta != 0.0:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
+    if args.var_horizon > 0:
+        if args.swaption_exercise > 1:
+            raise SystemExit("--var-horizon revalues closed-form books; "
+                             "Bermudan AMC legs are exposure-grid marks — "
+                             "drop --swaption-exercise or the horizon")
+        from montecarlo_tpu.engine.exposure import book_var
+
+        bv = book_var(model, trades, args.paths,
+                      horizon=args.var_horizon,
+                      n_steps=max(args.var_steps, 1), seed=args.seed,
+                      flat_rate=flat_rate, dtype=jnp.float32)
+        for k in ("var_95", "cvar_95", "var_99", "cvar_99"):
+            out[f"book_{k}"] = round(float(bv[k]), 6)
     if args.greeks:
         common_g = dict(T=args.maturity, seed=args.seed, csa=csa,
                         quantile=args.quantile, recovery=args.recovery,

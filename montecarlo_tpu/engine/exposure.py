@@ -746,6 +746,109 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
 
 
 # ---------------------------------------------------------------------------
+# Market-risk VaR on the trade book (full revaluation at a horizon)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("trades", "n_paths", "n_steps", "seed",
+                                   "horizon", "levels", "dtype"))
+def _book_var(model, trades, n_paths: int, n_steps: int, *,
+              horizon: float, seed: int, levels, flat_rate, dtype) -> dict:
+    dt = horizon / n_steps
+    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)                       # rows 0..n_steps
+    t_h = jnp.asarray(horizon, dtype)
+    if flat_rate is None:
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc_h = jnp.exp(-jnp.sum(mid, axis=0))         # (N,) D(0, h)
+    else:
+        disc_h = jnp.full((n_paths,),
+                          jnp.exp(-jnp.asarray(flat_rate, dtype) * t_h),
+                          dtype)
+
+    def mark(trade, row, t, k):
+        if isinstance(trade, PathDependentTrade):
+            k_obs = tuple(min(max(int(round(float(ot) / dt)), 0), n_steps)
+                          for ot in trade.obs_times)
+            obs = tuple(paths[min(k, ko)] for ko in k_obs)
+            return trade.value_fn(row, t, *obs)
+        return trade(row, t)
+
+    v0 = sum(mark(tr, paths[0], jnp.asarray(0.0, dtype), 0)
+             for tr in trades)[0]
+    vh = sum(mark(tr, paths[-1], t_h, n_steps) for tr in trades)
+    pnl = disc_h * vh - v0                              # (N,)
+    pnl_sorted = jnp.sort(pnl)
+    n = jnp.asarray(n_paths, dtype)
+    out = {"horizon": t_h, "v0": v0,
+           "mean_pnl": jnp.mean(pnl),
+           "std_pnl": jnp.std(pnl, ddof=1)}
+    qs = jnp.asarray(levels, dtype)
+    lo_q = jnp.quantile(pnl_sorted, 1.0 - qs)
+    for i, q in enumerate(levels):
+        var_q = -lo_q[i]
+        tail = pnl <= -var_q
+        w = tail.astype(dtype)
+        tail_n = jnp.maximum(jnp.sum(w), 1.0)
+        cvar_q = -jnp.sum(w * pnl) / tail_n
+        # Asymptotic order-statistic band: se(VaR) = sqrt(q(1-q)/n) Q'(p)
+        # with the quantile-function slope Q' by a central difference.
+        eps = 2.0 / jnp.sqrt(n)
+        ql = jnp.quantile(pnl_sorted, jnp.clip(1.0 - q - eps, 0.0, 1.0))
+        qh = jnp.quantile(pnl_sorted, jnp.clip(1.0 - q + eps, 0.0, 1.0))
+        qprime = jnp.maximum((qh - ql) / (2.0 * eps), 1e-30)
+        se = jnp.sqrt(q * (1.0 - q) / n) * qprime
+        pct = int(round(q * 100))
+        out[f"var_{pct}"] = var_q
+        out[f"var_{pct}_std_err"] = se
+        out[f"cvar_{pct}"] = cvar_q
+        out[f"cvar_{pct}_std_err"] = (
+            jnp.sqrt(jnp.sum(w * jnp.square(-pnl - cvar_q)) / tail_n)
+            / jnp.sqrt(tail_n))
+    return out
+
+
+def book_var(model, trades, n_paths: int, *, horizon: float,
+             n_steps: int = 10, seed: int = 0, levels=(0.95, 0.99),
+             flat_rate=None, dtype=jnp.float64) -> dict:
+    """Market-risk VaR/CVaR of the netted trade book by FULL REVALUATION.
+
+    The desk-risk companion to the counterparty engine: simulate the
+    underlying to ``horizon`` (``n_steps`` sub-steps so pathwise rate
+    discounting stays accurate), remark the whole book with the same
+    closed-form/`PathDependentTrade` machinery `netting_set_profile`
+    uses, and measure the discounted P&L
+
+        PnL = D(0, h) * V_net(state_h, h) - V_net(state_0, 0).
+
+    No delta-gamma approximation anywhere — every trade revalues exactly
+    at the horizon state, so the numbers are right even where Taylor VaR
+    fails (options near expiry, large moves).  Exact-sort quantiles
+    (horizon runs are one row, not a grid — no sketch needed) with the
+    standard order-statistic standard error (q(1-q)/n over a central
+    density estimate); CVaR over the empirical tail.
+
+    Assumes no contractual cashflows inside the horizon (10d market-risk
+    horizons sit well inside swap periods; a payment inside the horizon
+    would need flow accrual this function does not model).
+
+    Returns ``{"horizon", "v0", "mean_pnl", "std_pnl"}`` plus, per level
+    ``q``: ``var_<q>``, ``var_<q>_std_err``, ``cvar_<q>``,
+    ``cvar_<q>_std_err`` (losses positive).  Closed-form pins (tested):
+    a linear rate trade reproduces the normal ``c sigma_h z_q``; an
+    equity forward reproduces the lognormal quantile exactly.
+    """
+    if isinstance(trades, SimulationMarkedTrade) or any(
+            isinstance(t, SimulationMarkedTrade) for t in trades):
+        raise TypeError("book_var revalues closed-form /"
+                        " PathDependentTrade books; AMC regression marks "
+                        "are fitted on the exposure grid, not a horizon "
+                        "slice — mark Bermudans via netting_set_profile")
+    return _book_var(model, tuple(trades), n_paths, n_steps,
+                     horizon=horizon, seed=seed, levels=tuple(levels),
+                     flat_rate=flat_rate, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
 # xVA sensitivities (pathwise AD through the netting-set engine)
 # ---------------------------------------------------------------------------
 
@@ -856,5 +959,5 @@ def xva_greeks(build_fn, params, n_paths: int, n_steps: int, *, T: float,
 
 
 __all__ = ["CSA", "PathDependentTrade", "SimulationMarkedTrade",
-           "exposure_profile", "netting_set_profile", "swap_value_fn",
-           "swaption_value_fn", "xva_greeks"]
+           "book_var", "exposure_profile", "netting_set_profile",
+           "swap_value_fn", "swaption_value_fn", "xva_greeks"]

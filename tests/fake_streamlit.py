@@ -104,6 +104,7 @@ class Recorder:
     header = _sink("header")
     subheader = _sink("subheader")
     markdown = _sink("markdown")
+    caption = _sink("caption")
     text = _sink("text")
     write = _sink("write")
     info = _sink("info")

@@ -143,6 +143,11 @@ def test_derivatives_lab_slv(app_with):
     labels = [str(label) for m, label in calls if m == "metric"]
     assert any("American put" in s for s in labels)
     assert any("CVA" in s for s in labels)
+    # Netting-set block: collateralized vs no-netting CVA, KVA, greeks.
+    assert any("Netted CVA" in s for s in labels)
+    assert any("KVA" in s for s in labels)
+    writes = [str(label) for m, label in calls if m == "write"]
+    assert any("CVA greeks" in s for s in writes)
 
 
 def test_derivatives_lab_bates_stress(app_with):
