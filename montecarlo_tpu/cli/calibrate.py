@@ -17,10 +17,12 @@ def _add_calibrate(sub):
                             "implied-vol surface")
     p.add_argument("--model", default="heston",
                    choices=["heston", "sabr", "vg", "nig", "merton",
-                            "kou"])
+                            "kou", "vasicek"])
     p.add_argument("--surface", default=None,
                    help="CSV with header strike,maturity,iv (long form); "
-                        "omit for --demo behavior")
+                        "vasicek: header expiry,pay_dt,strike,periods,"
+                        "price (payer-swaption quotes); omit for --demo "
+                        "behavior")
     p.add_argument("--s0", type=float, default=100.0,
                    help="spot (heston) / forward (sabr)")
     p.add_argument("--rate", type=float, default=0.03)
@@ -33,6 +35,42 @@ def _add_calibrate(sub):
 
 def cmd_calibrate(args) -> int:
     import numpy as np
+
+    if args.model == "vasicek":
+        # Rates asset class: fit (kappa, theta, sigma) to payer-swaption
+        # premia through the traced-Newton Jamshidian pricer.
+        from montecarlo_tpu.engine.rates_calibration import (
+            calibrate_vasicek_to_swaptions, vasicek_swaption_prices)
+
+        demo = None
+        if args.surface:
+            rows = np.genfromtxt(args.surface, delimiter=",", names=True)
+            exp_, pdt, ks, nper, px = (
+                np.atleast_1d(rows[c]).astype(np.float64)
+                for c in ("expiry", "pay_dt", "strike", "periods",
+                          "price"))
+            nper = nper.astype(int)
+        else:
+            demo = dict(kappa=0.8, theta=0.05, sigma=0.015)
+            exp_, pdt, ks, nper = [], [], [], []
+            for t0 in (1.0, 2.0, 3.0):
+                for m in (4, 8):
+                    for k_ in (0.036, 0.045, 0.054):
+                        exp_.append(t0)
+                        pdt.append(0.5)
+                        ks.append(k_)
+                        nper.append(m)
+            px = np.asarray(vasicek_swaption_prices(
+                args.rate, demo["kappa"], demo["theta"], demo["sigma"],
+                exp_, pdt, ks, nper))
+        fit = calibrate_vasicek_to_swaptions(
+            exp_, pdt, ks, nper, px, r0=args.rate,
+            n_iters=max(args.iters, 1500))
+        out = {k: round(float(v), 6) for k, v in fit.items()}
+        if demo is not None:
+            out["demo_truth"] = demo
+        print(json.dumps(out))
+        return 0
 
     if args.surface:
         rows = np.genfromtxt(args.surface, delimiter=",", names=True)

@@ -1,0 +1,144 @@
+"""Short-rate model calibration to swaption quotes.
+
+Completes the calibration family (Heston/SABR/Levy fit implied-vol
+surfaces through their differentiable pricers — `engine.levy_calibration`
+pattern) for the rates asset class: Vasicek (kappa, theta, sigma) fitted
+to a grid of European payer-swaption prices by Adam on exact gradients
+through a fully traced Jamshidian pricer.
+
+The pricer is the batched jnp twin of
+`engine.bermudan.vasicek_swaption_jamshidian` (host brentq) — the
+critical rate r* is a vectorized, clipped Newton iteration (the par gap
+is a smooth monotone exponential sum), so the whole quote surface is one
+differentiable program; the two agree to ~1e-12 (tested), and the demo
+calibration recovers generating parameters from a cold start.
+
+Hull-White note: theta(t) is fitted EXACTLY to the discount curve by
+construction (`HullWhite.from_forward_curve`); what a desk calibrates to
+swaptions is (a, sigma), for which the Vasicek machinery here is the
+constant-theta specialization — same bond-option decomposition.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.rates import (vasicek_bond_from_rate,
+                                         vasicek_bond_option_from_rate)
+
+
+def vasicek_swaption_prices(r0, kappa, theta, sigma, expiries, pay_dts,
+                            strikes, n_periods, *, max_periods=None):
+    """European payer-swaption prices for a batch of quotes, jnp + AD.
+
+    Per quote i: exercise at ``expiries[i]`` into a payer swap with
+    ``n_periods[i]`` payments every ``pay_dts[i]`` at fixed
+    ``strikes[i]``.  Ragged payment counts are padded to ``max_periods``
+    and masked.  Returns a (Q,) price vector; every input may be traced
+    (the calibrator differentiates w.r.t. kappa/theta/sigma THROUGH the
+    Newton critical rate).
+    """
+    dt_ = jax.dtypes.canonicalize_dtype(jnp.float64)  # f32 without x64
+    expiries = jnp.asarray(expiries, dt_)
+    pay_dts = jnp.asarray(pay_dts, dt_)
+    strikes = jnp.asarray(strikes, dt_)
+    n_per = jnp.asarray(n_periods, jnp.int32)
+    q = expiries.shape[0]
+    pmax = int(max_periods if max_periods is not None
+               else int(jnp.max(n_per)))
+    j = jnp.arange(pmax)
+    mask = (j[None, :] < n_per[:, None]).astype(dt_)   # (Q, P)
+    taus = (j + 1.0)[None, :] * pay_dts[:, None]               # from T0
+    coup = strikes[:, None] * pay_dts[:, None] * mask
+    last = jnp.maximum(n_per - 1, 0)
+    coup = coup.at[jnp.arange(q), last].add(1.0)
+
+    kap = jnp.asarray(kappa, dt_)
+    b_tau = (1.0 - jnp.exp(-kap * taus)) / kap
+
+    def gap_and_slope(r):
+        p = vasicek_bond_from_rate(r[:, None], kappa, theta, sigma,
+                                   taus) * mask
+        f = jnp.sum(coup * p, axis=1) - 1.0
+        fp = -jnp.sum(coup * b_tau * p, axis=1)
+        return f, fp
+
+    def newton(_, r):
+        f, fp = gap_and_slope(r)
+        return jnp.clip(r - f / jnp.minimum(fp, -1e-12), -2.0, 3.0)
+
+    r_star = jax.lax.fori_loop(
+        0, 40, newton, jnp.full((q,), jnp.asarray(theta, dt_)))
+    ks = vasicek_bond_from_rate(r_star[:, None], kappa, theta, sigma, taus)
+    puts = vasicek_bond_option_from_rate(
+        jnp.asarray(r0, dt_), kappa, theta, sigma,
+        expiries[:, None], expiries[:, None] + taus, ks, call=False)
+    return jnp.sum(coup * puts * mask, axis=1)
+
+
+def _constrain(raw):
+    return {"kappa": jax.nn.softplus(raw[0]),
+            "theta": raw[1] * 0.05,
+            "sigma": jax.nn.softplus(raw[2]) * 0.02}
+
+
+@partial(jax.jit, static_argnames=("n_iters", "max_periods", "lr"))
+def _calibrate(r0, expiries, pay_dts, strikes, n_periods, prices, raw0,
+               n_iters: int, lr: float, max_periods: int):
+    import optax
+
+    def loss_fn(raw):
+        p = _constrain(raw)
+        model = vasicek_swaption_prices(
+            r0, p["kappa"], p["theta"], p["sigma"], expiries, pay_dts,
+            strikes, n_periods, max_periods=max_periods)
+        # Relative price error: quotes span expiries/tenors over orders
+        # of magnitude, and premia are strictly positive.
+        return jnp.mean(jnp.square(model / prices - 1.0))
+
+    opt = optax.adam(lr)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        raw, opt_state = carry
+        loss, g = grad_fn(raw)
+        updates, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(raw, updates), opt_state), loss
+
+    (raw, _), losses = jax.lax.scan(step, (raw0, opt.init(raw0)), None,
+                                    length=n_iters)
+    return raw, losses
+
+
+def calibrate_vasicek_to_swaptions(expiries, pay_dts, strikes, n_periods,
+                                   prices, *, r0, n_iters: int = 1500,
+                                   lr: float = 0.05) -> dict:
+    """Fit Vasicek (kappa, theta, sigma) to payer-swaption quotes.
+
+    ``prices`` are premia per unit notional; ``r0`` is the observed short
+    rate (not fitted).  Returns the constrained parameters plus
+    ``rmse_rel`` — the residual RELATIVE price RMSE (one parameter triple
+    prices every expiry x tenor, so on a real surface the residual is the
+    one-factor model error itself, exactly the Levy-calibration
+    honesty convention).
+    """
+    dt_ = jax.dtypes.canonicalize_dtype(jnp.float64)  # f32 without x64
+    expiries = jnp.asarray(expiries, dt_)
+    pay_dts = jnp.asarray(pay_dts, dt_)
+    strikes = jnp.asarray(strikes, dt_)
+    n_periods_arr = jnp.asarray(n_periods, jnp.int32)
+    prices = jnp.asarray(prices, dt_)
+    pmax = int(max(int(n) for n in n_periods))
+    raw0 = jnp.asarray([0.3, 1.0, 0.5], dt_)
+    raw, losses = _calibrate(jnp.asarray(r0, dt_), expiries, pay_dts, strikes,
+                             n_periods_arr, prices, raw0, n_iters, lr,
+                             pmax)
+    out = {k: float(v) for k, v in _constrain(raw).items()}
+    out["rmse_rel"] = float(jnp.sqrt(losses[-1]))
+    return out
+
+
+__all__ = ["calibrate_vasicek_to_swaptions", "vasicek_swaption_prices"]
