@@ -28,7 +28,7 @@ import numpy as np
 
 from montecarlo_tpu.engine.exposure import (CSA, _netting_body,
                                             swap_value_fn,
-                                            swaption_value_fn, xva_greeks)
+                                            swaption_value_fn)
 from montecarlo_tpu.engine.rates import vasicek_zcb
 from montecarlo_tpu.processes import Vasicek
 
@@ -113,32 +113,48 @@ def bench_profile(label, with_swaption, wwr_beta):
 
 
 def bench_greeks():
-    def build(p):
-        model = Vasicek.create(p["r0"], KAPPA, THETA, p["sigma"], DT,
-                               dtype=jnp.float32)
-        return model, _book(model, False), None
+    """Values + 3-parameter greeks in one program, fetched-REPS-slope
+    (naive per-call timing lies through the relay — CLAUDE.md)."""
 
-    t0 = time.perf_counter()
-    res = xva_greeks(build, {"r0": 0.03, "sigma": SIG,
-                             "hazard_rate": 0.02},
-                     N_PATHS, N_STEPS, T=T, seed=7, csa=CSA_TERMS,
-                     outputs=("cva", "fva", "kva"), recovery=0.4,
-                     own_hazard_rate=0.01, funding_spread=0.004,
-                     kva_cost=0.10, dtype=jnp.float32)
-    cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = xva_greeks(build, {"r0": 0.03, "sigma": SIG,
-                             "hazard_rate": 0.02},
-                     N_PATHS, N_STEPS, T=T, seed=7, csa=CSA_TERMS,
-                     outputs=("cva", "fva", "kva"), recovery=0.4,
-                     own_hazard_rate=0.01, funding_spread=0.004,
-                     kva_cost=0.10, dtype=jnp.float32)
-    jax.block_until_ready(res["greeks"]["cva"]["r0"])
-    warm = time.perf_counter() - t0
-    print(f"xva_greeks (3 params x 3 outputs + level, same book): "
-          f"cold {cold:.1f} s, warm {warm * 1e3:.1f} ms "
-          f"(values+greeks in one program)")
-    print("  d cva/d r0 =", float(res["greeks"]["cva"]["r0"]))
+    def greeks_scalar(r0):
+        def scalars(p):
+            model = Vasicek.create(p["r0"], KAPPA, THETA, p["sigma"], DT,
+                                   dtype=jnp.float32)
+            res = _netting_body(
+                model, _book(model, False), N_PATHS, N_STEPS, T=T, seed=7,
+                csa=CSA_TERMS, quantile=0.95,
+                hazard_rate=p["hazard_rate"], recovery=0.4,
+                own_hazard_rate=0.01, own_recovery=0.4,
+                funding_spread=0.004, wwr_beta=0.0, im_spread=0.003,
+                im_quantile=0.99, im_mpor=10.0 / 252.0, kva_cost=0.10,
+                kva_capital_ratio=0.112, flat_rate=None,
+                dtype=jnp.float32)
+            return res["cva"] + res["fva"] + res["kva"]
+
+        params = {"r0": r0, "sigma": jnp.float32(SIG),
+                  "hazard_rate": jnp.float32(0.02)}
+        val, lin = jax.linearize(scalars, params)
+        tot = val
+        zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+        for k in params:
+            tangent = dict(zeros)
+            tangent[k] = jnp.ones_like(params[k])
+            tot = tot + lin(tangent)
+        return tot
+
+    def make_chained(reps):
+        @jax.jit
+        def chained(r0):
+            def body(i, acc):
+                return acc + greeks_scalar(
+                    r0 + 1e-7 * i.astype(jnp.float32))
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        return chained
+
+    s = slope(make_chained)
+    print(f"xva greeks (level + d/d(r0, sigma, hazard), same book): "
+          f"{s * 1e3:.1f} ms/set")
 
 
 if __name__ == "__main__":

@@ -222,7 +222,8 @@ def _cmd_xva_portfolio(args) -> int:
     if args.swaption_leg and args.underlying == "equity":
         raise SystemExit("--swaption-leg is a rates trade; use "
                          "--underlying rates")
-    if args.swaption_exercise > 1 and getattr(args, "mesh", 0):
+    if (args.swaption_leg and args.swaption_exercise > 1
+            and getattr(args, "mesh", 0)):
         raise SystemExit("Bermudan (AMC) swaption legs run unsharded — "
                          "the regression fit needs global cross-path "
                          "solves; drop --mesh or use "
@@ -266,7 +267,10 @@ def _cmd_xva_portfolio(args) -> int:
             return (1.0 - ps[-1]) / (pay_dt * sum(ps))
 
         k_full, k_half = par(times_full), par(times_half)
-        t_exp = args.maturity / 2.0
+        # Snap the swaption expiry to the payment calendar (a mid-period
+        # expiry would misalign the post-exercise float fixings —
+        # swaption_value_fn validates and rejects that).
+        t_exp = pay_dt * (args.periods // 2)
         times_back = tuple(float(t) for t in times_full
                            if t > t_exp + 1e-9)
 
@@ -367,15 +371,21 @@ def _cmd_xva_portfolio(args) -> int:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
     if args.var_horizon > 0:
-        if args.swaption_exercise > 1:
+        if args.swaption_leg and args.swaption_exercise > 1:
             raise SystemExit("--var-horizon revalues closed-form books; "
                              "Bermudan AMC legs are exposure-grid marks — "
                              "drop --swaption-exercise or the horizon")
         from montecarlo_tpu.engine.exposure import book_var
 
-        bv = book_var(model, trades, args.paths,
+        # The VaR simulation advances by the MODEL's dt: rebuild it on
+        # the horizon grid (the valuation closures never read dt, so the
+        # trades above are reused as-is — book_var validates this).
+        var_steps = max(args.var_steps, 1)
+        var_model = model._replace(
+            dt=jnp.asarray(args.var_horizon / var_steps, jnp.float32))
+        bv = book_var(var_model, trades, args.paths,
                       horizon=args.var_horizon,
-                      n_steps=max(args.var_steps, 1), seed=args.seed,
+                      n_steps=var_steps, seed=args.seed,
                       flat_rate=flat_rate, dtype=jnp.float32)
         for k in ("var_95", "cvar_95", "var_99", "cvar_99"):
             out[f"book_{k}"] = round(float(bv[k]), 6)

@@ -149,8 +149,22 @@ def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
 
         # --- per-date marks -------------------------------------------
         resets = jnp.asarray(resets_np, dtype)
-        k_resets = jnp.asarray([int(round(e / dt)) for e in resets_np],
-                               jnp.int32)
+        k_resets_list = []
+        for e in resets_np:
+            k_r = int(round(e / dt))
+            if e <= T + 1e-9 and abs(k_r * dt - e) > 1e-9:
+                # A fixing row off the grid would silently accrue the
+                # in-period coupon from the wrong date — same contract as
+                # the exercise-date check above.
+                raise ValueError(
+                    f"reset {e} does not lie on the exposure grid "
+                    f"(dt={dt}); choose n_steps so period starts are "
+                    "grid rows")
+            # Resets beyond the exposure horizon are never selected
+            # (selection requires reset <= t <= T) — clip their indices
+            # rather than rely on gather clamping.
+            k_resets_list.append(min(max(k_r, 0), n_steps))
+        k_resets = jnp.asarray(k_resets_list, jnp.int32)
         ones = jnp.ones((n,), dtype)
 
         def row(k):

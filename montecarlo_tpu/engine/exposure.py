@@ -352,6 +352,16 @@ def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
     if min(times_np) <= float(expiry):
         raise ValueError("every payment must be after the swaption expiry "
                          f"(expiry={expiry}, first payment={min(times_np)})")
+    for i, t_i in enumerate(times_np):
+        want = float(expiry) + (i + 1) * float(pay_dt)
+        if abs(t_i - want) > 1e-9:
+            # The post-exercise fixing rows assume period starts at
+            # expiry + i*pay_dt; a misaligned calendar would silently
+            # accrue the in-period coupon over the wrong fixing window.
+            raise ValueError(
+                f"payment_times[{i}]={t_i} != expiry + {i + 1}*pay_dt="
+                f"{want}: the swaption's swap must pay every pay_dt "
+                "starting one period after expiry")
     n_pay = len(times_np)
     coupons_np = [strike * pay_dt] * n_pay
     coupons_np[-1] += 1.0
@@ -374,7 +384,10 @@ def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
 
     def newton(_, r):
         f, fp = par_gap_and_slope(r)
-        return jnp.clip(r - f / fp, -2.0, 3.0)
+        # fp < 0 analytically, but long-tenor f32 bond prices can
+        # underflow at the clip boundary — guard like the batched
+        # calibration solver (rates_calibration.py).
+        return jnp.clip(r - f / jnp.minimum(fp, -1e-12), -2.0, 3.0)
 
     r_star = jax.lax.fori_loop(0, 40, newton, jnp.asarray(th, dtype))
     ks = vasicek_bond_from_rate(r_star, kap, th, sg, taus_exp)   # (P,)
@@ -782,8 +795,17 @@ def _book_var(model, trades, n_paths: int, n_steps: int, *,
     out = {"horizon": t_h, "v0": v0,
            "mean_pnl": jnp.mean(pnl),
            "std_pnl": jnp.std(pnl, ddof=1)}
+    def sorted_quantile(p):
+        # pnl is already sorted — jnp.quantile would re-sort O(N log N)
+        # per call; interpolate the order statistics directly.
+        idx = jnp.clip(jnp.asarray(p, dtype), 0.0, 1.0) * (n - 1.0)
+        lo = jnp.floor(idx).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_paths - 1)
+        w = idx - lo.astype(dtype)
+        return pnl_sorted[lo] * (1.0 - w) + pnl_sorted[hi] * w
+
     qs = jnp.asarray(levels, dtype)
-    lo_q = jnp.quantile(pnl_sorted, 1.0 - qs)
+    lo_q = sorted_quantile(1.0 - qs)
     for i, q in enumerate(levels):
         var_q = -lo_q[i]
         tail = pnl <= -var_q
@@ -793,8 +815,8 @@ def _book_var(model, trades, n_paths: int, n_steps: int, *,
         # Asymptotic order-statistic band: se(VaR) = sqrt(q(1-q)/n) Q'(p)
         # with the quantile-function slope Q' by a central difference.
         eps = 2.0 / jnp.sqrt(n)
-        ql = jnp.quantile(pnl_sorted, jnp.clip(1.0 - q - eps, 0.0, 1.0))
-        qh = jnp.quantile(pnl_sorted, jnp.clip(1.0 - q + eps, 0.0, 1.0))
+        ql = sorted_quantile(1.0 - q - eps)
+        qh = sorted_quantile(1.0 - q + eps)
         qprime = jnp.maximum((qh - ql) / (2.0 * eps), 1e-30)
         se = jnp.sqrt(q * (1.0 - q) / n) * qprime
         pct = int(round(q * 100))
@@ -843,6 +865,20 @@ def book_var(model, trades, n_paths: int, *, horizon: float,
                         " PathDependentTrade books; AMC regression marks "
                         "are fitted on the exposure grid, not a horizon "
                         "slice — mark Bermudans via netting_set_profile")
+    # simulate() advances by the PROCESS's own dt; a model built for the
+    # exposure grid (dt = maturity/steps) would diffuse n_steps * that,
+    # not the VaR horizon — silently inflating VaR by sqrt(dt_ratio).
+    step_dt = getattr(model, "dt", None)
+    if step_dt is not None:
+        step_dt = float(jnp.asarray(step_dt))
+        # f32 models store dt rounded — allow that, catch grid mixups
+        # (those are off by the steps ratio, orders of magnitude).
+        if abs(step_dt * n_steps - horizon) > 1e-8 + 1e-5 * abs(horizon):
+            raise ValueError(
+                f"model.dt * n_steps = {step_dt * n_steps:.6g} != horizon "
+                f"= {horizon:.6g}: rebuild the model with dt = horizon / "
+                "n_steps (valuation closures never read dt, so the same "
+                "trades can be reused)")
     return _book_var(model, tuple(trades), n_paths, n_steps,
                      horizon=horizon, seed=seed, levels=tuple(levels),
                      flat_rate=flat_rate, dtype=dtype)
@@ -876,8 +912,18 @@ def _xva_greeks(build_fn, params, base, n_paths, n_steps, *, T, seed, csa,
 
     # One forward tangent per param (few params, many outputs — forward
     # mode is the cheap direction, and it differentiates through the WWR
-    # Newton `fori_loop`, which reverse mode cannot).
-    return scalars(params), jax.jacfwd(scalars)(params)
+    # Newton `fori_loop`, which reverse mode cannot).  linearize shares
+    # the single primal pass between the values and every tangent
+    # (jacfwd would re-run the primal).
+    vals, lin = jax.linearize(scalars, params)
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    per_param = {}
+    for k in params:
+        tangent = dict(zeros)
+        tangent[k] = jnp.ones_like(params[k])
+        per_param[k] = lin(tangent)
+    return vals, {out: {k: per_param[k][out] for k in params}
+                  for out in outputs}
 
 
 def xva_greeks(build_fn, params, n_paths: int, n_steps: int, *, T: float,

@@ -998,7 +998,18 @@ def _sharded_xva_greeks(build_fn, params, base, n_paths, n_steps, *, T,
             block_size=block_size, axis=axis, **kw)
         return {k: res[k] for k in outputs}
 
-    return scalars(params), jax.jacfwd(scalars)(params)
+    # linearize: one primal sharded pass shared by values and tangents
+    # (jacfwd would re-run the full simulate+mark pipeline for the
+    # values).
+    vals, lin = jax.linearize(scalars, params)
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    per_param = {}
+    for k in params:
+        tangent = dict(zeros)
+        tangent[k] = jnp.ones_like(params[k])
+        per_param[k] = lin(tangent)
+    return vals, {out: {k: per_param[k][out] for k in params}
+                  for out in outputs}
 
 
 def sharded_xva_greeks(build_fn, params, n_paths: int, n_steps: int, *,

@@ -91,3 +91,15 @@ def test_cli_book_var(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["book_var_99"] >= out["book_var_95"] > 0
+
+
+def test_horizon_dt_mismatch_rejected():
+    """Regression: simulate() advances by the MODEL's dt, so a model
+    built for the exposure grid must be rejected rather than silently
+    diffusing n_steps * dt instead of the horizon (caught in review:
+    the CLI once inflated VaR ~3.5x this way)."""
+    model = Vasicek.create(0.03, 0.6, 0.04, 0.012, 0.05,
+                           dtype=jnp.float64)  # dt != H/10
+    with pytest.raises(ValueError, match="horizon"):
+        book_var(model, (lambda r, t: r,), 256, horizon=H, n_steps=10,
+                 seed=1)
