@@ -90,6 +90,13 @@ def _add_xva(sub):
                         "American-Monte-Carlo regression marks, "
                         "engine.amc.bermudan_swaption_amc_trade; AMC "
                         "books run unsharded)")
+    p.add_argument("--counterparties", type=int, default=1,
+                   choices=[1, 2],
+                   help="portfolio: 2 splits the demo book across two "
+                        "counterparties (second at 1.5x the hazard) and "
+                        "runs the multi-netting-set portfolio engine on "
+                        "ONE simulation (engine.exposure.portfolio_xva; "
+                        "unsharded — incompatible with --mesh/--greeks)")
     p.add_argument("--var-horizon", type=float, default=0.0, metavar="H",
                    help="portfolio: also report desk market-risk VaR/CVaR "
                         "of the netted book — FULL revaluation at horizon "
@@ -316,6 +323,40 @@ def _cmd_xva_portfolio(args) -> int:
         state_param = "r0"
 
     model, trades, flat_rate = build(params)
+
+    if args.counterparties > 1:
+        if getattr(args, "mesh", 0) or args.greeks:
+            raise SystemExit("--counterparties runs the unsharded "
+                             "portfolio engine; drop --mesh / --greeks")
+        from montecarlo_tpu.engine.exposure import portfolio_xva
+
+        per_set = dict(csa=csa, recovery=args.recovery,
+                       kva_cost=args.kva_cost,
+                       kva_capital_ratio=args.kva_capital_ratio,
+                       im_spread=args.im_spread)
+        res = portfolio_xva(
+            model, {
+                "cpty_a": dict(trades=trades[:1],
+                               hazard_rate=args.hazard, **per_set),
+                "cpty_b": dict(trades=trades[1:],
+                               hazard_rate=1.5 * args.hazard, **per_set),
+            }, args.paths, args.steps, T=args.maturity, seed=args.seed,
+            quantile=args.quantile, own_hazard_rate=args.own_hazard,
+            own_recovery=args.own_recovery,
+            funding_spread=args.funding_spread, flat_rate=flat_rate,
+            dtype=jnp.float32)
+        out = {"underlying": args.underlying, "counterparties": 2,
+               "csa": not args.no_csa}
+        for name, p_ in res["sets"].items():
+            out[f"cva_{name}"] = round(float(p_["cva"]), 6)
+            out[f"peak_epe_{name}"] = round(
+                float(np.max(np.asarray(p_["epe"]))), 6)
+        tot = res["portfolio"]
+        for k in ("cva", "dva", "bcva", "fva", "mva", "kva"):
+            out[f"{k}_total"] = round(float(tot[k]), 6)
+        out["peak_epe_total"] = round(float(tot["peak_epe"]), 6)
+        print(json.dumps(out))
+        return 0
 
     common = dict(T=args.maturity, seed=args.seed, csa=csa,
                   quantile=args.quantile, hazard_rate=args.hazard,

@@ -493,6 +493,25 @@ def _wwr_default_increments(paths, times, hazard_rate, beta, dt, dtype):
             jnp.concatenate([jnp.ones((1,), dtype), surv]))
 
 
+def _simulate_and_discount(model, n_paths, n_steps, *, T, seed, flat_rate,
+                           dtype):
+    """One exposure simulation + its discount rows (shared by every
+    netting set of a portfolio — the paths are the expensive part)."""
+    dt = T / n_steps
+    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                     dtype=dtype)                       # (T+1, N)
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    if flat_rate is None:
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)],
+            axis=0))
+    else:
+        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                       * times)[:, None] * jnp.ones((1, n_paths), dtype)
+    return paths, disc, times
+
+
 def _netting_body(model, trades, n_paths: int, n_steps: int, *,
                   T: float, seed: int, csa: CSA | None,
                   quantile: float, hazard_rate: float,
@@ -505,19 +524,29 @@ def _netting_body(model, trades, n_paths: int, n_steps: int, *,
     """Un-jitted netting-set body — also traced inside :func:`xva_greeks`,
     where the trade closures capture differentiation tracers and therefore
     must NOT cross a nested-jit static-argument boundary."""
-    dt = T / n_steps
-    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
-                     dtype=dtype)                       # (T+1, N)
-    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    paths, disc, times = _simulate_and_discount(
+        model, n_paths, n_steps, T=T, seed=seed, flat_rate=flat_rate,
+        dtype=dtype)
+    return _netting_from_paths(
+        paths, disc, times, model, trades, T=T, n_steps=n_steps, csa=csa,
+        quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
+        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+        funding_spread=funding_spread, wwr_beta=wwr_beta,
+        im_spread=im_spread, im_quantile=im_quantile, im_mpor=im_mpor,
+        kva_cost=kva_cost, kva_capital_ratio=kva_capital_ratio,
+        flat_rate=flat_rate, dtype=dtype)
 
-    if flat_rate is None:
-        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-        disc = jnp.exp(-jnp.concatenate(
-            [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)],
-            axis=0))
-    else:
-        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
-                       * times)[:, None] * jnp.ones((1, n_paths), dtype)
+
+def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
+                        n_steps: int, csa: CSA | None, quantile: float,
+                        hazard_rate: float, recovery: float,
+                        own_hazard_rate: float, own_recovery: float,
+                        funding_spread: float, wwr_beta: float,
+                        im_spread: float, im_quantile: float,
+                        im_mpor: float, kva_cost: float,
+                        kva_capital_ratio: float, flat_rate, dtype) -> dict:
+    dt = T / n_steps
+    n_paths = paths.shape[1]
 
     # Every trade marked on the SAME paths: v_all[i, k, :] = trade i's value
     # at grid time k.  The simulation is the expensive part; each mark is a
@@ -756,6 +785,89 @@ def netting_set_profile(model, trades, n_paths: int, n_steps: int, *,
         im_spread=im_spread, im_quantile=im_quantile, im_mpor=im_mpor,
         kva_cost=kva_cost, kva_capital_ratio=kva_capital_ratio,
         flat_rate=flat_rate, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Multi-counterparty portfolio: several netting sets, ONE simulation
+# ---------------------------------------------------------------------------
+
+#: Per-set credit/collateral scalars (operands) with their defaults; the
+#: remaining spec keys (trades, csa) are static.
+_SET_SCALARS = (("hazard_rate", 0.0), ("recovery", 0.4),
+                ("wwr_beta", 0.0), ("im_spread", 0.0),
+                ("kva_cost", 0.0), ("kva_capital_ratio", 0.112))
+
+
+@partial(jax.jit, static_argnames=("sets", "n_paths", "n_steps", "seed",
+                                   "T", "quantile", "dtype"))
+def _portfolio_xva(model, credit, shared, n_paths, n_steps, *, T, seed,
+                   sets, quantile, flat_rate, dtype):
+    paths, disc, times = _simulate_and_discount(
+        model, n_paths, n_steps, T=T, seed=seed, flat_rate=flat_rate,
+        dtype=dtype)
+    out = {}
+    for (name, trades, csa), cred in zip(sets, credit):
+        out[name] = _netting_from_paths(
+            paths, disc, times, model, trades, T=T, n_steps=n_steps,
+            csa=csa, quantile=quantile, flat_rate=flat_rate, dtype=dtype,
+            own_hazard_rate=shared["own_hazard_rate"],
+            own_recovery=shared["own_recovery"],
+            funding_spread=shared["funding_spread"],
+            im_quantile=shared["im_quantile"], im_mpor=shared["im_mpor"],
+            **cred)
+    return out
+
+
+def portfolio_xva(model, netting_sets, n_paths: int, n_steps: int, *,
+                  T: float, seed: int, quantile: float = 0.95,
+                  own_hazard_rate: float = 0.0, own_recovery: float = 0.4,
+                  funding_spread: float = 0.0, im_quantile: float = 0.99,
+                  im_mpor: float = 10.0 / 252.0, flat_rate=None,
+                  dtype=jnp.float64) -> dict:
+    """Multi-counterparty xVA: several netting sets on ONE simulation.
+
+    Real books face many counterparties; netting applies only WITHIN each
+    counterparty's set, while the simulation of the underlying is shared.
+    ``netting_sets`` maps name -> spec dict: ``trades`` (required tuple),
+    ``csa`` (optional :class:`CSA`), and per-counterparty scalars
+    ``hazard_rate``/``recovery``/``wwr_beta``/``im_spread``/``kva_cost``/
+    ``kva_capital_ratio`` (defaults as in :func:`netting_set_profile`).
+    Own-credit and funding inputs are portfolio-level keywords (they are
+    OURS, not the counterparty's).
+
+    Returns ``{"sets": {name: profile}, "portfolio": totals}`` where each
+    per-set profile is exactly `netting_set_profile`'s dict (a one-set
+    portfolio is bitwise identical to that engine — tested) and totals
+    sum the adjustment scalars plus the per-date collateralized ``epe``.
+    Splitting offsetting trades across counterparties INCREASES the total
+    CVA versus netting them in one set (tested) — that lost offset is
+    precisely what the aggregation exists to measure.
+    """
+    sets = []
+    credit = []
+    for name, spec in netting_sets.items():
+        unknown = set(spec) - {"trades", "csa"} - {k for k, _ in
+                                                   _SET_SCALARS}
+        if unknown:
+            raise ValueError(f"netting set {name!r}: unknown keys "
+                             f"{sorted(unknown)}")
+        sets.append((name, tuple(spec["trades"]), spec.get("csa")))
+        credit.append({k: jnp.asarray(spec.get(k, d), dtype)
+                       for k, d in _SET_SCALARS})
+    shared = {k: jnp.asarray(v, dtype) for k, v in
+              dict(own_hazard_rate=own_hazard_rate,
+                   own_recovery=own_recovery,
+                   funding_spread=funding_spread, im_quantile=im_quantile,
+                   im_mpor=im_mpor).items()}
+    per_set = _portfolio_xva(model, tuple(credit), shared, n_paths,
+                             n_steps, T=T, seed=seed, sets=tuple(sets),
+                             quantile=quantile, flat_rate=flat_rate,
+                             dtype=dtype)
+    totals = {k: sum(per_set[name][k] for name in per_set)
+              for k in ("cva", "dva", "bcva", "cva_no_netting", "fca",
+                        "fba", "fva", "mva", "kva", "epe")}
+    totals["peak_epe"] = jnp.max(totals["epe"])
+    return {"sets": per_set, "portfolio": totals}
 
 
 # ---------------------------------------------------------------------------
@@ -1006,4 +1118,5 @@ def xva_greeks(build_fn, params, n_paths: int, n_steps: int, *, T: float,
 
 __all__ = ["CSA", "PathDependentTrade", "SimulationMarkedTrade",
            "book_var", "exposure_profile", "netting_set_profile",
-           "swap_value_fn", "swaption_value_fn", "xva_greeks"]
+           "portfolio_xva", "swap_value_fn", "swaption_value_fn",
+           "xva_greeks"]
