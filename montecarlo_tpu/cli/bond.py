@@ -32,6 +32,16 @@ def _add_bond(sub):
                    help="default: ATM forward bond price")
     p.add_argument("--fwd-slope", type=float, default=0.005,
                    help="hullwhite: slope of the synthetic forward curve")
+    p.add_argument("--cap", action="store_true",
+                   help="price a cap on the simple rate (strip of "
+                        "zero-bond puts, closed form; --floor for the "
+                        "floor; --cap-strike defaults to r0) with an MC "
+                        "cross-check; requires --model vasicek")
+    p.add_argument("--floor", action="store_true",
+                   help="with --cap: price the floor instead")
+    p.add_argument("--cap-strike", type=float, default=None)
+    p.add_argument("--cap-resets", type=int, default=4,
+                   help="number of caplets (quarterly from 0.25y)")
     p.add_argument("--swaption", action="store_true",
                    help="Bermudan payer swaption by pathwise-discounted "
                         "LSM (vasicek; n_exercise=1 prints the Jamshidian "
@@ -68,6 +78,56 @@ def cmd_bond(args) -> int:
         proc = HullWhite.from_forward_curve(fwd, a=args.kappa,
                                             sigma=args.sigma, dt=dt)
         cf = float(np.exp(-np.trapezoid(fwd, t_grid)))
+
+    if args.cap:
+        import json
+
+        import jax.numpy as jnp
+
+        from montecarlo_tpu.engine.rates import (vasicek_bond_from_rate,
+                                                 vasicek_cap_price)
+        from montecarlo_tpu.engine.pricing import mc_estimate
+        from montecarlo_tpu.engine.simulate import simulate
+
+        if args.model != "vasicek":
+            raise SystemExit("--cap requires --model vasicek")
+        delta = 0.25
+        resets = delta * np.arange(1, args.cap_resets + 1)
+        k_cap = args.cap_strike if args.cap_strike is not None else args.r0
+        cf_cap = float(vasicek_cap_price(
+            args.r0, args.kappa, args.theta, args.sigma, k_cap, resets,
+            delta, floor=args.floor))
+        # MC cross-check: simulate to the last reset, read each caplet's
+        # simple rate off the reset-date bond, discount pathwise to the
+        # payment date via D(0, T_i) * P(T_i, T_i + delta).
+        t_last = float(resets[-1])
+        n_mc = min(n_steps, 256)
+        mc_dt = t_last / n_mc
+        proc_mc = Vasicek.create(args.r0, args.kappa, args.theta,
+                                 args.sigma, mc_dt)
+        paths = simulate(proc_mc, args.paths, n_mc, seed=args.seed,
+                         mode="paths")
+        mid = 0.5 * (paths[:-1] + paths[1:]) * mc_dt
+        cum = jnp.concatenate(
+            [jnp.zeros((1, args.paths), paths.dtype),
+             jnp.cumsum(mid, axis=0)], axis=0)
+        total = 0.0
+        for t_i in resets:
+            k_i = int(round(float(t_i) / mc_dt))
+            p_i = vasicek_bond_from_rate(paths[k_i], args.kappa,
+                                         args.theta, args.sigma, delta)
+            lib = (1.0 / p_i - 1.0) / delta
+            pay = (jnp.maximum(k_cap - lib, 0.0) if args.floor
+                   else jnp.maximum(lib - k_cap, 0.0))
+            total = total + jnp.exp(-cum[k_i]) * p_i * delta * pay
+        est = mc_estimate(total)
+        print(json.dumps({
+            "instrument": "floor" if args.floor else "cap",
+            "strike": k_cap, "resets": args.cap_resets,
+            "closed_form": round(cf_cap, 8),
+            "mc_price": round(float(est["price"]), 8),
+            "mc_std_err": round(float(est["std_err"]), 8)}))
+        return 0
 
     if args.swaption:
         import jax.numpy as jnp

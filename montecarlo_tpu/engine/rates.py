@@ -111,6 +111,27 @@ def vasicek_bond_option_from_rate(r, kappa, theta, sigma, tau1, tau2,
     return strike * p1 * ncdf(sig_p - h) - p2 * ncdf(-h)
 
 
+def vasicek_cap_price(r0, kappa, theta, sigma, strike, reset_times,
+                      pay_dt, *, floor: bool = False):
+    """Cap (or floor) on the simple rate, closed form under Vasicek.
+
+    Caplet i pays ``delta * (L(T_i, T_i + delta) - K)^+`` at
+    ``T_i + delta``; the standard identity rewrites it as ``(1 + K delta)``
+    zero-coupon-bond PUTS expiring at the reset, struck at
+    ``1 / (1 + K delta)`` (floorlets are the CALLS).  ``reset_times`` is
+    the (R,) array of caplet fixing dates; jnp-broadcasting and
+    differentiable like the swaption pricer.  MC cross-checked
+    (tests/test_rates.py style: pathwise-discounted caplet payoffs).
+    """
+    resets = jnp.asarray(reset_times)
+    delta = jnp.asarray(pay_dt)
+    kd = 1.0 + jnp.asarray(strike) * delta
+    per = vasicek_bond_option_from_rate(
+        jnp.asarray(r0), kappa, theta, sigma, resets, resets + delta,
+        1.0 / kd, call=bool(floor))
+    return jnp.sum(kd * per)
+
+
 # --- Monte Carlo pricers ------------------------------------------------------
 
 def zcb_price_mc(model, T: float, n_steps: int, n_paths: int, *, seed: int,
@@ -151,5 +172,5 @@ def bond_option_mc(model: Vasicek, T1: float, T2: float, strike: float,
 __all__ = [
     "vasicek_zcb", "cir_zcb", "vasicek_bond_option",
     "vasicek_bond_from_rate", "vasicek_bond_option_from_rate",
-    "zcb_price_mc", "bond_option_mc",
+    "vasicek_cap_price", "zcb_price_mc", "bond_option_mc",
 ]

@@ -118,3 +118,59 @@ def test_rate_paths_deterministic_and_shardable():
     # fusion may differ by 1 ULP — the bitwise contract lives in the
     # fixed-block sharded estimators, not across scan-program shapes.
     np.testing.assert_allclose(a[2048:], off, rtol=1e-14)
+
+
+def test_vasicek_cap_floor_parity_and_mc():
+    """Cap - floor = the swap-let strip sum_i [P(0,T_i) - (1+K d)
+    P(0,T_i+d)] (model-free parity, exact in the closed forms); the cap
+    itself is MC-cross-checked with pathwise discounting."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.pricing import mc_estimate
+    from montecarlo_tpu.engine.rates import (vasicek_bond_from_rate,
+                                             vasicek_cap_price,
+                                             vasicek_zcb)
+    from montecarlo_tpu.engine.simulate import simulate
+    from montecarlo_tpu.processes import Vasicek
+
+    r0, kap, th, sg, k_cap, delta = 0.03, 0.8, 0.05, 0.015, 0.035, 0.25
+    resets = delta * np.arange(1, 5)
+    cap = float(vasicek_cap_price(r0, kap, th, sg, k_cap, resets, delta))
+    floor = float(vasicek_cap_price(r0, kap, th, sg, k_cap, resets, delta,
+                                    floor=True))
+    parity = sum(vasicek_zcb(r0, kap, th, sg, t)
+                 - (1.0 + k_cap * delta)
+                 * vasicek_zcb(r0, kap, th, sg, t + delta)
+                 for t in resets)
+    np.testing.assert_allclose(cap - floor, parity, rtol=1e-9)
+
+    n, n_mc = 1 << 15, 128
+    mc_dt = float(resets[-1]) / n_mc
+    model = Vasicek.create(r0, kap, th, sg, mc_dt, dtype=jnp.float64)
+    paths = simulate(model, n, n_mc, seed=11, mode="paths",
+                     dtype=jnp.float64)
+    mid = 0.5 * (paths[:-1] + paths[1:]) * mc_dt
+    cum = jnp.concatenate([jnp.zeros((1, n), jnp.float64),
+                           jnp.cumsum(mid, axis=0)], axis=0)
+    total = 0.0
+    for t_i in resets:
+        k_i = int(round(float(t_i) / mc_dt))
+        p_i = vasicek_bond_from_rate(paths[k_i], kap, th, sg, delta)
+        lib = (1.0 / p_i - 1.0) / delta
+        total = total + (jnp.exp(-cum[k_i]) * p_i * delta
+                         * jnp.maximum(lib - k_cap, 0.0))
+    est = mc_estimate(total)
+    assert abs(float(est["price"]) - cap) < 4 * float(est["std_err"])
+
+
+def test_cli_bond_cap(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["bond", "--cap", "--paths", "8192"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["mc_price"] - out["closed_form"]) \
+        < 5 * out["mc_std_err"] + 1e-6
