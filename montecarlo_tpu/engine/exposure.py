@@ -493,6 +493,55 @@ def _wwr_default_increments(paths, times, hazard_rate, beta, dt, dtype):
             jnp.concatenate([jnp.ones((1,), dtype), surv]))
 
 
+def _credit_funding_scalars(depe, dene, depe_per_trade, eepe, pbar, times,
+                            dt, n_steps, *, hazard_rate, recovery,
+                            own_hazard_rate, own_recovery, funding_spread,
+                            kva_cost, kva_capital_ratio, dtype):
+    """Survival weights + the deterministic adjustment algebra, shared by
+    the unsharded and sharded netting engines (ONE copy — the two must
+    never diverge; they differ only in how the input means were reduced).
+
+    CVA/DVA: first-to-default discretization — a party's default loss
+    counts only while the OTHER party has survived to the period start
+    (own_hazard = 0 reduces CVA to the unilateral formula exactly).
+    cva_no_netting: the sum of standalone per-trade CVAs — the number
+    netting + CSA are bought to beat.  FCA/FBA and KVA accrue on the
+    trapezoid (half weight at both endpoints); KVA's capital profile is
+    ``kva_capital_ratio * EEPE(t)`` (the Basel alpha*RW*8% chain in one
+    user ratio) discounted at the mean pathwise discount ``pbar``.
+
+    Returns ``(scalars, aux)`` with ``aux`` carrying the weights the
+    callers' extra terms (WWR tilt, MVA) reuse.
+    """
+    lam_c = jnp.asarray(hazard_rate, dtype)
+    lam_o = jnp.asarray(own_hazard_rate, dtype)
+    surv_c = jnp.exp(-lam_c * times)
+    surv_o = jnp.exp(-lam_o * times)
+    zero1 = jnp.zeros((1,), dtype)
+    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
+    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
+    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
+    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
+    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
+    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
+    cva_no_netting = (1.0 - recovery) * jnp.sum(
+        depe_per_trade * (dpd_c * w_o)[None, :])
+    sf = jnp.asarray(funding_spread, dtype)
+    alive = surv_c * surv_o
+    trap = jnp.full((n_steps + 1,), dt, dtype)
+    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
+    fca = sf * jnp.sum(depe * alive * trap)
+    fba = sf * jnp.sum(dene * alive * trap)
+    kva = (jnp.asarray(kva_cost, dtype)
+           * jnp.sum(jnp.asarray(kva_capital_ratio, dtype) * eepe
+                     * pbar * alive * trap))
+    scalars = {"cva": cva, "dva": dva, "bcva": cva - dva,
+               "cva_no_netting": cva_no_netting, "fca": fca, "fba": fba,
+               "fva": fca - fba, "kva": kva}
+    return scalars, {"dpd_c": dpd_c, "w_o": w_o, "alive": alive,
+                     "trap": trap}
+
+
 def _simulate_and_discount(model, n_paths, n_steps, *, T, seed, flat_rate,
                            dtype):
     """One exposure simulation + its discount rows (shared by every
@@ -619,28 +668,14 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
     depe_u = jnp.mean(disc * jnp.maximum(v_all, 0.0), axis=2)  # per trade
     eepe = jax.lax.associative_scan(jnp.maximum, epe)
 
-    lam_c = jnp.asarray(hazard_rate, dtype)
-    lam_o = jnp.asarray(own_hazard_rate, dtype)
-    surv_c = jnp.exp(-lam_c * times)
-    surv_o = jnp.exp(-lam_o * times)
-    zero1 = jnp.zeros((1,), dtype)
-    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
-    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
-    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
-    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
-    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
-    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
-    # No-netting comparison: the sum of standalone per-trade CVAs (each
-    # trade's positive exposure charged separately, no offsets, no
-    # collateral) — the number netting + CSA are bought to beat.
-    cva_no_netting = (1.0 - recovery) * jnp.sum(
-        depe_u * (dpd_c * w_o)[None, :])
-    sf = jnp.asarray(funding_spread, dtype)
-    alive = surv_c * surv_o
-    trap = jnp.full((n_steps + 1,), dt, dtype)
-    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
-    fca = sf * jnp.sum(depe * alive * trap)
-    fba = sf * jnp.sum(dene * alive * trap)
+    pbar = jnp.mean(disc, axis=1)
+    scalars, aux = _credit_funding_scalars(
+        depe, dene, depe_u, eepe, pbar, times, dt, n_steps,
+        hazard_rate=hazard_rate, recovery=recovery,
+        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+        funding_spread=funding_spread, kva_cost=kva_cost,
+        kva_capital_ratio=kva_capital_ratio, dtype=dtype)
+    w_o, alive, trap = aux["w_o"], aux["alive"], aux["trap"]
     # Wrong-way risk: CVA as the PATHWISE tilted expectation
     # (1-R) sum_k E[D_k V_k^+ dPD_k(path)] * S_own(start) with per-path
     # default increments whose intensity loads on the underlying state
@@ -672,25 +707,11 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
     im = jnp.mean(im_path, axis=1)
     dim = jnp.mean(disc * im_path, axis=1)
     mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive * trap)
-    # KVA: cost of holding regulatory capital against the netting set.
-    # Capital profile K(t) = kva_capital_ratio * EEPE(t) — the Basel CCR
-    # chain EAD = alpha * EEPE, RWA = RW * EAD, K = 8% * RWA collapsed
-    # into ONE user-calibrated ratio (e.g. 1.4 * 1.0 * 0.08 = 0.112).
-    # KVA = kva_cost * sum K(t) P(0,t) S_c S_o dt with P(0,t) the mean
-    # pathwise discount (the model's own zero curve) and the same
-    # trapezoid accrual as FCA/FBA/MVA.  kva_cost = 0 switches it off.
-    pbar = jnp.mean(disc, axis=1)
-    kva = (jnp.asarray(kva_cost, dtype)
-           * jnp.sum(jnp.asarray(kva_capital_ratio, dtype) * eepe
-                     * pbar * alive * trap))
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "eepe": eepe, "epe_uncollateralized": epe_u,
             "ene_uncollateralized": ene_u, "im": im,
-            "cva": cva, "dva": dva, "bcva": cva - dva,
-            "cva_no_netting": cva_no_netting, "cva_wwr": cva_wwr,
-            "survival_wwr": surv_wwr,
-            "fca": fca, "fba": fba, "fva": fca - fba, "mva": mva,
-            "kva": kva}
+            "cva_wwr": cva_wwr, "survival_wwr": surv_wwr, "mva": mva,
+            **scalars}
 
 
 _netting_set_profile = partial(

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.engine.exposure import (PathDependentTrade,
-                                            SimulationMarkedTrade)
+from montecarlo_tpu.engine.exposure import (
+    PathDependentTrade, SimulationMarkedTrade, _credit_funding_scalars)
 from montecarlo_tpu.parallel.mesh import PATHS_AXIS, SLICES_AXIS
 from montecarlo_tpu.stats.welford import (
     MomentState,
@@ -122,12 +122,14 @@ def sharded_terminal(process, n_paths: int, n_steps: int, *, seed: int,
         if n_slices > 1:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = off0 + shard_idx * local_n
+        offset = off0 + shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
         return terminal_prices(proc, local_n, n_steps, seed=seed,
                                stream=stream, sampler=sampler_, dtype=dtype,
                                path_offset=offset)
 
-    off0 = jnp.asarray(path_offset, jnp.int32)
+    # uint32: the path-id space — an int32 pin overflowed at
+    # offset 2^31, half the addressable ids (streamed pod runs).
+    off0 = jnp.asarray(path_offset, jnp.uint32)
     spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
     out_spec = P((SLICES_AXIS, axis)) if n_slices > 1 else P(axis)
     return jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
@@ -169,7 +171,7 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = off0 + shard_idx * local_n
+        offset = off0 + shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
         # Dispatch: fused Pallas kernel on TPU (same draw streams), scan
         # engine elsewhere — per-shard work is the single-chip fast path,
         # collectives only touch the tiny block stats.
@@ -184,7 +186,9 @@ def sharded_mc_estimate(process, payoff_fn, n_paths: int, n_steps: int, *,
         # on every device.
         return _gather_two_level(local_stats, axis, has_slices)
 
-    off0 = jnp.asarray(path_offset, jnp.int32)
+    # uint32: the path-id space — an int32 pin overflowed at
+    # offset 2^31, half the addressable ids (streamed pod runs).
+    off0 = jnp.asarray(path_offset, jnp.uint32)
     spec_in = jax.tree.map(lambda _: P(), (process, sampler, off0))
     stats = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -263,7 +267,7 @@ def sharded_basket_estimate(basket, payoff_fn, n_paths: int, n_steps: int,
                             * jnp.uint32(a_total) + jnp.uint32(d), dtype)
                 for d in range(a_total)])  # (A, local_n)
             zc = jnp.dot(chol_rows.astype(dtype), z,
-                         preferred_element_type=jnp.float32).astype(dtype)
+                         preferred_element_type=dtype).astype(dtype)
             # Increment grouped before the add (see GBM.step).
             return state + (drift[:, None] + scale[:, None] * zc), None
 
@@ -312,7 +316,7 @@ def _sharded_functional_estimate(process, functional_items, payoff_of,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = shard_idx * local_n
+        offset = shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
         out = simulate_functionals(
             proc, local_n, n_steps, seed=seed,
             functionals=dict(functional_items), stream=stream,
@@ -374,8 +378,10 @@ def sharded_price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int,
     shard would accumulate per-path gradient contributions in a
     shard-local order (invariance dies with the mesh shape), so instead
     each fixed ``block_size`` run of GLOBAL path ids is differentiated as
-    its own unit — `vmap(value_and_grad)` over the shard's blocks costs
-    one batched forward+backward, not n_blocks passes — and the per-block
+    its own unit — `lax.map` of a block-wide `value_and_grad` (NOT vmap:
+    vmap's batch width is blocks-per-shard, which changes with the mesh,
+    and the fused draw->step codegen is only value-stable at a fixed
+    compile width — DEVNOTES "Determinism contract") — and the per-block
     gradient means are all-gathered in global block order and merged by
     the same fixed pairwise tree as the payoff moments.  Every block's
     computation is identical whatever mesh it lands on, so price AND
@@ -419,7 +425,7 @@ def sharded_price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = shard_idx * local_n
+        offset = shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
 
         def block_stats(off_b):
             def mean_payoff(p):
@@ -435,8 +441,14 @@ def sharded_price_and_greeks(process, payoff_fn, n_paths: int, n_steps: int,
             return m, m2, jax.tree.map(_grad_or_zero, g, proc)
 
         offsets = (offset
-                   + jnp.arange(n_local_blocks, dtype=jnp.int32) * block_size)
-        means, m2s, g_blocks = jax.vmap(block_stats)(offsets)
+                   + jnp.arange(n_local_blocks, dtype=jnp.uint32)
+                   * jnp.uint32(block_size))
+        # lax.map, NOT vmap: the fused draw->step codegen is only
+        # value-stable at a FIXED compile width (DEVNOTES "Determinism
+        # contract"), and vmap's batch width (blocks per shard) changes
+        # with the mesh — map runs the identical block-wide program
+        # whatever mesh the block lands on.
+        means, m2s, g_blocks = jax.lax.map(block_stats, offsets)
         pay_state = MomentState(
             count=jnp.full((n_local_blocks,), jnp.asarray(block_size, dtype)),
             mean=means, m2=m2s)
@@ -518,8 +530,6 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
     n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
     _check_divisible(n_paths, n_shards, block_size)
     local_n = n_paths // n_shards
-    if local_n % block_size:
-        raise ValueError("local path count must be a block multiple")
     if n_slices > 1:
         _check_two_level_tree(n_paths // block_size // n_slices)
     gather_axes = (SLICES_AXIS, axis) if n_slices > 1 else axis
@@ -544,7 +554,7 @@ def sharded_lsm_price(process, payoff_fn, n_paths: int, n_steps: int, *,
         if n_slices > 1:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = shard_idx * local_n
+        offset = shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
         paths = simulate(proc, local_n, n_steps, seed=seed, mode="paths",
                          dtype=dtype, path_offset=offset)  # (T+1, local_n)
         cashflow = payoff_fn(paths[-1])
@@ -640,7 +650,9 @@ def sharded_andersen_broadie_bound(process, payoff_fn, policy, n_outer: int,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        ids = path_ids_for(local_n, shard_idx * local_n)
+        ids = path_ids_for(local_n,
+                           shard_idx.astype(jnp.uint32)
+                           * jnp.uint32(local_n))
         best = _ab_best(proc, payoff_fn, pol, ids, n_inner, n_steps,
                         seed=seed, rate=rate, dt=dt, degree=degree,
                         value_degree=value_degree, dtype=dtype)
@@ -692,7 +704,7 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offset = shard_idx * local_n
+        offset = shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
         terminal = terminal_prices(proc, local_n, n_steps, seed=seed,
                                    stream=stream, sampler=sampler_,
                                    dtype=dtype, path_offset=offset)
@@ -701,18 +713,24 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
         # Sketch counts: exact integer adds -> psum is safe and exact.
         # Scalar totals: a float psum rounds (order-dependently) past 2^24
         # samples, which would break bitwise mesh-shape invariance — the
-        # global total is just the static n_paths, and under/overflow psum
-        # through int32 (per-shard values are exact integers < 2^31).
+        # global total is just the static n_paths.  Under/overflow are
+        # RECOUNTED here as int32 (sketch_add's masks verbatim): the
+        # sketch's own float scalars are already rounded past 2^24 per
+        # shard, and a rounded-then-int32 psum would be mesh-dependent.
         f = sketch.total.dtype
+        width_s = (sketch.hi - sketch.lo) / bins
+        idx_s = jnp.floor((jnp.asarray(terminal, sketch.lo.dtype)
+                           - sketch.lo) / width_s).astype(jnp.int32)
         merged_sketch = type(sketch)(
             lo=sketch.lo,
             hi=sketch.hi,
             counts=jax.lax.psum(sketch.counts, sum_axes),
             total=jnp.asarray(n_paths, f),
             underflow=jax.lax.psum(
-                sketch.underflow.astype(jnp.int32), sum_axes).astype(f),
+                jnp.sum(idx_s < 0, dtype=jnp.int32), sum_axes).astype(f),
             overflow=jax.lax.psum(
-                sketch.overflow.astype(jnp.int32), sum_axes).astype(f),
+                jnp.sum(idx_s >= bins, dtype=jnp.int32),
+                sum_axes).astype(f),
             vmin=jax.lax.pmin(sketch.vmin, sum_axes),
             vmax=jax.lax.pmax(sketch.vmax, sum_axes),
         )
@@ -893,7 +911,9 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
                          + shard_idx)
-        offs = shard_idx * local_n + jnp.arange(n_blk) * block_size
+        offs = (shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
+                + jnp.arange(n_blk, dtype=jnp.uint32)
+                * jnp.uint32(block_size))
         # lax.map over the shard's fixed-width blocks: block b's program is
         # the SAME compiled body at every mesh shape (only the trip count
         # changes), so block stats and exposures are bitwise reproducible.
@@ -934,7 +954,10 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
     # interpolation inside the crossing bin (same scheme as
     # stats.quantiles.sketch_quantile, vectorized over dates).
     rank = quantile * n_paths
-    cum = jnp.cumsum(counts, axis=1)
+    # Cumulate in float: an int32 CDF wraps past 2^31 total paths and the
+    # quantile silently collapses to bin 0 (per-bin counts stay int32 —
+    # exact adds; the float CDF is the same rule as sketch_quantile).
+    cum = jnp.cumsum(counts.astype(width.dtype), axis=1)
     bin_idx = jnp.argmax(cum >= rank, axis=1)               # (T+1,)
     take = lambda a, j: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
     cum_before = jnp.where(bin_idx > 0,
@@ -945,37 +968,19 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
 
     times = jnp.arange(n_dates, dtype=dtype) * dt
     eepe = jax.lax.associative_scan(jnp.maximum, epe)
-    lam_c = jnp.asarray(hazard_rate, dtype)
-    lam_o = jnp.asarray(own_hazard_rate, dtype)
-    surv_c = jnp.exp(-lam_c * times)
-    surv_o = jnp.exp(-lam_o * times)
-    zero1 = jnp.zeros((1,), dtype)
-    dpd_c = jnp.concatenate([zero1, surv_c[:-1] - surv_c[1:]])
-    dpd_o = jnp.concatenate([zero1, surv_o[:-1] - surv_o[1:]])
-    w_o = jnp.concatenate([jnp.ones((1,), dtype), surv_o[:-1]])
-    w_c = jnp.concatenate([jnp.ones((1,), dtype), surv_c[:-1]])
-    cva = (1.0 - recovery) * jnp.sum(depe * dpd_c * w_o)
-    dva = (1.0 - own_recovery) * jnp.sum(dene * dpd_o * w_c)
-    cva_no_netting = (1.0 - recovery) * jnp.sum(
-        depe_per_trade * (dpd_c * w_o)[None, :])
-    sf = jnp.asarray(funding_spread, dtype)
-    alive = surv_c * surv_o
-    trap = jnp.full((n_dates,), dt, dtype)
-    trap = trap.at[0].set(0.5 * dt).at[-1].set(0.5 * dt)
-    fca = sf * jnp.sum(depe * alive * trap)
-    fba = sf * jnp.sum(dene * alive * trap)
-    # KVA on the collateralized EEPE — same capital model as the unsharded
-    # engine (K(t) = ratio * EEPE(t), mean-discount accrual); pbar rides
-    # the block-moment contract so kva is bitwise mesh-invariant too.
-    kva = (jnp.asarray(kva_cost, dtype)
-           * jnp.sum(jnp.asarray(kva_capital_ratio, dtype) * eepe
-                     * pbar * alive * trap))
+    # ONE copy of the credit/funding/capital algebra, shared with the
+    # unsharded engine — the per-date means above already carry the
+    # block-moment contract, so every scalar is bitwise mesh-invariant.
+    scalars, _ = _credit_funding_scalars(
+        depe, dene, depe_per_trade, eepe, pbar, times, dt, n_steps,
+        hazard_rate=hazard_rate, recovery=recovery,
+        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+        funding_spread=funding_spread, kva_cost=kva_cost,
+        kva_capital_ratio=kva_capital_ratio, dtype=dtype)
     return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
             "pfe_grid_err": width, "eepe": eepe,
             "epe_uncollateralized": epe_u, "ene_uncollateralized": ene_u,
-            "cva": cva, "dva": dva, "bcva": cva - dva,
-            "cva_no_netting": cva_no_netting,
-            "fca": fca, "fba": fba, "fva": fca - fba, "kva": kva}
+            **scalars}
 
 
 @partial(jax.jit, static_argnames=("build_fn", "n_paths", "n_steps", "seed",
@@ -998,16 +1003,22 @@ def _sharded_xva_greeks(build_fn, params, base, n_paths, n_steps, *, T,
             block_size=block_size, axis=axis, **kw)
         return {k: res[k] for k in outputs}
 
-    # linearize: one primal sharded pass shared by values and tangents
-    # (jacfwd would re-run the full simulate+mark pipeline for the
-    # values).
-    vals, lin = jax.linearize(scalars, params)
+    # One jax.jvp per parameter, NOT jax.linearize: the linearized
+    # tangent-only replay compiles as a separate program whose XLA
+    # fusion/FMA choices turned out to differ between mesh shapes
+    # (measured: the f32 fva/sigma tangent flipped a few ULPs between
+    # 1- and 8-device meshes, breaking the bitwise contract), while the
+    # interleaved primal+tangent jvp program is mesh-stable.  The P
+    # primal re-traces are identical HLO inside this one jit, so XLA
+    # CSEs them — values come from the first call.
     zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    vals = None
     per_param = {}
     for k in params:
         tangent = dict(zeros)
         tangent[k] = jnp.ones_like(params[k])
-        per_param[k] = lin(tangent)
+        vals_k, per_param[k] = jax.jvp(scalars, (params,), (tangent,))
+        vals = vals_k if vals is None else vals
     return vals, {out: {k: per_param[k][out] for k in params}
                   for out in outputs}
 
@@ -1109,7 +1120,9 @@ def sharded_rbergomi_estimate(model, payoff_fn, n_paths: int, *, seed: int,
             return moments_from_array(payoff_fn(s_t).reshape(1, block_size),
                                       axis=-1)
 
-        offs = shard_idx * local_n + jnp.arange(n_blk) * block_size
+        offs = (shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
+                + jnp.arange(n_blk, dtype=jnp.uint32)
+                * jnp.uint32(block_size))
         stats = jax.lax.map(one_block, offs)       # leaves (n_blk, 1)
         local_stats = MomentState(*(x.reshape(n_blk) for x in stats))
         return _gather_two_level(local_stats, axis, has_slices)

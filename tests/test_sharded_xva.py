@@ -190,6 +190,36 @@ def test_sharded_greeks_bitwise_mesh_invariant_and_match_unsharded():
                 err_msg=f"{out}/{pname}")
 
 
+def _build_greeks_f32(p):
+    model = Vasicek.create(p["r0"], KAPPA, THETA, p["sigma"], 0.05,
+                           dtype=jnp.float32)
+    return model, (swap_value_fn(model, 0.035, [0.4, 0.8], 0.4),), None
+
+
+def test_sharded_greeks_f32_mesh8_bitwise():
+    """Regression: the jax.linearize tangent-only replay compiled with
+    mesh-shape-dependent FMA contraction — the f32 fva/sigma tangent
+    flipped a few ULPs between 1- and 8-device meshes (caught by the
+    driver dryrun, invisible to the f64 mesh-1/4 test above).  The
+    per-parameter jvp form must keep values AND greeks bitwise."""
+    from montecarlo_tpu.parallel import sharded_xva_greeks
+
+    kwg = dict(T=0.8, seed=5, outputs=("cva", "fva"), hazard_rate=0.02,
+               funding_spread=0.004, block_size=256, pfe_bins=64,
+               dtype=jnp.float32)
+    params = {"r0": jnp.float32(R0), "sigma": jnp.float32(SIG)}
+    res = {n: sharded_xva_greeks(_build_greeks_f32, params, 4096, 16,
+                                 mesh=make_mesh(n), **kwg)
+           for n in (1, 8)}
+    for out in ("cva", "fva"):
+        assert (float(res[1]["values"][out])
+                == float(res[8]["values"][out])), out
+        for pname in params:
+            a = float(res[1]["greeks"][out][pname])
+            b = float(res[8]["greeks"][out][pname])
+            assert a == b, (out, pname, a, b)
+
+
 def test_cli_xva_portfolio_mesh_greeks(capsys):
     import json
 
