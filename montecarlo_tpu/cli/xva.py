@@ -96,7 +96,9 @@ def _add_xva(sub):
                         "counterparties (second at 1.5x the hazard) and "
                         "runs the multi-netting-set portfolio engine on "
                         "ONE simulation (engine.exposure.portfolio_xva; "
-                        "unsharded — incompatible with --mesh/--greeks)")
+                        "with --mesh N: parallel.sharded_portfolio_xva — "
+                        "excludes IM/MVA and WWR; incompatible with "
+                        "--greeks)")
     p.add_argument("--var-horizon", type=float, default=0.0, metavar="H",
                    help="portfolio: also report desk market-risk VaR/CVaR "
                         "of the netted book — FULL revaluation at horizon "
@@ -325,26 +327,51 @@ def _cmd_xva_portfolio(args) -> int:
     model, trades, flat_rate = build(params)
 
     if args.counterparties > 1:
-        if getattr(args, "mesh", 0) or args.greeks:
-            raise SystemExit("--counterparties runs the unsharded "
-                             "portfolio engine; drop --mesh / --greeks")
-        from montecarlo_tpu.engine.exposure import portfolio_xva
-
+        if args.greeks:
+            raise SystemExit("--counterparties is incompatible with "
+                             "--greeks (run per-set greeks via the "
+                             "single-set engine)")
+        use_mesh = getattr(args, "mesh", 0)
         per_set = dict(csa=csa, recovery=args.recovery,
                        kva_cost=args.kva_cost,
-                       kva_capital_ratio=args.kva_capital_ratio,
-                       im_spread=args.im_spread)
-        res = portfolio_xva(
-            model, {
-                "cpty_a": dict(trades=trades[:1],
+                       kva_capital_ratio=args.kva_capital_ratio)
+        if use_mesh:
+            if args.im_spread != 0.0 or args.wwr_beta != 0.0:
+                raise SystemExit(
+                    "--counterparties --mesh excludes IM/MVA and WWR "
+                    "(global per-date reductions) — drop "
+                    "--im-spread/--wwr-beta or run unsharded")
+        else:
+            per_set["im_spread"] = args.im_spread
+        sets = {"cpty_a": dict(trades=trades[:1],
                                hazard_rate=args.hazard, **per_set),
                 "cpty_b": dict(trades=trades[1:],
-                               hazard_rate=1.5 * args.hazard, **per_set),
-            }, args.paths, args.steps, T=args.maturity, seed=args.seed,
-            quantile=args.quantile, own_hazard_rate=args.own_hazard,
-            own_recovery=args.own_recovery,
-            funding_spread=args.funding_spread, flat_rate=flat_rate,
-            dtype=jnp.float32)
+                               hazard_rate=1.5 * args.hazard, **per_set)}
+        kwp = dict(T=args.maturity, seed=args.seed,
+                   quantile=args.quantile,
+                   own_hazard_rate=args.own_hazard,
+                   own_recovery=args.own_recovery,
+                   funding_spread=args.funding_spread,
+                   flat_rate=flat_rate, dtype=jnp.float32)
+        if use_mesh:
+            import jax
+
+            from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
+                                                 sharded_portfolio_xva)
+
+            n_dev = len(jax.devices())
+            if args.mesh > n_dev:
+                raise SystemExit(f"--mesh {args.mesh}: only {n_dev} "
+                                 "device(s) available")
+            block = min(DEFAULT_BLOCK, args.paths // args.mesh)
+            res = sharded_portfolio_xva(
+                model, sets, args.paths, args.steps,
+                mesh=make_mesh(args.mesh), block_size=block, **kwp)
+        else:
+            from montecarlo_tpu.engine.exposure import portfolio_xva
+
+            res = portfolio_xva(model, sets, args.paths, args.steps,
+                                **kwp)
         out = {"underlying": args.underlying, "counterparties": 2,
                "csa": not args.no_csa}
         for name, p_ in res["sets"].items():
@@ -352,9 +379,15 @@ def _cmd_xva_portfolio(args) -> int:
             out[f"peak_epe_{name}"] = round(
                 float(np.max(np.asarray(p_["epe"]))), 6)
         tot = res["portfolio"]
-        for k in ("cva", "dva", "bcva", "fva", "mva", "kva"):
+        tot_keys = ("cva", "dva", "bcva", "fva", "kva")
+        for k in (tot_keys if use_mesh else tot_keys + ("mva",)):
             out[f"{k}_total"] = round(float(tot[k]), 6)
         out["peak_epe_total"] = round(float(tot["peak_epe"]), 6)
+        if use_mesh:
+            out["mesh"] = args.mesh
+            out["peak_pfe_grid_err"] = round(max(
+                float(np.asarray(p_["pfe_grid_err"]).max())
+                for p_ in res["sets"].values()), 6)
         print(json.dumps(out))
         return 0
 

@@ -15,6 +15,7 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     sharded_lsm_price,
     sharded_mc_estimate,
     sharded_netting_profile,
+    sharded_portfolio_xva,
     sharded_price_and_greeks,
     sharded_rbergomi_estimate,
     sharded_terminal,

@@ -749,22 +749,27 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
 # Pod-scale netting-set xVA
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("trades", "n_paths", "n_steps", "seed",
-                                   "csa", "T", "dtype", "mesh", "axis",
+@partial(jax.jit, static_argnames=("sets", "n_paths", "n_steps", "seed",
+                                   "T", "dtype", "mesh", "axis",
                                    "block_size", "pfe_bins"))
-def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
-                            T: float, seed: int, mesh, csa=None,
-                            quantile: float = 0.95, pfe_bins: int = 4096,
-                            hazard_rate: float = 0.0, recovery: float = 0.4,
-                            own_hazard_rate: float = 0.0,
-                            own_recovery: float = 0.4,
-                            funding_spread: float = 0.0,
-                            kva_cost: float = 0.0,
-                            kva_capital_ratio: float = 0.112,
-                            flat_rate=None, dtype=jnp.float64,
-                            block_size: int = DEFAULT_BLOCK,
-                            axis: str = PATHS_AXIS) -> dict:
-    """Collateralized netting-set exposure + xVA, sharded over paths.
+def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
+                            n_steps: int, *, T: float, seed: int, mesh,
+                            quantile, pfe_bins: int, flat_rate, dtype,
+                            block_size: int, axis: str) -> dict:
+    """Shared pod-scale netting machinery: N netting sets, ONE simulation.
+
+    ``sets`` is a static tuple of ``(name, trades, csa)``; ``credit`` a
+    matching tuple of per-set operand dicts (hazard_rate / recovery /
+    kva_cost / kva_capital_ratio); ``shared`` the portfolio-level operands
+    (own_hazard_rate / own_recovery / funding_spread).  Each fixed-width
+    block simulates ONCE and every set marks/nets/collateralizes the same
+    paths; per-set quant stacks are concatenated so cross-shard traffic
+    stays ONE block-stat gather + ONE int32 histogram psum regardless of
+    set count.  `sharded_netting_profile` is the single-set instance of
+    this core (a one-set portfolio runs the identical per-row program,
+    so it is bitwise equal — tested).  Returns ``{name: profile dict}``.
+
+    Contract notes (apply to both public wrappers):
 
     The pod-scale twin of `engine.exposure.netting_set_profile`: each shard
     simulates its contiguous run of global path ids, marks every trade, nets,
@@ -808,21 +813,24 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
     from montecarlo_tpu.stats.quantiles import histogram_counts
 
     dt = T / n_steps
-    n_tr = len(trades)
     n_dates = n_steps + 1
-    if (csa is not None and float(csa.mpor) > 0
-            and int(round(float(csa.mpor) / dt)) == 0):
-        import warnings
+    for _name, _trades, csa_s in sets:
+        if (csa_s is not None and float(csa_s.mpor) > 0
+                and int(round(float(csa_s.mpor) / dt)) == 0):
+            import warnings
 
-        # Same guard as the unsharded profile: a zero-step lag silently
-        # hides ALL gap risk.
-        warnings.warn(
-            f"CSA margin period of risk ({float(csa.mpor):.4f}y) is finer "
-            f"than the exposure grid (dt={dt:.4f}y) and rounds to a "
-            "ZERO-step lag — the collateralized exposure will show no gap "
-            "risk; raise n_steps so dt <= mpor", stacklevel=2)
+            # Same guard as the unsharded profile: a zero-step lag
+            # silently hides ALL gap risk.
+            warnings.warn(
+                f"CSA margin period of risk ({float(csa_s.mpor):.4f}y) is "
+                f"finer than the exposure grid (dt={dt:.4f}y) and rounds "
+                "to a ZERO-step lag — the collateralized exposure will "
+                "show no gap risk; raise n_steps so dt <= mpor",
+                stacklevel=2)
 
-    n_q = 7 + n_tr
+    n_sets = len(sets)
+    n_q_set = tuple(7 + len(tr) for _, tr, _ in sets)
+    n_q_total = sum(n_q_set)
     n_blk = local_n // block_size
 
     def _one_block(model_, off):
@@ -855,11 +863,11 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             # own full time grid), so sharding cannot change the indicator.
             if isinstance(trade, SimulationMarkedTrade):
                 raise TypeError(
-                    "sharded_netting_profile cannot mark "
+                    "the sharded netting engines cannot mark "
                     "SimulationMarkedTrade (AMC) trades: the regression "
                     "fit needs global cross-path Gram solves per date; "
-                    "run the AMC book through netting_set_profile "
-                    "unsharded")
+                    "run the AMC book through netting_set_profile / "
+                    "portfolio_xva unsharded")
             if isinstance(trade, PathDependentTrade):
                 k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
                                   n_steps) for ot in trade.obs_times)
@@ -871,40 +879,49 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
             return jax.lax.map(lambda k: trade(paths[k], times[k]),
                                jnp.arange(n_dates))
 
-        v_all = jnp.stack([mark_trade(v) for v in trades])
-        v_net = jnp.sum(v_all, axis=0)                      # (T+1, bs)
+        all_quants = []
+        all_pos = []
+        for _nm, trades_s, csa_s in sets:
+            v_all = jnp.stack([mark_trade(v) for v in trades_s])
+            v_net = jnp.sum(v_all, axis=0)                  # (T+1, bs)
 
-        if csa is None:
-            gap = v_net
-        else:
-            h_c = jnp.asarray(csa.threshold, dtype)
-            h_o = jnp.asarray(csa.own_threshold, dtype)
-            mta = jnp.asarray(csa.mta, dtype)
-            k_lag = int(round(float(csa.mpor) / dt))
-            lag_idx = jnp.maximum(jnp.arange(n_dates) - k_lag, 0)
-            v_obs = v_net[lag_idx]
-            they_post = jnp.maximum(v_obs - h_c, 0.0)
-            we_post = jnp.maximum(-v_obs - h_o, 0.0)
-            they_post = jnp.where(they_post >= mta, they_post, 0.0)
-            we_post = jnp.where(we_post >= mta, we_post, 0.0)
-            gap = v_net - (they_post - we_post)
+            if csa_s is None:
+                gap = v_net
+            else:
+                h_c = jnp.asarray(csa_s.threshold, dtype)
+                h_o = jnp.asarray(csa_s.own_threshold, dtype)
+                mta = jnp.asarray(csa_s.mta, dtype)
+                k_lag = int(round(float(csa_s.mpor) / dt))
+                lag_idx = jnp.maximum(jnp.arange(n_dates) - k_lag, 0)
+                v_obs = v_net[lag_idx]
+                they_post = jnp.maximum(v_obs - h_c, 0.0)
+                we_post = jnp.maximum(-v_obs - h_o, 0.0)
+                they_post = jnp.where(they_post >= mta, they_post, 0.0)
+                we_post = jnp.where(we_post >= mta, we_post, 0.0)
+                gap = v_net - (they_post - we_post)
 
-        pos = jnp.maximum(gap, 0.0)
-        # Every per-date mean target stacked into ONE (Q, T+1, bs) array:
-        # rows 0..5 = pos, neg, disc*pos, disc*neg, pos_u, neg_u;
-        # row 6 = disc itself (P(0,t) for the KVA capital integral);
-        # rows 7..  = per-trade disc * v_i^+ (the no-netting baseline).
-        quants = jnp.concatenate([
-            jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
-                       disc * jnp.maximum(-gap, 0.0),
-                       jnp.maximum(v_net, 0.0),
-                       jnp.maximum(-v_net, 0.0), disc]),
-            disc[None] * jnp.maximum(v_all, 0.0),
-        ])
+            pos = jnp.maximum(gap, 0.0)
+            # Every per-date mean target stacked into ONE (Q, T+1, bs)
+            # array per set: rows 0..5 = pos, neg, disc*pos, disc*neg,
+            # pos_u, neg_u; row 6 = disc itself (P(0,t) for the KVA
+            # capital integral); rows 7.. = per-trade disc * v_i^+ (the
+            # no-netting baseline).  Sets concatenate along Q so the
+            # whole book reduces in one moment pass (row-local algebra —
+            # a one-set stack is bitwise the single-set engine's).
+            all_quants.append(jnp.concatenate([
+                jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
+                           disc * jnp.maximum(-gap, 0.0),
+                           jnp.maximum(v_net, 0.0),
+                           jnp.maximum(-v_net, 0.0), disc]),
+                disc[None] * jnp.maximum(v_all, 0.0),
+            ]))
+            all_pos.append(pos)
+        quants = jnp.concatenate(all_quants)
         stats = moments_from_array(
-            quants.reshape(n_q * n_dates, block_size), axis=-1)
-        stats = MomentState(*(x.reshape(n_q, n_dates) for x in stats))
-        return stats, pos
+            quants.reshape(n_q_total * n_dates, block_size), axis=-1)
+        stats = MomentState(*(x.reshape(n_q_total, n_dates)
+                              for x in stats))
+        return stats, jnp.stack(all_pos)                    # (S, T+1, bs)
 
     def shard_fn(model_):
         shard_idx = jax.lax.axis_index(axis)
@@ -918,8 +935,8 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         # the SAME compiled body at every mesh shape (only the trip count
         # changes), so block stats and exposures are bitwise reproducible.
         local_stats, pos = jax.lax.map(partial(_one_block, model_), offs)
-        # pos: (n_blk, T+1, bs) -> (T+1, local_n) in global path order.
-        pos = jnp.moveaxis(pos, 0, 1).reshape(n_dates, local_n)
+        # pos: (n_blk, S, T+1, bs) -> (S, T+1, local_n), global path order.
+        pos = jnp.moveaxis(pos, 0, 2).reshape(n_sets, n_dates, local_n)
         gathered = _gather_two_level(local_stats, axis, has_slices)
 
         # PFE histograms: per-date grid [0, hi_k) with hi_k an exact pmax
@@ -931,56 +948,171 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         # `pmax` has no JVP rule — zero tangents here let
         # `sharded_xva_greeks` forward-differentiate the rest.
         pos_sg = jax.lax.stop_gradient(pos)
-        hi = jax.lax.pmax(jnp.max(pos_sg, axis=1), sum_axes)  # (T+1,)
+        hi = jax.lax.pmax(jnp.max(pos_sg, axis=2), sum_axes)  # (S, T+1)
         hi = jnp.where(hi > 0, hi * (1.0 + 1e-9), 1.0)
         width = hi / pfe_bins
-        idx = jnp.clip((pos_sg / width[:, None]).astype(jnp.int32),
+        idx = jnp.clip((pos_sg / width[:, :, None]).astype(jnp.int32),
                        0, pfe_bins - 1)
-        idx = idx + (jnp.arange(n_dates,
-                                dtype=jnp.int32) * pfe_bins)[:, None]
-        counts = histogram_counts(idx, n_dates * pfe_bins, jnp.int32)
-        counts = jax.lax.psum(counts.reshape(n_dates, pfe_bins), sum_axes)
+        idx = idx + (jnp.arange(n_sets * n_dates, dtype=jnp.int32)
+                     .reshape(n_sets, n_dates) * pfe_bins)[:, :, None]
+        counts = histogram_counts(idx, n_sets * n_dates * pfe_bins,
+                                  jnp.int32)
+        counts = jax.lax.psum(
+            counts.reshape(n_sets, n_dates, pfe_bins), sum_axes)
         return gathered, counts, width
 
     spec_in = jax.tree.map(lambda _: P(), model)
     stats, counts, width = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=(P(), P(), P()),
         check_vma=False)(model)
-    means = moments_reduce(stats).mean                      # (Q, T+1)
-    epe, ene, depe, dene, epe_u, ene_u, pbar = (means[i] for i in range(7))
-    depe_per_trade = means[7:]
+    means = moments_reduce(stats).mean                      # (Q_total, T+1)
 
-    # Sketch quantile per date: rank within the counts' cumsum, linear
-    # interpolation inside the crossing bin (same scheme as
-    # stats.quantiles.sketch_quantile, vectorized over dates).
+    # Sketch quantile per (set, date): rank within the counts' cumsum,
+    # linear interpolation inside the crossing bin (same scheme as
+    # stats.quantiles.sketch_quantile, vectorized over rows).
     rank = quantile * n_paths
     # Cumulate in float: an int32 CDF wraps past 2^31 total paths and the
     # quantile silently collapses to bin 0 (per-bin counts stay int32 —
     # exact adds; the float CDF is the same rule as sketch_quantile).
-    cum = jnp.cumsum(counts.astype(width.dtype), axis=1)
-    bin_idx = jnp.argmax(cum >= rank, axis=1)               # (T+1,)
+    cnt2 = counts.reshape(n_sets * n_dates, pfe_bins)
+    cum = jnp.cumsum(cnt2.astype(width.dtype), axis=1)
+    bin_idx = jnp.argmax(cum >= rank, axis=1)           # (S*(T+1),)
     take = lambda a, j: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
     cum_before = jnp.where(bin_idx > 0,
                            take(cum, jnp.maximum(bin_idx - 1, 0)), 0)
-    in_bin = jnp.maximum(take(counts, bin_idx), 1)
+    in_bin = jnp.maximum(take(cnt2, bin_idx), 1)
     frac = jnp.clip((rank - cum_before) / in_bin, 0.0, 1.0)
-    pfe = (bin_idx.astype(width.dtype) + frac) * width
+    pfe = ((bin_idx.astype(width.dtype) + frac)
+           * width.reshape(n_sets * n_dates)).reshape(n_sets, n_dates)
 
     times = jnp.arange(n_dates, dtype=dtype) * dt
-    eepe = jax.lax.associative_scan(jnp.maximum, epe)
-    # ONE copy of the credit/funding/capital algebra, shared with the
-    # unsharded engine — the per-date means above already carry the
-    # block-moment contract, so every scalar is bitwise mesh-invariant.
-    scalars, _ = _credit_funding_scalars(
-        depe, dene, depe_per_trade, eepe, pbar, times, dt, n_steps,
-        hazard_rate=hazard_rate, recovery=recovery,
-        own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
-        funding_spread=funding_spread, kva_cost=kva_cost,
-        kva_capital_ratio=kva_capital_ratio, dtype=dtype)
-    return {"times": times, "epe": epe, "ene": ene, "pfe": pfe,
-            "pfe_grid_err": width, "eepe": eepe,
-            "epe_uncollateralized": epe_u, "ene_uncollateralized": ene_u,
-            **scalars}
+    out = {}
+    row = 0
+    for i, (name, trades_s, _csa) in enumerate(sets):
+        m = means[row:row + 7 + len(trades_s)]
+        row += 7 + len(trades_s)
+        epe, ene, depe, dene, epe_u, ene_u, pbar = (m[j] for j in range(7))
+        eepe = jax.lax.associative_scan(jnp.maximum, epe)
+        # ONE copy of the credit/funding/capital algebra, shared with the
+        # unsharded engine — the per-date means above already carry the
+        # block-moment contract, so every scalar is bitwise mesh-invariant.
+        scalars, _ = _credit_funding_scalars(
+            depe, dene, m[7:], eepe, pbar, times, dt, n_steps,
+            hazard_rate=credit[i]["hazard_rate"],
+            recovery=credit[i]["recovery"],
+            own_hazard_rate=shared["own_hazard_rate"],
+            own_recovery=shared["own_recovery"],
+            funding_spread=shared["funding_spread"],
+            kva_cost=credit[i]["kva_cost"],
+            kva_capital_ratio=credit[i]["kva_capital_ratio"], dtype=dtype)
+        out[name] = {"times": times, "epe": epe, "ene": ene, "pfe": pfe[i],
+                     "pfe_grid_err": width[i], "eepe": eepe,
+                     "epe_uncollateralized": epe_u,
+                     "ene_uncollateralized": ene_u, **scalars}
+    return out
+
+
+def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
+                            T: float, seed: int, mesh, csa=None,
+                            quantile: float = 0.95, pfe_bins: int = 4096,
+                            hazard_rate: float = 0.0, recovery: float = 0.4,
+                            own_hazard_rate: float = 0.0,
+                            own_recovery: float = 0.4,
+                            funding_spread: float = 0.0,
+                            kva_cost: float = 0.0,
+                            kva_capital_ratio: float = 0.112,
+                            flat_rate=None, dtype=jnp.float64,
+                            block_size: int = DEFAULT_BLOCK,
+                            axis: str = PATHS_AXIS) -> dict:
+    """Collateralized netting-set exposure + xVA, sharded over paths.
+
+    The pod-scale twin of `engine.exposure.netting_set_profile` — the
+    single-set instance of `_sharded_portfolio_core`, which carries the
+    full contract (fixed-width block simulation, one block-stat gather +
+    one int32 PFE-histogram psum, bitwise mesh-shape invariance, the
+    excluded wwr/im terms).  For several counterparties on one
+    simulation use :func:`sharded_portfolio_xva`.
+    """
+    credit = ({"hazard_rate": jnp.asarray(hazard_rate, dtype),
+               "recovery": jnp.asarray(recovery, dtype),
+               "kva_cost": jnp.asarray(kva_cost, dtype),
+               "kva_capital_ratio": jnp.asarray(kva_capital_ratio, dtype)},)
+    shared = {"own_hazard_rate": jnp.asarray(own_hazard_rate, dtype),
+              "own_recovery": jnp.asarray(own_recovery, dtype),
+              "funding_spread": jnp.asarray(funding_spread, dtype)}
+    return _sharded_portfolio_core(
+        model, (("_set", tuple(trades), csa),), credit, shared, n_paths,
+        n_steps, T=T, seed=seed, mesh=mesh, quantile=quantile,
+        pfe_bins=pfe_bins, flat_rate=flat_rate, dtype=dtype,
+        block_size=block_size, axis=axis)["_set"]
+
+
+#: Per-set operand scalars the SHARDED portfolio engine accepts (no
+#: wwr_beta / im_spread — the terms `_sharded_portfolio_core` excludes).
+_SHARDED_SET_SCALARS = (("hazard_rate", 0.0), ("recovery", 0.4),
+                        ("kva_cost", 0.0), ("kva_capital_ratio", 0.112))
+
+
+def sharded_portfolio_xva(model, netting_sets, n_paths: int, n_steps: int,
+                          *, T: float, seed: int, mesh,
+                          quantile: float = 0.95, pfe_bins: int = 4096,
+                          own_hazard_rate: float = 0.0,
+                          own_recovery: float = 0.4,
+                          funding_spread: float = 0.0, flat_rate=None,
+                          dtype=jnp.float64,
+                          block_size: int = DEFAULT_BLOCK,
+                          axis: str = PATHS_AXIS) -> dict:
+    """Multi-counterparty xVA at pod scale: N netting sets, ONE sharded
+    simulation.
+
+    The pod twin of `engine.exposure.portfolio_xva` (same spec dicts:
+    ``trades`` required, optional ``csa`` and per-counterparty
+    ``hazard_rate``/``recovery``/``kva_cost``/``kva_capital_ratio``).
+    Each fixed-width block simulates the underlying ONCE and every
+    netting set marks/nets/collateralizes the same paths, so the
+    simulation cost is shared across counterparties exactly as in the
+    unsharded engine; cross-shard traffic stays ONE stacked block-moment
+    gather + ONE int32 histogram psum for the whole book.  Guarantees
+    (tested): a one-set portfolio is bitwise identical to
+    `sharded_netting_profile`; every per-set profile and scalar is
+    bitwise mesh-shape-invariant; totals are exactly additive over sets.
+
+    Per-set keys the unsharded engine accepts but this one rejects:
+    ``wwr_beta`` and ``im_spread`` — the same global-per-date-reduction
+    terms `sharded_netting_profile` excludes; run `portfolio_xva`
+    unsharded for those adjustments.
+
+    Returns ``{"sets": {name: profile}, "portfolio": totals}`` where each
+    profile is `sharded_netting_profile`'s dict (PFE as a sketch quantile
+    with its ``pfe_grid_err``) and ``totals`` sums the adjustment scalars
+    and the collateralized ``epe`` (plus ``peak_epe``) — no ``mva`` row,
+    since IM is excluded here.
+    """
+    allowed = {"trades", "csa"} | {k for k, _ in _SHARDED_SET_SCALARS}
+    sets, credit = [], []
+    for name, spec in netting_sets.items():
+        unknown = set(spec) - allowed
+        if unknown:
+            raise ValueError(
+                f"netting set {name!r}: keys {sorted(unknown)} are not "
+                "supported by the sharded portfolio engine (wwr_beta / "
+                "im_spread need global per-date reductions — run "
+                "engine.exposure.portfolio_xva unsharded for those)")
+        sets.append((name, tuple(spec["trades"]), spec.get("csa")))
+        credit.append({k: jnp.asarray(spec.get(k, d), dtype)
+                       for k, d in _SHARDED_SET_SCALARS})
+    shared = {"own_hazard_rate": jnp.asarray(own_hazard_rate, dtype),
+              "own_recovery": jnp.asarray(own_recovery, dtype),
+              "funding_spread": jnp.asarray(funding_spread, dtype)}
+    per_set = _sharded_portfolio_core(
+        model, tuple(sets), tuple(credit), shared, n_paths, n_steps, T=T,
+        seed=seed, mesh=mesh, quantile=quantile, pfe_bins=pfe_bins,
+        flat_rate=flat_rate, dtype=dtype, block_size=block_size, axis=axis)
+    totals = {k: sum(per_set[name][k] for name in per_set)
+              for k in ("cva", "dva", "bcva", "cva_no_netting", "fca",
+                        "fba", "fva", "kva", "epe")}
+    totals["peak_epe"] = jnp.max(totals["epe"])
+    return {"sets": per_set, "portfolio": totals}
 
 
 @partial(jax.jit, static_argnames=("build_fn", "n_paths", "n_steps", "seed",

@@ -94,3 +94,27 @@ def test_cli_counterparties(capsys):
                                out["cva_cpty_a"] + out["cva_cpty_b"],
                                atol=2e-6)
     assert out["kva_total"] > 0
+
+
+def test_cli_counterparties_mesh(capsys):
+    import json
+
+    import pytest
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--no-csa", "--paths", "2048",
+                   "--steps", "40", "--counterparties", "2", "--mesh", "2",
+                   "--kva-cost", "0.1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mesh"] == 2 and out["counterparties"] == 2
+    assert out["peak_pfe_grid_err"] > 0
+    np.testing.assert_allclose(out["cva_total"],
+                               out["cva_cpty_a"] + out["cva_cpty_b"],
+                               atol=2e-6)
+    assert "mva_total" not in out  # IM/MVA excluded under the mesh
+    with pytest.raises(SystemExit, match="IM/MVA"):
+        cli.main(["xva", "--portfolio", "--paths", "2048", "--steps",
+                  "40", "--counterparties", "2", "--mesh", "2",
+                  "--im-spread", "0.01"])

@@ -190,6 +190,92 @@ def test_sharded_greeks_bitwise_mesh_invariant_and_match_unsharded():
                 err_msg=f"{out}/{pname}")
 
 
+# ---------------------------------------------------------------------------
+# Pod-scale multi-counterparty portfolio
+# ---------------------------------------------------------------------------
+
+def _portfolio_sets():
+    model, (v1, v2) = _rates_book()
+    return model, {
+        "cpty_a": dict(trades=(v1,), csa=_KW["csa"], hazard_rate=0.02),
+        "cpty_b": dict(trades=(v2,), hazard_rate=0.03, kva_cost=0.10),
+    }
+
+
+def test_sharded_portfolio_single_set_bitwise_netting_profile():
+    """A one-set sharded portfolio is bitwise identical to
+    `sharded_netting_profile` — both are the same `_sharded_portfolio_core`
+    program, so the equality is structural, and this test pins it."""
+    from montecarlo_tpu.parallel import sharded_portfolio_xva
+
+    model, trades = _rates_book()
+    kw = dict(T=T, seed=7, mesh=make_mesh(4), block_size=BLOCK,
+              pfe_bins=_PFE_BINS)
+    prof = sharded_netting_profile(model, trades, N_PATHS, N_STEPS,
+                                   csa=_KW["csa"], hazard_rate=0.02,
+                                   kva_cost=0.10, funding_spread=0.004,
+                                   **kw)
+    port = sharded_portfolio_xva(
+        model, {"only": dict(trades=trades, csa=_KW["csa"],
+                             hazard_rate=0.02, kva_cost=0.10)},
+        N_PATHS, N_STEPS, funding_spread=0.004, **kw)
+    for k in prof:
+        np.testing.assert_array_equal(
+            np.asarray(prof[k]), np.asarray(port["sets"]["only"][k]),
+            err_msg=k)
+
+
+def test_sharded_portfolio_mesh_invariant_and_matches_unsharded():
+    """Two netting sets on one sharded simulation: every per-set profile
+    and scalar is bitwise mesh-shape-invariant; scalars agree with the
+    unsharded `portfolio_xva` to fp-reassociation noise; totals are
+    exactly additive."""
+    from montecarlo_tpu.engine.exposure import portfolio_xva
+    from montecarlo_tpu.parallel import sharded_portfolio_xva
+
+    model, sets = _portfolio_sets()
+    kw = dict(T=T, seed=7, block_size=BLOCK, pfe_bins=_PFE_BINS,
+              funding_spread=0.004)
+    res = {n: sharded_portfolio_xva(model, sets, N_PATHS, N_STEPS,
+                                    mesh=make_mesh(n), **kw)
+           for n in (1, 8)}
+    for nm in sets:
+        for k, v in res[1]["sets"][nm].items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(res[8]["sets"][nm][k]),
+                err_msg=f"{nm}/{k}")
+    want = portfolio_xva(model, sets, N_PATHS, N_STEPS, T=T, seed=7,
+                         funding_spread=0.004)
+    for nm in sets:
+        for k in ("cva", "dva", "cva_no_netting", "fca", "fba", "kva"):
+            np.testing.assert_allclose(
+                float(res[8]["sets"][nm][k]),
+                float(want["sets"][nm][k]), rtol=1e-10, atol=1e-15,
+                err_msg=f"{nm}/{k}")
+        # PFE: sketch quantile within its reported grid error of the
+        # unsharded exact-sort quantile.
+        gap = np.abs(np.asarray(res[8]["sets"][nm]["pfe"])
+                     - np.asarray(want["sets"][nm]["pfe"]))
+        err = np.asarray(res[8]["sets"][nm]["pfe_grid_err"])
+        assert np.all(gap <= err + 1e-12), (nm, gap.max())
+    for k in ("cva", "fva", "kva"):
+        tot = sum(float(res[8]["sets"][nm][k]) for nm in sets)
+        assert float(res[8]["portfolio"][k]) == tot, k
+
+
+def test_sharded_portfolio_rejects_unshardable_terms():
+    from montecarlo_tpu.parallel import sharded_portfolio_xva
+
+    model, _ = _portfolio_sets()
+    import pytest
+
+    with pytest.raises(ValueError, match="wwr"):
+        sharded_portfolio_xva(
+            model, {"a": dict(trades=_rates_book()[1], wwr_beta=1.0)},
+            N_PATHS, N_STEPS, T=T, seed=7, mesh=make_mesh(2),
+            block_size=BLOCK, pfe_bins=_PFE_BINS)
+
+
 def _build_greeks_f32(p):
     model = Vasicek.create(p["r0"], KAPPA, THETA, p["sigma"], 0.05,
                            dtype=jnp.float32)
