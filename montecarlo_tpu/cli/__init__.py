@@ -23,6 +23,8 @@ Subcommands (one module each under :mod:`montecarlo_tpu.cli`):
              (Vasicek) or equity forward; --portfolio nets a multi-trade
              book with CSA collateral (threshold/MTA/MPoR)
   note     — structured notes: autocallables (worst-of capable), cliquets
+  credit   — portfolio credit: Gaussian-copula CDO tranches and
+             kth-to-default basket CDS (--mesh for the pod-scale twin)
   bench    — the headline GBM throughput benchmark
 
 Usage: python -m montecarlo_tpu.cli <subcommand> [flags]
@@ -47,8 +49,8 @@ def _run_bench(args) -> int:
 
 
 def main(argv=None) -> int:
-    from montecarlo_tpu.cli import (bond, calibrate, greeks, note, pricing,
-                                    quant, risk, xva)
+    from montecarlo_tpu.cli import (bond, calibrate, credit, greeks, note,
+                                    pricing, quant, risk, xva)
 
     parser = argparse.ArgumentParser(
         prog="montecarlo_tpu",
@@ -58,7 +60,8 @@ def main(argv=None) -> int:
                         help="force a JAX platform (e.g. cpu for "
                              "host-latency-bound analyze/scan runs)")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for module in (quant, pricing, greeks, risk, calibrate, bond, xva, note):
+    for module in (quant, pricing, greeks, risk, calibrate, bond, xva,
+                   note, credit):
         module.add_parsers(sub)
     sub.add_parser("bench", help="headline GBM throughput benchmark")
     args = parser.parse_args(argv)
@@ -78,6 +81,7 @@ def main(argv=None) -> int:
         "bond": bond.cmd_bond,
         "xva": xva.cmd_xva,
         "note": note.cmd_note,
+        "credit": credit.cmd_credit,
         "bench": _run_bench,
     }
     return handlers[args.cmd](args)

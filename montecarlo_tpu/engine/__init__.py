@@ -54,6 +54,10 @@ from montecarlo_tpu.engine.exposure import (  # noqa: F401
     exposure_profile,
     swap_value_fn,
 )
+from montecarlo_tpu.engine.credit import (  # noqa: F401
+    cdo_tranche,
+    kth_to_default_cds,
+)
 from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401
     cf_call_price,
     kou_log_cf,

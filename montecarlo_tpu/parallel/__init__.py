@@ -11,6 +11,7 @@ from montecarlo_tpu.parallel.sharded import (  # noqa: F401
     block_moments,
     sharded_andersen_broadie_bound,
     sharded_basket_estimate,
+    sharded_credit_legs,
     sharded_functional_estimate,
     sharded_lsm_price,
     sharded_mc_estimate,

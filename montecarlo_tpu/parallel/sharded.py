@@ -1266,3 +1266,122 @@ def sharded_rbergomi_estimate(model, payoff_fn, n_paths: int, *, seed: int,
     d = jnp.asarray(discount, total.mean.dtype)
     return {"price": d * total.mean, "std_err": d * std_error(total),
             "n_paths": total.count}
+
+
+# ---------------------------------------------------------------------------
+# Pod-scale portfolio credit (Gaussian-copula baskets / CDO tranches)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("product", "k", "n_paths", "n_steps",
+                                   "seed", "T", "dtype", "mesh", "axis",
+                                   "block_size"))
+def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
+                         n_paths, n_steps, *, product, k, T, seed, rate,
+                         mesh, dtype, block_size, axis):
+    from montecarlo_tpu.engine.credit import credit_legs_pathwise
+
+    n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
+    has_slices = n_slices > 1
+    _check_divisible(n_paths, n_shards, block_size)
+    local_n = n_paths // n_shards
+    n_blk = local_n // block_size
+    if has_slices:
+        _check_two_level_tree(n_paths // block_size // n_slices)
+
+    def shard_fn(h_, w_, rho_, a_, b_, rec_, rate_):
+        shard_idx = jax.lax.axis_index(axis)
+        if has_slices:
+            shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
+                         + shard_idx)
+
+        def one_block(off):
+            prot, prem = credit_legs_pathwise(
+                h_, w_, rho_, product=product, attach=a_, detach=b_, k=k,
+                recovery=rec_, n_paths=block_size, n_steps=n_steps, T=T,
+                seed=seed, rate=rate_, dtype=dtype, path_offset=off)
+            # Third row: the cross product, so the merged moments carry
+            # cov(prot, prem) for the linearized par-spread error.
+            rows = jnp.stack([prot, prem, prot * prem])
+            return moments_from_array(rows, axis=-1)
+
+        offs = (shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
+                + jnp.arange(n_blk, dtype=jnp.uint32)
+                * jnp.uint32(block_size))
+        # Leaves stay (n_blk, 3): the gather stacks global blocks on the
+        # leading axis and moments_reduce folds it (same layout as the
+        # netting engine's (n_blk, Q, T+1) stats).
+        local_stats = jax.lax.map(one_block, offs)
+        return _gather_two_level(local_stats, axis, has_slices)
+
+    args = (hazards, loss_w, rho, attach, detach, recovery,
+            jnp.asarray(rate, dtype))
+    spec_in = jax.tree.map(lambda _: P(), args)
+    stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
+                          out_specs=P(), check_vma=False)(*args)
+    total = moments_reduce(stats)                     # rows (3,)
+    p_mean, q_mean, pq_mean = total.mean
+    n = total.count[0]
+    # ddof=1 like stats.welford.std_error (the unsharded engine's bars);
+    # cov keeps the population normalization n, so rescale to match the
+    # resid-moment variance var(p - s q) the unsharded record computes.
+    var1 = total.m2 / (n - 1.0)
+    spread = p_mean / q_mean
+    cov1 = (pq_mean - p_mean * q_mean) * n / (n - 1.0)
+    var_resid = (var1[0] + spread * spread * var1[1]
+                 - 2.0 * spread * cov1)
+    se_spread = jnp.sqrt(jnp.maximum(var_resid, 0.0) / n) / q_mean
+    return {"protection_leg": p_mean,
+            "protection_leg_std_err": jnp.sqrt(var1[0] / n),
+            "premium_leg_per_spread": q_mean,
+            "premium_leg_std_err": jnp.sqrt(var1[1] / n),
+            "par_spread": spread, "par_spread_std_err": se_spread,
+            "n_paths": jnp.asarray(n_paths, dtype)}
+
+
+def sharded_credit_legs(hazards, rho: float, n_paths: int, n_steps: int, *,
+                        T: float, seed: int, mesh, product: str = "tranche",
+                        attach: float = 0.0, detach: float = 0.03,
+                        k: int = 1, recovery=0.4, weights=None,
+                        rate: float = 0.0, dtype=jnp.float64,
+                        block_size: int = DEFAULT_BLOCK,
+                        axis: str = PATHS_AXIS) -> dict:
+    """Pod-scale Gaussian-copula credit legs (CDO tranche or kth-to-default).
+
+    The pod twin of `engine.credit.cdo_tranche` /
+    `engine.credit.kth_to_default_cds`: each fixed ``block_size``-wide run
+    of GLOBAL path ids draws its copula variables (counter-based: factor =
+    draw 0, name i = draw 1 + i) and computes its pathwise (protection,
+    premium) legs with the identical discretized-leg algebra
+    (`credit_legs_pathwise` — ONE shared copy); per-block moments of
+    ``(prot, prem, prot*prem)`` cross the mesh through the standard
+    block-stat gather + fixed pairwise tree, so the legs, the par spread,
+    and its linearized std error (the covariance rides the third row) are
+    bitwise identical across mesh shapes.  Per-date expected-loss
+    profiles are an unsharded-engine feature (they are T+1 more gathered
+    rows — ask if pod-scale profiles are needed).
+
+    ``product``: ``"tranche"`` (uses ``attach``/``detach``/``weights``/
+    per-name ``recovery``) or ``"kth"`` (uses ``k`` and scalar
+    ``recovery``).  Returns the leg/spread record (no profile).
+    """
+    hazards = jnp.asarray(hazards, dtype)
+    n = hazards.shape[0]
+    if product == "tranche":
+        if not 0.0 <= attach < detach:
+            raise ValueError("need 0 <= attach < detach")
+        w = (jnp.full((n,), 1.0 / n, dtype) if weights is None
+             else jnp.asarray(weights, dtype))
+        loss_w = w * (1.0 - jnp.broadcast_to(
+            jnp.asarray(recovery, dtype), (n,)))
+    elif product == "kth":
+        if not 1 <= k <= n:
+            raise ValueError(f"k must be in [1, {n}]")
+        loss_w = jnp.ones((n,), dtype)
+    else:
+        raise ValueError(f"unknown credit product {product!r}")
+    return _sharded_credit_legs(
+        hazards, loss_w, jnp.asarray(rho, dtype),
+        jnp.asarray(attach, dtype), jnp.asarray(detach, dtype),
+        jnp.asarray(recovery, dtype), n_paths, n_steps, product=product,
+        k=k, T=T, seed=seed, rate=rate, mesh=mesh, dtype=dtype,
+        block_size=block_size, axis=axis)
