@@ -41,6 +41,16 @@ def add_parsers(sub):
                    help="shard paths over an N-device mesh "
                         "(parallel.sharded_credit_legs — bitwise "
                         "mesh-shape-invariant; no per-date profile)")
+    p.add_argument("--exact", action="store_true",
+                   help="homogeneous pool: also print the EXACT "
+                        "Gauss-Hermite x binomial spread with autodiff "
+                        "hazard_delta / rho_sens (tranche only; no MC "
+                        "error)")
+    p.add_argument("--base-corr", type=float, default=None,
+                   metavar="SPREAD",
+                   help="invert an equity-tranche [0, --detach) par "
+                        "spread to its implied BASE correlation "
+                        "(exact pricer bisection; homogeneous pool)")
 
 
 def cmd_credit(args) -> int:
@@ -58,6 +68,22 @@ def cmd_credit(args) -> int:
     product = "kth" if args.kth else "tranche"
     common = dict(T=args.maturity, n_steps=args.steps, seed=args.seed,
                   rate=args.rate, dtype=jnp.float32)
+
+    if args.base_corr is not None:
+        if args.hazard_spread or args.kth:
+            raise SystemExit("--base-corr needs a homogeneous tranche "
+                             "pool (no --hazard-spread / --kth)")
+        from montecarlo_tpu.engine.credit import base_correlation
+
+        rho = base_correlation(args.base_corr, n_names=n,
+                               detach=args.detach, hazard=args.hazard,
+                               T=args.maturity, n_steps=args.steps,
+                               rate=args.rate, recovery=args.recovery)
+        print(json.dumps({"product": "base-correlation",
+                          "detach": args.detach,
+                          "target_spread": args.base_corr,
+                          "base_correlation": round(float(rho), 10)}))
+        return 0
 
     if args.mesh:
         import jax
@@ -106,5 +132,18 @@ def cmd_credit(args) -> int:
     else:
         el = np.asarray(res["expected_loss"])
         out["terminal_expected_loss"] = round(float(el[-1]), 8)
+    if args.exact:
+        if args.hazard_spread or product == "kth":
+            raise SystemExit("--exact needs a homogeneous tranche pool "
+                             "(no --hazard-spread / --kth)")
+        from montecarlo_tpu.engine.credit import tranche_spread_exact
+
+        ex = tranche_spread_exact(args.hazard, args.rho, n_names=n,
+                                  attach=args.attach, detach=args.detach,
+                                  T=args.maturity, n_steps=args.steps,
+                                  rate=args.rate, recovery=args.recovery)
+        out["par_spread_exact"] = round(float(ex["par_spread"]), 10)
+        out["hazard_delta"] = round(float(ex["hazard_delta"]), 8)
+        out["rho_sens"] = round(float(ex["rho_sens"]), 8)
     print(json.dumps(out))
     return 0

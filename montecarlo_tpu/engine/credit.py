@@ -261,5 +261,150 @@ def credit_legs_pathwise(hazards, loss_w, rho, *, product: str, attach,
     return prot, prem
 
 
+# ---------------------------------------------------------------------------
+# Exact homogeneous-pool pricer (Gauss-Hermite x conditional binomial)
+# ---------------------------------------------------------------------------
+
+def _gh_nodes(n_nodes, dtype):
+    """Host-side Gauss-Hermite nodes for E[f(M)], M ~ N(0,1) (trace-time
+    f64 constants — the quadrature rule itself never needs a gradient)."""
+    import numpy as np
+
+    x, w = np.polynomial.hermite.hermgauss(n_nodes)
+    return (jnp.asarray(np.sqrt(2.0) * x, dtype),
+            jnp.asarray(w / np.sqrt(np.pi), dtype))
+
+
+@partial(jax.jit, static_argnames=("n_names", "n_steps", "n_nodes",
+                                   "dtype"))
+def _tranche_el_exact(hazard, rho, attach, detach, recovery, *, n_names,
+                      T, n_steps, n_nodes, dtype):
+    """Exact per-date expected tranche loss for a HOMOGENEOUS pool.
+
+    Conditional on the factor M the default count is
+    Binomial(N, p_t(M)) with p_t(m) = Phi((C_t - sqrt(rho) m) /
+    sqrt(1 - rho)); the factor integrates out by Gauss-Hermite.  Every
+    step is smooth in (hazard, rho, recovery), so `jax.grad` delivers
+    credit deltas / correlation sensitivities through this pricer — the
+    MC engine's indicator payoffs have zero pathwise derivative, which
+    is why the greeks live HERE.  The binomial pmf is computed in log
+    space (lgamma + k log p + (N-k) log1p(-p)) with the p = 0 / 1
+    endpoints handled exactly (mass collapses to k = 0 / N).
+    """
+    # Canonicalize: without x64 a requested float64 silently becomes
+    # float32, and every finfo-based guard below must follow it.
+    dtype = jnp.zeros((), dtype).dtype
+    times = jnp.arange(n_steps + 1, dtype=dtype) * (T / n_steps)
+    h = jnp.asarray(hazard, dtype)
+    q = 1.0 - jnp.exp(-h * times)                        # (T+1,)
+    # t = 0 has q = 0 and ndtri'(0) = inf; even though the row is masked
+    # below, a masked-branch inf would still NaN the hazard gradient
+    # (0-cotangent x inf chain) — sanitize the input BEFORE ndtri.
+    q_safe = jnp.where(times > 0, q, 0.5)
+    c = jax.scipy.special.ndtri(q_safe)
+    m, w = _gh_nodes(n_nodes, dtype)
+    rho = jnp.asarray(rho, dtype)
+    z = (c[:, None] - jnp.sqrt(rho) * m[None, :]) / jnp.sqrt(1.0 - rho)
+    p = jnp.where(times[:, None] > 0,
+                  jax.scipy.stats.norm.cdf(z), 0.0)      # (T+1, nodes)
+    k = jnp.arange(n_names + 1, dtype=dtype)
+    log_comb = (jax.scipy.special.gammaln(n_names + 1.0)
+                - jax.scipy.special.gammaln(k + 1.0)
+                - jax.scipy.special.gammaln(n_names - k + 1.0))
+    # dtype-aware clip: a hard 1e-300 underflows to 0.0 in f32 and the
+    # k=0 row becomes 0 * log(0) = NaN (bit the CLI, which runs f32).
+    info = jnp.finfo(dtype)
+    p_ = jnp.clip(p, info.tiny, 1.0 - info.epsneg)[:, :, None]
+    log_pmf = (log_comb + k * jnp.log(p_)
+               + (n_names - k) * jnp.log1p(-p_))
+    pmf = jnp.exp(log_pmf)
+    pmf = jnp.where(p[:, :, None] <= 0.0,
+                    jnp.where(k == 0, 1.0, 0.0), pmf)
+    pmf = jnp.where(p[:, :, None] >= 1.0,
+                    jnp.where(k == n_names, 1.0, 0.0), pmf)
+    loss = k * (1.0 - jnp.asarray(recovery, dtype)) / n_names
+    tl = jnp.clip(loss - jnp.asarray(attach, dtype), 0.0,
+                  jnp.asarray(detach, dtype) - jnp.asarray(attach, dtype))
+    return jnp.einsum("tnc,c,n->t", pmf, tl, w)
+
+
+def tranche_spread_exact(hazard: float, rho: float, *, n_names: int,
+                         attach: float, detach: float, T: float,
+                         n_steps: int, rate: float = 0.0,
+                         recovery: float = 0.4, n_nodes: int = 160,
+                         dtype=jnp.float64) -> dict:
+    """EXACT par spread of a homogeneous-pool CDO tranche (no MC).
+
+    Same leg discretization as :func:`cdo_tranche` (midpoint protection,
+    average-outstanding premium), so the MC engine converges to exactly
+    this number (tested).  Differentiable: the record carries
+    ``hazard_delta`` (d spread / d hazard — the credit DV01 per unit
+    intensity) and ``rho_sens`` by `jax.grad` through the quadrature.
+    """
+    def spread_of(h, r):
+        e_tl = _tranche_el_exact(h, r, attach, detach, recovery,
+                                 n_names=n_names, T=T, n_steps=n_steps,
+                                 n_nodes=n_nodes, dtype=dtype)
+        times = jnp.arange(n_steps + 1, dtype=dtype) * (T / n_steps)
+        dt = T / n_steps
+        rr = jnp.asarray(rate, dtype)
+        disc_end = jnp.exp(-rr * times[1:])
+        disc_mid = jnp.exp(-rr * (times[1:] - 0.5 * dt))
+        prot = jnp.sum(disc_mid * (e_tl[1:] - e_tl[:-1]))
+        out = (detach - attach) - e_tl
+        prem = jnp.sum(disc_end * dt * 0.5 * (out[1:] + out[:-1]))
+        return prot / prem, (prot, prem, e_tl)
+
+    h0 = jnp.asarray(hazard, dtype)
+    r0 = jnp.asarray(rho, dtype)
+    (spread, (prot, prem, e_tl)), grads = jax.value_and_grad(
+        spread_of, argnums=(0, 1), has_aux=True)(h0, r0)
+    return {"par_spread": spread, "protection_leg": prot,
+            "premium_leg_per_spread": prem, "expected_loss": e_tl,
+            "hazard_delta": grads[0], "rho_sens": grads[1]}
+
+
+def base_correlation(target_spread: float, *, n_names: int, detach: float,
+                     T: float, n_steps: int, hazard: float,
+                     rate: float = 0.0, recovery: float = 0.4,
+                     n_nodes: int = 160, dtype=jnp.float64):
+    """Implied BASE correlation: the rho at which the [0, detach) equity
+    tranche's exact par spread equals ``target_spread``.
+
+    Equity-tranche expected loss is strictly decreasing in rho (more
+    correlation pushes loss mass past the detachment), so the spread is
+    monotone and the root unique — the reason the market quotes BASE
+    rather than tranche-implied correlation (mezzanine spreads are not
+    monotone in rho).  60 bisection iterations on rho in (0, 1) — the
+    bracket shrinks to ~1e-18, below f64 spacing; returns the rho scalar.
+    """
+    def spread_of(r):
+        return tranche_spread_exact(
+            hazard, r, n_names=n_names, attach=0.0, detach=detach, T=T,
+            n_steps=n_steps, rate=rate, recovery=recovery,
+            n_nodes=n_nodes, dtype=dtype)["par_spread"]
+
+    target = jnp.asarray(target_spread, dtype)
+    lo_s = spread_of(jnp.asarray(1.0 - 1e-9, dtype))
+    hi_s = spread_of(jnp.asarray(1e-12, dtype))
+    if not float(lo_s) <= float(target) <= float(hi_s):
+        raise ValueError(
+            f"target spread {float(target):.6g} outside the attainable "
+            f"equity-tranche range [{float(lo_s):.6g}, {float(hi_s):.6g}]")
+
+    def body(_, ab):
+        a, b = ab
+        mid = 0.5 * (a + b)
+        # spread decreasing in rho: too-high spread => rho too low.
+        go_up = spread_of(mid) > target
+        return (jnp.where(go_up, mid, a), jnp.where(go_up, b, mid))
+
+    a, b = jax.lax.fori_loop(0, 60, body,
+                             (jnp.asarray(1e-12, dtype),
+                              jnp.asarray(1.0 - 1e-9, dtype)))
+    return 0.5 * (a + b)
+
+
 __all__ = ["cdo_tranche", "kth_to_default_cds", "default_thresholds",
-           "credit_legs_pathwise", "CREDIT_STREAM"]
+           "credit_legs_pathwise", "tranche_spread_exact",
+           "base_correlation", "CREDIT_STREAM"]

@@ -213,6 +213,74 @@ def test_sharded_credit_bitwise_mesh_invariant_and_match():
                                float(want_k["par_spread"]), rtol=1e-10)
 
 
+def test_exact_pricer_matches_independent_oracle_and_mc():
+    """`tranche_spread_exact` (the JAX Gauss-Hermite x binomial pricer)
+    agrees with this file's independent scipy oracle to quadrature
+    precision, and the MC engine sits within its own bars of it."""
+    from montecarlo_tpu.engine.credit import tranche_spread_exact
+
+    a, b = 0.03, 0.10
+    ex = tranche_spread_exact(HAZ, RHO, n_names=N_NAMES, attach=a,
+                              detach=b, T=T, n_steps=N_STEPS, rate=RATE,
+                              recovery=REC)
+    e_tl, prot, prem = _oracle_tranche(a, b, RHO)
+    np.testing.assert_allclose(np.asarray(ex["expected_loss"]), e_tl,
+                               rtol=1e-9, atol=1e-14)
+    np.testing.assert_allclose(float(ex["protection_leg"]), prot,
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(ex["par_spread"]), prot / prem,
+                               rtol=1e-9)
+    mc = cdo_tranche([HAZ] * N_NAMES, RHO, attach=a, detach=b, T=T,
+                     n_steps=N_STEPS, n_paths=N_PATHS, seed=SEED,
+                     rate=RATE, recovery=REC)
+    assert abs(float(mc["par_spread"]) - float(ex["par_spread"])) \
+        <= 4.0 * float(mc["par_spread_std_err"])
+
+
+def test_exact_pricer_greeks_vs_finite_differences():
+    """hazard_delta and rho_sens from autodiff through the quadrature
+    match central finite differences of the exact spread."""
+    from montecarlo_tpu.engine.credit import tranche_spread_exact
+
+    kw = dict(n_names=N_NAMES, attach=0.03, detach=0.10, T=T,
+              n_steps=N_STEPS, rate=RATE, recovery=REC)
+    ex = tranche_spread_exact(HAZ, RHO, **kw)
+    eps = 1e-6
+    for key, arg in (("hazard_delta", "h"), ("rho_sens", "r")):
+        up = tranche_spread_exact(HAZ + (eps if arg == "h" else 0.0),
+                                  RHO + (eps if arg == "r" else 0.0),
+                                  **kw)
+        dn = tranche_spread_exact(HAZ - (eps if arg == "h" else 0.0),
+                                  RHO - (eps if arg == "r" else 0.0),
+                                  **kw)
+        fd = (float(up["par_spread"]) - float(dn["par_spread"])) / (2 * eps)
+        ad = float(ex[key])
+        assert np.isfinite(ad)
+        np.testing.assert_allclose(ad, fd, rtol=1e-5, err_msg=key)
+    # Signs: more hazard -> wider spread; more correlation -> a mezz
+    # tranche at these parameters cheapens as mass escapes past detach.
+    assert float(ex["hazard_delta"]) > 0
+
+
+def test_base_correlation_roundtrip():
+    """Generate an equity-tranche spread at a known rho, invert it, and
+    recover the correlation to bisection precision; the inversion
+    rejects unattainable targets with the attainable range."""
+    import pytest
+
+    from montecarlo_tpu.engine.credit import (base_correlation,
+                                              tranche_spread_exact)
+
+    kw = dict(n_names=N_NAMES, T=T, n_steps=N_STEPS, rate=RATE,
+              recovery=REC)
+    target = float(tranche_spread_exact(HAZ, 0.35, attach=0.0,
+                                        detach=0.03, **kw)["par_spread"])
+    rho = base_correlation(target, detach=0.03, hazard=HAZ, **kw)
+    assert abs(float(rho) - 0.35) < 1e-8
+    with pytest.raises(ValueError, match="attainable"):
+        base_correlation(1e4, detach=0.03, hazard=HAZ, **kw)
+
+
 def test_cli_credit(capsys):
     import json
 
@@ -232,3 +300,26 @@ def test_cli_credit(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["product"] == "kth-to-default" and out["mesh"] == 2
     assert out["par_spread"] > 0
+
+    # --exact: MC within 4 bars of the printed exact spread + greeks.
+    rc = cli.main(["credit", "--names", "20", "--hazard", "0.02",
+                   "--rho", "0.3", "--attach", "0.03", "--detach", "0.07",
+                   "--paths", "8192", "--steps", "20", "--maturity", "5",
+                   "--exact"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["par_spread"] - out["par_spread_exact"]) \
+        <= 4.0 * out["par_spread_std_err"]
+    assert out["hazard_delta"] > 0
+
+    # --base-corr: a generated equity-tranche spread inverts back.
+    from montecarlo_tpu.engine.credit import tranche_spread_exact
+
+    eq = tranche_spread_exact(0.02, 0.35, n_names=20, attach=0.0,
+                              detach=0.03, T=5.0, n_steps=20, rate=0.03)
+    rc = cli.main(["credit", "--names", "20", "--hazard", "0.02",
+                   "--detach", "0.03", "--maturity", "5", "--steps", "20",
+                   "--base-corr", f"{float(eq['par_spread']):.12g}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["base_correlation"] - 0.35) < 1e-6
