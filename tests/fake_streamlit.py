@@ -115,6 +115,7 @@ class Recorder:
     table = _sink("table")
     dataframe = _sink("dataframe")
     plotly_chart = _sink("plotly_chart")
+    line_chart = _sink("line_chart")
     del _sink
 
 
