@@ -99,6 +99,17 @@ def _add_xva(sub):
                         "with --mesh N: parallel.sharded_portfolio_xva — "
                         "excludes IM/MVA and WWR; incompatible with "
                         "--greeks)")
+    p.add_argument("--checkpoint", default=None, metavar="PATH.npz",
+                   help="portfolio: stream the netting profile in chunks "
+                        "with checkpoint/resume "
+                        "(engine.streaming.streaming_netting_profile — "
+                        "resume is bitwise the uninterrupted run; "
+                        "excludes IM/MVA/WWR like --mesh, and --mesh "
+                        "itself)")
+    p.add_argument("--chunk-paths", type=int, default=0,
+                   help="portfolio streaming: paths per chunk (default "
+                        "paths/4; blocks per chunk must be a power of "
+                        "two)")
     p.add_argument("--var-horizon", type=float, default=0.0, metavar="H",
                    help="portfolio: also report desk market-risk VaR/CVaR "
                         "of the netted book — FULL revaluation at horizon "
@@ -399,7 +410,23 @@ def _cmd_xva_portfolio(args) -> int:
                   kva_cost=args.kva_cost,
                   kva_capital_ratio=args.kva_capital_ratio,
                   flat_rate=flat_rate, dtype=jnp.float32)
-    if getattr(args, "mesh", 0):
+    if args.checkpoint:
+        if getattr(args, "mesh", 0) or args.wwr_beta != 0.0 \
+                or args.im_spread != 0.0 or args.greeks:
+            raise SystemExit(
+                "--checkpoint streams the single netting set unsharded; "
+                "drop --mesh/--wwr-beta/--im-spread/--greeks")
+        from montecarlo_tpu.engine.streaming import (
+            streaming_netting_profile)
+        from montecarlo_tpu.parallel import DEFAULT_BLOCK
+
+        chunk = args.chunk_paths or max(args.paths // 4, DEFAULT_BLOCK)
+        block = min(DEFAULT_BLOCK, chunk)
+        prof = streaming_netting_profile(
+            model, trades, args.paths, args.steps, chunk_paths=chunk,
+            block_size=block, checkpoint_path=args.checkpoint,
+            **common)
+    elif getattr(args, "mesh", 0):
         import jax
 
         from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
@@ -438,6 +465,12 @@ def _cmd_xva_portfolio(args) -> int:
         out["mesh"] = args.mesh
         out["peak_pfe_grid_err"] = round(
             float(np.asarray(prof["pfe_grid_err"]).max()), 6)
+    elif args.checkpoint:
+        out["paths_done"] = int(prof["paths_done"])
+        out["peak_pfe_grid_err"] = round(
+            float(np.asarray(prof["pfe_grid_err"]).max()), 6)
+        out["pfe_overflow_max"] = int(
+            np.asarray(prof["pfe_overflow"]).max())
     else:
         out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
         out["mva"] = round(float(prof["mva"]), 6)

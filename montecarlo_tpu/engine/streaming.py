@@ -24,8 +24,10 @@ from __future__ import annotations
 import os
 import tempfile
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -355,3 +357,265 @@ def risk_dict(sk: HistogramSketch, *, mean: float, std: float,
             / max(float(sk.total), 1.0),
     }
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming netting-set xVA (checkpoint/resume for exposure profiles)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NettingStreamState:
+    """Host-side accumulated netting state (numpy; .npz-serializable).
+
+    Per-chunk SUBTREE ROOTS instead of raw per-block states: a chunk of
+    2^k blocks is merged to one (Q, T+1) MomentState on device, and
+    `moments_reduce` pairs adjacent states level by level, so for a
+    power-of-two blocks-per-chunk the chunk roots are exactly the full
+    tree's internal nodes — the final reduce over roots is BITWISE the
+    flat tree over all blocks (the same decomposition the multi-slice
+    mesh relies on, `parallel.sharded._check_two_level_tree`).  State is
+    O(chunks * Q * dates), not O(blocks * Q * dates) — the difference
+    between 30 KB and gigabytes at 10^9 paths.
+    """
+
+    seed: int
+    n_steps: int
+    block_size: int
+    chunk_paths: int
+    paths_done: int
+    root_count: np.ndarray    # (chunks_done, Q, T+1) f64
+    root_mean: np.ndarray
+    root_m2: np.ndarray
+    hist: np.ndarray          # (T+1, bins) int64 — exact adds
+    overflow: np.ndarray      # (T+1,) int64 — mass above the grid
+    hi_edges: np.ndarray      # (T+1,) f64 — grid set by the pilot chunk
+
+    def save(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            raise ValueError("netting streaming checkpoints are single "
+                             ".npz files (atomic rename); got " + path)
+        fd, tmp = tempfile.mkstemp(
+            suffix=".npz", dir=os.path.dirname(os.path.abspath(path)))
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, seed=self.seed, n_steps=self.n_steps,
+                         block_size=self.block_size,
+                         chunk_paths=self.chunk_paths,
+                         paths_done=self.paths_done,
+                         root_count=self.root_count,
+                         root_mean=self.root_mean, root_m2=self.root_m2,
+                         hist=self.hist, overflow=self.overflow,
+                         hi_edges=self.hi_edges)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    @classmethod
+    def load(cls, path: str) -> "NettingStreamState":
+        z = np.load(path)
+        return cls(seed=int(z["seed"]), n_steps=int(z["n_steps"]),
+                   block_size=int(z["block_size"]),
+                   chunk_paths=int(z["chunk_paths"]),
+                   paths_done=int(z["paths_done"]),
+                   root_count=z["root_count"], root_mean=z["root_mean"],
+                   root_m2=z["root_m2"], hist=z["hist"],
+                   overflow=z["overflow"], hi_edges=z["hi_edges"])
+
+
+def streaming_netting_profile(
+    model, trades, total_paths: int, n_steps: int, *, T: float, seed: int,
+    chunk_paths: int = 1 << 18, csa=None, quantile: float = 0.95,
+    pfe_bins: int = 4096, hazard_rate: float = 0.0, recovery: float = 0.4,
+    own_hazard_rate: float = 0.0, own_recovery: float = 0.4,
+    funding_spread: float = 0.0, kva_cost: float = 0.0,
+    kva_capital_ratio: float = 0.112, flat_rate=None, dtype=jnp.float64,
+    block_size: int = DEFAULT_BLOCK,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True, checkpoint_every: int = 1,
+    progress_callback=None,
+) -> dict:
+    """Netting-set exposure + xVA over ``total_paths`` in chunks, with
+    checkpoint/resume — the third leg of the netting engine family
+    (unsharded / sharded / streaming), all mapping the SAME
+    `parallel.sharded.netting_block_stats` fixed-width block program.
+
+    Contracts (tested):
+      - a resumed run is bitwise identical to the uninterrupted
+        streaming run (counters derive from global path ids; chunk
+        subtree roots make the merge chunking-independent);
+      - every per-date mean (epe/ene/eepe/uncollateralized) is BITWISE
+        identical to `sharded_netting_profile` at the same (block_size,
+        n_paths) — the chunk roots are internal nodes of the same fixed
+        tree (requires blocks-per-chunk to be a power of two,
+        validated); the xVA scalars agree to ~1 ULP (the closing
+        sum-reductions compile in different programs, and XLA's
+        contraction choice is program-dependent — within either engine
+        they remain exactly reproducible);
+      - ``pfe`` is a sketch quantile on a grid FIXED by the pilot chunk
+        (4x its max exposure — a streaming run cannot see the global max
+        up front); mass above the grid is tracked per date in
+        ``pfe_overflow`` and the quantile WARNS and returns the grid top
+        where the rank lands in the overflow.  This mirrors the
+        checkpointed-VaR policy (`api.var`): re-ranging a checkpointed
+        grid would silently change resumed results.
+
+    Returns `sharded_netting_profile`'s record plus ``pfe_overflow`` and
+    ``paths_done``.
+    """
+    from montecarlo_tpu.engine.exposure import _credit_funding_scalars
+    from montecarlo_tpu.parallel.sharded import netting_block_stats
+    from montecarlo_tpu.stats.quantiles import histogram_counts
+
+    if total_paths % chunk_paths or chunk_paths % block_size:
+        raise ValueError("total_paths % chunk_paths % block_size != 0")
+    bpc = chunk_paths // block_size
+    if bpc & (bpc - 1):
+        raise ValueError(
+            f"blocks per chunk must be a power of two for the chunk-root "
+            f"merge to equal the flat fixed tree bitwise; got {bpc} "
+            "(adjust chunk_paths or block_size)")
+    dt = T / n_steps
+    n_dates = n_steps + 1
+    sets = (("_set", tuple(trades), csa),)
+    n_q = 7 + len(trades)
+    block_fn = partial(netting_block_stats, sets=sets, n_steps=n_steps,
+                       dt=dt, seed=seed, flat_rate=flat_rate, dtype=dtype,
+                       block_size=block_size)
+
+    @jax.jit
+    def chunk_fn(model_, off0, hi_edges):
+        offs = (jnp.asarray(off0, jnp.uint32)
+                + jnp.arange(bpc, dtype=jnp.uint32)
+                * jnp.uint32(block_size))
+        stats, pos = jax.lax.map(lambda off: block_fn(model_, off), offs)
+        root = moments_reduce(stats)                    # (Q, T+1) leaves
+        pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
+        chunk_max = jnp.max(pos, axis=1)
+        width = jnp.asarray(hi_edges, dtype) / pfe_bins
+        idx = (pos / width[:, None]).astype(jnp.int32)  # pos >= 0
+        over = jnp.sum(idx >= pfe_bins, axis=1, dtype=jnp.int32)
+        # Out-of-grid mass lands in a 64-cell pad region past the real
+        # bins (keeps the histogram total a multiple of 64 for the MXU
+        # route) and is discarded — only `over` reports it.
+        cell = jnp.where(
+            idx >= pfe_bins, n_dates * pfe_bins,
+            idx + (jnp.arange(n_dates, dtype=jnp.int32)
+                   * pfe_bins)[:, None])
+        counts = histogram_counts(cell, n_dates * pfe_bins + 64,
+                                  jnp.int32)
+        return (root, counts[:n_dates * pfe_bins].reshape(n_dates,
+                                                          pfe_bins),
+                over, chunk_max)
+
+    state = None
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        state = NettingStreamState.load(checkpoint_path)
+        if (state.seed, state.n_steps, state.block_size,
+                state.chunk_paths) != (seed, n_steps, block_size,
+                                       chunk_paths):
+            raise ValueError("checkpoint does not match this run's config")
+        if state.root_mean.shape[1:] != (n_q, n_dates) \
+                or state.hist.shape != (n_dates, pfe_bins):
+            raise ValueError("checkpoint book/grid shape does not match")
+    if state is None:
+        # Pilot: chunk 0 once with a dummy grid, only to size the real
+        # grid at 4x its max exposure (headroom for later chunks; excess
+        # shows up as counted overflow, never silent).
+        _, _, _, pilot_max = chunk_fn(model, 0, jnp.ones((n_dates,),
+                                                         dtype))
+        hi = np.asarray(pilot_max, np.float64) * 4.0
+        hi = np.where(hi > 0, hi, 1.0)
+        state = NettingStreamState(
+            seed=seed, n_steps=n_steps, block_size=block_size,
+            chunk_paths=chunk_paths, paths_done=0,
+            root_count=np.zeros((0, n_q, n_dates)),
+            root_mean=np.zeros((0, n_q, n_dates)),
+            root_m2=np.zeros((0, n_q, n_dates)),
+            hist=np.zeros((n_dates, pfe_bins), np.int64),
+            overflow=np.zeros((n_dates,), np.int64), hi_edges=hi)
+
+    while state.paths_done < total_paths:
+        root, counts, over, _ = chunk_fn(
+            model, state.paths_done, jnp.asarray(state.hi_edges, dtype))
+        state.root_count = np.concatenate(
+            [state.root_count, np.asarray(root.count, np.float64)[None]])
+        state.root_mean = np.concatenate(
+            [state.root_mean, np.asarray(root.mean, np.float64)[None]])
+        state.root_m2 = np.concatenate(
+            [state.root_m2, np.asarray(root.m2, np.float64)[None]])
+        state.hist += np.asarray(counts, np.int64)
+        state.overflow += np.asarray(over, np.int64)
+        state.paths_done += chunk_paths
+        done_chunks = state.paths_done // chunk_paths
+        if checkpoint_path and done_chunks % checkpoint_every == 0:
+            state.save(checkpoint_path)
+        if progress_callback:
+            progress_callback(state.paths_done, total_paths)
+    if checkpoint_path:
+        state.save(checkpoint_path)
+
+    # Cast the f64-stored roots back to the run dtype before the final
+    # reduce: an f32 run's roots round-trip f64 exactly, and the upper
+    # tree must merge at the SAME precision as the sharded engine's for
+    # the bitwise-equality contract.
+    means = np.asarray(moments_reduce(MomentState(
+        jnp.asarray(state.root_count, dtype),
+        jnp.asarray(state.root_mean, dtype),
+        jnp.asarray(state.root_m2, dtype))).mean)          # (Q, T+1)
+    epe, ene, depe, dene, epe_u, ene_u, pbar = (means[i] for i in range(7))
+    times = jnp.arange(n_dates, dtype=dtype) * dt
+
+    # Scalar tail at the run dtype, COMPILED: the same shared algebra on
+    # means that are bitwise the sharded engine's — and the reductions
+    # must also compile (an eager op-by-op tail picked a different
+    # sum-contraction than the sharded engine's jitted tail and flipped
+    # the scalars' last ULP).
+    @jax.jit
+    def _tail(m):
+        eepe_ = jax.lax.associative_scan(jnp.maximum, m[0])
+        sc, _ = _credit_funding_scalars(
+            m[2], m[3], m[7:], eepe_, m[6], times, dt, n_steps,
+            hazard_rate=hazard_rate, recovery=recovery,
+            own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
+            funding_spread=funding_spread, kva_cost=kva_cost,
+            kva_capital_ratio=kva_capital_ratio, dtype=dtype)
+        return eepe_, sc
+
+    eepe, scalars = _tail(jnp.asarray(means, dtype))
+
+    # PFE sketch quantile on the accumulated int64 counts (host numpy):
+    # same crossing-bin interpolation as the sharded engine.
+    width = state.hi_edges / pfe_bins
+    rank = quantile * state.paths_done
+    cum = np.cumsum(state.hist.astype(np.float64), axis=1)
+    in_grid = cum[:, -1]
+    bin_idx = np.argmax(cum >= rank, axis=1)
+    cum_before = np.where(bin_idx > 0,
+                          np.take_along_axis(
+                              cum, np.maximum(bin_idx - 1, 0)[:, None],
+                              1)[:, 0], 0.0)
+    in_bin = np.maximum(np.take_along_axis(
+        state.hist, bin_idx[:, None], 1)[:, 0], 1)
+    frac = np.clip((rank - cum_before) / in_bin, 0.0, 1.0)
+    pfe = (bin_idx + frac) * width
+    beyond = rank > in_grid
+    if np.any(beyond):
+        import warnings
+
+        warnings.warn(
+            f"PFE q={quantile} lies ABOVE the pilot-sized grid on "
+            f"{int(beyond.sum())}/{n_dates} dates (overflow mass "
+            f"{int(state.overflow.max())} paths at worst) — reported as "
+            "the grid top; rerun with a larger pilot chunk or more "
+            "pfe_bins headroom", stacklevel=2)
+        pfe = np.where(beyond, state.hi_edges, pfe)
+
+    return {"times": times, "epe": jnp.asarray(epe),
+            "ene": jnp.asarray(ene), "pfe": jnp.asarray(pfe),
+            "pfe_grid_err": jnp.asarray(width),
+            "pfe_overflow": jnp.asarray(state.overflow),
+            "eepe": eepe, "epe_uncollateralized": jnp.asarray(epe_u),
+            "ene_uncollateralized": jnp.asarray(ene_u),
+            "paths_done": state.paths_done, **scalars}

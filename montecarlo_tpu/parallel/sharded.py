@@ -749,6 +749,107 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
 # Pod-scale netting-set xVA
 # ---------------------------------------------------------------------------
 
+def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
+                        dtype, block_size):
+    """Simulate + mark + net + collateralize ONE fixed-width block of
+    global path ids — the unit BOTH the sharded netting engines and the
+    streaming (checkpoint/resume) engine map over, so their per-block
+    values are identical by construction.
+
+    The fixed compile width is what makes the profiles bitwise
+    mesh-invariant: XLA's codegen for the fused draw->step chain is only
+    guaranteed value-stable at a FIXED batch shape (measured: the f64
+    Vasicek scan flips 1 ULP on ~1/1000 paths between 1024- and
+    4096-wide compilations of the same global ids on XLA:CPU), so every
+    mesh shape / chunking must run the identical block-wide program.
+
+    Returns ``(MomentState (Q_total, T+1), pos (n_sets, T+1, bs))``.
+    """
+    from montecarlo_tpu.engine.simulate import simulate
+
+    n_dates = n_steps + 1
+    paths = simulate(model, block_size, n_steps, seed=seed,
+                     mode="paths", dtype=dtype,
+                     path_offset=off)                      # (T+1, bs)
+    times = jnp.arange(n_dates, dtype=dtype) * dt
+    if flat_rate is None:
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((1, block_size), dtype),
+             jnp.cumsum(mid, axis=0)], axis=0))
+    else:
+        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                       * times)[:, None] * jnp.ones((1, block_size),
+                                                    dtype)
+
+    def mark_trade(trade):
+        # Same PathDependentTrade protocol as the unsharded engine: the
+        # observation row is block-local (each block simulates its own
+        # full time grid), so sharding cannot change the indicator.
+        if isinstance(trade, SimulationMarkedTrade):
+            raise TypeError(
+                "the sharded/streaming netting engines cannot mark "
+                "SimulationMarkedTrade (AMC) trades: the regression "
+                "fit needs global cross-path Gram solves per date; "
+                "run the AMC book through netting_set_profile / "
+                "portfolio_xva unsharded")
+        if isinstance(trade, PathDependentTrade):
+            k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
+                              n_steps) for ot in trade.obs_times)
+            return jax.lax.map(
+                lambda k: trade.value_fn(
+                    paths[k], times[k],
+                    *(paths[jnp.minimum(k, ko)] for ko in k_obs)),
+                jnp.arange(n_dates))
+        return jax.lax.map(lambda k: trade(paths[k], times[k]),
+                           jnp.arange(n_dates))
+
+    n_q_total = sum(7 + len(tr) for _, tr, _ in sets)
+    all_quants = []
+    all_pos = []
+    for _nm, trades_s, csa_s in sets:
+        v_all = jnp.stack([mark_trade(v) for v in trades_s])
+        v_net = jnp.sum(v_all, axis=0)                      # (T+1, bs)
+
+        if csa_s is None:
+            gap = v_net
+        else:
+            h_c = jnp.asarray(csa_s.threshold, dtype)
+            h_o = jnp.asarray(csa_s.own_threshold, dtype)
+            mta = jnp.asarray(csa_s.mta, dtype)
+            k_lag = int(round(float(csa_s.mpor) / dt))
+            lag_idx = jnp.maximum(jnp.arange(n_dates) - k_lag, 0)
+            v_obs = v_net[lag_idx]
+            they_post = jnp.maximum(v_obs - h_c, 0.0)
+            we_post = jnp.maximum(-v_obs - h_o, 0.0)
+            they_post = jnp.where(they_post >= mta, they_post, 0.0)
+            we_post = jnp.where(we_post >= mta, we_post, 0.0)
+            gap = v_net - (they_post - we_post)
+
+        pos = jnp.maximum(gap, 0.0)
+        # Every per-date mean target stacked into ONE (Q, T+1, bs)
+        # array per set: rows 0..5 = pos, neg, disc*pos, disc*neg,
+        # pos_u, neg_u; row 6 = disc itself (P(0,t) for the KVA
+        # capital integral); rows 7.. = per-trade disc * v_i^+ (the
+        # no-netting baseline).  Sets concatenate along Q so the
+        # whole book reduces in one moment pass (row-local algebra —
+        # a one-set stack is bitwise the single-set engine's).
+        all_quants.append(jnp.concatenate([
+            jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
+                       disc * jnp.maximum(-gap, 0.0),
+                       jnp.maximum(v_net, 0.0),
+                       jnp.maximum(-v_net, 0.0), disc]),
+            disc[None] * jnp.maximum(v_all, 0.0),
+        ]))
+        all_pos.append(pos)
+    quants = jnp.concatenate(all_quants)
+    stats = moments_from_array(
+        quants.reshape(n_q_total * n_dates, block_size), axis=-1)
+    stats = MomentState(*(x.reshape(n_q_total, n_dates)
+                          for x in stats))
+    return stats, jnp.stack(all_pos)                        # (S, T+1, bs)
+
+
 @partial(jax.jit, static_argnames=("sets", "n_paths", "n_steps", "seed",
                                    "T", "dtype", "mesh", "axis",
                                    "block_size", "pfe_bins"))
@@ -809,7 +910,6 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
     if has_slices:
         _check_two_level_tree(n_paths // block_size // n_slices)
     sum_axes = (axis, SLICES_AXIS) if has_slices else axis
-    from montecarlo_tpu.engine.simulate import simulate
     from montecarlo_tpu.stats.quantiles import histogram_counts
 
     dt = T / n_steps
@@ -829,99 +929,11 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                 stacklevel=2)
 
     n_sets = len(sets)
-    n_q_set = tuple(7 + len(tr) for _, tr, _ in sets)
-    n_q_total = sum(n_q_set)
     n_blk = local_n // block_size
 
-    def _one_block(model_, off):
-        """Simulate + mark + net + collateralize ONE fixed-width block.
-
-        The fixed compile width is what makes the profile bitwise
-        mesh-invariant: XLA's codegen for the fused draw->step chain is
-        only guaranteed value-stable at a FIXED batch shape (measured: the
-        f64 Vasicek scan flips 1 ULP on ~1/1000 paths between 1024- and
-        4096-wide compilations of the same global ids on XLA:CPU), so
-        every mesh shape must run the identical block-wide program.
-        """
-        paths = simulate(model_, block_size, n_steps, seed=seed,
-                         mode="paths", dtype=dtype,
-                         path_offset=off)                  # (T+1, bs)
-        times = jnp.arange(n_dates, dtype=dtype) * dt
-        if flat_rate is None:
-            mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-            disc = jnp.exp(-jnp.concatenate(
-                [jnp.zeros((1, block_size), dtype),
-                 jnp.cumsum(mid, axis=0)], axis=0))
-        else:
-            disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
-                           * times)[:, None] * jnp.ones((1, block_size),
-                                                        dtype)
-
-        def mark_trade(trade):
-            # Same PathDependentTrade protocol as the unsharded engine:
-            # the observation row is block-local (each block simulates its
-            # own full time grid), so sharding cannot change the indicator.
-            if isinstance(trade, SimulationMarkedTrade):
-                raise TypeError(
-                    "the sharded netting engines cannot mark "
-                    "SimulationMarkedTrade (AMC) trades: the regression "
-                    "fit needs global cross-path Gram solves per date; "
-                    "run the AMC book through netting_set_profile / "
-                    "portfolio_xva unsharded")
-            if isinstance(trade, PathDependentTrade):
-                k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
-                                  n_steps) for ot in trade.obs_times)
-                return jax.lax.map(
-                    lambda k: trade.value_fn(
-                        paths[k], times[k],
-                        *(paths[jnp.minimum(k, ko)] for ko in k_obs)),
-                    jnp.arange(n_dates))
-            return jax.lax.map(lambda k: trade(paths[k], times[k]),
-                               jnp.arange(n_dates))
-
-        all_quants = []
-        all_pos = []
-        for _nm, trades_s, csa_s in sets:
-            v_all = jnp.stack([mark_trade(v) for v in trades_s])
-            v_net = jnp.sum(v_all, axis=0)                  # (T+1, bs)
-
-            if csa_s is None:
-                gap = v_net
-            else:
-                h_c = jnp.asarray(csa_s.threshold, dtype)
-                h_o = jnp.asarray(csa_s.own_threshold, dtype)
-                mta = jnp.asarray(csa_s.mta, dtype)
-                k_lag = int(round(float(csa_s.mpor) / dt))
-                lag_idx = jnp.maximum(jnp.arange(n_dates) - k_lag, 0)
-                v_obs = v_net[lag_idx]
-                they_post = jnp.maximum(v_obs - h_c, 0.0)
-                we_post = jnp.maximum(-v_obs - h_o, 0.0)
-                they_post = jnp.where(they_post >= mta, they_post, 0.0)
-                we_post = jnp.where(we_post >= mta, we_post, 0.0)
-                gap = v_net - (they_post - we_post)
-
-            pos = jnp.maximum(gap, 0.0)
-            # Every per-date mean target stacked into ONE (Q, T+1, bs)
-            # array per set: rows 0..5 = pos, neg, disc*pos, disc*neg,
-            # pos_u, neg_u; row 6 = disc itself (P(0,t) for the KVA
-            # capital integral); rows 7.. = per-trade disc * v_i^+ (the
-            # no-netting baseline).  Sets concatenate along Q so the
-            # whole book reduces in one moment pass (row-local algebra —
-            # a one-set stack is bitwise the single-set engine's).
-            all_quants.append(jnp.concatenate([
-                jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
-                           disc * jnp.maximum(-gap, 0.0),
-                           jnp.maximum(v_net, 0.0),
-                           jnp.maximum(-v_net, 0.0), disc]),
-                disc[None] * jnp.maximum(v_all, 0.0),
-            ]))
-            all_pos.append(pos)
-        quants = jnp.concatenate(all_quants)
-        stats = moments_from_array(
-            quants.reshape(n_q_total * n_dates, block_size), axis=-1)
-        stats = MomentState(*(x.reshape(n_q_total, n_dates)
-                              for x in stats))
-        return stats, jnp.stack(all_pos)                    # (S, T+1, bs)
+    _one_block = partial(netting_block_stats, sets=sets, n_steps=n_steps,
+                         dt=dt, seed=seed, flat_rate=flat_rate,
+                         dtype=dtype, block_size=block_size)
 
     def shard_fn(model_):
         shard_idx = jax.lax.axis_index(axis)

@@ -1,0 +1,172 @@
+"""Streaming (checkpoint/resume) netting-set xVA: the resume==one-shot
+contract, bitwise agreement with the sharded engine's fixed tree, and the
+pilot-grid PFE honesty (overflow tracked, never silent)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.exposure import CSA, swap_value_fn
+from montecarlo_tpu.engine.streaming import streaming_netting_profile
+from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+from montecarlo_tpu.processes import Vasicek
+
+T, N_STEPS = 2.0, 16
+TOTAL, CHUNK, BLOCK = 8192, 2048, 256          # 8 blocks/chunk (pow2)
+_KW = dict(T=T, seed=7, hazard_rate=0.02, recovery=0.4,
+           own_hazard_rate=0.01, funding_spread=0.004, kva_cost=0.10,
+           csa=CSA(threshold=0.002, mpor=4 * T / N_STEPS), pfe_bins=64)
+
+
+def _book():
+    model = Vasicek.create(0.03, 0.6, 0.04, 0.012, T / N_STEPS,
+                           dtype=jnp.float64)
+    pay = np.arange(1, 5) * 0.5
+    return model, (swap_value_fn(model, 0.035, pay, 0.5),
+                   lambda r, t: -0.5 * swap_value_fn(
+                       model, 0.04, pay[:2], 0.5)(r, t))
+
+
+def _stream(**over):
+    model, trades = _book()
+    kw = {**_KW, **over}
+    return streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                     chunk_paths=CHUNK, block_size=BLOCK,
+                                     **kw)
+
+
+def test_resume_is_bitwise_one_shot(tmp_path):
+    """Kill after the first chunk, resume from the checkpoint: every
+    array and scalar is bitwise the uninterrupted streaming run's."""
+    ck = str(tmp_path / "net.npz")
+    model, trades = _book()
+
+    calls = []
+
+    def stop_after_first(done, total):
+        calls.append(done)
+        if len(calls) == 1:
+            raise KeyboardInterrupt  # simulated kill mid-run
+
+    with pytest.raises(KeyboardInterrupt):
+        streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                  chunk_paths=CHUNK, block_size=BLOCK,
+                                  checkpoint_path=ck,
+                                  progress_callback=stop_after_first,
+                                  **_KW)
+    resumed = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                        chunk_paths=CHUNK,
+                                        block_size=BLOCK,
+                                        checkpoint_path=ck, **_KW)
+    oneshot = _stream()
+    assert resumed["paths_done"] == TOTAL
+    for k, v in oneshot.items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(resumed[k]), err_msg=k)
+
+
+def test_means_bitwise_match_sharded_scalars_to_a_ulp():
+    """Chunk subtree roots are internal nodes of the flat fixed tree
+    (power-of-two blocks per chunk), so every per-date mean equals
+    `sharded_netting_profile` BITWISE; the closing scalar reductions
+    compile in different programs and may differ by ~1 ULP; PFE only
+    within its grid error (the grids differ: pilot vs global pmax)."""
+    model, trades = _book()
+    got = _stream()
+    want = sharded_netting_profile(model, trades, TOTAL, N_STEPS,
+                                   mesh=make_mesh(4), block_size=BLOCK,
+                                   **_KW)
+    for k in ("epe", "ene", "eepe", "epe_uncollateralized",
+              "ene_uncollateralized"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    for k in ("cva", "dva", "cva_no_netting", "fca", "fba", "kva"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=5e-16, atol=0, err_msg=k)
+    # bcva/fva are DIFFERENCES of the above — cancellation turns the
+    # inputs' 1-ULP wiggle into a large relative (not absolute) error,
+    # so anchor their tolerance to the minuends' ULP.
+    for k, a_, b_ in (("bcva", "cva", "dva"), ("fva", "fca", "fba")):
+        tol = 4.0 * np.spacing(max(abs(float(want[a_])),
+                                   abs(float(want[b_]))))
+        assert abs(float(got[k]) - float(want[k])) <= tol, k
+    gap = np.abs(np.asarray(got["pfe"]) - np.asarray(want["pfe"]))
+    err = (np.asarray(got["pfe_grid_err"])
+           + np.asarray(want["pfe_grid_err"]))
+    assert np.all(gap <= err + 1e-12)
+    assert np.all(np.asarray(got["pfe_overflow"]) == 0)  # 4x headroom held
+
+
+def test_overflow_is_counted_and_warned(tmp_path):
+    """A quantile landing above the grid warns and reports the grid top
+    plus per-date overflow, never a silently-wrong number.  Overflow is
+    forced end-to-end by resuming from a fresh checkpoint whose grid is
+    microscopic — every real exposure then lands past it."""
+    from montecarlo_tpu.engine import streaming as sm
+
+    ck = str(tmp_path / "tiny.npz")
+    model, trades = _book()
+    n_q, n_dates = 7 + len(trades), N_STEPS + 1
+    sm.NettingStreamState(
+        seed=7, n_steps=N_STEPS, block_size=BLOCK, chunk_paths=CHUNK,
+        paths_done=0,
+        root_count=np.zeros((0, n_q, n_dates)),
+        root_mean=np.zeros((0, n_q, n_dates)),
+        root_m2=np.zeros((0, n_q, n_dates)),
+        hist=np.zeros((n_dates, _KW["pfe_bins"]), np.int64),
+        overflow=np.zeros((n_dates,), np.int64),
+        hi_edges=np.full((n_dates,), 1e-9)).save(ck)
+    with pytest.warns(UserWarning, match="ABOVE"):
+        res = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                        chunk_paths=CHUNK,
+                                        block_size=BLOCK,
+                                        checkpoint_path=ck, **_KW)
+    over = np.asarray(res["pfe_overflow"])
+    assert over.max() > 0
+    pfe = np.asarray(res["pfe"])
+    assert np.all(pfe[over > 0.05 * TOTAL] == 1e-9)  # reported grid top
+    # The healthy run's 4x pilot headroom reports zero overflow.
+    assert np.all(np.asarray(_stream()["pfe_overflow"]) == 0)
+
+
+def test_validation_errors():
+    model, trades = _book()
+    with pytest.raises(ValueError, match="power of two"):
+        streaming_netting_profile(model, trades, 7680, N_STEPS,
+                                  chunk_paths=1536, block_size=256, **_KW)
+    with pytest.raises(ValueError, match="!= 0"):
+        streaming_netting_profile(model, trades, 8000, N_STEPS,
+                                  chunk_paths=CHUNK, block_size=BLOCK,
+                                  **_KW)
+
+
+def test_cli_xva_checkpoint(capsys, tmp_path):
+    import json
+
+    from montecarlo_tpu import cli
+
+    ck = str(tmp_path / "cli_net.npz")
+    argv = ["xva", "--portfolio", "--no-csa", "--paths", "4096",
+            "--steps", "16", "--checkpoint", ck]
+    assert cli.main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["paths_done"] == 4096 and first["pfe_overflow_max"] == 0
+    # Resume on a finished checkpoint reproduces the record exactly.
+    assert cli.main(argv) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again == first
+    with pytest.raises(SystemExit, match="unsharded"):
+        cli.main(argv + ["--mesh", "2"])
+
+
+def test_checkpoint_config_mismatch_rejected(tmp_path):
+    ck = str(tmp_path / "net.npz")
+    model, trades = _book()
+    streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                              chunk_paths=CHUNK, block_size=BLOCK,
+                              checkpoint_path=ck, **_KW)
+    with pytest.raises(ValueError, match="config"):
+        streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                  chunk_paths=CHUNK // 2,
+                                  block_size=BLOCK, checkpoint_path=ck,
+                                  **_KW)
