@@ -24,7 +24,15 @@ def add_parsers(sub):
                    help="linear hazard dispersion across the pool: name i "
                         "gets hazard + spread*(i/(names-1) - 0.5)")
     p.add_argument("--rho", type=float, default=0.3,
-                   help="one-factor Gaussian copula correlation")
+                   help="one-factor copula correlation")
+    p.add_argument("--copula", default="gaussian",
+                   choices=["gaussian", "student-t"],
+                   help="dependence structure: student-t adds the tail "
+                        "dependence the Gaussian lacks (exact chi2 "
+                        "mixing; marginals stay CDS-exact)")
+    p.add_argument("--df", type=int, default=4,
+                   help="student-t degrees of freedom (positive EVEN "
+                        "integer)")
     p.add_argument("--recovery", type=float, default=0.4)
     p.add_argument("--attach", type=float, default=0.03)
     p.add_argument("--detach", type=float, default=0.07)
@@ -67,12 +75,15 @@ def cmd_credit(args) -> int:
         raise SystemExit("--hazard-spread makes some hazards non-positive")
     product = "kth" if args.kth else "tranche"
     common = dict(T=args.maturity, n_steps=args.steps, seed=args.seed,
-                  rate=args.rate, dtype=jnp.float32)
+                  rate=args.rate, copula=args.copula, df=args.df,
+                  dtype=jnp.float32)
 
     if args.base_corr is not None:
-        if args.hazard_spread or args.kth:
-            raise SystemExit("--base-corr needs a homogeneous tranche "
-                             "pool (no --hazard-spread / --kth)")
+        if args.hazard_spread or args.kth or args.copula != "gaussian":
+            raise SystemExit("--base-corr needs a homogeneous "
+                             "GAUSSIAN-copula tranche pool (no "
+                             "--hazard-spread / --kth / --copula "
+                             "student-t)")
         from montecarlo_tpu.engine.credit import base_correlation
 
         rho = base_correlation(args.base_corr, n_names=n,
@@ -101,7 +112,7 @@ def cmd_credit(args) -> int:
             product=product, attach=args.attach, detach=args.detach,
             k=args.kth or 1, recovery=args.recovery, block_size=block,
             T=args.maturity, seed=args.seed, rate=args.rate,
-            dtype=jnp.float32)
+            copula=args.copula, df=args.df, dtype=jnp.float32)
     elif product == "kth":
         from montecarlo_tpu.engine.credit import kth_to_default_cds
 
@@ -116,7 +127,8 @@ def cmd_credit(args) -> int:
                           recovery=args.recovery, **common)
 
     out = {"product": "kth-to-default" if product == "kth" else "tranche",
-           "names": n, "rho": args.rho, "paths": args.paths,
+           "names": n, "rho": args.rho, "copula": args.copula,
+           "paths": args.paths,
            "par_spread": round(float(res["par_spread"]), 8),
            "par_spread_std_err": round(float(res["par_spread_std_err"]),
                                        8),
@@ -133,9 +145,11 @@ def cmd_credit(args) -> int:
         el = np.asarray(res["expected_loss"])
         out["terminal_expected_loss"] = round(float(el[-1]), 8)
     if args.exact:
-        if args.hazard_spread or product == "kth":
-            raise SystemExit("--exact needs a homogeneous tranche pool "
-                             "(no --hazard-spread / --kth)")
+        if args.hazard_spread or product == "kth" \
+                or args.copula != "gaussian":
+            raise SystemExit("--exact needs a homogeneous GAUSSIAN-copula "
+                             "tranche pool (no --hazard-spread / --kth / "
+                             "--copula student-t)")
         from montecarlo_tpu.engine.credit import tranche_spread_exact
 
         ex = tranche_spread_exact(args.hazard, args.rho, n_names=n,

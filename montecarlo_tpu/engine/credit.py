@@ -37,28 +37,85 @@ import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.engine.simulate import path_ids_for
-from montecarlo_tpu.rng.normal import normal_draw
+from montecarlo_tpu.rng.normal import normal_draw, uniform_draw
 from montecarlo_tpu.stats.welford import moments_from_array, std_error
 
 #: Stream for the copula normals (factor = draw 0, name i = draw 1 + i;
 #: one all-normal stream is dependence-safe — DEVNOTES "RNG convention").
 CREDIT_STREAM = 0
+#: SEPARATE stream for the Student-t mixing uniforms: a raw-bits uniform
+#: must never share a cipher call with a Box-Muller normal (DEVNOTES
+#: "RNG convention trap" — the Merton bug).
+CREDIT_MIX_STREAM = 1
 
 
-def default_thresholds(hazards, times, dtype):
-    """``C_i(t_j) = Phi^{-1}(1 - exp(-h_i t_j))`` — (names, dates).
+def t_cdf(x, df, dtype):
+    """Student-t CDF via the regularized incomplete beta (jax-native)."""
+    x = jnp.asarray(x, dtype)
+    df = jnp.asarray(df, dtype)
+    ib = jax.scipy.special.betainc(0.5 * df, 0.5, df / (df + x * x))
+    return jnp.where(x >= 0, 1.0 - 0.5 * ib, 0.5 * ib)
 
-    ``t = 0`` gives ``Phi^{-1}(0) = -inf``: nothing has defaulted at
-    inception (the comparison ``x <= -inf`` is False), no special-casing.
+
+def t_icdf(p, df, dtype):
+    """Inverse Student-t CDF by safeguarded Newton on :func:`t_cdf`.
+
+    Used only for the copula's (names, dates) threshold matrix, so cost
+    is irrelevant; accuracy is Newton-to-roundoff from a normal-quantile
+    start (validated against scipy.stats.t.ppf in tests).  ``p`` must be
+    in (0, 1) — callers mask the p = 0 inception column themselves.
+    """
+    p = jnp.asarray(p, dtype)
+    dff = jnp.asarray(df, dtype)
+    log_norm = (jax.scipy.special.gammaln(0.5 * (dff + 1.0))
+                - jax.scipy.special.gammaln(0.5 * dff)
+                - 0.5 * jnp.log(dff * jnp.pi))
+    # Start from the normal quantile, widened by the t's heavier scale.
+    x = jax.scipy.special.ndtri(p) * jnp.sqrt(dff / jnp.maximum(dff - 2.0,
+                                                                0.5))
+
+    def newton(x, _):
+        pdf = jnp.exp(log_norm - 0.5 * (dff + 1.0)
+                      * jnp.log1p(x * x / dff))
+        step = (t_cdf(x, df, dtype) - p) / jnp.maximum(pdf,
+                                                       jnp.finfo(dtype).tiny)
+        # Safeguard: the normal start is already near; cap the move at
+        # one unit of the current scale so the tail iteration cannot
+        # overshoot to a flat-pdf region.
+        cap = 1.0 + jnp.abs(x)
+        return x - jnp.clip(step, -cap, cap), None
+
+    x, _ = jax.lax.scan(newton, x, None, length=40)
+    return x
+
+
+def default_thresholds(hazards, times, dtype, copula="gaussian",
+                       df: int = 4):
+    """``C_i(t_j) = F^{-1}(1 - exp(-h_i t_j))`` — (names, dates) — with
+    ``F`` the copula's univariate marginal (Phi for Gaussian, Student-t
+    for ``copula="student-t"``), so each name's CDS survival curve is
+    reproduced EXACTLY under either dependence structure.
+
+    ``t = 0`` gives ``F^{-1}(0) = -inf``: nothing has defaulted at
+    inception (the comparison ``x <= -inf`` is False), no special-casing
+    for the Gaussian; the t branch masks the inception column itself
+    (its Newton needs p in (0, 1)).
     """
     h = jnp.asarray(hazards, dtype)[:, None]
-    p = 1.0 - jnp.exp(-h * jnp.asarray(times, dtype)[None, :])
-    return jax.scipy.special.ndtri(p)
+    t = jnp.asarray(times, dtype)[None, :]
+    p = 1.0 - jnp.exp(-h * t)
+    if copula == "gaussian":
+        return jax.scipy.special.ndtri(p)
+    p_safe = jnp.where(t > 0, p, 0.5)
+    c = t_icdf(p_safe, df, dtype)
+    return jnp.where(t > 0, c, -jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
+                                   "copula", "df"))
 def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
-                      dtype, path_offset=0):
+                      dtype, path_offset=0, copula="gaussian",
+                      df: int = 4):
     """Pathwise per-date portfolio loss and default count.
 
     Returns ``(loss, count)`` each of shape ``(n_steps + 1, n_paths)``:
@@ -66,6 +123,15 @@ def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
     the number of defaulted names by ``t_j``.  Memory is O(names * paths)
     for the copula variables — pod path counts go through the sharded
     twin, which runs this per fixed-width block.
+
+    ``copula="student-t"`` divides the Gaussian vector by
+    ``sqrt(W / df)`` with ``W ~ chi2(df)`` built EXACTLY as
+    ``2 * sum of df/2 Exp(1)`` variates (-log of uniforms on their own
+    stream — a raw-bits uniform must never share a cipher call with a
+    Box-Muller normal), hence ``df`` must be a positive even integer;
+    marginal thresholds switch to the t quantile so the CDS curves stay
+    exact.  The shared division induces the TAIL DEPENDENCE the
+    Gaussian copula famously lacks.
     """
     n_names = hazards.shape[0]
     ids = path_ids_for(n_paths, path_offset)
@@ -74,8 +140,20 @@ def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
     eps = normal_draw(seed, CREDIT_STREAM, ids[None, :], d, dtype)
     rho = jnp.asarray(rho, dtype)
     x = jnp.sqrt(rho) * m[None, :] + jnp.sqrt(1.0 - rho) * eps   # (N, P)
+    if copula == "student-t":
+        if df <= 0 or df % 2:
+            raise ValueError("student-t copula needs a positive EVEN "
+                             f"integer df (exact chi2 from Exp sums); "
+                             f"got {df}")
+        dmix = jnp.arange(df // 2, dtype=jnp.uint32)[:, None]
+        u = uniform_draw(seed, CREDIT_MIX_STREAM, ids[None, :], dmix,
+                         dtype)
+        w = 2.0 * jnp.sum(-jnp.log(u), axis=0)                   # chi2(df)
+        x = x / jnp.sqrt(w / df)[None, :]
+    elif copula != "gaussian":
+        raise ValueError(f"unknown copula {copula!r}")
     times = jnp.arange(n_steps + 1, dtype=dtype) * (T / n_steps)
-    c = default_thresholds(hazards, times, dtype)                # (N, T+1)
+    c = default_thresholds(hazards, times, dtype, copula, df)   # (N, T+1)
 
     def per_date(c_j):
         ind = (x <= c_j[:, None]).astype(dtype)                  # (N, P)
@@ -122,11 +200,13 @@ def _spread_record(prot, prem, n_paths, times, el, el_se, dtype):
     }
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
+                                   "copula", "df"))
 def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
-                 T, seed, rate, dtype):
+                 T, seed, rate, dtype, copula, df):
     loss, _ = _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps,
-                                T=T, seed=seed, dtype=dtype)
+                                T=T, seed=seed, dtype=dtype,
+                                copula=copula, df=df)
     a = jnp.asarray(attach, dtype)
     b = jnp.asarray(detach, dtype)
     tl = jnp.clip(loss - a, 0.0, b - a)                  # (T+1, P)
@@ -147,6 +227,7 @@ def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
 def cdo_tranche(hazards, rho: float, *, attach: float, detach: float,
                 T: float, n_steps: int, n_paths: int, seed: int,
                 rate: float = 0.0, recovery=0.4, weights=None,
+                copula: str = "gaussian", df: int = 4,
                 dtype=jnp.float64) -> dict:
     """Synthetic CDO tranche [attach, detach) on an N-name pool.
 
@@ -175,17 +256,19 @@ def cdo_tranche(hazards, rho: float, *, attach: float, detach: float,
     if not 0.0 <= attach < detach:
         raise ValueError("need 0 <= attach < detach")
     return _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths,
-                        n_steps, T=T, seed=seed, rate=rate, dtype=dtype)
+                        n_steps, T=T, seed=seed, rate=rate, dtype=dtype,
+                        copula=copula, df=df)
 
 
 @partial(jax.jit, static_argnames=("k", "n_paths", "n_steps", "seed",
-                                   "dtype"))
+                                   "dtype", "copula", "df"))
 def _kth_to_default(hazards, rho, k, n_paths, n_steps, *, T, seed, rate,
-                    recovery, dtype):
+                    recovery, dtype, copula, df):
     n = hazards.shape[0]
     ones = jnp.ones((n,), dtype)
     _, count = _loss_count_paths(hazards, ones, rho, n_paths, n_steps,
-                                 T=T, seed=seed, dtype=dtype)
+                                 T=T, seed=seed, dtype=dtype,
+                                 copula=copula, df=df)
     hit = (count >= k).astype(dtype)                     # (T+1, P)
     trig = hit[1:] - hit[:-1]                            # k-th default in j
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
@@ -204,6 +287,7 @@ def _kth_to_default(hazards, rho, k, n_paths, n_steps, *, T, seed, rate,
 def kth_to_default_cds(hazards, rho: float, *, k: int, T: float,
                        n_steps: int, n_paths: int, seed: int,
                        rate: float = 0.0, recovery: float = 0.4,
+                       copula: str = "gaussian", df: int = 4,
                        dtype=jnp.float64) -> dict:
     """kth-to-default basket CDS on an N-name pool.
 
@@ -228,18 +312,20 @@ def kth_to_default_cds(hazards, rho: float, *, k: int, T: float,
         raise ValueError(f"k must be in [1, {hazards.shape[0]}]")
     return _kth_to_default(hazards, rho, k, n_paths, n_steps, T=T,
                            seed=seed, rate=rate, recovery=recovery,
-                           dtype=dtype)
+                           dtype=dtype, copula=copula, df=df)
 
 
 def credit_legs_pathwise(hazards, loss_w, rho, *, product: str, attach,
                          detach, k, recovery, n_paths, n_steps, T, seed,
-                         rate, dtype, path_offset=0):
+                         rate, dtype, path_offset=0,
+                         copula: str = "gaussian", df: int = 4):
     """(prot, prem) per path for one contiguous block of global path ids —
     the unit the sharded twin maps over fixed-width blocks (same draws,
     same leg algebra as the unsharded engines above)."""
     loss, count = _loss_count_paths(hazards, loss_w, rho, n_paths,
                                     n_steps, T=T, seed=seed, dtype=dtype,
-                                    path_offset=path_offset)
+                                    path_offset=path_offset,
+                                    copula=copula, df=df)
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     if product == "tranche":
         a = jnp.asarray(attach, dtype)

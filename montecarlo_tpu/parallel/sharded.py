@@ -1286,10 +1286,10 @@ def sharded_rbergomi_estimate(model, payoff_fn, n_paths: int, *, seed: int,
 
 @partial(jax.jit, static_argnames=("product", "k", "n_paths", "n_steps",
                                    "seed", "T", "dtype", "mesh", "axis",
-                                   "block_size"))
+                                   "block_size", "copula", "df"))
 def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
                          n_paths, n_steps, *, product, k, T, seed, rate,
-                         mesh, dtype, block_size, axis):
+                         mesh, dtype, block_size, axis, copula, df):
     from montecarlo_tpu.engine.credit import credit_legs_pathwise
 
     n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
@@ -1310,7 +1310,8 @@ def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
             prot, prem = credit_legs_pathwise(
                 h_, w_, rho_, product=product, attach=a_, detach=b_, k=k,
                 recovery=rec_, n_paths=block_size, n_steps=n_steps, T=T,
-                seed=seed, rate=rate_, dtype=dtype, path_offset=off)
+                seed=seed, rate=rate_, dtype=dtype, path_offset=off,
+                copula=copula, df=df)
             # Third row: the cross product, so the merged moments carry
             # cov(prot, prem) for the linearized par-spread error.
             rows = jnp.stack([prot, prem, prot * prem])
@@ -1354,7 +1355,8 @@ def sharded_credit_legs(hazards, rho: float, n_paths: int, n_steps: int, *,
                         T: float, seed: int, mesh, product: str = "tranche",
                         attach: float = 0.0, detach: float = 0.03,
                         k: int = 1, recovery=0.4, weights=None,
-                        rate: float = 0.0, dtype=jnp.float64,
+                        rate: float = 0.0, copula: str = "gaussian",
+                        df: int = 4, dtype=jnp.float64,
                         block_size: int = DEFAULT_BLOCK,
                         axis: str = PATHS_AXIS) -> dict:
     """Pod-scale Gaussian-copula credit legs (CDO tranche or kth-to-default).
@@ -1396,4 +1398,4 @@ def sharded_credit_legs(hazards, rho: float, n_paths: int, n_steps: int, *,
         jnp.asarray(attach, dtype), jnp.asarray(detach, dtype),
         jnp.asarray(recovery, dtype), n_paths, n_steps, product=product,
         k=k, T=T, seed=seed, rate=rate, mesh=mesh, dtype=dtype,
-        block_size=block_size, axis=axis)
+        block_size=block_size, axis=axis, copula=copula, df=df)

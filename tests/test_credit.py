@@ -11,6 +11,7 @@ math vs MC noise — the tolerance is the estimator's reported error bar.
 """
 
 import numpy as np
+import pytest
 import scipy.stats as st
 import jax.numpy as jnp
 
@@ -211,6 +212,114 @@ def test_sharded_credit_bitwise_mesh_invariant_and_match():
                                 rate=RATE, recovery=REC)
     np.testing.assert_allclose(float(kth[8]["par_spread"]),
                                float(want_k["par_spread"]), rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Student-t copula (tail dependence)
+# ---------------------------------------------------------------------------
+
+def test_t_icdf_matches_scipy():
+    """The jax-native inverse Student-t CDF (Newton on betainc) agrees
+    with scipy.stats.t.ppf to near roundoff across body and tails."""
+    from montecarlo_tpu.engine.credit import t_icdf
+
+    p = np.array([1e-8, 1e-5, 1e-3, 0.1, 0.5, 0.9, 0.999, 1 - 1e-6])
+    for df in (2, 4, 8):
+        got = np.asarray(t_icdf(jnp.asarray(p), df, jnp.float64))
+        want = st.t.ppf(p, df)
+        np.testing.assert_allclose(got, want, rtol=1e-10, err_msg=str(df))
+
+
+def _oracle_tranche_t(attach, detach, rho, df, n_gh=96, n_gl=96):
+    """EXACT homogeneous-pool tranche profile under the t copula:
+    conditional on (factor M, chi2 mixing W) the count is
+    Binomial(N, p(m, w)) with
+    ``p = Phi((C sqrt(w/df) - sqrt(rho) m) / sqrt(1-rho))`` —
+    Gauss-Hermite over M x generalized Gauss-Laguerre over W/2 ~
+    Gamma(df/2)."""
+    import scipy.special as sp
+
+    times = np.arange(N_STEPS + 1) * (T / N_STEPS)
+    dt = T / N_STEPS
+    m, wm = _gh_factor(n_gh)
+    xg, wg = sp.roots_genlaguerre(n_gl, df / 2 - 1)
+    wg = wg / sp.gamma(df / 2)               # W = 2 * xg ~ chi2(df)
+    c = st.t.ppf(1.0 - np.exp(-HAZ * times), df)          # (dates,)
+    scale = np.sqrt(2.0 * xg / df)                        # (gl,)
+    z = (c[:, None, None] * scale[None, None, :]
+         - np.sqrt(rho) * m[None, :, None]) / np.sqrt(1.0 - rho)
+    p = np.where(np.isneginf(c)[:, None, None], 0.0, st.norm.cdf(z))
+    # scipy's binom.pmf overflows on subnormal p; clipping 1e-300 -> 1e-12
+    # moves e_tl by < N * 1e-12, orders below the MC bars this feeds.
+    p = np.where((p > 0) & (p < 1e-12), 1e-12, p)
+    counts = np.arange(N_NAMES + 1)
+    tl = np.clip(counts * (1.0 - REC) / N_NAMES - attach, 0.0,
+                 detach - attach)
+    pmf = st.binom.pmf(counts[None, None, None, :], N_NAMES,
+                       p[:, :, :, None])
+    e_tl = np.einsum("tmwc,c,m,w->t", pmf, tl, wm, wg)
+    prot, disc_end, _ = _legs(e_tl, times, dt)
+    out = (detach - attach) - e_tl
+    prem = np.sum(disc_end * dt * 0.5 * (out[1:] + out[:-1]))
+    return e_tl, prot, prem
+
+
+def test_student_t_copula_exact_oracle_and_tail_dependence():
+    """t-copula tranche vs the exact 2-D quadrature oracle; the senior
+    tranche carries MORE expected loss under t than Gaussian at the same
+    rho (tail dependence — the model-risk axis the Gaussian copula
+    famously hides); the single-name marginal stays CDS-exact."""
+    df, a, b = 4, 0.10, 0.20
+    res = cdo_tranche([HAZ] * N_NAMES, RHO, attach=a, detach=b, T=T,
+                      n_steps=N_STEPS, n_paths=N_PATHS, seed=SEED,
+                      rate=RATE, recovery=REC, copula="student-t", df=df)
+    e_tl, prot, prem = _oracle_tranche_t(a, b, RHO, df)
+    el = np.asarray(res["expected_loss"])
+    se = np.asarray(res["expected_loss_std_err"])
+    assert np.all(np.abs(el - e_tl) <= 4.0 * se + 1e-12)
+    assert abs(float(res["par_spread"]) - prot / prem) \
+        <= 4.0 * float(res["par_spread_std_err"])
+
+    gauss = cdo_tranche([HAZ] * N_NAMES, RHO, attach=a, detach=b, T=T,
+                        n_steps=N_STEPS, n_paths=N_PATHS, seed=SEED,
+                        rate=RATE, recovery=REC)
+    assert float(res["par_spread"]) > (
+        float(gauss["par_spread"])
+        + 6.0 * (float(res["par_spread_std_err"])
+                 + float(gauss["par_spread_std_err"])))
+
+    # Marginals: a 1-name pool's trigger probability is the CDS curve.
+    one = kth_to_default_cds([HAZ], 0.5, k=1, T=T, n_steps=N_STEPS,
+                             n_paths=N_PATHS, seed=SEED, rate=RATE,
+                             recovery=REC, copula="student-t", df=df)
+    times = np.arange(N_STEPS + 1) * (T / N_STEPS)
+    want = 1.0 - np.exp(-HAZ * times)
+    el1 = np.asarray(one["expected_loss"])
+    se1 = np.asarray(one["expected_loss_std_err"])
+    assert np.all(np.abs(el1 - want) <= 4.0 * se1 + 1e-12)
+
+    # df must be a positive even integer (exact chi2 from Exp sums).
+    with pytest.raises(ValueError, match="EVEN"):
+        cdo_tranche([HAZ] * 4, RHO, attach=a, detach=b, T=T, n_steps=4,
+                    n_paths=512, seed=SEED, copula="student-t", df=3)
+
+
+def test_student_t_sharded_bitwise_and_matches_unsharded():
+    from montecarlo_tpu.parallel import make_mesh, sharded_credit_legs
+
+    kw = dict(T=T, seed=SEED, product="kth", k=2, recovery=REC,
+              rate=RATE, copula="student-t", df=4, block_size=256)
+    res = {n: sharded_credit_legs([HAZ] * N_NAMES, RHO, 4096, N_STEPS,
+                                  mesh=make_mesh(n), **kw)
+           for n in (1, 8)}
+    for k_, v in res[1].items():
+        assert float(v) == float(res[8][k_]), k_
+    want = kth_to_default_cds([HAZ] * N_NAMES, RHO, k=2, T=T,
+                              n_steps=N_STEPS, n_paths=4096, seed=SEED,
+                              rate=RATE, recovery=REC,
+                              copula="student-t", df=4)
+    np.testing.assert_allclose(float(res[8]["par_spread"]),
+                               float(want["par_spread"]), rtol=1e-10)
 
 
 def test_exact_pricer_matches_independent_oracle_and_mc():
