@@ -84,6 +84,9 @@ def cmd_credit(args) -> int:
                              "GAUSSIAN-copula tranche pool (no "
                              "--hazard-spread / --kth / --copula "
                              "student-t)")
+        if args.mesh or args.exact:
+            raise SystemExit("--base-corr is an exact-pricer inversion "
+                             "(no MC run happens) — drop --mesh/--exact")
         from montecarlo_tpu.engine.credit import base_correlation
 
         rho = base_correlation(args.base_corr, n_names=n,

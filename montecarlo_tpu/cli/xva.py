@@ -342,6 +342,10 @@ def _cmd_xva_portfolio(args) -> int:
             raise SystemExit("--counterparties is incompatible with "
                              "--greeks (run per-set greeks via the "
                              "single-set engine)")
+        if args.checkpoint or args.chunk_paths:
+            raise SystemExit("--checkpoint/--chunk-paths stream the "
+                             "SINGLE netting set only; drop "
+                             "--counterparties or run without streaming")
         use_mesh = getattr(args, "mesh", 0)
         per_set = dict(csa=csa, recovery=args.recovery,
                        kva_cost=args.kva_cost,

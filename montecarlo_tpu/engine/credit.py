@@ -200,17 +200,13 @@ def _spread_record(prot, prem, n_paths, times, el, el_se, dtype):
     }
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
-                                   "copula", "df"))
-def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
-                 T, seed, rate, dtype, copula, df):
-    loss, _ = _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps,
-                                T=T, seed=seed, dtype=dtype,
-                                copula=copula, df=df)
+def _tranche_legs(loss, attach, detach, dt, disc_end, disc_mid, dtype):
+    """(prot, prem, tranche_loss) per path — the ONE copy of the tranche
+    leg algebra, shared by `_cdo_tranche` and `credit_legs_pathwise` (so
+    the sharded twin can never drift from the unsharded engine)."""
     a = jnp.asarray(attach, dtype)
     b = jnp.asarray(detach, dtype)
     tl = jnp.clip(loss - a, 0.0, b - a)                  # (T+1, P)
-    times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     # Protection: discounted tranche-loss increments at period midpoints.
     prot = jnp.sum(disc_mid[:, None] * (tl[1:] - tl[:-1]), axis=0)
     # Premium per unit spread: accrual on the AVERAGE outstanding tranche
@@ -219,6 +215,34 @@ def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
     out = (b - a) - tl
     prem = jnp.sum(disc_end[:, None] * dt
                    * 0.5 * (out[1:] + out[:-1]), axis=0)
+    return prot, prem, tl
+
+
+def _kth_legs(count, k, recovery, dt, disc_end, disc_mid, dtype):
+    """(prot, prem, hit) per path — the ONE copy of the kth-to-default
+    leg algebra, shared by `_kth_to_default` and
+    `credit_legs_pathwise`."""
+    hit = (count >= k).astype(dtype)                     # (T+1, P)
+    trig = hit[1:] - hit[:-1]                            # k-th default in j
+    lgd = 1.0 - jnp.asarray(recovery, dtype)
+    prot = lgd * jnp.sum(disc_mid[:, None] * trig, axis=0)
+    # Premium while fewer than k names have defaulted, plus half-period
+    # accrual in the trigger period (mirrors the protection midpoint).
+    prem = jnp.sum(disc_end[:, None] * dt * (1.0 - hit[1:]), axis=0) \
+        + jnp.sum(disc_mid[:, None] * (0.5 * dt) * trig, axis=0)
+    return prot, prem, hit
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
+                                   "copula", "df"))
+def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
+                 T, seed, rate, dtype, copula, df):
+    loss, _ = _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps,
+                                T=T, seed=seed, dtype=dtype,
+                                copula=copula, df=df)
+    times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
+    prot, prem, tl = _tranche_legs(loss, attach, detach, dt, disc_end,
+                                   disc_mid, dtype)
     st = moments_from_array(tl, axis=-1)
     return _spread_record(prot, prem, n_paths, times, st.mean,
                           std_error(st), dtype)
@@ -269,16 +293,9 @@ def _kth_to_default(hazards, rho, k, n_paths, n_steps, *, T, seed, rate,
     _, count = _loss_count_paths(hazards, ones, rho, n_paths, n_steps,
                                  T=T, seed=seed, dtype=dtype,
                                  copula=copula, df=df)
-    hit = (count >= k).astype(dtype)                     # (T+1, P)
-    trig = hit[1:] - hit[:-1]                            # k-th default in j
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
-    lgd = 1.0 - jnp.asarray(recovery, dtype)
-    prot = lgd * jnp.sum(disc_mid[:, None] * trig, axis=0)
-    # Premium while fewer than k names have defaulted, plus half-period
-    # accrual in the trigger period (mirrors the protection midpoint).
-    alive = 1.0 - hit
-    prem = jnp.sum(disc_end[:, None] * dt * alive[1:], axis=0) \
-        + jnp.sum(disc_mid[:, None] * (0.5 * dt) * trig, axis=0)
+    prot, prem, hit = _kth_legs(count, k, recovery, dt, disc_end,
+                                disc_mid, dtype)
     st = moments_from_array(hit, axis=-1)
     return _spread_record(prot, prem, n_paths, times, st.mean,
                           std_error(st), dtype)
@@ -328,20 +345,11 @@ def credit_legs_pathwise(hazards, loss_w, rho, *, product: str, attach,
                                     copula=copula, df=df)
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     if product == "tranche":
-        a = jnp.asarray(attach, dtype)
-        b = jnp.asarray(detach, dtype)
-        tl = jnp.clip(loss - a, 0.0, b - a)
-        prot = jnp.sum(disc_mid[:, None] * (tl[1:] - tl[:-1]), axis=0)
-        out = (b - a) - tl
-        prem = jnp.sum(disc_end[:, None] * dt
-                       * 0.5 * (out[1:] + out[:-1]), axis=0)
+        prot, prem, _ = _tranche_legs(loss, attach, detach, dt, disc_end,
+                                      disc_mid, dtype)
     elif product == "kth":
-        hit = (count >= k).astype(dtype)
-        trig = hit[1:] - hit[:-1]
-        lgd = 1.0 - jnp.asarray(recovery, dtype)
-        prot = lgd * jnp.sum(disc_mid[:, None] * trig, axis=0)
-        prem = jnp.sum(disc_end[:, None] * dt * (1.0 - hit[1:]), axis=0) \
-            + jnp.sum(disc_mid[:, None] * (0.5 * dt) * trig, axis=0)
+        prot, prem, _ = _kth_legs(count, k, recovery, dt, disc_end,
+                                  disc_mid, dtype)
     else:
         raise ValueError(f"unknown credit product {product!r}")
     return prot, prem

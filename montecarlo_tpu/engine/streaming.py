@@ -382,6 +382,7 @@ class NettingStreamState:
     n_steps: int
     block_size: int
     chunk_paths: int
+    T: float                  # maturity — pins the time grid (dt = T/n)
     paths_done: int
     root_count: np.ndarray    # (chunks_done, Q, T+1) f64
     root_mean: np.ndarray
@@ -400,7 +401,7 @@ class NettingStreamState:
             with os.fdopen(fd, "wb") as fh:
                 np.savez(fh, seed=self.seed, n_steps=self.n_steps,
                          block_size=self.block_size,
-                         chunk_paths=self.chunk_paths,
+                         chunk_paths=self.chunk_paths, T=self.T,
                          paths_done=self.paths_done,
                          root_count=self.root_count,
                          root_mean=self.root_mean, root_m2=self.root_m2,
@@ -417,7 +418,7 @@ class NettingStreamState:
         z = np.load(path)
         return cls(seed=int(z["seed"]), n_steps=int(z["n_steps"]),
                    block_size=int(z["block_size"]),
-                   chunk_paths=int(z["chunk_paths"]),
+                   chunk_paths=int(z["chunk_paths"]), T=float(z["T"]),
                    paths_done=int(z["paths_done"]),
                    root_count=z["root_count"], root_mean=z["root_mean"],
                    root_m2=z["root_m2"], hist=z["hist"],
@@ -485,16 +486,25 @@ def streaming_netting_profile(
                        block_size=block_size)
 
     @jax.jit
-    def chunk_fn(model_, off0, hi_edges):
+    def sim_fn(model_, off0):
         offs = (jnp.asarray(off0, jnp.uint32)
                 + jnp.arange(bpc, dtype=jnp.uint32)
                 * jnp.uint32(block_size))
         stats, pos = jax.lax.map(lambda off: block_fn(model_, off), offs)
         root = moments_reduce(stats)                    # (Q, T+1) leaves
         pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
-        chunk_max = jnp.max(pos, axis=1)
+        return root, pos
+
+    @jax.jit
+    def hist_fn(pos, hi_edges):
         width = jnp.asarray(hi_edges, dtype) / pfe_bins
-        idx = (pos / width[:, None]).astype(jnp.int32)  # pos >= 0
+        # Clamp in FLOAT before the int cast: casting a scaled exposure
+        # beyond int32 range is platform-dependent (it can land on
+        # INT_MIN and silently dodge the >= pfe_bins overflow test —
+        # exactly the tiny-grid resume scenario the overflow counter
+        # exists for).  pos >= 0, so only the top needs the clamp.
+        idx = jnp.minimum(pos / width[:, None],
+                          jnp.asarray(pfe_bins, dtype)).astype(jnp.int32)
         over = jnp.sum(idx >= pfe_bins, axis=1, dtype=jnp.int32)
         # Out-of-grid mass lands in a 64-cell pad region past the real
         # bins (keeps the histogram total a multiple of 64 for the MXU
@@ -505,31 +515,31 @@ def streaming_netting_profile(
                    * pfe_bins)[:, None])
         counts = histogram_counts(cell, n_dates * pfe_bins + 64,
                                   jnp.int32)
-        return (root, counts[:n_dates * pfe_bins].reshape(n_dates,
-                                                          pfe_bins),
-                over, chunk_max)
+        return counts[:n_dates * pfe_bins].reshape(n_dates, pfe_bins), over
 
     state = None
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         state = NettingStreamState.load(checkpoint_path)
         if (state.seed, state.n_steps, state.block_size,
-                state.chunk_paths) != (seed, n_steps, block_size,
-                                       chunk_paths):
+                state.chunk_paths, state.T) != (seed, n_steps, block_size,
+                                                chunk_paths, float(T)):
             raise ValueError("checkpoint does not match this run's config")
         if state.root_mean.shape[1:] != (n_q, n_dates) \
                 or state.hist.shape != (n_dates, pfe_bins):
             raise ValueError("checkpoint book/grid shape does not match")
+    pilot = None
     if state is None:
-        # Pilot: chunk 0 once with a dummy grid, only to size the real
-        # grid at 4x its max exposure (headroom for later chunks; excess
-        # shows up as counted overflow, never silent).
-        _, _, _, pilot_max = chunk_fn(model, 0, jnp.ones((n_dates,),
-                                                         dtype))
-        hi = np.asarray(pilot_max, np.float64) * 4.0
+        # Pilot: simulate chunk 0 once to size the real grid at 4x its
+        # max exposure (headroom for later chunks; excess shows up as
+        # counted overflow, never silent).  The simulated chunk is
+        # REUSED as the main loop's first chunk — only the cheap
+        # histogram pass runs twice, not the simulate+mark work.
+        pilot = sim_fn(model, 0)
+        hi = np.asarray(jnp.max(pilot[1], axis=1), np.float64) * 4.0
         hi = np.where(hi > 0, hi, 1.0)
         state = NettingStreamState(
             seed=seed, n_steps=n_steps, block_size=block_size,
-            chunk_paths=chunk_paths, paths_done=0,
+            chunk_paths=chunk_paths, T=float(T), paths_done=0,
             root_count=np.zeros((0, n_q, n_dates)),
             root_mean=np.zeros((0, n_q, n_dates)),
             root_m2=np.zeros((0, n_q, n_dates)),
@@ -537,8 +547,12 @@ def streaming_netting_profile(
             overflow=np.zeros((n_dates,), np.int64), hi_edges=hi)
 
     while state.paths_done < total_paths:
-        root, counts, over, _ = chunk_fn(
-            model, state.paths_done, jnp.asarray(state.hi_edges, dtype))
+        if pilot is not None and state.paths_done == 0:
+            root, pos = pilot
+            pilot = None
+        else:
+            root, pos = sim_fn(model, state.paths_done)
+        counts, over = hist_fn(pos, jnp.asarray(state.hi_edges, dtype))
         state.root_count = np.concatenate(
             [state.root_count, np.asarray(root.count, np.float64)[None]])
         state.root_mean = np.concatenate(

@@ -432,3 +432,9 @@ def test_cli_credit(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(out["base_correlation"] - 0.35) < 1e-6
+    # --base-corr never runs MC: flags that request one are rejected,
+    # not silently ignored.
+    with pytest.raises(SystemExit, match="exact-pricer"):
+        cli.main(["credit", "--names", "20", "--hazard", "0.02",
+                  "--detach", "0.03", "--base-corr", "0.01",
+                  "--mesh", "2"])

@@ -118,3 +118,10 @@ def test_cli_counterparties_mesh(capsys):
         cli.main(["xva", "--portfolio", "--paths", "2048", "--steps",
                   "40", "--counterparties", "2", "--mesh", "2",
                   "--im-spread", "0.01"])
+    # Streaming checkpoints cover the single-set engine only — the
+    # multi-counterparty branch must refuse rather than silently skip
+    # the requested checkpointing.
+    with pytest.raises(SystemExit, match="SINGLE netting set"):
+        cli.main(["xva", "--portfolio", "--paths", "2048", "--steps",
+                  "40", "--counterparties", "2", "--checkpoint",
+                  "never_created.npz"])

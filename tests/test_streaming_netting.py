@@ -109,7 +109,7 @@ def test_overflow_is_counted_and_warned(tmp_path):
     n_q, n_dates = 7 + len(trades), N_STEPS + 1
     sm.NettingStreamState(
         seed=7, n_steps=N_STEPS, block_size=BLOCK, chunk_paths=CHUNK,
-        paths_done=0,
+        T=T, paths_done=0,
         root_count=np.zeros((0, n_q, n_dates)),
         root_mean=np.zeros((0, n_q, n_dates)),
         root_m2=np.zeros((0, n_q, n_dates)),
@@ -170,3 +170,10 @@ def test_checkpoint_config_mismatch_rejected(tmp_path):
                                   chunk_paths=CHUNK // 2,
                                   block_size=BLOCK, checkpoint_path=ck,
                                   **_KW)
+    # A different maturity is a different simulation (dt = T/n): resume
+    # must refuse rather than splice two time grids into one profile.
+    with pytest.raises(ValueError, match="config"):
+        streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                  chunk_paths=CHUNK, block_size=BLOCK,
+                                  checkpoint_path=ck,
+                                  **{**_KW, "T": 1.5 * T})
