@@ -64,6 +64,15 @@ def build_process(args, dt):
         proc = Heston.create(s0=args.s0, v0=args.v0, mu=args.rate,
                              kappa=args.kappa, theta=args.theta, xi=args.xi,
                              rho=args.rho, dt=dt)
+    elif args.process == "heston-qe":
+        # Same model/CF oracle as `heston`; Andersen's QE-M scheme trades
+        # a heavier step (ndtri + martingale-corrected drift) for
+        # near-exact variance transitions — the coarse-step choice.
+        from montecarlo_tpu.processes import HestonQE
+
+        proc = HestonQE.create(s0=args.s0, v0=args.v0, mu=args.rate,
+                               kappa=args.kappa, theta=args.theta,
+                               xi=args.xi, rho=args.rho, dt=dt)
     elif args.process == "slv":
         # Heston-SLV: leverage particle-calibrated (Gyongy) to a demo
         # skewed IV surface iv(K) = --sigma + --skew * log(K/S0), so the
@@ -114,11 +123,13 @@ def build_sampler(args, proc):
     )
 
     if (args.sampler.startswith("sobol")
-            and args.process in ("merton", "kou", "bates", "nig", "vg")):
+            and args.process in ("merton", "kou", "bates", "nig", "vg",
+                                 "heston-qe")):
         raise SystemExit(
             f"--sampler {args.sampler} substitutes normals for every draw, "
             f"but {args.process} consumes non-normal uniforms (jump counts "
-            "/ subordinator inversions) — use plain or antithetic sampling")
+            "/ subordinator inversions / the QE variance branch) — use "
+            "plain or antithetic sampling")
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":

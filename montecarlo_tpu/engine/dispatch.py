@@ -1,8 +1,8 @@
 """Engine dispatch: pick the fastest correct backend for a terminal run.
 
-- On TPU, scalar-state processes (all 19 in _FUSABLE: GBM/GARCH/Heston/
-  Bates/jump/Levy (NIG, VG)/rate/local-vol/term-structure families) with
-  plain,
+- On TPU, scalar-state processes (everything in _FUSABLE: GBM/GARCH/
+  Heston (Euler + QE)/Bates/jump/Levy (NIG, VG)/rate/local-vol/
+  term-structure families) with plain,
   antithetic, or device-Sobol sampling and kernel-compatible path counts
   run the fused Pallas kernel (~5-34e9 path-steps/s/chip on v5e).
 - Everything else (CPU, paths mode, custom samplers, multi-asset states,
@@ -20,6 +20,7 @@ from montecarlo_tpu.ops.fused_engine import LANES, fused_terminal_pallas
 from montecarlo_tpu.processes.garch import GARCHBootstrap
 from montecarlo_tpu.processes.gbm import GBM
 from montecarlo_tpu.processes.heston import Heston
+from montecarlo_tpu.processes.heston_qe import HestonQE
 from montecarlo_tpu.processes.basket import BasketGBM
 from montecarlo_tpu.processes.bates import Bates
 from montecarlo_tpu.processes.merton import Merton
@@ -39,7 +40,8 @@ from montecarlo_tpu.rng.sobol import (SobolBridgeKernelSampler,
                                       SobolDeviceSampler)
 from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston, BasketGBM, Bates, Merton, CCCGarch,
+_FUSABLE = (GBM, GARCHBootstrap, Heston, HestonQE, BasketGBM, Bates, Merton,
+            CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou, NIG,
             VarianceGamma, Vasicek, CIR, HullWhite, SABR, TermBasketGBM,
             SLVKnots, SLV)

@@ -11,6 +11,7 @@ from montecarlo_tpu.processes.garch import (  # noqa: F401
 )
 from montecarlo_tpu.processes.multi_gbm import MultiGBM, MultiGBMState  # noqa: F401
 from montecarlo_tpu.processes.heston import Heston, HestonState  # noqa: F401
+from montecarlo_tpu.processes.heston_qe import HestonQE, HestonQEState  # noqa: F401
 from montecarlo_tpu.processes.basket import BasketGBM  # noqa: F401
 from montecarlo_tpu.processes.garch_fit import GARCHParams, fit_garch  # noqa: F401
 from montecarlo_tpu.processes.bates import Bates, BatesState, bates_log_cf  # noqa: F401

@@ -18,8 +18,8 @@ import pytest
 
 from montecarlo_tpu import cli
 
-PROCESSES = ["gbm", "cev", "heston", "bates", "merton", "kou", "nig", "vg",
-             "sabr", "rbergomi", "slv", "hybrid"]
+PROCESSES = ["gbm", "cev", "heston", "heston-qe", "bates", "merton", "kou",
+             "nig", "vg", "sabr", "rbergomi", "slv", "hybrid"]
 PAYOFFS = ["call", "put", "digital", "asian", "lookback", "up-and-out",
            "up-and-in", "max-call"]
 SAMPLERS = ["plain", "antithetic", "sobol", "sobol-device", "sobol-bridge"]
