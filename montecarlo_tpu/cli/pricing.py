@@ -22,8 +22,8 @@ def _add_price(sub):
     p = sub.add_parser("price", help="Monte Carlo option pricing")
     p.add_argument("--process", default="gbm",
                    choices=["gbm", "cev", "heston", "heston-qe", "bates",
-                            "merton", "kou", "nig", "vg", "sabr",
-                            "rbergomi", "slv", "hybrid"])
+                            "bates-qe", "merton", "kou", "nig", "vg",
+                            "sabr", "rbergomi", "slv", "hybrid"])
     p.add_argument("--s0", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=105.0)
     p.add_argument("--rate", type=float, default=0.03)

@@ -100,15 +100,16 @@ def build_process(args, dt):
             lv, v0=args.v0, kappa=args.kappa, theta=args.theta, xi=args.xi,
             rho=args.rho, n_steps=args.steps,
             n_particles=min(args.paths, 1 << 17), seed=args.seed)
-    elif args.process == "bates":
-        from montecarlo_tpu.processes import Bates
+    elif args.process in ("bates", "bates-qe"):
+        from montecarlo_tpu.processes import Bates, BatesQE
 
-        proc = Bates.create(s0=args.s0, v0=args.v0, mu=args.rate,
-                            kappa=args.kappa, theta=args.theta,
-                            xi=args.xi, rho=args.rho,
-                            lam=args.jump_intensity,
-                            jump_mean=args.jump_mean,
-                            jump_std=args.jump_std, dt=dt)
+        proc = (Bates if args.process == "bates" else BatesQE).create(
+            s0=args.s0, v0=args.v0, mu=args.rate,
+            kappa=args.kappa, theta=args.theta,
+            xi=args.xi, rho=args.rho,
+            lam=args.jump_intensity,
+            jump_mean=args.jump_mean,
+            jump_std=args.jump_std, dt=dt)
     elif args.process in ("rbergomi", "hybrid"):
         proc = None  # dedicated branches below (own simulators/discounting)
     else:
@@ -124,7 +125,7 @@ def build_sampler(args, proc):
 
     if (args.sampler.startswith("sobol")
             and args.process in ("merton", "kou", "bates", "nig", "vg",
-                                 "heston-qe")):
+                                 "heston-qe", "bates-qe")):
         raise SystemExit(
             f"--sampler {args.sampler} substitutes normals for every draw, "
             f"but {args.process} consumes non-normal uniforms (jump counts "
@@ -239,7 +240,7 @@ def append_oracles(out, args, disc) -> None:
                 args.s0, args.strike, args.maturity, args.rate))
         if _math.isfinite(cf):
             out["cf_price"] = cf
-    if (args.process == "bates" and args.payoff == "call"
+    if (args.process in ("bates", "bates-qe") and args.payoff == "call"
             and not args.american):
         import jax
         import math as _math

@@ -209,7 +209,8 @@ def run_american(args, proc, dt):
     payoff = ((lambda s: jnp.maximum(s - args.strike, 0.0))
               if args.payoff == "call"
               else (lambda s: jnp.maximum(args.strike - s, 0.0)))
-    if args.process in ("heston", "heston-qe", "bates", "slv"):
+    if args.process in ("heston", "heston-qe", "bates", "bates-qe",
+                        "slv"):
         # Stochastic vol: regress the continuation on (S, v) jointly —
         # the spot-only policy cannot see the vol state and prices
         # strictly worse (engine/american.py::lsm_policy_sv).

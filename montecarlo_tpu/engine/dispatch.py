@@ -23,6 +23,7 @@ from montecarlo_tpu.processes.heston import Heston
 from montecarlo_tpu.processes.heston_qe import HestonQE
 from montecarlo_tpu.processes.basket import BasketGBM
 from montecarlo_tpu.processes.bates import Bates
+from montecarlo_tpu.processes.bates_qe import BatesQE
 from montecarlo_tpu.processes.merton import Merton
 from montecarlo_tpu.processes.ccc_garch import CCCGarch
 from montecarlo_tpu.processes.dcc_garch import DCCGarch
@@ -40,8 +41,8 @@ from montecarlo_tpu.rng.sobol import (SobolBridgeKernelSampler,
                                       SobolDeviceSampler)
 from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 
-_FUSABLE = (GBM, GARCHBootstrap, Heston, HestonQE, BasketGBM, Bates, Merton,
-            CCCGarch,
+_FUSABLE = (GBM, GARCHBootstrap, Heston, HestonQE, BasketGBM, Bates,
+            BatesQE, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou, NIG,
             VarianceGamma, Vasicek, CIR, HullWhite, SABR, TermBasketGBM,
             SLVKnots, SLV)

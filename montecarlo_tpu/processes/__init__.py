@@ -15,6 +15,7 @@ from montecarlo_tpu.processes.heston_qe import HestonQE, HestonQEState  # noqa: 
 from montecarlo_tpu.processes.basket import BasketGBM  # noqa: F401
 from montecarlo_tpu.processes.garch_fit import GARCHParams, fit_garch  # noqa: F401
 from montecarlo_tpu.processes.bates import Bates, BatesState, bates_log_cf  # noqa: F401
+from montecarlo_tpu.processes.bates_qe import BatesQE, BatesQEState  # noqa: F401
 from montecarlo_tpu.processes.merton import Merton, MertonState, merton_call_series  # noqa: F401
 from montecarlo_tpu.processes.ccc_garch import CCCGarch  # noqa: F401
 from montecarlo_tpu.processes.dcc_garch import DCCGarch  # noqa: F401

@@ -80,90 +80,12 @@ class HestonQEState(NamedTuple):
     v: jnp.ndarray      # (n_paths,) — QE keeps v >= 0 by construction
 
 
-class HestonQE(NamedTuple("HestonQEFields", [
-        ("s0", jnp.ndarray),
-        ("v0", jnp.ndarray),
-        ("mu", jnp.ndarray),
-        ("kappa", jnp.ndarray),
-        ("theta", jnp.ndarray),
-        ("xi", jnp.ndarray),
-        ("rho", jnp.ndarray),
-        ("dt", jnp.ndarray),
-        # Precomputed per-step constants (create-time; plain functions of
-        # the parameters above, kept as leaves so step() is pure arithmetic
-        # and gradients flow through create via their defining formulas).
-        ("e_kdt", jnp.ndarray),   # e^{-kappa dt}
-        ("c1", jnp.ndarray),      # s2 = v c1 + c2
-        ("c2", jnp.ndarray),
-        ("k0", jnp.ndarray),      # uncorrected drift constant (fallback)
-        ("k1", jnp.ndarray),
-        ("k2", jnp.ndarray),
-        ("k3", jnp.ndarray),
-        ("k4", jnp.ndarray),
-        ("mgf_a", jnp.ndarray),   # A = k2 + k4/2 (martingale correction)
-])):
-    """Heston model under the Andersen QE-M scheme."""
-
-    n_draws = 2  # z_asset (normal) + u_variance (uniform, own stream)
-    #: ndtri + 2 logs + 4 sqrt per step — transcendental-heavy like Kou,
-    #: which measured fastest at 64-row blocks on v5e.
-    preferred_block_rows = 64
-
-    @classmethod
-    def create(cls, s0, v0, mu, kappa, theta, xi, rho, dt,
-               dtype=jnp.float32):
-        if float(xi) <= 0.0:
-            raise ValueError("xi must be positive (xi=0 is BS — use GBM)")
-        if float(kappa) <= 0.0:
-            raise ValueError("kappa must be positive (QE's conditional "
-                             "moments use the mean-reverting transition)")
-        as_ = lambda v: jnp.asarray(v, dtype)
-        kappa_, theta_, xi_, rho_, dt_ = (as_(kappa), as_(theta), as_(xi),
-                                          as_(rho), as_(dt))
-        e = jnp.exp(-kappa_ * dt_)
-        c1 = xi_ * xi_ * e * (1.0 - e) / kappa_
-        c2 = theta_ * xi_ * xi_ * jnp.square(1.0 - e) / (2.0 * kappa_)
-        g = as_(0.5)  # gamma1 = gamma2 = 1/2 (central discretization)
-        rx = rho_ / xi_
-        k1 = g * dt_ * (kappa_ * rx - 0.5) - rx
-        k2 = g * dt_ * (kappa_ * rx - 0.5) + rx
-        k34 = g * dt_ * (1.0 - jnp.square(rho_))
-        return cls(s0=as_(s0), v0=as_(v0), mu=as_(mu), kappa=kappa_,
-                   theta=theta_, xi=xi_, rho=rho_, dt=dt_, e_kdt=e,
-                   c1=c1, c2=c2, k0=-rx * kappa_ * theta_ * dt_,
-                   k1=k1, k2=k2, k3=k34, k4=k34,
-                   mgf_a=k2 + 0.5 * k34)
-
-    def init_state(self, path_ids, dtype=jnp.float32) -> HestonQEState:
-        shape = path_ids.shape
-        return HestonQEState(
-            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
-            v=jnp.full(shape, self.v0.astype(dtype), dtype),
-        )
-
-    def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
-        tt = jnp.asarray(t).astype(jnp.uint32)
-        return (normal_draw(seed, stream, path_ids, tt, dtype),
-                uniform_draw(seed, stream ^ _V_STREAM, path_ids, tt,
-                             dtype))
-
-    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
-        """Steps (2j, 2j+1) with explicit cipher sharing (fused kernel):
-        the two normals are the Box-Muller halves of counter j, the two
-        uniforms the halves of counter j on the variance stream — bitwise
-        identical to two :meth:`draws` calls by construction."""
-        jj = jnp.asarray(j).astype(jnp.uint32)
-        z0, z1 = normal_pair(seed, stream, path_ids, jj, dtype)
-        u0, u1 = uniform_pair(seed, stream ^ _V_STREAM, path_ids, jj,
-                              dtype)
-        return (z0, u0), (z1, u1)
-
-    def antithetic(self, eps):
-        z, u = eps
-        # Mirror the asset normal, reflect the variance uniform (stays
-        # uniform on the open interval and anticorrelates both branches'
-        # variance draws — ndtri(1-u) = -ndtri(u)).
-        return (-z, 1.0 - u)
+class QEVarianceMixin:
+    """The QE variance transition + martingale-corrected drift constant,
+    shared by :class:`HestonQE` and the jump extension
+    (:class:`~montecarlo_tpu.processes.bates_qe.BatesQE`) — one copy of
+    the scheme algebra, parameterized by the precomputed leaves
+    ``e_kdt/c1/c2/k0/k1/k3/mgf_a`` both carry."""
 
     def _next_v(self, v, u, dtype):
         """One QE variance transition: (v_next, quad_mask, a, b2, p, beta).
@@ -216,6 +138,99 @@ class HestonQE(NamedTuple("HestonQEFields", [
                             jnp.logical_and(jnp.logical_not(quad), ok_e))
         head = -(self.k1.astype(dtype) + 0.5 * self.k3.astype(dtype)) * v
         return jnp.where(ok, head - lm, self.k0.astype(dtype))
+
+
+def qe_constants(kappa, theta, xi, rho, dt, dtype):
+    """The create-time QE leaves shared by HestonQE and BatesQE:
+    (e_kdt, c1, c2, k0, k1, k2, k3/k4, mgf_a)."""
+    e = jnp.exp(-kappa * dt)
+    c1 = xi * xi * e * (1.0 - e) / kappa
+    c2 = theta * xi * xi * jnp.square(1.0 - e) / (2.0 * kappa)
+    g = jnp.asarray(0.5, dtype)  # gamma1 = gamma2 = 1/2 (central)
+    rx = rho / xi
+    k1 = g * dt * (kappa * rx - 0.5) - rx
+    k2 = g * dt * (kappa * rx - 0.5) + rx
+    k34 = g * dt * (1.0 - jnp.square(rho))
+    return e, c1, c2, -rx * kappa * theta * dt, k1, k2, k34, k2 + 0.5 * k34
+
+
+class HestonQE(QEVarianceMixin, NamedTuple("HestonQEFields", [
+        ("s0", jnp.ndarray),
+        ("v0", jnp.ndarray),
+        ("mu", jnp.ndarray),
+        ("kappa", jnp.ndarray),
+        ("theta", jnp.ndarray),
+        ("xi", jnp.ndarray),
+        ("rho", jnp.ndarray),
+        ("dt", jnp.ndarray),
+        # Precomputed per-step constants (create-time; plain functions of
+        # the parameters above, kept as leaves so step() is pure arithmetic
+        # and gradients flow through create via their defining formulas).
+        ("e_kdt", jnp.ndarray),   # e^{-kappa dt}
+        ("c1", jnp.ndarray),      # s2 = v c1 + c2
+        ("c2", jnp.ndarray),
+        ("k0", jnp.ndarray),      # uncorrected drift constant (fallback)
+        ("k1", jnp.ndarray),
+        ("k2", jnp.ndarray),
+        ("k3", jnp.ndarray),
+        ("k4", jnp.ndarray),
+        ("mgf_a", jnp.ndarray),   # A = k2 + k4/2 (martingale correction)
+])):
+    """Heston model under the Andersen QE-M scheme."""
+
+    n_draws = 2  # z_asset (normal) + u_variance (uniform, own stream)
+    #: ndtri + 2 logs + 4 sqrt per step — transcendental-heavy like Kou,
+    #: which measured fastest at 64-row blocks on v5e.
+    preferred_block_rows = 64
+
+    @classmethod
+    def create(cls, s0, v0, mu, kappa, theta, xi, rho, dt,
+               dtype=jnp.float32):
+        if float(xi) <= 0.0:
+            raise ValueError("xi must be positive (xi=0 is BS — use GBM)")
+        if float(kappa) <= 0.0:
+            raise ValueError("kappa must be positive (QE's conditional "
+                             "moments use the mean-reverting transition)")
+        as_ = lambda v: jnp.asarray(v, dtype)
+        kappa_, theta_, xi_, rho_, dt_ = (as_(kappa), as_(theta), as_(xi),
+                                          as_(rho), as_(dt))
+        e, c1, c2, k0, k1, k2, k34, mgf_a = qe_constants(
+            kappa_, theta_, xi_, rho_, dt_, dtype)
+        return cls(s0=as_(s0), v0=as_(v0), mu=as_(mu), kappa=kappa_,
+                   theta=theta_, xi=xi_, rho=rho_, dt=dt_, e_kdt=e,
+                   c1=c1, c2=c2, k0=k0, k1=k1, k2=k2, k3=k34, k4=k34,
+                   mgf_a=mgf_a)
+
+    def init_state(self, path_ids, dtype=jnp.float32) -> HestonQEState:
+        shape = path_ids.shape
+        return HestonQEState(
+            log_s=jnp.full(shape, log32(self.s0).astype(dtype), dtype),
+            v=jnp.full(shape, self.v0.astype(dtype), dtype),
+        )
+
+    def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
+        tt = jnp.asarray(t).astype(jnp.uint32)
+        return (normal_draw(seed, stream, path_ids, tt, dtype),
+                uniform_draw(seed, stream ^ _V_STREAM, path_ids, tt,
+                             dtype))
+
+    def draws_pair(self, seed, stream, path_ids, j, dtype=jnp.float32):
+        """Steps (2j, 2j+1) with explicit cipher sharing (fused kernel):
+        the two normals are the Box-Muller halves of counter j, the two
+        uniforms the halves of counter j on the variance stream — bitwise
+        identical to two :meth:`draws` calls by construction."""
+        jj = jnp.asarray(j).astype(jnp.uint32)
+        z0, z1 = normal_pair(seed, stream, path_ids, jj, dtype)
+        u0, u1 = uniform_pair(seed, stream ^ _V_STREAM, path_ids, jj,
+                              dtype)
+        return (z0, u0), (z1, u1)
+
+    def antithetic(self, eps):
+        z, u = eps
+        # Mirror the asset normal, reflect the variance uniform (stays
+        # uniform on the open interval and anticorrelates both branches'
+        # variance draws — ndtri(1-u) = -ndtri(u)).
+        return (-z, 1.0 - u)
 
     def step(self, state: HestonQEState, eps, t) -> HestonQEState:
         dtype = state.log_s.dtype

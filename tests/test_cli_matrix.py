@@ -18,8 +18,9 @@ import pytest
 
 from montecarlo_tpu import cli
 
-PROCESSES = ["gbm", "cev", "heston", "heston-qe", "bates", "merton", "kou",
-             "nig", "vg", "sabr", "rbergomi", "slv", "hybrid"]
+PROCESSES = ["gbm", "cev", "heston", "heston-qe", "bates", "bates-qe",
+             "merton", "kou", "nig", "vg", "sabr", "rbergomi", "slv",
+             "hybrid"]
 PAYOFFS = ["call", "put", "digital", "asian", "lookback", "up-and-out",
            "up-and-in", "max-call"]
 SAMPLERS = ["plain", "antithetic", "sobol", "sobol-device", "sobol-bridge"]
