@@ -123,14 +123,16 @@ def build_sampler(args, proc):
         AntitheticSampler, PlainSampler, SobolSampler,
     )
 
-    if (args.sampler.startswith("sobol")
-            and args.process in ("merton", "kou", "bates", "nig", "vg",
-                                 "heston-qe", "bates-qe")):
+    mixed = proc is not None and any(
+        k != "normal" for k in getattr(proc, "draw_kinds",
+                                       ("normal",) * proc.n_draws))
+    if args.sampler in ("sobol-device", "sobol-bridge") and mixed:
         raise SystemExit(
-            f"--sampler {args.sampler} substitutes normals for every draw, "
-            f"but {args.process} consumes non-normal uniforms (jump counts "
-            "/ subordinator inversions / the QE variance branch) — use "
-            "plain or antithetic sampling")
+            f"--sampler {args.sampler} substitutes normals for every draw "
+            f"in-kernel, but {args.process} consumes non-normal uniforms "
+            "(jump counts / subordinator inversions / the QE variance "
+            "branch) — use `--sampler sobol` (host mixed-draw QMC) or "
+            "plain/antithetic sampling")
     if args.sampler == "plain":
         sampler = PlainSampler()
     elif args.sampler == "antithetic":
@@ -152,8 +154,12 @@ def build_sampler(args, proc):
 
         sampler = SobolDeviceSampler.create(args.steps, proc.n_draws)
     else:
-        sampler = SobolSampler.create(args.paths, args.steps,
-                                      proc.n_draws, seed=args.seed)
+        # Routes to MixedSobolSampler for processes with uniform slots
+        # (jump counts, subordinators, QE variance) — inverse-transform
+        # QMC is valid for any marginal, so the jump/Levy/QE families get
+        # QMC too, not just the all-normal diffusions.
+        sampler = SobolSampler.for_process(proc, args.paths, args.steps,
+                                           seed=args.seed)
     return sampler
 
 
@@ -173,8 +179,8 @@ def sobol_replicate_factory(args, proc, n_per: int):
         # Host Owen-scrambled sampler, re-scrambled per replicate.
         from montecarlo_tpu.samplers import SobolSampler
 
-        return (lambda r: SobolSampler.create(
-            n_per, args.steps, proc.n_draws, seed=args.seed + r))
+        return (lambda r: SobolSampler.for_process(
+            proc, n_per, args.steps, seed=args.seed + r))
     from montecarlo_tpu.rng import SobolDeviceSampler
 
     return (lambda r: SobolDeviceSampler.create(

@@ -53,6 +53,13 @@ class NormalDrawsMixin:
     Threefry call (draw index ``m = t*D + d``, counter ``m >> 1``), so the
     cipher work is CSE'd."""
 
+    @property
+    def draw_kinds(self):
+        """Per-slot innovation kinds ("normal"/"uniform") — what a
+        distribution-substituting sampler (QMC) must provide per draw.
+        Mixed-draw processes override this as a class attribute."""
+        return ("normal",) * self.n_draws
+
     def draws(self, seed, stream, path_ids, t, dtype=jnp.float32):
         d0 = jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(self.n_draws)
         return tuple(

@@ -51,6 +51,7 @@ class Bates(NamedTuple("BatesFields", [
     """Bates stochastic-volatility jump-diffusion."""
 
     n_draws = 4  # z_s, z_perp, u_count, z_jump
+    draw_kinds = ("normal", "normal", "uniform", "normal")
 
     @classmethod
     def create(cls, s0, v0, mu, kappa, theta, xi, rho, lam, jump_mean,

@@ -70,6 +70,7 @@ class BatesQE(QEVarianceMixin, NamedTuple("BatesQEFields", [
     """Bates stochastic-volatility jump-diffusion under QE-M."""
 
     n_draws = 4  # z_s, u_variance, u_count, z_jump
+    draw_kinds = ("normal", "uniform", "uniform", "normal")
     preferred_block_rows = 64  # transcendental-heavy, like HestonQE/Kou
 
     @classmethod

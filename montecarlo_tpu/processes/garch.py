@@ -59,6 +59,7 @@ class GARCHBootstrap(NamedTuple("GARCHFields", [
     """Bootstrap-GARCH(1,1) with a device-resident shock table."""
 
     n_draws = 1
+    draw_kinds = ("uniform",)  # bootstrap resampling index
 
     @classmethod
     def create(cls, returns, s0, var0, omega=DEFAULT_OMEGA,

@@ -179,6 +179,7 @@ class HestonQE(QEVarianceMixin, NamedTuple("HestonQEFields", [
     """Heston model under the Andersen QE-M scheme."""
 
     n_draws = 2  # z_asset (normal) + u_variance (uniform, own stream)
+    draw_kinds = ("normal", "uniform")
     #: ndtri + 2 logs + 4 sqrt per step — transcendental-heavy like Kou,
     #: which measured fastest at 64-row blocks on v5e.
     preferred_block_rows = 64

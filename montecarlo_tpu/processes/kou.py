@@ -54,6 +54,7 @@ class Kou(NamedTuple("KouFields", [
     """Kou double-exponential jump-diffusion with risk-drift compensation."""
 
     n_draws = 2 + K_MAX  # z, u_count, u_jump[0..K_MAX-1]
+    draw_kinds = ("normal",) + ("uniform",) * (1 + K_MAX)
     #: Measured v5e optimum for this transcendental-heavy step (4 log32 +
     #: Box-Muller per step): 8.1e9 path-steps/s at 64 rows vs 7.8 at 128.
     preferred_block_rows = 64

@@ -77,6 +77,7 @@ class Merton(NamedTuple("MertonFields", [
     """Merton jump-diffusion with risk-drift compensation."""
 
     n_draws = 3
+    draw_kinds = ("normal", "uniform", "normal")  # z1, u_count, z_jump
 
     @classmethod
     def create(cls, s0, mu, sigma, lam, jump_mean, jump_std, dt,

@@ -67,6 +67,7 @@ class NIG(NamedTuple("NIGFields", [
     """Normal-inverse-Gaussian log-returns with martingale correction."""
 
     n_draws = 3  # z_ig (IG transform), u (accept), z (conditional normal)
+    draw_kinds = ("normal", "uniform", "normal")
 
     @classmethod
     def create(cls, s0, mu, alpha, beta, delta, dt, dtype=jnp.float32):

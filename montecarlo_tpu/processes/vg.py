@@ -77,6 +77,7 @@ class VarianceGamma(NamedTuple("VGFields", [
     same ~1e-6 accuracy."""
 
     n_draws = 3  # u_w (shape-(1+a) inversion), u_boost, z
+    draw_kinds = ("uniform", "uniform", "normal")
 
     @classmethod
     def create(cls, s0, mu, sigma, theta, nu, dt, dtype=jnp.float32):

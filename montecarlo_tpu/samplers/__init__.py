@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,25 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
         return tuple(step[..., d] for d in range(self.z.shape[-1]))
 
     @classmethod
+    def for_process(cls, process, n_paths: int, n_steps: int, seed: int = 0,
+                    dtype=jnp.float32, bridge: bool = False):
+        """The one entry point callers should use: all-normal processes get
+        a plain :class:`SobolSampler`; processes with uniform slots
+        (``draw_kinds``) get a :class:`MixedSobolSampler` whose uniform
+        dimensions stay raw QMC uniforms."""
+        kinds = tuple(getattr(process, "draw_kinds",
+                              ("normal",) * process.n_draws))
+        if all(k == "normal" for k in kinds):
+            return cls.create(n_paths, n_steps, len(kinds), seed=seed,
+                              dtype=dtype, bridge=bridge)
+        if bridge:
+            raise ValueError("the Brownian-bridge construction reorders "
+                             "NORMAL increments; this process has uniform "
+                             "draw slots")
+        return MixedSobolSampler.create(process, n_paths, n_steps,
+                                        seed=seed, dtype=dtype)
+
+    @classmethod
     def create(cls, n_paths: int, n_steps: int, n_draws: int, seed: int = 0,
                dtype=jnp.float32, bridge: bool = False) -> "SobolSampler":
         """``bridge=True`` applies the Brownian-bridge construction (single
@@ -115,3 +135,67 @@ class SobolSampler(NamedTuple("SobolFields", [("z", jnp.ndarray)])):
             z = _brownian_bridge_increments(z)
         z = z.reshape(n_paths, n_steps, n_draws)
         return cls(z=jnp.asarray(z, dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+class MixedSobolSampler:
+    """Scrambled Sobol QMC for processes with MIXED normal/uniform draw
+    slots (jump counts, subordinator/bootstrap/QE-variance uniforms).
+
+    Each (step, slot) gets its own Sobol dimension, exactly like
+    :class:`SobolSampler`; normal slots map through the inverse CDF,
+    uniform slots keep the raw scrambled point (clipped to the open
+    interval so downstream logs / inverse CDFs stay finite) — inverse-
+    transform sampling under QMC is unbiased for ANY marginal, so jump
+    counts and bootstrap indices are as valid as normals.  The slot
+    layout (``kinds``) rides the pytree as static aux data; the engine
+    validates it against the process's ``draw_kinds`` at trace time, so
+    a table built for one process cannot silently corrupt another.
+    """
+
+    def __init__(self, z, kinds):
+        self.z = z
+        self.kinds = tuple(kinds)
+
+    def tree_flatten(self):
+        return (self.z,), self.kinds
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    def validate(self, process, n_steps: int) -> None:
+        want = tuple(getattr(process, "draw_kinds",
+                             ("normal",) * getattr(process, "n_draws", 0)))
+        if want != self.kinds:
+            raise ValueError(
+                f"MixedSobolSampler slot layout {self.kinds} does not "
+                f"match {type(process).__name__}.draw_kinds {want} — "
+                "build the sampler with SobolSampler.for_process(process)")
+        if n_steps > self.z.shape[1]:
+            raise ValueError(
+                f"sampler table covers {self.z.shape[1]} steps, run asks "
+                f"for {n_steps} — later steps would clamp-gather and "
+                "silently reuse the last dimension")
+
+    def draws(self, process, seed, stream, path_ids, t, dtype=jnp.float32):
+        step = self.z[path_ids.astype(jnp.int32), t].astype(dtype)
+        return tuple(step[..., d] for d in range(len(self.kinds)))
+
+    @classmethod
+    def create(cls, process, n_paths: int, n_steps: int, seed: int = 0,
+               dtype=jnp.float32) -> "MixedSobolSampler":
+        from scipy.special import ndtri
+        from scipy.stats import qmc
+
+        kinds = tuple(process.draw_kinds)
+        d = len(kinds)
+        eng = qmc.Sobol(d=n_steps * d, scramble=True, seed=seed)
+        m = max(1, int(np.ceil(np.log2(max(n_paths, 2)))))
+        u = eng.random_base2(m=m)[:n_paths].reshape(n_paths, n_steps, d)
+        # Open interval, matching uniform_from_bits' guarantee: inverse
+        # CDFs and the normal quantile must stay finite.
+        u = np.clip(u, 2.0**-24, 1.0 - 2.0**-24)
+        z = np.where(np.asarray([k == "normal" for k in kinds]),
+                     ndtri(u), u)
+        return cls(jnp.asarray(z, dtype), kinds)
