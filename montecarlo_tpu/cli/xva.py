@@ -126,6 +126,15 @@ def _add_xva(sub):
                         "runs unsharded — incompatible with --mesh; with "
                         "--mta > 0 the deadband boundary is ignored and a "
                         "warning is raised)")
+    p.add_argument("--allocate", action="store_true",
+                   help="portfolio: Euler (marginal) allocation of the "
+                        "netted CVA/DVA/FVA to each trade "
+                        "(engine.exposure.xva_trade_allocations — one "
+                        "forward tangent per trade under common random "
+                        "numbers; allocations sum to the totals exactly "
+                        "when collateral is homogeneous, i.e. no-CSA or "
+                        "zero threshold/MTA; otherwise the gap is "
+                        "reported; runs unsharded)")
     p.add_argument("--kva-cost", type=float, default=0.0,
                    help="portfolio: cost-of-capital hurdle rate (KVA; 0 "
                         "disables). Capital is modeled as "
@@ -154,6 +163,9 @@ def cmd_xva(args) -> int:
 
     if args.portfolio:
         return _cmd_xva_portfolio(args)
+    if args.allocate:
+        raise SystemExit("--allocate decomposes a netted book; it "
+                         "requires --portfolio")
 
     if args.underlying == "equity":
         from montecarlo_tpu.processes import GBM
@@ -346,6 +358,10 @@ def _cmd_xva_portfolio(args) -> int:
             raise SystemExit("--checkpoint/--chunk-paths stream the "
                              "SINGLE netting set only; drop "
                              "--counterparties or run without streaming")
+        if args.allocate:
+            raise SystemExit("--allocate decomposes ONE netting set; "
+                             "drop --counterparties (allocations within "
+                             "each set are the single-set runs)")
         use_mesh = getattr(args, "mesh", 0)
         per_set = dict(csa=csa, recovery=args.recovery,
                        kva_cost=args.kva_cost,
@@ -534,6 +550,28 @@ def _cmd_xva_portfolio(args) -> int:
         out["greeks"] = {o: {k: round(float(v), 8) for k, v in gg.items()}
                          for o, gg in g["greeks"].items()}
         out["state_param"] = state_param
+    if args.allocate:
+        if getattr(args, "mesh", 0) or args.checkpoint:
+            raise SystemExit("--allocate runs the unsharded netting body "
+                             "(one forward tangent per trade); drop "
+                             "--mesh/--checkpoint")
+        from montecarlo_tpu.engine.exposure import xva_trade_allocations
+
+        alloc_outs = ["cva", "dva"]
+        if args.funding_spread != 0.0:
+            alloc_outs.append("fva")
+        if args.kva_cost != 0.0:
+            alloc_outs.append("kva")
+        al = xva_trade_allocations(
+            model, trades, args.paths, args.steps,
+            outputs=tuple(alloc_outs), wwr_beta=args.wwr_beta,
+            im_spread=args.im_spread, im_mpor=args.mpor, **common)
+        out["allocations"] = {
+            k: [round(float(x), 6) for x in np.asarray(v)]
+            for k, v in al["allocations"].items()}
+        out["allocation_gap"] = {
+            k: round(float(v), 8)
+            for k, v in al["allocation_gap"].items()}
     print(json.dumps(out))
     return 0
 

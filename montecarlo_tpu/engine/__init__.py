@@ -53,6 +53,7 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
 from montecarlo_tpu.engine.exposure import (  # noqa: F401
     exposure_profile,
     swap_value_fn,
+    xva_trade_allocations,
 )
 from montecarlo_tpu.engine.credit import (  # noqa: F401
     cdo_tranche,
