@@ -260,6 +260,12 @@ def _cmd_xva_portfolio(args) -> int:
                          "the regression fit needs global cross-path "
                          "solves; drop --mesh or use "
                          "--swaption-exercise 1")
+    if args.allocate and (getattr(args, "mesh", 0) or args.checkpoint):
+        # Validate up front: failing only after the profile run would make
+        # the user pay the whole simulation before the SystemExit.
+        raise SystemExit("--allocate runs the unsharded netting body "
+                         "(one forward tangent per trade); drop "
+                         "--mesh/--checkpoint")
 
     def scaled(fn, a):
         return lambda s, t: a * fn(s, t)
@@ -551,10 +557,6 @@ def _cmd_xva_portfolio(args) -> int:
                          for o, gg in g["greeks"].items()}
         out["state_param"] = state_param
     if args.allocate:
-        if getattr(args, "mesh", 0) or args.checkpoint:
-            raise SystemExit("--allocate runs the unsharded netting body "
-                             "(one forward tangent per trade); drop "
-                             "--mesh/--checkpoint")
         from montecarlo_tpu.engine.exposure import xva_trade_allocations
 
         alloc_outs = ["cva", "dva"]
@@ -562,6 +564,10 @@ def _cmd_xva_portfolio(args) -> int:
             alloc_outs.append("fva")
         if args.kva_cost != 0.0:
             alloc_outs.append("kva")
+        if args.im_spread != 0.0:
+            alloc_outs.append("mva")
+        if args.wwr_beta != 0.0:
+            alloc_outs.append("cva_wwr")
         al = xva_trade_allocations(
             model, trades, args.paths, args.steps,
             outputs=tuple(alloc_outs), wwr_beta=args.wwr_beta,

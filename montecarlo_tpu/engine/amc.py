@@ -77,7 +77,7 @@ def _poly_and_slope(beta, r, m, sd, degree: int):
 def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
                                 payment_times, pay_dt: float, *,
                                 n_exercise: int, payer: bool = True,
-                                degree: int = 3, dtype=jnp.float64):
+                                degree: int = 3, dtype=None):
     """Bermudan payer/receiver swaption as an AMC-marked netting trade.
 
     The holder may exercise into the REMAINING swap at the first
@@ -99,7 +99,13 @@ def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
     - ``dvalues`` for the delta-normal IM: the regression's analytic
       slope on alive paths (the fitted betas are FROZEN — standard
       delta-normal practice), the swap jvp on exercised ones.
+
+    ``dtype=None`` follows the model's parameter dtype (see
+    `engine.exposure.swap_value_fn`).
     """
+    from montecarlo_tpu.engine.exposure import _model_dtype
+
+    dtype = _model_dtype(model, dtype)
     times_np = [float(t) for t in payment_times]
     n_pay = len(times_np)
     if not 1 <= n_exercise <= n_pay:

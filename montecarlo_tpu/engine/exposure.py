@@ -31,8 +31,16 @@ from montecarlo_tpu.engine.simulate import simulate
 from montecarlo_tpu.processes.shortrate import Vasicek
 
 
+def _model_dtype(model, dtype):
+    """Resolve a value-closure dtype: explicit wins; otherwise follow the
+    MODEL's parameter dtype (CLAUDE.md: library code pins dtypes
+    explicitly — a hard f64 default silently truncated to f32 under
+    non-x64 runtimes whenever the caller's model was f32)."""
+    return jnp.result_type(model.sigma) if dtype is None else dtype
+
+
 def swap_value_fn(model: Vasicek, strike: float, payment_times,
-                  pay_dt: float, dtype=jnp.float64):
+                  pay_dt: float, dtype=None):
     """Valuation closure for a payer swap with fixed payment calendar.
 
     ``payment_times``: (P,) absolute times of the remaining fixed/float
@@ -48,9 +56,11 @@ def swap_value_fn(model: Vasicek, strike: float, payment_times,
     arguments, the leg falls back to ``1 - P(t,T_last)``, which is exact
     only ON payment dates (it drops the in-period fixing — the two forms
     coincide at t = t_fix).  ``dtype`` pins the calendar's precision
-    (CLAUDE.md: library code pins dtypes explicitly) — default matches
-    `exposure_profile`'s float64.
+    (CLAUDE.md: library code pins dtypes explicitly) — the default
+    follows the model's parameter dtype (f64 in the x64 test env, f32
+    for an f32 model under the CLI/driver runtimes).
     """
+    dtype = _model_dtype(model, dtype)
     times = jnp.asarray(payment_times, dtype)
 
     def value(r, t, r_fix=None, t_fix=None):
@@ -319,7 +329,7 @@ class PathDependentTrade(NamedTuple):
 
 def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
                       payment_times, pay_dt: float, *, payer: bool = True,
-                      physical: bool = True, dtype=jnp.float64):
+                      physical: bool = True, dtype=None):
     """European swaption as a netting-set trade, marked in closed form.
 
     Before expiry the mark is the Jamshidian (1989) decomposition: the
@@ -346,8 +356,10 @@ def swaption_value_fn(model: Vasicek, strike: float, expiry: float,
     :func:`montecarlo_tpu.engine.bermudan.vasicek_swaption_jamshidian`;
     payer minus receiver equals the forward swap value (parity); the
     discounted mark is a martingale across the whole grid (physical) /
-    up to expiry (cash).
+    up to expiry (cash).  ``dtype=None`` follows the model's parameter
+    dtype (see `swap_value_fn`).
     """
+    dtype = _model_dtype(model, dtype)
     times_np = [float(t) for t in payment_times]
     if min(times_np) <= float(expiry):
         raise ValueError("every payment must be after the swaption expiry "
@@ -1250,10 +1262,10 @@ def xva_trade_allocations(model, trades, n_paths: int, n_steps: int, *,
 
     def run(w0):
         vals, lin = jax.linearize(scalars, w0)
-        eye = jnp.eye(n_tr, dtype=dtype)
-        per_trade = [lin(eye[i]) for i in range(n_tr)]
-        allocs = {k: jnp.stack([p[k] for p in per_trade])
-                  for k in outputs}
+        # vmap the linear tangent map over the n_trades basis vectors:
+        # one traced tangent computation instead of n_trades unrolled
+        # copies (trace/compile size stays O(1) in book size).
+        allocs = jax.vmap(lin)(jnp.eye(n_tr, dtype=dtype))
         return vals, allocs
 
     vals, allocs = jax.jit(run)(jnp.ones((n_tr,), dtype))
