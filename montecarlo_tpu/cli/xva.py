@@ -73,10 +73,9 @@ def _add_xva(sub):
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="portfolio: shard the simulation + marking over an "
                         "N-device paths mesh (sharded_netting_profile — "
-                        "bitwise mesh-shape-invariant profiles; PFE via the "
-                        "integer-psum sketch, grid error reported; "
-                        "incompatible with --wwr-beta, which runs "
-                        "unsharded)")
+                        "bitwise mesh-shape-invariant profiles incl. "
+                        "IM/MVA, WWR, and Bermudan AMC legs; PFE via the "
+                        "integer-psum sketch, grid error reported)")
     p.add_argument("--swaption-leg", action="store_true",
                    help="portfolio (rates): add a 0.5x physically-settled "
                         "payer swaption (expiry at half maturity into the "
@@ -88,24 +87,26 @@ def _add_xva(sub):
                    help="with --swaption-leg: number of Bermudan exercise "
                         "dates (1 = European, Jamshidian-marked; >1 = "
                         "American-Monte-Carlo regression marks, "
-                        "engine.amc.bermudan_swaption_amc_trade; AMC "
-                        "books run unsharded)")
+                        "engine.amc.bermudan_swaption_amc_trade; with "
+                        "--mesh the fit runs distributed on gathered "
+                        "fixed-block Gram sums; --checkpoint streaming "
+                        "still rejects AMC)")
     p.add_argument("--counterparties", type=int, default=1,
                    choices=[1, 2],
                    help="portfolio: 2 splits the demo book across two "
                         "counterparties (second at 1.5x the hazard) and "
                         "runs the multi-netting-set portfolio engine on "
                         "ONE simulation (engine.exposure.portfolio_xva; "
-                        "with --mesh N: parallel.sharded_portfolio_xva — "
-                        "excludes IM/MVA and WWR; incompatible with "
-                        "--greeks)")
+                        "with --mesh N: parallel.sharded_portfolio_xva; "
+                        "incompatible with --greeks)")
     p.add_argument("--checkpoint", default=None, metavar="PATH.npz",
                    help="portfolio: stream the netting profile in chunks "
                         "with checkpoint/resume "
                         "(engine.streaming.streaming_netting_profile — "
                         "resume is bitwise the uninterrupted run; "
-                        "excludes IM/MVA/WWR like --mesh, and --mesh "
-                        "itself)")
+                        "IM/MVA included; excludes WWR and AMC legs "
+                        "(global fits need a second pass over every "
+                        "chunk), and --mesh itself)")
     p.add_argument("--chunk-paths", type=int, default=0,
                    help="portfolio streaming: paths per chunk (default "
                         "paths/4; blocks per chunk must be a power of "
@@ -123,7 +124,8 @@ def _add_xva(sub):
                    help="portfolio: pathwise-AD xVA sensitivities "
                         "(d{cva,dva,bcva,fva,mva}/d{r0|s0, sigma, "
                         "hazard_rate} via engine.exposure.xva_greeks; "
-                        "runs unsharded — incompatible with --mesh; with "
+                        "with --mesh N: parallel.sharded_xva_greeks — "
+                        "values AND greeks bitwise mesh-invariant; with "
                         "--mta > 0 the deadband boundary is ignored and a "
                         "warning is raised)")
     p.add_argument("--allocate", action="store_true",
@@ -255,10 +257,11 @@ def _cmd_xva_portfolio(args) -> int:
         raise SystemExit("--swaption-leg is a rates trade; use "
                          "--underlying rates")
     if (args.swaption_leg and args.swaption_exercise > 1
-            and getattr(args, "mesh", 0)):
-        raise SystemExit("Bermudan (AMC) swaption legs run unsharded — "
-                         "the regression fit needs global cross-path "
-                         "solves; drop --mesh or use "
+            and args.checkpoint):
+        raise SystemExit("Bermudan (AMC) swaption legs cannot stream — "
+                         "the regression fit needs all paths before any "
+                         "chunk can be marked; drop --checkpoint, use "
+                         "--mesh (distributed fit), or "
                          "--swaption-exercise 1")
     if args.allocate and (getattr(args, "mesh", 0) or args.checkpoint):
         # Validate up front: failing only after the profile run would make
@@ -329,17 +332,15 @@ def _cmd_xva_portfolio(args) -> int:
             if args.swaption_leg and args.swaption_exercise > 1:
                 from montecarlo_tpu.engine.amc import (
                     bermudan_swaption_amc_trade)
-                from montecarlo_tpu.engine.exposure import (
-                    SimulationMarkedTrade)
 
-                am = bermudan_swaption_amc_trade(
+                # notional=0.5 INSIDE the trade (not a wrapping lambda):
+                # the structured spec must survive for the sharded
+                # engines' distributed fit.
+                trades += (bermudan_swaption_amc_trade(
                     model, k_full, times_back, pay_dt,
                     n_exercise=min(args.swaption_exercise,
                                    len(times_back)),
-                    dtype=jnp.float32)
-                trades += (SimulationMarkedTrade(
-                    lambda p_, t_, T_: tuple(
-                        0.5 * x for x in am.mark_fn(p_, t_, T_))),)
+                    notional=0.5, dtype=jnp.float32),)
             elif args.swaption_leg:
                 sw = swaption_value_fn(model, k_full, t_exp, times_back,
                                        pay_dt, payer=True, physical=True,
@@ -371,15 +372,8 @@ def _cmd_xva_portfolio(args) -> int:
         use_mesh = getattr(args, "mesh", 0)
         per_set = dict(csa=csa, recovery=args.recovery,
                        kva_cost=args.kva_cost,
-                       kva_capital_ratio=args.kva_capital_ratio)
-        if use_mesh:
-            if args.im_spread != 0.0 or args.wwr_beta != 0.0:
-                raise SystemExit(
-                    "--counterparties --mesh excludes IM/MVA and WWR "
-                    "(global per-date reductions) — drop "
-                    "--im-spread/--wwr-beta or run unsharded")
-        else:
-            per_set["im_spread"] = args.im_spread
+                       kva_capital_ratio=args.kva_capital_ratio,
+                       im_spread=args.im_spread)
         sets = {"cpty_a": dict(trades=trades[:1],
                                hazard_rate=args.hazard, **per_set),
                 "cpty_b": dict(trades=trades[1:],
@@ -416,8 +410,7 @@ def _cmd_xva_portfolio(args) -> int:
             out[f"peak_epe_{name}"] = round(
                 float(np.max(np.asarray(p_["epe"]))), 6)
         tot = res["portfolio"]
-        tot_keys = ("cva", "dva", "bcva", "fva", "kva")
-        for k in (tot_keys if use_mesh else tot_keys + ("mva",)):
+        for k in ("cva", "dva", "bcva", "fva", "kva", "mva"):
             out[f"{k}_total"] = round(float(tot[k]), 6)
         out["peak_epe_total"] = round(float(tot["peak_epe"]), 6)
         if use_mesh:
@@ -433,15 +426,16 @@ def _cmd_xva_portfolio(args) -> int:
                   recovery=args.recovery, own_hazard_rate=args.own_hazard,
                   own_recovery=args.own_recovery,
                   funding_spread=args.funding_spread,
+                  im_spread=args.im_spread,
                   kva_cost=args.kva_cost,
                   kva_capital_ratio=args.kva_capital_ratio,
                   flat_rate=flat_rate, dtype=jnp.float32)
     if args.checkpoint:
-        if getattr(args, "mesh", 0) or args.wwr_beta != 0.0 \
-                or args.im_spread != 0.0 or args.greeks:
+        if getattr(args, "mesh", 0) or args.wwr_beta != 0.0 or args.greeks:
             raise SystemExit(
-                "--checkpoint streams the single netting set unsharded; "
-                "drop --mesh/--wwr-beta/--im-spread/--greeks")
+                "--checkpoint streams the single netting set unsharded "
+                "(WWR's global Newton fit cannot stream); drop "
+                "--mesh/--wwr-beta/--greeks")
         from montecarlo_tpu.engine.streaming import (
             streaming_netting_profile)
         from montecarlo_tpu.parallel import DEFAULT_BLOCK
@@ -451,18 +445,13 @@ def _cmd_xva_portfolio(args) -> int:
         prof = streaming_netting_profile(
             model, trades, args.paths, args.steps, chunk_paths=chunk,
             block_size=block, checkpoint_path=args.checkpoint,
-            **common)
+            im_mpor=args.mpor, **common)
     elif getattr(args, "mesh", 0):
         import jax
 
         from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
                                              sharded_netting_profile)
 
-        if args.wwr_beta != 0.0:
-            raise SystemExit(
-                "--mesh is incompatible with --wwr-beta: the wrong-way "
-                "Newton calibration needs a global mean per iteration per "
-                "date; run WWR unsharded")
         n_dev = len(jax.devices())
         if args.mesh > n_dev:
             raise SystemExit(f"--mesh {args.mesh}: only {n_dev} device(s) "
@@ -470,11 +459,11 @@ def _cmd_xva_portfolio(args) -> int:
         block = min(DEFAULT_BLOCK, args.paths // args.mesh)
         prof = sharded_netting_profile(
             model, trades, args.paths, args.steps,
-            mesh=make_mesh(args.mesh), block_size=block, **common)
+            mesh=make_mesh(args.mesh), block_size=block,
+            wwr_beta=args.wwr_beta, im_mpor=args.mpor, **common)
     else:
         prof = netting_set_profile(model, trades, args.paths, args.steps,
                                    wwr_beta=args.wwr_beta,
-                                   im_spread=args.im_spread,
                                    im_mpor=args.mpor, **common)
     epe = np.asarray(prof["epe"])
     epe_u = np.asarray(prof["epe_uncollateralized"])
@@ -487,6 +476,8 @@ def _cmd_xva_portfolio(args) -> int:
         out[k] = round(float(prof[k]), 6)
     if args.kva_cost != 0.0:
         out["kva"] = round(float(prof["kva"]), 6)
+    out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
+    out["mva"] = round(float(prof["mva"]), 6)
     if getattr(args, "mesh", 0):
         out["mesh"] = args.mesh
         out["peak_pfe_grid_err"] = round(
@@ -497,9 +488,6 @@ def _cmd_xva_portfolio(args) -> int:
             float(np.asarray(prof["pfe_grid_err"]).max()), 6)
         out["pfe_overflow_max"] = int(
             np.asarray(prof["pfe_overflow"]).max())
-    else:
-        out["peak_im"] = round(float(np.asarray(prof["im"]).max()), 6)
-        out["mva"] = round(float(prof["mva"]), 6)
     if args.wwr_beta != 0.0:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
@@ -535,14 +523,16 @@ def _cmd_xva_portfolio(args) -> int:
             from montecarlo_tpu.parallel import (DEFAULT_BLOCK, make_mesh,
                                                  sharded_xva_greeks)
 
-            outs = ["cva", "dva", "bcva", "fva"]
+            outs = ["cva", "dva", "bcva", "fva", "mva"]
             if args.kva_cost != 0.0:
                 outs.append("kva")
             block = min(DEFAULT_BLOCK, args.paths // args.mesh)
             g = sharded_xva_greeks(build, params, args.paths, args.steps,
                                    mesh=make_mesh(args.mesh),
                                    block_size=block, outputs=tuple(outs),
-                                   **common_g)
+                                   wwr_beta=args.wwr_beta,
+                                   im_spread=args.im_spread,
+                                   im_mpor=args.mpor, **common_g)
         else:
             from montecarlo_tpu.engine.exposure import xva_greeks
 

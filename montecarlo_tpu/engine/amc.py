@@ -31,12 +31,35 @@ Accuracy contract, stated rather than hidden:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from montecarlo_tpu.engine.exposure import (SimulationMarkedTrade,
                                             swap_value_fn)
 from montecarlo_tpu.processes.shortrate import Vasicek
+
+
+class AMCSwaptionSpec(NamedTuple):
+    """Structured description of a Bermudan-swaption AMC fit — what the
+    SHARDED netting engines need to decompose the regression into
+    gathered fixed-block Gram sums (`parallel.sharded._amc_fit_sharded`)
+    instead of running the opaque `mark_fn` closure per shard.
+
+    All fields are static (floats/tuples/closures), so the spec can ride
+    the jit-static ``sets`` tuple.  ``swap`` is the remaining-swap
+    valuation closure (`swap_value_fn`'s 2- and 4-argument forms);
+    ``ex_dates``/``resets`` are absolute times; ``notional`` scales the
+    returned marks (exercise decisions are scale-invariant).
+    """
+
+    swap: object
+    sign: float
+    notional: float
+    ex_dates: tuple
+    resets: tuple
+    degree: int
 
 
 def _weighted_polyfit(r, y, w, degree: int, dtype):
@@ -77,6 +100,7 @@ def _poly_and_slope(beta, r, m, sd, degree: int):
 def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
                                 payment_times, pay_dt: float, *,
                                 n_exercise: int, payer: bool = True,
+                                notional: float = 1.0,
                                 degree: int = 3, dtype=None):
     """Bermudan payer/receiver swaption as an AMC-marked netting trade.
 
@@ -100,8 +124,14 @@ def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
       slope on alive paths (the fitted betas are FROZEN — standard
       delta-normal practice), the swap jvp on exercised ones.
 
-    ``dtype=None`` follows the model's parameter dtype (see
+    ``notional`` scales the returned marks and slopes (exercise
+    decisions are scale-invariant, so a scaled trade has the same
+    policy); ``dtype=None`` follows the model's parameter dtype (see
     `engine.exposure.swap_value_fn`).
+
+    The returned trade carries an :class:`AMCSwaptionSpec` so the SHARDED
+    netting engines can re-run the identical fit on gathered fixed-block
+    Gram sums (`parallel.sharded._amc_fit_sharded`).
     """
     from montecarlo_tpu.engine.exposure import _model_dtype
 
@@ -116,6 +146,7 @@ def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
                          "must be strictly positive")
     resets_np = [times_np[j] - pay_dt for j in range(n_pay)]
     sign = 1.0 if payer else -1.0
+    scale = jnp.asarray(notional, dtype)
     swap = swap_value_fn(model, strike, times_np, pay_dt, dtype=dtype)
 
     def mark_fn(paths, times, T):
@@ -191,12 +222,15 @@ def bermudan_swaption_amc_trade(model: Vasicek, strike: float,
             v_sw, dv_sw = jax.jvp(
                 lambda rr: sign * swap(rr, t, r_fix, t_fix), (r,), (ones,))
             exercised = ~alive
-            return (jnp.where(exercised, v_sw, v_alive),
-                    jnp.where(exercised, dv_sw, dv_alive))
+            return (scale * jnp.where(exercised, v_sw, v_alive),
+                    scale * jnp.where(exercised, dv_sw, dv_alive))
 
         return jax.lax.map(row, jnp.arange(n_steps + 1))
 
-    return SimulationMarkedTrade(mark_fn)
+    spec = AMCSwaptionSpec(swap=swap, sign=sign, notional=float(notional),
+                           ex_dates=tuple(ex_dates),
+                           resets=tuple(resets_np), degree=degree)
+    return SimulationMarkedTrade(mark_fn, spec)
 
 
-__all__ = ["bermudan_swaption_amc_trade"]
+__all__ = ["AMCSwaptionSpec", "bermudan_swaption_amc_trade"]

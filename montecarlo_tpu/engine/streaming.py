@@ -12,7 +12,11 @@ chunks and keeps only O(blocks + sketch) state:
 - a mergeable histogram sketch of terminal values for quantiles/VaR/CVaR;
 - the RNG needs no state: counters are derived from global path ids, so a
   resumed run regenerates exactly the paths it would have had (seed-
-  deterministic re-execution — failed shards are replayable for free).
+  deterministic re-execution — failed shards are replayable for free;
+  exercised by fault injection in `tests/test_fault_injection.py`: a
+  lost chunk is re-executed from nothing but its path-id range and the
+  repaired estimate is bitwise the uninterrupted run's, for both the
+  moment/sketch stream and the netting chunk roots).
 
 Checkpoints are a single .npz (atomic rename); `resume=True` picks up a
 partial estimate mid-flight and the result is bitwise identical to the
@@ -430,7 +434,9 @@ def streaming_netting_profile(
     chunk_paths: int = 1 << 18, csa=None, quantile: float = 0.95,
     pfe_bins: int = 4096, hazard_rate: float = 0.0, recovery: float = 0.4,
     own_hazard_rate: float = 0.0, own_recovery: float = 0.4,
-    funding_spread: float = 0.0, kva_cost: float = 0.0,
+    funding_spread: float = 0.0, im_spread: float = 0.0,
+    im_quantile: float = 0.99, im_mpor: float = 10.0 / 252.0,
+    kva_cost: float = 0.0,
     kva_capital_ratio: float = 0.112, flat_rate=None, dtype=jnp.float64,
     block_size: int = DEFAULT_BLOCK,
     checkpoint_path: Optional[str] = None,
@@ -463,12 +469,22 @@ def streaming_netting_profile(
         grid would silently change resumed results.
 
     Returns `sharded_netting_profile`'s record plus ``pfe_overflow`` and
-    ``paths_done``.
+    ``paths_done`` (``im``/``mva`` included — the delta-normal IM rows
+    ride the same block stats; WWR and AMC trades remain unsharded or
+    sharded-only: the WWR calibration and the AMC fit are global
+    reductions a chunked stream would need a second full pass for).
     """
-    from montecarlo_tpu.engine.exposure import _credit_funding_scalars
+    from montecarlo_tpu.engine.exposure import (SimulationMarkedTrade,
+                                                _credit_funding_scalars)
     from montecarlo_tpu.parallel.sharded import netting_block_stats
     from montecarlo_tpu.stats.quantiles import histogram_counts
 
+    if any(isinstance(t, SimulationMarkedTrade) for t in trades):
+        raise TypeError(
+            "streaming_netting_profile cannot mark AMC "
+            "(SimulationMarkedTrade) trades: the regression fit needs all "
+            "paths before any chunk can be marked — run AMC books through "
+            "netting_set_profile or sharded_netting_profile")
     if total_paths % chunk_paths or chunk_paths % block_size:
         raise ValueError("total_paths % chunk_paths % block_size != 0")
     bpc = chunk_paths // block_size
@@ -480,20 +496,30 @@ def streaming_netting_profile(
     dt = T / n_steps
     n_dates = n_steps + 1
     sets = (("_set", tuple(trades), csa),)
-    n_q = 7 + len(trades)
+    n_q = 9 + len(trades)
     block_fn = partial(netting_block_stats, sets=sets, n_steps=n_steps,
                        dt=dt, seed=seed, flat_rate=flat_rate, dtype=dtype,
                        block_size=block_size)
 
     @jax.jit
-    def sim_fn(model_, off0):
+    def sim_fn(model_, off0, im_q, im_m):
+        # im_quantile/im_mpor as runtime OPERANDS, exactly like the
+        # sharded engine's shared dict: trace-time constants here would
+        # let XLA constant-fold ndtri/exp with host libm while the
+        # sharded twin computes them at runtime — a 1-ULP divergence in
+        # the IM rows that broke the bitwise streaming==sharded contract
+        # (caught by test_streaming_netting).
         offs = (jnp.asarray(off0, jnp.uint32)
                 + jnp.arange(bpc, dtype=jnp.uint32)
                 * jnp.uint32(block_size))
-        stats, pos = jax.lax.map(lambda off: block_fn(model_, off), offs)
+        stats, pos = jax.lax.map(
+            lambda off: block_fn(model_, off, im_quantile=im_q,
+                                 im_mpor=im_m), offs)
         root = moments_reduce(stats)                    # (Q, T+1) leaves
         pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
         return root, pos
+
+    im_ops = (jnp.asarray(im_quantile, dtype), jnp.asarray(im_mpor, dtype))
 
     @jax.jit
     def hist_fn(pos, hi_edges):
@@ -534,7 +560,7 @@ def streaming_netting_profile(
         # counted overflow, never silent).  The simulated chunk is
         # REUSED as the main loop's first chunk — only the cheap
         # histogram pass runs twice, not the simulate+mark work.
-        pilot = sim_fn(model, 0)
+        pilot = sim_fn(model, 0, *im_ops)
         hi = np.asarray(jnp.max(pilot[1], axis=1), np.float64) * 4.0
         hi = np.where(hi > 0, hi, 1.0)
         state = NettingStreamState(
@@ -551,7 +577,7 @@ def streaming_netting_profile(
             root, pos = pilot
             pilot = None
         else:
-            root, pos = sim_fn(model, state.paths_done)
+            root, pos = sim_fn(model, state.paths_done, *im_ops)
         counts, over = hist_fn(pos, jnp.asarray(state.hi_edges, dtype))
         state.root_count = np.concatenate(
             [state.root_count, np.asarray(root.count, np.float64)[None]])
@@ -578,7 +604,8 @@ def streaming_netting_profile(
         jnp.asarray(state.root_count, dtype),
         jnp.asarray(state.root_mean, dtype),
         jnp.asarray(state.root_m2, dtype))).mean)          # (Q, T+1)
-    epe, ene, depe, dene, epe_u, ene_u, pbar = (means[i] for i in range(7))
+    epe, ene, epe_u, ene_u = means[0], means[1], means[4], means[5]
+    im = means[7]
     times = jnp.arange(n_dates, dtype=dtype) * dt
 
     # Scalar tail at the run dtype, COMPILED: the same shared algebra on
@@ -589,12 +616,14 @@ def streaming_netting_profile(
     @jax.jit
     def _tail(m):
         eepe_ = jax.lax.associative_scan(jnp.maximum, m[0])
-        sc, _ = _credit_funding_scalars(
-            m[2], m[3], m[7:], eepe_, m[6], times, dt, n_steps,
+        sc, aux = _credit_funding_scalars(
+            m[2], m[3], m[9:], eepe_, m[6], times, dt, n_steps,
             hazard_rate=hazard_rate, recovery=recovery,
             own_hazard_rate=own_hazard_rate, own_recovery=own_recovery,
             funding_spread=funding_spread, kva_cost=kva_cost,
             kva_capital_ratio=kva_capital_ratio, dtype=dtype)
+        sc["mva"] = (jnp.asarray(im_spread, dtype)
+                     * jnp.sum(m[8] * aux["alive"] * aux["trap"]))
         return eepe_, sc
 
     eepe, scalars = _tail(jnp.asarray(means, dtype))
@@ -632,4 +661,5 @@ def streaming_netting_profile(
             "pfe_overflow": jnp.asarray(state.overflow),
             "eepe": eepe, "epe_uncollateralized": jnp.asarray(epe_u),
             "ene_uncollateralized": jnp.asarray(ene_u),
+            "im": jnp.asarray(im),
             "paths_done": state.paths_done, **scalars}

@@ -749,8 +749,83 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
 # Pod-scale netting-set xVA
 # ---------------------------------------------------------------------------
 
+def _sim_disc_block(model, off, *, n_steps, dt, seed, flat_rate, dtype,
+                    block_size):
+    """Simulate ONE fixed-width block of global path ids + its pathwise
+    discount rows — the simulation unit every netting engine (sharded /
+    streaming / the AMC and WWR pre/post passes) shares, so block b's
+    paths are identical wherever they are produced."""
+    from montecarlo_tpu.engine.simulate import simulate
+
+    paths = simulate(model, block_size, n_steps, seed=seed,
+                     mode="paths", dtype=dtype,
+                     path_offset=off)                      # (T+1, bs)
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    if flat_rate is None:
+        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+        disc = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((1, block_size), dtype),
+             jnp.cumsum(mid, axis=0)], axis=0))
+    else:
+        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                       * times)[:, None] * jnp.ones((1, block_size),
+                                                    dtype)
+    return paths, disc
+
+
+def _amc_poly_rows(paths, amc_op, spec, times, dt, n_steps, dtype):
+    """Mark an AMC (regression-marked) trade on ONE block given the
+    GLOBALLY-fitted regression surfaces: per-date standardization
+    ``(m, sd)`` and coefficients ``beta`` from `_amc_fit_sharded`, plus
+    this block's per-path exercise step ``tau``.  Block-local and
+    elementwise — the identical math `engine.amc`'s per-date marks run,
+    with the local polyfit replaced by the global one.
+
+    Returns ``(values, dvalues)`` of shape (T+1, bs)."""
+    m, sd, beta, tau = (amc_op["m"], amc_op["sd"], amc_op["beta"],
+                        amc_op["tau"])
+    degree = spec.degree
+    resets = jnp.asarray(spec.resets, dtype)
+    k_resets = jnp.asarray(
+        [min(max(int(round(float(e) / float(dt))), 0), n_steps)
+         for e in spec.resets], jnp.int32)
+    sign = jnp.asarray(spec.sign, dtype)
+    notional = jnp.asarray(spec.notional, dtype)
+    ones = jnp.ones(paths.shape[1:], dtype)
+
+    def row(k):
+        r = paths[k]
+        t = times[k]
+        z = (r - m[k]) / sd[k]
+        val = jnp.zeros_like(r)
+        slope = jnp.zeros_like(r)
+        zp = jnp.ones_like(r)
+        for i in range(degree + 1):
+            val = val + beta[k, i] * zp
+            if i + 1 <= degree:
+                slope = slope + beta[k, i + 1] * (i + 1) * zp
+            zp = zp * z
+        v_alive = jnp.maximum(val, 0.0)
+        dv_alive = jnp.where(val > 0, slope / sd[k], 0.0)
+        # Exercised tail: exact remaining swap with the in-period fixing
+        # (same machinery as engine.amc's row / swaption_value_fn's tail).
+        le = resets <= t + 1e-9
+        idx = jnp.argmax(jnp.where(le, resets, -jnp.inf))
+        t_fix = resets[idx]
+        r_fix = paths[k_resets[idx]]
+        v_sw, dv_sw = jax.jvp(
+            lambda rr: sign * spec.swap(rr, t, r_fix, t_fix), (r,), (ones,))
+        alive = tau > k
+        return (notional * jnp.where(alive, v_alive, v_sw),
+                notional * jnp.where(alive, dv_alive, dv_sw))
+
+    return jax.lax.map(row, jnp.arange(n_steps + 1))
+
+
 def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
-                        dtype, block_size):
+                        dtype, block_size, im_quantile: float = 0.99,
+                        im_mpor: float = 10.0 / 252.0, paths_disc=None,
+                        amc_ops=None):
     """Simulate + mark + net + collateralize ONE fixed-width block of
     global path ids — the unit BOTH the sharded netting engines and the
     streaming (checkpoint/resume) engine map over, so their per-block
@@ -763,53 +838,92 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     4096-wide compilations of the same global ids on XLA:CPU), so every
     mesh shape / chunking must run the identical block-wide program.
 
+    Every mark is carried with its state derivative (one jvp per trade,
+    exactly `engine.exposure._netting_from_paths`) so the netted
+    delta-normal IM rides the block contract: rows 7/8 of each set's
+    quant stack are the IM profile and its discounted mean (MVA's
+    integrand).
+
+    ``paths_disc``: optionally the precomputed ``(paths, disc)`` for this
+    block (the AMC fit pre-pass already simulated them — passing them in
+    avoids a second simulation); ``None`` simulates here, in the same
+    fused program as the marking (the plain-book fast path).
+    ``amc_ops``: dict mapping (set_idx, trade_idx) of each
+    `SimulationMarkedTrade` to its globally-fitted regression operands
+    (see `_amc_fit_sharded`) — required whenever an AMC trade is present.
+
     Returns ``(MomentState (Q_total, T+1), pos (n_sets, T+1, bs))``.
     """
-    from montecarlo_tpu.engine.simulate import simulate
-
     n_dates = n_steps + 1
-    paths = simulate(model, block_size, n_steps, seed=seed,
-                     mode="paths", dtype=dtype,
-                     path_offset=off)                      # (T+1, bs)
-    times = jnp.arange(n_dates, dtype=dtype) * dt
-    if flat_rate is None:
-        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-        disc = jnp.exp(-jnp.concatenate(
-            [jnp.zeros((1, block_size), dtype),
-             jnp.cumsum(mid, axis=0)], axis=0))
+    if paths_disc is None:
+        paths, disc = _sim_disc_block(
+            model, off, n_steps=n_steps, dt=dt, seed=seed,
+            flat_rate=flat_rate, dtype=dtype, block_size=block_size)
     else:
-        disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
-                       * times)[:, None] * jnp.ones((1, block_size),
-                                                    dtype)
+        paths, disc = paths_disc
+    times = jnp.arange(n_dates, dtype=dtype) * dt
+    ones = jnp.ones((block_size,), dtype)
 
-    def mark_trade(trade):
+    def mark_trade(trade, amc_op):
         # Same PathDependentTrade protocol as the unsharded engine: the
         # observation row is block-local (each block simulates its own
-        # full time grid), so sharding cannot change the indicator.
+        # full time grid), so sharding cannot change the indicator.  One
+        # jvp per mark carries dV/d(state) for the netted delta-normal IM
+        # (each path's value depends only on its own state).
         if isinstance(trade, SimulationMarkedTrade):
-            raise TypeError(
-                "the sharded/streaming netting engines cannot mark "
-                "SimulationMarkedTrade (AMC) trades: the regression "
-                "fit needs global cross-path Gram solves per date; "
-                "run the AMC book through netting_set_profile / "
-                "portfolio_xva unsharded")
+            if amc_op is None:
+                raise TypeError(
+                    "the sharded/streaming netting engines can only mark "
+                    "SimulationMarkedTrade (AMC) trades through the "
+                    "sharded AMC fit (construct them via "
+                    "engine.amc.bermudan_swaption_amc_trade so the spec "
+                    "rides along); the streaming engine cannot — its fit "
+                    "would need a second pass over every chunk")
+            return _amc_poly_rows(paths, amc_op, trade.spec, times, dt,
+                                  n_steps, dtype)
         if isinstance(trade, PathDependentTrade):
             k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
                               n_steps) for ot in trade.obs_times)
-            return jax.lax.map(
-                lambda k: trade.value_fn(
-                    paths[k], times[k],
-                    *(paths[jnp.minimum(k, ko)] for ko in k_obs)),
-                jnp.arange(n_dates))
-        return jax.lax.map(lambda k: trade(paths[k], times[k]),
-                           jnp.arange(n_dates))
 
-    n_q_total = sum(7 + len(tr) for _, tr, _ in sets)
+            def row(k):
+                obs = tuple(paths[jnp.minimum(k, ko)] for ko in k_obs)
+                return jax.jvp(
+                    lambda rr: trade.value_fn(rr, times[k], *obs),
+                    (paths[k],), (ones,))
+        else:
+            def row(k):
+                return jax.jvp(lambda rr: trade(rr, times[k]),
+                               (paths[k],), (ones,))
+        return jax.lax.map(row, jnp.arange(n_dates))
+
+    # Delta-normal IM state shock — same model as the unsharded engine
+    # (`_netting_from_paths`): OU conditional std over the margin period
+    # for short-rate underlyings, lognormal S*sigma*sqrt(mpor) otherwise.
+    z_im = jax.scipy.special.ndtri(jnp.asarray(im_quantile, dtype))
+    kap = getattr(model, "kappa", getattr(model, "a", None))
+    sig_model = jnp.asarray(model.sigma, dtype)
+    mpor_t = jnp.asarray(im_mpor, dtype)
+    lognormal_im = flat_rate is not None
+    if kap is not None and not lognormal_im:
+        kap = jnp.asarray(kap, dtype)
+        sig_mpor = sig_model * jnp.sqrt(
+            (1.0 - jnp.exp(-2.0 * kap * mpor_t))
+            / jnp.maximum(2.0 * kap, 1e-12))
+    else:
+        sig_mpor = sig_model * jnp.sqrt(mpor_t)
+    state_shock = sig_mpor * paths if lognormal_im else sig_mpor
+
+    n_q_total = sum(9 + len(tr) for _, tr, _ in sets)
     all_quants = []
     all_pos = []
-    for _nm, trades_s, csa_s in sets:
-        v_all = jnp.stack([mark_trade(v) for v in trades_s])
+    for si, (_nm, trades_s, csa_s) in enumerate(sets):
+        marked = [mark_trade(v, None if amc_ops is None
+                             else amc_ops.get((si, ti)))
+                  for ti, v in enumerate(trades_s)]
+        v_all = jnp.stack([mk[0] for mk in marked])
         v_net = jnp.sum(v_all, axis=0)                      # (T+1, bs)
+        dv_net = sum(mk[1] for mk in marked)                # (T+1, bs)
+        im_path = z_im * jnp.abs(dv_net) * state_shock
 
         if csa_s is None:
             gap = v_net
@@ -830,15 +944,18 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
         # Every per-date mean target stacked into ONE (Q, T+1, bs)
         # array per set: rows 0..5 = pos, neg, disc*pos, disc*neg,
         # pos_u, neg_u; row 6 = disc itself (P(0,t) for the KVA
-        # capital integral); rows 7.. = per-trade disc * v_i^+ (the
-        # no-netting baseline).  Sets concatenate along Q so the
-        # whole book reduces in one moment pass (row-local algebra —
-        # a one-set stack is bitwise the single-set engine's).
+        # capital integral); rows 7/8 = IM and disc*IM (the delta-normal
+        # initial-margin profile and MVA's integrand); rows 9.. =
+        # per-trade disc * v_i^+ (the no-netting baseline).  Sets
+        # concatenate along Q so the whole book reduces in one moment
+        # pass (row-local algebra — a one-set stack is bitwise the
+        # single-set engine's).
         all_quants.append(jnp.concatenate([
             jnp.stack([pos, jnp.maximum(-gap, 0.0), disc * pos,
                        disc * jnp.maximum(-gap, 0.0),
                        jnp.maximum(v_net, 0.0),
-                       jnp.maximum(-v_net, 0.0), disc]),
+                       jnp.maximum(-v_net, 0.0), disc, im_path,
+                       disc * im_path]),
             disc[None] * jnp.maximum(v_all, 0.0),
         ]))
         all_pos.append(pos)
@@ -850,25 +967,243 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     return stats, jnp.stack(all_pos)                        # (S, T+1, bs)
 
 
+def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
+    """Distributed American-Monte-Carlo fit for ONE regression-marked
+    trade: the `engine.amc.bermudan_swaption_amc_trade` policy fit and
+    per-date conditional-value regressions, with every cross-path sum
+    replaced by fixed-block partial sums gathered in global block order —
+    the identical machinery `sharded_lsm_price` uses, so policies,
+    standardizations, and betas are **bitwise identical across mesh
+    shapes** (the per-block partials are the same whatever mesh a block
+    lands on, and the post-gather reductions see a mesh-independent
+    (n_blocks, ...) array).
+
+    Differences vs the unsharded fit (same contract as `sharded_lsm_price`
+    vs `lsm_price`): standardizations use the one-pass E[x^2]-m^2 form
+    (block sums compose) and sums are block-ordered, so the two engines
+    agree to regression-conditioning noise, not bitwise — tested
+    statistically, with the European limit pinned against the exact
+    Jamshidian-marked trade.
+
+    Collective schedule: 2 gathers per EXERCISE date (standardization
+    sums must be global before the basis exists, then one fused
+    [Gram|rhs]) + 2 gathers for ALL exposure dates' conditional-value
+    regressions (each date's sums stack into one collective, then one
+    batched solve) — the per-date marks themselves are block-local
+    polynomial evaluations (`_amc_poly_rows`).
+
+    ``paths``/``disc``: (n_blk, T+1, bs) — this shard's blocks.  Returns
+    ``{"m": (T+1,), "sd": (T+1,), "beta": (T+1, degree+1),
+    "tau": (n_blk, bs) int32}`` with m/sd/beta replicated and ``tau`` the
+    shard-local per-path exercise steps.
+    """
+    degree = spec.degree
+    k_terms = degree + 1
+    n_blk, n_dates, _bs = paths.shape
+    sign = jnp.asarray(spec.sign, dtype)
+
+    k_ex = []
+    for e in spec.ex_dates:
+        k = int(round(float(e) / dt))
+        if abs(k * dt - float(e)) > 1e-9:
+            raise ValueError(
+                f"AMC exercise date {e} does not lie on the exposure grid "
+                f"(dt={dt}); choose n_steps so resets are grid rows")
+        k_ex.append(k)
+    for e in spec.resets:
+        k = int(round(float(e) / dt))
+        if float(e) <= n_steps * dt + 1e-9 and abs(k * dt - float(e)) > 1e-9:
+            raise ValueError(
+                f"AMC reset {e} does not lie on the exposure grid "
+                f"(dt={dt}); choose n_steps so period starts are grid rows")
+    never = jnp.int32(n_steps + 1)
+
+    def gsum(x_blocks, block_axis=0):
+        """Per-block partials -> the global (mesh-invariant) sum."""
+        return jnp.sum(gather(x_blocks, block_axis), axis=block_axis)
+
+    def basis(z):
+        cols = [jnp.ones_like(z)]
+        for _ in range(degree):
+            cols.append(cols[-1] * z)
+        return jnp.stack(cols, axis=-1)
+
+    def fit(w, r, y):
+        """Global weighted polyfit from this shard's (n_blk, bs) pieces —
+        same algebra as `engine.amc._weighted_polyfit` with one-pass
+        standardization; returns (beta, m, sd) replicated."""
+        sums = gsum(jnp.sum(jnp.stack([w, w * r, w * r * r], -1), axis=1))
+        wsum = jnp.maximum(sums[0], 1.0)
+        m = sums[1] / wsum
+        sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
+        x = basis((r - m) / sd)                     # (n_blk, bs, k)
+        xw = x * w[..., None]
+        gram_b = jnp.einsum("bni,bnj->bij", xw, x,
+                            preferred_element_type=dtype
+                            ).reshape(n_blk, k_terms ** 2)
+        rhs_b = jnp.einsum("bni,bn->bi", xw, y,
+                           preferred_element_type=dtype)
+        fused = gsum(jnp.concatenate([gram_b, rhs_b], axis=1)) / wsum
+        a = (fused[:k_terms ** 2].reshape(k_terms, k_terms)
+             + 1e-8 * jnp.eye(k_terms, dtype=dtype))
+        return jnp.linalg.solve(a, fused[k_terms ** 2:]), m, sd, x
+
+    # --- backward policy fit over the exercise dates -------------------
+    k_last = k_ex[-1]
+    ex_val = sign * spec.swap(paths[:, k_last],
+                              jnp.asarray(spec.ex_dates[-1], dtype))
+    take = ex_val > 0
+    cash = jnp.where(take, ex_val, 0.0) * disc[:, k_last]
+    tau = jnp.where(take, jnp.int32(k_last), never)
+    for j in range(len(k_ex) - 2, -1, -1):
+        r_j = paths[:, k_ex[j]]
+        ex_val = sign * spec.swap(r_j, jnp.asarray(spec.ex_dates[j], dtype))
+        itm = ex_val > 0
+        beta_j, _m, _sd, x = fit(itm.astype(dtype), r_j,
+                                 cash / jnp.maximum(disc[:, k_ex[j]],
+                                                    1e-300))
+        cont = jnp.einsum("bni,i->bn", x, beta_j)
+        take = itm & (ex_val >= cont)
+        cash = jnp.where(take, ex_val * disc[:, k_ex[j]], cash)
+        tau = jnp.where(take, jnp.int32(k_ex[j]), tau)
+
+    # --- batched per-date conditional-value regressions -----------------
+    # All dates' standardization sums ride ONE gather; m/sd known, all
+    # dates' [Gram|rhs] partials ride a second; one vmapped solve.  The
+    # per-date loops run as lax.map so the basis tensor never exceeds
+    # O(local_n * k_terms) memory.
+    dates = jnp.arange(n_dates)
+
+    def date_sums(k):
+        r = paths[:, k]
+        w = (tau > k).astype(dtype)
+        return jnp.sum(jnp.stack([w, w * r, w * r * r], -1), axis=1)
+
+    s3 = jax.lax.map(date_sums, dates)              # (T+1, n_blk, 3)
+    sums = gsum(s3, block_axis=1)                   # (T+1, 3)
+    wsum_k = jnp.maximum(sums[:, 0], 1.0)
+    m_k = sums[:, 1] / wsum_k
+    sd_k = jnp.sqrt(jnp.maximum(sums[:, 2] / wsum_k - m_k * m_k, 0.0)
+                    + 1e-12)
+
+    def date_gram(k):
+        r = paths[:, k]
+        w = (tau > k).astype(dtype)
+        y = cash / jnp.maximum(disc[:, k], 1e-300)
+        x = basis((r - m_k[k]) / sd_k[k])
+        xw = x * w[..., None]
+        gram_b = jnp.einsum("bni,bnj->bij", xw, x,
+                            preferred_element_type=dtype
+                            ).reshape(n_blk, k_terms ** 2)
+        rhs_b = jnp.einsum("bni,bn->bi", xw, y,
+                           preferred_element_type=dtype)
+        return jnp.concatenate([gram_b, rhs_b], axis=1)
+
+    gr = jax.lax.map(date_gram, dates)              # (T+1, n_blk, k²+k)
+    fused = gsum(gr, block_axis=1) / wsum_k[:, None]
+    a = (fused[:, :k_terms ** 2].reshape(n_dates, k_terms, k_terms)
+         + 1e-8 * jnp.eye(k_terms, dtype=dtype)[None])
+    beta = jax.vmap(jnp.linalg.solve)(a, fused[:, k_terms ** 2:])
+    return {"m": m_k, "sd": sd_k, "beta": beta, "tau": tau}
+
+
+def _wwr_pass(paths, disc, pos, *, lam, beta, n_paths, dt, n_steps,
+              gather, dtype):
+    """Sharded wrong-way-risk tilt for ONE netting set: the
+    `engine.exposure._wwr_default_increments` intensity model with every
+    global mean computed from fixed-block partial sums gathered in global
+    block order — calibration constants, per-path default increments, and
+    the tilted CVA integrand are therefore **bitwise identical across
+    mesh shapes**.
+
+    The Newton survival calibration is inherently sequential (date k's
+    constant needs the survival state left by date k-1), so each of the
+    12 iterations per date gathers one (n_blk, 2) partial-sum pair — tiny
+    latency-bound collectives (T x 12 of them), the honest price of exact
+    pod-scale WWR; the standardization and the final contribution/survival
+    means batch into three more gathers total.
+
+    ``paths``/``disc``/``pos``: (n_blk, T+1, bs) — this shard's blocks
+    (pos is the COLLATERALIZED exposure from `netting_block_stats`).
+    Returns ``(dpd_weighted_means (T+1,), survival (T+1,))`` replicated:
+    ``dpd_weighted_means[k] = E[disc_k * pos_k * dPD_k(path)]`` (row 0
+    zero) and the calibrated mean survival curve diagnostic.
+    """
+    n_blk, n_dates, _bs = paths.shape
+    n_f = jnp.asarray(n_paths, dtype)
+    lam = jnp.asarray(lam, dtype)
+    b = jnp.asarray(beta, dtype)
+    times = jnp.arange(n_dates, dtype=dtype) * dt
+
+    def gsum(x_blocks, block_axis=0):
+        return jnp.sum(gather(x_blocks, block_axis), axis=block_axis)
+
+    # Per-date global mean/std of the underlying state (ONE gather for all
+    # dates) — the cross-sectional standardization the intensity loads on.
+    s2 = jax.lax.map(
+        lambda k: jnp.sum(jnp.stack([paths[:, k],
+                                     jnp.square(paths[:, k])], -1), axis=1),
+        jnp.arange(n_dates))                       # (T+1, n_blk, 2)
+    sums = gsum(s2, block_axis=1)                  # (T+1, 2)
+    mean_k = sums[:, 0] / n_f
+    sd_k = jnp.sqrt(jnp.maximum(sums[:, 1] / n_f - jnp.square(mean_k),
+                                0.0))
+    targets = jnp.exp(-lam * times)
+
+    def per_date(s_prev, k):
+        x_k = paths[:, k]                          # period-start state
+        z = jnp.where(sd_k[k] > 0,
+                      (x_k - mean_k[k]) / jnp.where(sd_k[k] > 0,
+                                                    sd_k[k], 1.0), 0.0)
+        w = jnp.exp(b * z)
+        target = targets[k + 1]
+
+        def newton(_, c):
+            e = s_prev * jnp.exp(-c * w * dt)
+            fs = gsum(jnp.stack([jnp.sum(e, axis=1),
+                                 jnp.sum(dt * w * e, axis=1)], -1)) / n_f
+            return c + (fs[0] - target) / jnp.maximum(fs[1], 1e-300)
+
+        c = jax.lax.fori_loop(0, 12, newton, lam)
+        s_new = s_prev * jnp.exp(-c * w * dt)
+        dpd = s_prev - s_new
+        contrib_b = jnp.sum(disc[:, k + 1] * pos[:, k + 1] * dpd, axis=1)
+        surv_b = jnp.sum(s_new, axis=1)
+        return s_new, (contrib_b, surv_b)
+
+    s0 = jnp.ones((n_blk, paths.shape[2]), dtype)  # (n_blk, bs)
+    _, (contrib, surv) = jax.lax.scan(per_date, s0,
+                                      jnp.arange(n_steps))
+    zero1 = jnp.zeros((1,), dtype)
+    dpd_means = jnp.concatenate([zero1,
+                                 gsum(contrib, block_axis=1) / n_f])
+    surv_curve = jnp.concatenate([jnp.ones((1,), dtype),
+                                  gsum(surv, block_axis=1) / n_f])
+    return dpd_means, surv_curve
+
+
 @partial(jax.jit, static_argnames=("sets", "n_paths", "n_steps", "seed",
                                    "T", "dtype", "mesh", "axis",
-                                   "block_size", "pfe_bins"))
+                                   "block_size", "pfe_bins", "with_wwr"))
 def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                             n_steps: int, *, T: float, seed: int, mesh,
                             quantile, pfe_bins: int, flat_rate, dtype,
-                            block_size: int, axis: str) -> dict:
+                            block_size: int, axis: str,
+                            with_wwr: bool = False) -> dict:
     """Shared pod-scale netting machinery: N netting sets, ONE simulation.
 
     ``sets`` is a static tuple of ``(name, trades, csa)``; ``credit`` a
     matching tuple of per-set operand dicts (hazard_rate / recovery /
-    kva_cost / kva_capital_ratio); ``shared`` the portfolio-level operands
-    (own_hazard_rate / own_recovery / funding_spread).  Each fixed-width
-    block simulates ONCE and every set marks/nets/collateralizes the same
+    wwr_beta / im_spread / kva_cost / kva_capital_ratio); ``shared`` the
+    portfolio-level operands (own_hazard_rate / own_recovery /
+    funding_spread / im_quantile / im_mpor).  Each fixed-width block
+    simulates ONCE and every set marks/nets/collateralizes the same
     paths; per-set quant stacks are concatenated so cross-shard traffic
     stays ONE block-stat gather + ONE int32 histogram psum regardless of
-    set count.  `sharded_netting_profile` is the single-set instance of
-    this core (a one-set portfolio runs the identical per-row program,
-    so it is bitwise equal — tested).  Returns ``{name: profile dict}``.
+    set count (plus the WWR calibration gathers when ``with_wwr``).
+    `sharded_netting_profile` is the single-set instance of this core (a
+    one-set portfolio runs the identical per-row program, so it is
+    bitwise equal — tested).  Returns ``{name: profile dict}``.
 
     Contract notes (apply to both public wrappers):
 
@@ -883,25 +1218,35 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
     deterministic grid error (one bin width at the quantile) is reported as
     ``pfe_grid_err`` — same honesty contract as `api.var`.
 
+    The full unsharded adjustment set rides the same contracts:
+      - ``im``/``mva``: the netted delta-normal IM is block-local (one jvp
+        per mark carries dV/d state) — rows 7/8 of each set's quant stack.
+      - ``cva_wwr``/``survival_wwr`` (``with_wwr=True``): the wrong-way
+        Newton calibration runs replicated on gathered fixed-block partial
+        sums (`_wwr_pass`) — T x 12 tiny serialized collectives, bitwise
+        mesh-invariant.
+      - AMC (`SimulationMarkedTrade`) trades: the regression fit runs on
+        gathered fixed-block Gram/moment sums (`_amc_fit_sharded`, the
+        `sharded_lsm_price` machinery); marks are then block-local
+        polynomial evaluations.  Books with AMC or WWR pre-simulate their
+        blocks once (`_sim_disc_block`) and feed paths into the marking
+        map — still ONE simulation per block.
+
     Differences from the unsharded profile, by design:
       - ``pfe`` carries a <= one-bin-width grid error (exact sorting does
         not scale to pod path counts); raise ``pfe_bins`` to shrink it.
-      - no ``wwr_beta``: the wrong-way Newton calibration needs a global
-        mean per iteration per date (T x 12 serialized collectives) —
-        run WWR unsharded, it is a reduction over the same paths.
       - memory is O(n_steps * local_paths) per device — the exposure grid
-        must be marked at every date; shard counts size the local run.
+        must be marked at every date; shard counts size the local run
+        (AMC/WWR books hold paths + discounts for the whole shard, ~3x).
       - simulation + marking run per fixed ``block_size``-wide block
         (`lax.map`), because XLA's fused draw->step codegen is only
-        value-stable at a fixed batch width (see `_one_block`); raise
-        ``block_size`` if block-dispatch overhead shows at pod scale.
+        value-stable at a fixed batch width (see `netting_block_stats`);
+        raise ``block_size`` if block-dispatch overhead shows at pod
+        scale.
 
-    Returns the unsharded profile's keys (minus ``cva_wwr``/
-    ``survival_wwr`` — see above — and minus ``im``/``mva``, whose jvp
-    marking doubles the per-block work; run IM/MVA unsharded or ask for
-    it) plus ``pfe_grid_err``; ``kva`` rides the block-moment contract
-    (the capital profile is a deterministic function of EEPE and the mean
-    discount) and is bitwise mesh-invariant like every mean.
+    ``kva`` rides the block-moment contract (the capital profile is a
+    deterministic function of EEPE and the mean discount) and is bitwise
+    mesh-invariant like every mean.
     """
     n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
     has_slices = n_slices > 1
@@ -930,12 +1275,31 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
 
     n_sets = len(sets)
     n_blk = local_n // block_size
+    gather_axes = (SLICES_AXIS, axis) if has_slices else axis
 
-    _one_block = partial(netting_block_stats, sets=sets, n_steps=n_steps,
-                         dt=dt, seed=seed, flat_rate=flat_rate,
-                         dtype=dtype, block_size=block_size)
+    def gather_blocks(x, block_axis=0):
+        """All-gather per-block partials along their block axis into
+        global block order (slice-major on multi-slice meshes) — the AMC
+        fit's and WWR calibration's reduction primitive."""
+        return jax.lax.all_gather(x, gather_axes, axis=block_axis,
+                                  tiled=True)
 
-    def shard_fn(model_):
+    # AMC (regression-marked) trades: static detection + spec validation.
+    amc_items = tuple(
+        (si, ti) for si, (_n, trs, _c) in enumerate(sets)
+        for ti, tr in enumerate(trs)
+        if isinstance(tr, SimulationMarkedTrade))
+    for si, ti in amc_items:
+        if getattr(sets[si][1][ti], "spec", None) is None:
+            raise TypeError(
+                "the sharded netting engines mark AMC trades through "
+                "their structured spec — construct them via "
+                "engine.amc.bermudan_swaption_amc_trade (a bare "
+                "SimulationMarkedTrade closure cannot be decomposed "
+                "into the distributed regression fit)")
+    need_paths = with_wwr or bool(amc_items)
+
+    def shard_fn(model_, credit_, shared_):
         shard_idx = jax.lax.axis_index(axis)
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
@@ -943,11 +1307,62 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
         offs = (shard_idx.astype(jnp.uint32) * jnp.uint32(local_n)
                 + jnp.arange(n_blk, dtype=jnp.uint32)
                 * jnp.uint32(block_size))
+        one_block = partial(netting_block_stats, sets=sets,
+                            n_steps=n_steps, dt=dt, seed=seed,
+                            flat_rate=flat_rate, dtype=dtype,
+                            block_size=block_size,
+                            im_quantile=shared_["im_quantile"],
+                            im_mpor=shared_["im_mpor"])
         # lax.map over the shard's fixed-width blocks: block b's program is
         # the SAME compiled body at every mesh shape (only the trip count
         # changes), so block stats and exposures are bitwise reproducible.
-        local_stats, pos = jax.lax.map(partial(_one_block, model_), offs)
-        # pos: (n_blk, S, T+1, bs) -> (S, T+1, local_n), global path order.
+        if need_paths:
+            # AMC fits and the WWR calibration need the shard's paths as
+            # data: pre-simulate per fixed-width block (same program unit,
+            # `_sim_disc_block`) and feed them into the marking map — one
+            # simulation per block either way.
+            paths_all, disc_all = jax.lax.map(
+                partial(_sim_disc_block, model_, n_steps=n_steps, dt=dt,
+                        seed=seed, flat_rate=flat_rate, dtype=dtype,
+                        block_size=block_size), offs)  # (n_blk, T+1, bs)
+            amc_fits = {
+                key: _amc_fit_sharded(
+                    paths_all, disc_all, sets[key[0]][1][key[1]].spec,
+                    dt=dt, n_steps=n_steps, gather=gather_blocks,
+                    dtype=dtype)
+                for key in amc_items}
+            taus = tuple(amc_fits[key]["tau"] for key in amc_items)
+
+            def block_with_paths(args):
+                off_b, paths_b, disc_b = args[0], args[1], args[2]
+                ops = {key: {**{f: amc_fits[key][f]
+                                for f in ("m", "sd", "beta")},
+                             "tau": args[3 + j]}
+                       for j, key in enumerate(amc_items)}
+                return one_block(model_, off_b,
+                                 paths_disc=(paths_b, disc_b),
+                                 amc_ops=ops or None)
+
+            local_stats, pos = jax.lax.map(
+                block_with_paths, (offs, paths_all, disc_all, *taus))
+        else:
+            local_stats, pos = jax.lax.map(
+                lambda off: one_block(model_, off), offs)
+        # pos: (n_blk, S, T+1, bs); per-set block view for the WWR pass.
+        wwr_out = ()
+        if with_wwr:
+            dpds, survs = [], []
+            for si in range(n_sets):
+                dpd_m, surv = _wwr_pass(
+                    paths_all, disc_all, pos[:, si],
+                    lam=credit_[si]["hazard_rate"],
+                    beta=credit_[si]["wwr_beta"], n_paths=n_paths,
+                    dt=dt, n_steps=n_steps, gather=gather_blocks,
+                    dtype=dtype)
+                dpds.append(dpd_m)
+                survs.append(surv)
+            wwr_out = ((jnp.stack(dpds), jnp.stack(survs)),)
+        # (n_blk, S, T+1, bs) -> (S, T+1, local_n), global path order.
         pos = jnp.moveaxis(pos, 0, 2).reshape(n_sets, n_dates, local_n)
         gathered = _gather_two_level(local_stats, axis, has_slices)
 
@@ -971,12 +1386,15 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                                   jnp.int32)
         counts = jax.lax.psum(
             counts.reshape(n_sets, n_dates, pfe_bins), sum_axes)
-        return gathered, counts, width
+        return (gathered, counts, width) + wwr_out
 
-    spec_in = jax.tree.map(lambda _: P(), model)
-    stats, counts, width = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=(P(), P(), P()),
-        check_vma=False)(model)
+    spec_in = jax.tree.map(lambda _: P(), (model, credit, shared))
+    out_specs = (P(), P(), P()) + ((P(),) if with_wwr else ())
+    res = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=spec_in, out_specs=out_specs,
+        check_vma=False)(model, credit, shared)
+    stats, counts, width = res[:3]
+    dpd_means, surv_wwr = res[3] if with_wwr else (None, None)
     means = moments_reduce(stats).mean                      # (Q_total, T+1)
 
     # Sketch quantile per (set, date): rank within the counts' cumsum,
@@ -1001,15 +1419,16 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
     out = {}
     row = 0
     for i, (name, trades_s, _csa) in enumerate(sets):
-        m = means[row:row + 7 + len(trades_s)]
-        row += 7 + len(trades_s)
-        epe, ene, depe, dene, epe_u, ene_u, pbar = (m[j] for j in range(7))
+        m = means[row:row + 9 + len(trades_s)]
+        row += 9 + len(trades_s)
+        epe, ene, depe, dene, epe_u, ene_u, pbar, im, dim = (
+            m[j] for j in range(9))
         eepe = jax.lax.associative_scan(jnp.maximum, epe)
         # ONE copy of the credit/funding/capital algebra, shared with the
         # unsharded engine — the per-date means above already carry the
         # block-moment contract, so every scalar is bitwise mesh-invariant.
-        scalars, _ = _credit_funding_scalars(
-            depe, dene, m[7:], eepe, pbar, times, dt, n_steps,
+        scalars, aux = _credit_funding_scalars(
+            depe, dene, m[9:], eepe, pbar, times, dt, n_steps,
             hazard_rate=credit[i]["hazard_rate"],
             recovery=credit[i]["recovery"],
             own_hazard_rate=shared["own_hazard_rate"],
@@ -1017,11 +1436,28 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
             funding_spread=shared["funding_spread"],
             kva_cost=credit[i]["kva_cost"],
             kva_capital_ratio=credit[i]["kva_capital_ratio"], dtype=dtype)
+        mva = credit[i]["im_spread"] * jnp.sum(dim * aux["alive"]
+                                               * aux["trap"])
         out[name] = {"times": times, "epe": epe, "ene": ene, "pfe": pfe[i],
                      "pfe_grid_err": width[i], "eepe": eepe,
                      "epe_uncollateralized": epe_u,
-                     "ene_uncollateralized": ene_u, **scalars}
+                     "ene_uncollateralized": ene_u, "im": im, "mva": mva,
+                     **scalars}
+        if with_wwr:
+            out[name]["cva_wwr"] = ((1.0 - credit[i]["recovery"])
+                                    * jnp.sum(dpd_means[i] * aux["w_o"]))
+            out[name]["survival_wwr"] = surv_wwr[i]
     return out
+
+
+def _wwr_requested(wwr_beta) -> bool:
+    """Auto-detect whether the WWR pass must run: a nonzero concrete beta,
+    or a traced beta (someone is differentiating with respect to it)."""
+    try:
+        return float(wwr_beta) != 0.0
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return True
 
 
 def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
@@ -1031,37 +1467,53 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
                             own_hazard_rate: float = 0.0,
                             own_recovery: float = 0.4,
                             funding_spread: float = 0.0,
+                            wwr_beta: float = 0.0,
+                            im_spread: float = 0.0,
+                            im_quantile: float = 0.99,
+                            im_mpor: float = 10.0 / 252.0,
                             kva_cost: float = 0.0,
                             kva_capital_ratio: float = 0.112,
                             flat_rate=None, dtype=jnp.float64,
                             block_size: int = DEFAULT_BLOCK,
-                            axis: str = PATHS_AXIS) -> dict:
+                            axis: str = PATHS_AXIS,
+                            with_wwr: bool | None = None) -> dict:
     """Collateralized netting-set exposure + xVA, sharded over paths.
 
     The pod-scale twin of `engine.exposure.netting_set_profile` — the
     single-set instance of `_sharded_portfolio_core`, which carries the
     full contract (fixed-width block simulation, one block-stat gather +
-    one int32 PFE-histogram psum, bitwise mesh-shape invariance, the
-    excluded wwr/im terms).  For several counterparties on one
-    simulation use :func:`sharded_portfolio_xva`.
+    one int32 PFE-histogram psum, bitwise mesh-shape invariance).  The
+    whole unsharded adjustment surface is supported: ``im``/``mva`` ride
+    the block contract, AMC (`SimulationMarkedTrade`) books run the
+    distributed regression fit, and ``wwr_beta != 0`` (or
+    ``with_wwr=True``) adds the ``cva_wwr``/``survival_wwr`` keys via the
+    gathered Newton calibration — see the core's docstring.  For several
+    counterparties on one simulation use :func:`sharded_portfolio_xva`.
     """
+    if with_wwr is None:
+        with_wwr = _wwr_requested(wwr_beta)
     credit = ({"hazard_rate": jnp.asarray(hazard_rate, dtype),
                "recovery": jnp.asarray(recovery, dtype),
+               "wwr_beta": jnp.asarray(wwr_beta, dtype),
+               "im_spread": jnp.asarray(im_spread, dtype),
                "kva_cost": jnp.asarray(kva_cost, dtype),
                "kva_capital_ratio": jnp.asarray(kva_capital_ratio, dtype)},)
     shared = {"own_hazard_rate": jnp.asarray(own_hazard_rate, dtype),
               "own_recovery": jnp.asarray(own_recovery, dtype),
-              "funding_spread": jnp.asarray(funding_spread, dtype)}
+              "funding_spread": jnp.asarray(funding_spread, dtype),
+              "im_quantile": jnp.asarray(im_quantile, dtype),
+              "im_mpor": jnp.asarray(im_mpor, dtype)}
     return _sharded_portfolio_core(
         model, (("_set", tuple(trades), csa),), credit, shared, n_paths,
         n_steps, T=T, seed=seed, mesh=mesh, quantile=quantile,
         pfe_bins=pfe_bins, flat_rate=flat_rate, dtype=dtype,
-        block_size=block_size, axis=axis)["_set"]
+        block_size=block_size, axis=axis, with_wwr=with_wwr)["_set"]
 
 
-#: Per-set operand scalars the SHARDED portfolio engine accepts (no
-#: wwr_beta / im_spread — the terms `_sharded_portfolio_core` excludes).
+#: Per-set operand scalars the sharded portfolio engine accepts — the
+#: same set as the unsharded `engine.exposure._SET_SCALARS`.
 _SHARDED_SET_SCALARS = (("hazard_rate", 0.0), ("recovery", 0.4),
+                        ("wwr_beta", 0.0), ("im_spread", 0.0),
                         ("kva_cost", 0.0), ("kva_capital_ratio", 0.112))
 
 
@@ -1070,81 +1522,83 @@ def sharded_portfolio_xva(model, netting_sets, n_paths: int, n_steps: int,
                           quantile: float = 0.95, pfe_bins: int = 4096,
                           own_hazard_rate: float = 0.0,
                           own_recovery: float = 0.4,
-                          funding_spread: float = 0.0, flat_rate=None,
+                          funding_spread: float = 0.0,
+                          im_quantile: float = 0.99,
+                          im_mpor: float = 10.0 / 252.0, flat_rate=None,
                           dtype=jnp.float64,
                           block_size: int = DEFAULT_BLOCK,
                           axis: str = PATHS_AXIS) -> dict:
     """Multi-counterparty xVA at pod scale: N netting sets, ONE sharded
     simulation.
 
-    The pod twin of `engine.exposure.portfolio_xva` (same spec dicts:
-    ``trades`` required, optional ``csa`` and per-counterparty
-    ``hazard_rate``/``recovery``/``kva_cost``/``kva_capital_ratio``).
-    Each fixed-width block simulates the underlying ONCE and every
-    netting set marks/nets/collateralizes the same paths, so the
-    simulation cost is shared across counterparties exactly as in the
-    unsharded engine; cross-shard traffic stays ONE stacked block-moment
-    gather + ONE int32 histogram psum for the whole book.  Guarantees
-    (tested): a one-set portfolio is bitwise identical to
-    `sharded_netting_profile`; every per-set profile and scalar is
-    bitwise mesh-shape-invariant; totals are exactly additive over sets.
-
-    Per-set keys the unsharded engine accepts but this one rejects:
-    ``wwr_beta`` and ``im_spread`` — the same global-per-date-reduction
-    terms `sharded_netting_profile` excludes; run `portfolio_xva`
-    unsharded for those adjustments.
+    The pod twin of `engine.exposure.portfolio_xva` with the SAME spec
+    dicts: ``trades`` required (AMC `SimulationMarkedTrade`s included —
+    they run the distributed regression fit), optional ``csa`` and
+    per-counterparty ``hazard_rate``/``recovery``/``wwr_beta``/
+    ``im_spread``/``kva_cost``/``kva_capital_ratio``.  Each fixed-width
+    block simulates the underlying ONCE and every netting set
+    marks/nets/collateralizes the same paths, so the simulation cost is
+    shared across counterparties exactly as in the unsharded engine;
+    cross-shard traffic stays ONE stacked block-moment gather + ONE int32
+    histogram psum for the whole book (plus the per-set WWR calibration
+    gathers when any ``wwr_beta != 0``).  Guarantees (tested): a one-set
+    portfolio is bitwise identical to `sharded_netting_profile`; every
+    per-set profile and scalar is bitwise mesh-shape-invariant; totals
+    are exactly additive over sets.
 
     Returns ``{"sets": {name: profile}, "portfolio": totals}`` where each
     profile is `sharded_netting_profile`'s dict (PFE as a sketch quantile
     with its ``pfe_grid_err``) and ``totals`` sums the adjustment scalars
-    and the collateralized ``epe`` (plus ``peak_epe``) — no ``mva`` row,
-    since IM is excluded here.
+    and the collateralized ``epe`` (plus ``peak_epe``).
     """
     allowed = {"trades", "csa"} | {k for k, _ in _SHARDED_SET_SCALARS}
     sets, credit = [], []
+    with_wwr = False
     for name, spec in netting_sets.items():
         unknown = set(spec) - allowed
         if unknown:
-            raise ValueError(
-                f"netting set {name!r}: keys {sorted(unknown)} are not "
-                "supported by the sharded portfolio engine (wwr_beta / "
-                "im_spread need global per-date reductions — run "
-                "engine.exposure.portfolio_xva unsharded for those)")
+            raise ValueError(f"netting set {name!r}: unknown keys "
+                             f"{sorted(unknown)}")
         sets.append((name, tuple(spec["trades"]), spec.get("csa")))
         credit.append({k: jnp.asarray(spec.get(k, d), dtype)
                        for k, d in _SHARDED_SET_SCALARS})
+        with_wwr = with_wwr or _wwr_requested(spec.get("wwr_beta", 0.0))
     shared = {"own_hazard_rate": jnp.asarray(own_hazard_rate, dtype),
               "own_recovery": jnp.asarray(own_recovery, dtype),
-              "funding_spread": jnp.asarray(funding_spread, dtype)}
+              "funding_spread": jnp.asarray(funding_spread, dtype),
+              "im_quantile": jnp.asarray(im_quantile, dtype),
+              "im_mpor": jnp.asarray(im_mpor, dtype)}
     per_set = _sharded_portfolio_core(
         model, tuple(sets), tuple(credit), shared, n_paths, n_steps, T=T,
         seed=seed, mesh=mesh, quantile=quantile, pfe_bins=pfe_bins,
-        flat_rate=flat_rate, dtype=dtype, block_size=block_size, axis=axis)
+        flat_rate=flat_rate, dtype=dtype, block_size=block_size, axis=axis,
+        with_wwr=with_wwr)
     totals = {k: sum(per_set[name][k] for name in per_set)
               for k in ("cva", "dva", "bcva", "cva_no_netting", "fca",
-                        "fba", "fva", "kva", "epe")}
+                        "fba", "fva", "mva", "kva", "epe")}
     totals["peak_epe"] = jnp.max(totals["epe"])
     return {"sets": per_set, "portfolio": totals}
 
 
 @partial(jax.jit, static_argnames=("build_fn", "n_paths", "n_steps", "seed",
                                    "mesh", "csa", "T", "outputs", "dtype",
-                                   "pfe_bins", "block_size", "axis"))
+                                   "pfe_bins", "block_size", "axis",
+                                   "with_wwr"))
 def _sharded_xva_greeks(build_fn, params, base, n_paths, n_steps, *, T,
                         seed, mesh, csa, outputs, dtype, pfe_bins,
-                        block_size, axis):
+                        block_size, axis, with_wwr):
     def scalars(p):
         model, trades, flat_rate = build_fn(p)
         kw = dict(base)
         for k in ("hazard_rate", "recovery", "own_hazard_rate",
-                  "own_recovery", "funding_spread", "kva_cost",
-                  "kva_capital_ratio"):
+                  "own_recovery", "funding_spread", "wwr_beta",
+                  "im_spread", "kva_cost", "kva_capital_ratio"):
             if k in p:
                 kw[k] = p[k]
         res = sharded_netting_profile(
             model, trades, n_paths, n_steps, T=T, seed=seed, mesh=mesh,
             csa=csa, pfe_bins=pfe_bins, flat_rate=flat_rate, dtype=dtype,
-            block_size=block_size, axis=axis, **kw)
+            block_size=block_size, axis=axis, with_wwr=with_wwr, **kw)
         return {k: res[k] for k in outputs}
 
     # One jax.jvp per parameter, NOT jax.linearize: the linearized
@@ -1175,6 +1629,9 @@ def sharded_xva_greeks(build_fn, params, n_paths: int, n_steps: int, *,
                        own_hazard_rate: float = 0.0,
                        own_recovery: float = 0.4,
                        funding_spread: float = 0.0,
+                       wwr_beta: float = 0.0, im_spread: float = 0.0,
+                       im_quantile: float = 0.99,
+                       im_mpor: float = 10.0 / 252.0,
                        kva_cost: float = 0.0,
                        kva_capital_ratio: float = 0.112,
                        dtype=jnp.float64, block_size: int = DEFAULT_BLOCK,
@@ -1193,9 +1650,10 @@ def sharded_xva_greeks(build_fn, params, n_paths: int, n_steps: int, *,
     pairwise-tree merge — so values AND greeks are bitwise identical
     across mesh shapes (tested on 1/2/4/8-device and multi-slice meshes).
 
-    ``outputs`` may include any scalar the sharded profile reports
-    (``cva``/``dva``/``bcva``/``fca``/``fba``/``fva``/``kva`` — no
-    ``mva``/``cva_wwr``: the sharded level profile does not carry them).
+    ``outputs`` may include any scalar the sharded profile reports —
+    ``cva``/``dva``/``bcva``/``fca``/``fba``/``fva``/``mva``/``kva``,
+    plus ``cva_wwr`` when the WWR pass runs (``wwr_beta != 0`` or
+    ``"wwr_beta" in params`` or ``"cva_wwr" in outputs``).
 
     Returns ``{"values": {out: scalar}, "greeks": {out: {param: grad}}}``.
     """
@@ -1207,16 +1665,21 @@ def sharded_xva_greeks(build_fn, params, n_paths: int, n_steps: int, *,
             "jump discontinuity in collateral and pathwise AD drops its "
             "boundary term — set mta=0 for exact pathwise greeks",
             stacklevel=2)
+    with_wwr = ("cva_wwr" in outputs or "wwr_beta" in params
+                or _wwr_requested(wwr_beta))
     params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
     base = dict(quantile=quantile, hazard_rate=hazard_rate,
                 recovery=recovery, own_hazard_rate=own_hazard_rate,
                 own_recovery=own_recovery, funding_spread=funding_spread,
+                wwr_beta=wwr_beta, im_spread=im_spread,
+                im_quantile=im_quantile, im_mpor=im_mpor,
                 kva_cost=kva_cost, kva_capital_ratio=kva_capital_ratio)
     base = {k: jnp.asarray(v, dtype) for k, v in base.items()}
     vals, grads = _sharded_xva_greeks(
         build_fn, params, base, n_paths, n_steps, T=T, seed=seed,
         mesh=mesh, csa=csa, outputs=tuple(outputs), dtype=dtype,
-        pfe_bins=pfe_bins, block_size=block_size, axis=axis)
+        pfe_bins=pfe_bins, block_size=block_size, axis=axis,
+        with_wwr=with_wwr)
     return {"values": vals, "greeks": grads}
 
 

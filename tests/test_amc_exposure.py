@@ -1,7 +1,9 @@
 """American Monte Carlo exposure (`engine.amc.bermudan_swaption_amc_trade`
 through the SimulationMarkedTrade protocol): European-limit equivalence
 with the exact Jamshidian trade, Bermudan price oracle, netting/IM
-integration, and the sharded rejection contract."""
+integration, and the SHARDED AMC contract (distributed regression fit on
+gathered fixed-block Gram sums — bitwise mesh invariance, unsharded
+parity, European limit; streaming still rejects)."""
 
 import numpy as np
 import pytest
@@ -116,15 +118,122 @@ def test_off_grid_exercise_dates_rejected():
         netting_set_profile(model, (amc,), 512, 50, T=T_END, seed=1)
 
 
-def test_sharded_rejects_amc_trades():
+# Sharded tests run a coarser grid (compile cost x mesh shapes): dt=0.1
+# needs a calendar whose resets land on it — pay_dt=0.4, resets 0.4..1.6.
+N_STEPS_SH = 20
+PAY_SH = (0.8, 1.2, 1.6, 2.0)
+
+
+def test_sharded_amc_bitwise_mesh_invariant_and_matches_unsharded():
+    """A Bermudan AMC trade netted with a swap, sharded: every profile
+    array and scalar bitwise identical across 1/2/4-device meshes, and
+    the unsharded engine agrees to regression-conditioning noise (the
+    fit differs only in one-pass vs two-pass standardization and
+    block-ordered sums)."""
     from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
 
-    model = _model()
-    amc = bermudan_swaption_amc_trade(model, K, PAY_TIMES, DELTA,
-                                      n_exercise=2)
-    with pytest.raises(TypeError, match="unsharded"):
-        sharded_netting_profile(model, (amc,), 2048, N_STEPS, T=T_END,
-                                seed=1, mesh=make_mesh(2), block_size=256)
+    model = _model(T_END / N_STEPS_SH)
+    amc = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=3,
+                                      notional=0.5)
+    trades = (swap_value_fn(model, K, PAY_SH, 0.4), amc)
+    kw = dict(T=T_END, seed=11, hazard_rate=0.02, funding_spread=0.004,
+              im_spread=0.003)
+    got = {n: sharded_netting_profile(model, trades, 2048, N_STEPS_SH,
+                                      mesh=make_mesh(n), block_size=256,
+                                      pfe_bins=64, **kw)
+           for n in (1, 2, 4)}
+    for k, v in got[1].items():
+        for n in (2, 4):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(got[n][k]),
+                                          err_msg=f"{k}@{n}")
+    want = netting_set_profile(model, trades, 2048, N_STEPS_SH, **kw)
+    for k in ("epe", "ene", "im"):
+        np.testing.assert_allclose(np.asarray(got[4][k]),
+                                   np.asarray(want[k]), rtol=5e-7,
+                                   atol=1e-12, err_msg=k)
+    for k in ("cva", "fva", "mva", "cva_no_netting"):
+        np.testing.assert_allclose(float(got[4][k]), float(want[k]),
+                                   rtol=5e-7, atol=1e-15, err_msg=k)
+
+
+def test_sharded_amc_european_limit_matches_jamshidian_trade():
+    """n_exercise=1 inside the SHARDED engine: the exercised tail must
+    equal the exact Jamshidian-marked PathDependentTrade's tail (same
+    policy, same closed form), the option phase within the cubic-basis
+    tolerance — the same contract the unsharded test pins."""
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+
+    model = _model(T_END / N_STEPS_SH)
+    t0 = 0.4
+    amc1 = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=1)
+    exact = swaption_value_fn(model, K, t0, PAY_SH, 0.4, physical=True)
+    kw = dict(T=T_END, seed=11, hazard_rate=0.02, mesh=make_mesh(4),
+              block_size=256, pfe_bins=64)
+    ga = sharded_netting_profile(model, (amc1,), 8192, N_STEPS_SH, **kw)
+    ge = sharded_netting_profile(model, (exact,), 8192, N_STEPS_SH, **kw)
+    times = np.asarray(ga["times"])
+    epe_a, epe_e = np.asarray(ga["epe"]), np.asarray(ge["epe"])
+    tail = times > t0 + 1e-9
+    np.testing.assert_allclose(epe_a[tail], epe_e[tail], rtol=1e-10,
+                               atol=1e-15)
+    scale = epe_e.max()
+    assert np.max(np.abs(epe_a[~tail] - epe_e[~tail])) < 0.04 * scale
+    np.testing.assert_allclose(float(ga["cva"]), float(ge["cva"]),
+                               rtol=0.02)
+
+
+def test_sharded_portfolio_with_amc_leg():
+    """An AMC Bermudan inside one set of a TWO-set sharded portfolio:
+    bitwise mesh invariance and exact additivity survive the fit."""
+    from montecarlo_tpu.parallel import make_mesh, sharded_portfolio_xva
+
+    model = _model(T_END / N_STEPS_SH)
+    amc = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=2)
+    swap = swap_value_fn(model, K, PAY_SH, 0.4)
+    sets = {"a": dict(trades=(swap, amc), hazard_rate=0.02),
+            "b": dict(trades=(lambda r, t: -0.3 * swap(r, t),),
+                      hazard_rate=0.03)}
+    res = {n: sharded_portfolio_xva(model, sets, 2048, N_STEPS_SH,
+                                    T=T_END, seed=3, mesh=make_mesh(n),
+                                    block_size=256, pfe_bins=64)
+           for n in (1, 4)}
+    for nm in sets:
+        for k, v in res[1]["sets"][nm].items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(res[4]["sets"][nm][k]),
+                err_msg=f"{nm}/{k}")
+    for k in ("cva", "fva"):
+        tot = sum(float(res[4]["sets"][nm][k]) for nm in sets)
+        assert float(res[4]["portfolio"][k]) == tot, k
+
+
+def test_streaming_rejects_amc_trades():
+    """The STREAMING engine still rejects AMC books — its fit would need
+    a second pass over every chunk (docstring cites this test)."""
+    from montecarlo_tpu.engine.streaming import streaming_netting_profile
+
+    model = _model(T_END / N_STEPS_SH)
+    amc = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=2)
+    with pytest.raises(TypeError, match="all paths"):
+        streaming_netting_profile(model, (amc,), 2048, N_STEPS_SH,
+                                  T=T_END, seed=1, chunk_paths=1024,
+                                  block_size=256)
+
+
+def test_sharded_rejects_bare_simulation_marked_trade():
+    """A SimulationMarkedTrade WITHOUT a structured spec cannot be
+    decomposed into the distributed fit — clean TypeError, not a silent
+    wrong answer."""
+    from montecarlo_tpu.engine.exposure import SimulationMarkedTrade
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+
+    model = _model(T_END / N_STEPS_SH)
+    bare = SimulationMarkedTrade(lambda p, t, T: (p, p))
+    with pytest.raises(TypeError, match="spec"):
+        sharded_netting_profile(model, (bare,), 2048, N_STEPS_SH,
+                                T=T_END, seed=1, mesh=make_mesh(2),
+                                block_size=256)
 
 
 def test_cli_bermudan_swaption_leg(capsys):
@@ -138,3 +247,26 @@ def test_cli_bermudan_swaption_leg(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_trades"] == 4 and out["cva"] > 0
+
+
+def test_cli_bermudan_swaption_leg_mesh(capsys):
+    """`xva --portfolio --swaption-exercise N --mesh N` — the round-5
+    ask: the Bermudan AMC leg rides the distributed fit, bitwise equal
+    to the 1-device mesh."""
+    import json
+
+    from montecarlo_tpu import cli
+
+    argv = ["xva", "--portfolio", "--no-csa", "--paths", "2048",
+            "--steps", "40", "--swaption-leg", "--swaption-exercise", "3"]
+    assert cli.main(argv + ["--mesh", "2"]) == 0
+    mesh2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli.main(argv + ["--mesh", "1"]) == 0
+    mesh1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mesh2["mesh"] == 2 and mesh2["n_trades"] == 4
+    assert mesh2["cva"] > 0
+    for k in ("cva", "fva", "peak_epe", "mva"):
+        assert mesh1[k] == mesh2[k], k
+    # Streaming still rejects AMC legs, with a clean message.
+    with pytest.raises(SystemExit, match="stream"):
+        cli.main(argv + ["--checkpoint", "/tmp/never_written.npz"])

@@ -113,11 +113,14 @@ def test_cli_counterparties_mesh(capsys):
     np.testing.assert_allclose(out["cva_total"],
                                out["cva_cpty_a"] + out["cva_cpty_b"],
                                atol=2e-6)
-    assert "mva_total" not in out  # IM/MVA excluded under the mesh
-    with pytest.raises(SystemExit, match="IM/MVA"):
-        cli.main(["xva", "--portfolio", "--paths", "2048", "--steps",
-                  "40", "--counterparties", "2", "--mesh", "2",
-                  "--im-spread", "0.01"])
+    assert "mva_total" in out  # round 5: IM/MVA rides the sharded engine
+    # --im-spread under the mesh now runs: per-set MVA is reported.
+    rc = cli.main(["xva", "--portfolio", "--no-csa", "--paths", "2048",
+                   "--steps", "40", "--counterparties", "2", "--mesh", "2",
+                   "--im-spread", "0.01"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mva_total"] > 0
     # Streaming checkpoints cover the single-set engine only — the
     # multi-counterparty branch must refuse rather than silently skip
     # the requested checkpointing.

@@ -60,11 +60,11 @@ def test_matches_unsharded_profile():
     want = netting_set_profile(model, trades, N_PATHS, N_STEPS, **_KW)
     got = _sharded(4)
     for k in ("epe", "ene", "eepe", "epe_uncollateralized",
-              "ene_uncollateralized"):
+              "ene_uncollateralized", "im"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=1e-11, atol=1e-14, err_msg=k)
     for k in ("cva", "dva", "bcva", "cva_no_netting", "fca", "fba", "fva",
-              "kva"):
+              "kva", "mva"):
         np.testing.assert_allclose(float(got[k]), float(want[k]),
                                    rtol=1e-10, atol=1e-15, err_msg=k)
     assert float(got["kva"]) > 0.0
@@ -136,12 +136,55 @@ def test_cli_xva_portfolio_mesh(capsys):
     assert out["mesh"] == 2 and out["peak_pfe_grid_err"] > 0
     assert 0.0 <= out["cva"] <= out["cva_no_netting"]
 
-    # --mesh + --wwr-beta is rejected with a clean message.
-    import pytest
+    # --mesh + --wwr-beta/--im-spread now runs the sharded WWR/IM passes
+    # (round 5: the exclusion list is empty).  --no-csa: the default CSA
+    # at this grid rounds to a zero-step lag and kills all exposure.
+    rc = cli.main(["xva", "--portfolio", "--no-csa", "--paths", "4096",
+                   "--steps", "50", "--mesh", "2", "--wwr-beta", "1.0",
+                   "--im-spread", "0.003"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cva_wwr"] > out["cva"] >= 0 and out["mva"] > 0
+    assert out["peak_im"] > 0
 
-    with pytest.raises(SystemExit, match="wwr"):
-        cli.main(["xva", "--portfolio", "--paths", "4096", "--steps", "50",
-                  "--mesh", "2", "--wwr-beta", "1.0"])
+
+def test_sharded_wwr_and_im_bitwise_and_match_unsharded():
+    """The round-4 exclusions, emptied: wwr_beta and im_spread through the
+    SHARDED engine — bitwise mesh-shape-invariant (the Newton calibration
+    runs replicated on gathered fixed-block sums) and matching the
+    unsharded engine to fp-reassociation noise."""
+    model, trades = _rates_book()
+    kw = {**_KW, "wwr_beta": 1.5, "im_spread": 0.003}
+    want = netting_set_profile(model, trades, N_PATHS, N_STEPS, **kw)
+    got = {n: _sharded(n, **kw) for n in (1, 2, 8)}
+    for k, v in got[1].items():
+        for n in (2, 8):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(got[n][k]),
+                                          err_msg=f"{k}@{n}")
+    for k in ("im", "survival_wwr"):
+        np.testing.assert_allclose(np.asarray(got[8][k]),
+                                   np.asarray(want[k]), rtol=1e-9,
+                                   atol=1e-15, err_msg=k)
+    for k in ("cva_wwr", "mva"):
+        np.testing.assert_allclose(float(got[8][k]), float(want[k]),
+                                   rtol=1e-9, atol=1e-18, err_msg=k)
+    # WWR direction survives sharding: payer swap exposure rises with r,
+    # beta > 0 is wrong-way.
+    assert float(got[8]["cva_wwr"]) > float(got[8]["cva"])
+
+
+def test_sharded_wwr_beta_zero_reduces_to_cva():
+    """beta = 0 keeps the Newton calibration deterministic: cva_wwr must
+    collapse to the flat-hazard cva (same contract as the unsharded
+    engine's pinned limit)."""
+    prof = _sharded(4, wwr_beta=0.0, with_wwr=True)
+    cva, cva_wwr = float(prof["cva"]), float(prof["cva_wwr"])
+    assert abs(cva_wwr - cva) < 1e-12 * max(abs(cva), 1e-30), (cva, cva_wwr)
+    np.testing.assert_allclose(np.asarray(prof["survival_wwr"]),
+                               np.exp(-_KW["hazard_rate"]
+                                      * np.asarray(prof["times"])),
+                               rtol=1e-9)
 
 
 def _build_greeks(p):
@@ -263,17 +306,35 @@ def test_sharded_portfolio_mesh_invariant_and_matches_unsharded():
         assert float(res[8]["portfolio"][k]) == tot, k
 
 
-def test_sharded_portfolio_rejects_unshardable_terms():
+def test_sharded_portfolio_wwr_and_im_per_set():
+    """Per-set wwr_beta/im_spread through the sharded portfolio (round 5:
+    nothing left on the exclusion list): bitwise mesh invariance with
+    mixed per-set terms, and parity with the unsharded portfolio."""
+    from montecarlo_tpu.engine.exposure import portfolio_xva
     from montecarlo_tpu.parallel import sharded_portfolio_xva
 
-    model, _ = _portfolio_sets()
-    import pytest
-
-    with pytest.raises(ValueError, match="wwr"):
-        sharded_portfolio_xva(
-            model, {"a": dict(trades=_rates_book()[1], wwr_beta=1.0)},
-            N_PATHS, N_STEPS, T=T, seed=7, mesh=make_mesh(2),
-            block_size=BLOCK, pfe_bins=_PFE_BINS)
+    model, (v1, v2) = _rates_book()
+    sets = {"a": dict(trades=(v1,), hazard_rate=0.02, wwr_beta=1.0,
+                      im_spread=0.003),
+            "b": dict(trades=(v2,), hazard_rate=0.03)}
+    kw = dict(T=T, seed=7, funding_spread=0.004)
+    res = {n: sharded_portfolio_xva(model, sets, N_PATHS, N_STEPS,
+                                    mesh=make_mesh(n), block_size=BLOCK,
+                                    pfe_bins=_PFE_BINS, **kw)
+           for n in (1, 8)}
+    for nm in sets:
+        for k, v in res[1]["sets"][nm].items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(res[8]["sets"][nm][k]),
+                err_msg=f"{nm}/{k}")
+    want = portfolio_xva(model, sets, N_PATHS, N_STEPS, **kw)
+    for nm, keys in (("a", ("cva", "cva_wwr", "mva")), ("b", ("cva",))):
+        for k in keys:
+            np.testing.assert_allclose(
+                float(res[8]["sets"][nm][k]), float(want["sets"][nm][k]),
+                rtol=1e-9, atol=1e-18, err_msg=f"{nm}/{k}")
+    assert float(res[8]["portfolio"]["mva"]) == float(
+        res[8]["sets"]["a"]["mva"]) + float(res[8]["sets"]["b"]["mva"])
 
 
 def _build_greeks_f32(p):
@@ -317,5 +378,6 @@ def test_cli_xva_portfolio_mesh_greeks(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["state_param"] == "r0"
-    assert set(out["greeks"]) == {"cva", "dva", "bcva", "fva", "kva"}
+    assert set(out["greeks"]) == {"cva", "dva", "bcva", "fva", "mva",
+                                  "kva"}
     assert out["greeks"]["cva"]["hazard_rate"] > 0

@@ -68,21 +68,24 @@ def test_resume_is_bitwise_one_shot(tmp_path):
 def test_means_bitwise_match_sharded_scalars_to_a_ulp():
     """Chunk subtree roots are internal nodes of the flat fixed tree
     (power-of-two blocks per chunk), so every per-date mean equals
-    `sharded_netting_profile` BITWISE; the closing scalar reductions
-    compile in different programs and may differ by ~1 ULP; PFE only
-    within its grid error (the grids differ: pilot vs global pmax)."""
+    `sharded_netting_profile` BITWISE (the IM profile included — round 5
+    lifted IM/MVA into the shared block stats); the closing scalar
+    reductions compile in different programs and may differ by ~1 ULP;
+    PFE only within its grid error (the grids differ: pilot vs global
+    pmax)."""
     model, trades = _book()
-    got = _stream()
+    got = _stream(im_spread=0.003)
     want = sharded_netting_profile(model, trades, TOTAL, N_STEPS,
                                    mesh=make_mesh(4), block_size=BLOCK,
-                                   **_KW)
+                                   im_spread=0.003, **_KW)
     for k in ("epe", "ene", "eepe", "epe_uncollateralized",
-              "ene_uncollateralized"):
+              "ene_uncollateralized", "im"):
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(want[k]), err_msg=k)
-    for k in ("cva", "dva", "cva_no_netting", "fca", "fba", "kva"):
+    for k in ("cva", "dva", "cva_no_netting", "fca", "fba", "kva", "mva"):
         np.testing.assert_allclose(float(got[k]), float(want[k]),
                                    rtol=5e-16, atol=0, err_msg=k)
+    assert float(got["mva"]) > 0
     # bcva/fva are DIFFERENCES of the above — cancellation turns the
     # inputs' 1-ULP wiggle into a large relative (not absolute) error,
     # so anchor their tolerance to the minuends' ULP.
@@ -106,7 +109,7 @@ def test_overflow_is_counted_and_warned(tmp_path):
 
     ck = str(tmp_path / "tiny.npz")
     model, trades = _book()
-    n_q, n_dates = 7 + len(trades), N_STEPS + 1
+    n_q, n_dates = 9 + len(trades), N_STEPS + 1
     sm.NettingStreamState(
         seed=7, n_steps=N_STEPS, block_size=BLOCK, chunk_paths=CHUNK,
         T=T, paths_done=0,
