@@ -69,7 +69,8 @@ def _warn_oob(sketch, context: str) -> None:
 
 
 def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
-                  *, seed: int = 0, mesh=None, bins: int = 8192,
+                  *, seed: int = 0, sampler=None, mesh=None,
+                  bins: int = 8192,
                   lo: Optional[float] = None, hi: Optional[float] = None,
                   chunk_paths: Optional[int] = None,
                   block_size: int = 4096,
@@ -108,7 +109,7 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
         for _ in range(2):
             sketch, moments = sharded_terminal_sketch(
                 process, n_paths, n_days, seed=seed, mesh=mesh, lo=lo,
-                hi=hi, bins=bins, block_size=block_size)
+                hi=hi, bins=bins, block_size=block_size, sampler=sampler)
             if (auto_ranged
                     and _oob_fraction(sketch) > _OOB_RERANGE_THRESHOLD):
                 # Pilot under-ranged a fat tail (jump processes): re-run on
@@ -131,7 +132,7 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
         state = streaming_estimate(
             process, n_paths, n_days, seed=seed, chunk_paths=chunk,
             block_size=block_size, lo=lo, hi=hi, bins=bins, mesh=mesh,
-            checkpoint_path=checkpoint_path,
+            sampler=sampler, checkpoint_path=checkpoint_path,
             progress_callback=progress_callback)
         if (auto_ranged and checkpoint_path is None
                 and _oob_fraction(state.sketch) > _OOB_RERANGE_THRESHOLD):
@@ -148,6 +149,7 @@ def portfolio_var(process, n_paths: int, n_days: int, current_value: float,
 
 def portfolio_var_on_device(process, n_paths: int, n_days: int,
                             current_value: float, *, seed: int = 0,
+                            sampler=None,
                             bins: int = 8192, lo: Optional[float] = None,
                             hi: Optional[float] = None,
                             chunk_paths: int = 1 << 24) -> dict:
@@ -155,6 +157,14 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
     fused-kernel chunks accumulating the histogram sketch and moments
     on-chip — a single host round-trip regardless of path count.  No
     checkpointing (use `portfolio_var` for resumable runs).
+
+    ``sampler``: the standard draw-provider seam (QMC included — a
+    `samplers.SobolSampler.for_process` table covers the GARCH bootstrap
+    / jump uniform slots via the mixed-slot protocol); the per-chunk
+    gathers index the table by global path id, so the table must cover
+    ``n_paths`` rows.  The reported error bars keep the iid formulas —
+    under QMC they are conservative (see `engine.exposure
+    .netting_set_profile_rqmc` for honest replicate-spread bars).
     """
     import functools
 
@@ -180,6 +190,7 @@ def portfolio_var_on_device(process, n_paths: int, n_days: int,
         def body(i, carry):
             counts, uf, of, vmin, vmax, total, mean, m2 = carry
             term = terminal_prices(process, chunk_paths, n_days, seed=seed0,
+                                   sampler=sampler,
                                    path_offset=i * chunk_paths)
             raw = jnp.floor((term - lo_t) / width).astype(jnp.int32)
             under = raw < 0

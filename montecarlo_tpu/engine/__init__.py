@@ -52,11 +52,14 @@ from montecarlo_tpu.engine.functionals import (  # noqa: F401
 )
 from montecarlo_tpu.engine.exposure import (  # noqa: F401
     exposure_profile,
+    netting_set_profile_rqmc,
     swap_value_fn,
     xva_trade_allocations,
 )
 from montecarlo_tpu.engine.credit import (  # noqa: F401
+    CopulaSobolSampler,
     cdo_tranche,
+    credit_rqmc,
     kth_to_default_cds,
 )
 from montecarlo_tpu.engine.cf_pricing import (  # noqa: F401

@@ -32,6 +32,7 @@ binomial), not against a looser approximation.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -111,11 +112,46 @@ def default_thresholds(hazards, times, dtype, copula="gaussian",
     return jnp.where(t > 0, c, -jnp.inf)
 
 
+class CopulaSobolSampler(NamedTuple):
+    """Scrambled-Sobol QMC copula draws for the portfolio-credit engines.
+
+    One Sobol point per PATH (not per step — the copula is a one-shot
+    latent structure): dimension 0 drives the systematic factor, 1..N the
+    idiosyncratic normals (all via the inverse CDF), and the trailing
+    ``df/2`` dimensions stay raw scrambled uniforms for the Student-t
+    chi2 mixing (inverse-transform QMC is unbiased for any marginal —
+    the `samplers.MixedSobolSampler` argument).  Rows are indexed by
+    GLOBAL path id, so the sharded twin gathers its blocks from the same
+    table and stays bitwise mesh-invariant.  Build one per replicate with
+    a different ``seed`` for the honest replicate-spread error bar
+    (`credit_rqmc`).
+    """
+
+    z: jnp.ndarray   # (n_paths, 1 + n_names) normals: factor, then names
+    u: jnp.ndarray   # (n_paths, df//2) chi2-mixing uniforms (0 cols = Gauss)
+
+    @classmethod
+    def create(cls, n_names: int, n_paths: int, *, seed: int = 0,
+               copula: str = "gaussian", df: int = 4,
+               dtype=jnp.float64) -> "CopulaSobolSampler":
+        import numpy as np
+        from scipy.special import ndtri
+        from scipy.stats import qmc
+
+        n_mix = df // 2 if copula == "student-t" else 0
+        eng = qmc.Sobol(d=1 + n_names + n_mix, scramble=True, seed=seed)
+        m = max(1, int(np.ceil(np.log2(max(n_paths, 2)))))
+        pts = eng.random_base2(m=m)[:n_paths]
+        pts = np.clip(pts, 2.0**-24, 1.0 - 2.0**-24)
+        return cls(jnp.asarray(ndtri(pts[:, :1 + n_names]), dtype),
+                   jnp.asarray(pts[:, 1 + n_names:], dtype))
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
                                    "copula", "df"))
 def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
                       dtype, path_offset=0, copula="gaussian",
-                      df: int = 4):
+                      df: int = 4, sampler=None):
     """Pathwise per-date portfolio loss and default count.
 
     Returns ``(loss, count)`` each of shape ``(n_steps + 1, n_paths)``:
@@ -135,9 +171,19 @@ def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
     """
     n_names = hazards.shape[0]
     ids = path_ids_for(n_paths, path_offset)
-    m = normal_draw(seed, CREDIT_STREAM, ids, 0, dtype)          # (P,)
-    d = (1 + jnp.arange(n_names, dtype=jnp.uint32))[:, None]
-    eps = normal_draw(seed, CREDIT_STREAM, ids[None, :], d, dtype)
+    if sampler is None:
+        m = normal_draw(seed, CREDIT_STREAM, ids, 0, dtype)      # (P,)
+        d = (1 + jnp.arange(n_names, dtype=jnp.uint32))[:, None]
+        eps = normal_draw(seed, CREDIT_STREAM, ids[None, :], d, dtype)
+    else:
+        if sampler.z.shape[1] != 1 + n_names:
+            raise ValueError(
+                f"CopulaSobolSampler built for {sampler.z.shape[1] - 1} "
+                f"names, pool has {n_names} — rebuild with "
+                "CopulaSobolSampler.create(n_names, ...)")
+        rows = sampler.z[ids.astype(jnp.int32)].astype(dtype)
+        m = rows[:, 0]
+        eps = rows[:, 1:].T                                      # (N, P)
     rho = jnp.asarray(rho, dtype)
     x = jnp.sqrt(rho) * m[None, :] + jnp.sqrt(1.0 - rho) * eps   # (N, P)
     if copula == "student-t":
@@ -145,9 +191,17 @@ def _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps, *, T, seed,
             raise ValueError("student-t copula needs a positive EVEN "
                              f"integer df (exact chi2 from Exp sums); "
                              f"got {df}")
-        dmix = jnp.arange(df // 2, dtype=jnp.uint32)[:, None]
-        u = uniform_draw(seed, CREDIT_MIX_STREAM, ids[None, :], dmix,
-                         dtype)
+        if sampler is None:
+            dmix = jnp.arange(df // 2, dtype=jnp.uint32)[:, None]
+            u = uniform_draw(seed, CREDIT_MIX_STREAM, ids[None, :], dmix,
+                             dtype)
+        else:
+            if sampler.u.shape[1] != df // 2:
+                raise ValueError(
+                    f"CopulaSobolSampler carries {sampler.u.shape[1]} "
+                    f"mixing dims, student-t df={df} needs {df // 2} — "
+                    "rebuild with copula='student-t', df=df")
+            u = sampler.u[ids.astype(jnp.int32)].T.astype(dtype)
         w = 2.0 * jnp.sum(-jnp.log(u), axis=0)                   # chi2(df)
         x = x / jnp.sqrt(w / df)[None, :]
     elif copula != "gaussian":
@@ -236,10 +290,10 @@ def _kth_legs(count, k, recovery, dt, disc_end, disc_mid, dtype):
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "seed", "dtype",
                                    "copula", "df"))
 def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
-                 T, seed, rate, dtype, copula, df):
+                 T, seed, rate, dtype, copula, df, sampler=None):
     loss, _ = _loss_count_paths(hazards, loss_w, rho, n_paths, n_steps,
                                 T=T, seed=seed, dtype=dtype,
-                                copula=copula, df=df)
+                                copula=copula, df=df, sampler=sampler)
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     prot, prem, tl = _tranche_legs(loss, attach, detach, dt, disc_end,
                                    disc_mid, dtype)
@@ -251,7 +305,7 @@ def _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths, n_steps, *,
 def cdo_tranche(hazards, rho: float, *, attach: float, detach: float,
                 T: float, n_steps: int, n_paths: int, seed: int,
                 rate: float = 0.0, recovery=0.4, weights=None,
-                copula: str = "gaussian", df: int = 4,
+                copula: str = "gaussian", df: int = 4, sampler=None,
                 dtype=jnp.float64) -> dict:
     """Synthetic CDO tranche [attach, detach) on an N-name pool.
 
@@ -281,18 +335,18 @@ def cdo_tranche(hazards, rho: float, *, attach: float, detach: float,
         raise ValueError("need 0 <= attach < detach")
     return _cdo_tranche(hazards, loss_w, rho, attach, detach, n_paths,
                         n_steps, T=T, seed=seed, rate=rate, dtype=dtype,
-                        copula=copula, df=df)
+                        copula=copula, df=df, sampler=sampler)
 
 
 @partial(jax.jit, static_argnames=("k", "n_paths", "n_steps", "seed",
                                    "dtype", "copula", "df"))
 def _kth_to_default(hazards, rho, k, n_paths, n_steps, *, T, seed, rate,
-                    recovery, dtype, copula, df):
+                    recovery, dtype, copula, df, sampler=None):
     n = hazards.shape[0]
     ones = jnp.ones((n,), dtype)
     _, count = _loss_count_paths(hazards, ones, rho, n_paths, n_steps,
                                  T=T, seed=seed, dtype=dtype,
-                                 copula=copula, df=df)
+                                 copula=copula, df=df, sampler=sampler)
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     prot, prem, hit = _kth_legs(count, k, recovery, dt, disc_end,
                                 disc_mid, dtype)
@@ -304,7 +358,7 @@ def _kth_to_default(hazards, rho, k, n_paths, n_steps, *, T, seed, rate,
 def kth_to_default_cds(hazards, rho: float, *, k: int, T: float,
                        n_steps: int, n_paths: int, seed: int,
                        rate: float = 0.0, recovery: float = 0.4,
-                       copula: str = "gaussian", df: int = 4,
+                       copula: str = "gaussian", df: int = 4, sampler=None,
                        dtype=jnp.float64) -> dict:
     """kth-to-default basket CDS on an N-name pool.
 
@@ -329,20 +383,22 @@ def kth_to_default_cds(hazards, rho: float, *, k: int, T: float,
         raise ValueError(f"k must be in [1, {hazards.shape[0]}]")
     return _kth_to_default(hazards, rho, k, n_paths, n_steps, T=T,
                            seed=seed, rate=rate, recovery=recovery,
-                           dtype=dtype, copula=copula, df=df)
+                           dtype=dtype, copula=copula, df=df,
+                           sampler=sampler)
 
 
 def credit_legs_pathwise(hazards, loss_w, rho, *, product: str, attach,
                          detach, k, recovery, n_paths, n_steps, T, seed,
                          rate, dtype, path_offset=0,
-                         copula: str = "gaussian", df: int = 4):
+                         copula: str = "gaussian", df: int = 4,
+                         sampler=None):
     """(prot, prem) per path for one contiguous block of global path ids —
     the unit the sharded twin maps over fixed-width blocks (same draws,
     same leg algebra as the unsharded engines above)."""
     loss, count = _loss_count_paths(hazards, loss_w, rho, n_paths,
                                     n_steps, T=T, seed=seed, dtype=dtype,
                                     path_offset=path_offset,
-                                    copula=copula, df=df)
+                                    copula=copula, df=df, sampler=sampler)
     times, dt, disc_end, disc_mid = _leg_arrays(n_steps, T, rate, dtype)
     if product == "tranche":
         prot, prem, _ = _tranche_legs(loss, attach, detach, dt, disc_end,
@@ -499,6 +555,60 @@ def base_correlation(target_spread: float, *, n_names: int, detach: float,
     return 0.5 * (a + b)
 
 
-__all__ = ["cdo_tranche", "kth_to_default_cds", "default_thresholds",
+def credit_rqmc(hazards, rho: float, *, product: str = "tranche",
+                n_paths: int, n_replicates: int = 8, qmc_seed: int = 0,
+                copula: str = "gaussian", df: int = 4, **kw) -> dict:
+    """CDO-tranche / kth-to-default pricing under randomized QMC with
+    HONEST error bars — the `price_to_tolerance_rqmc` pattern on the
+    credit engines: ``n_paths`` total paths split into ``n_replicates``
+    independently scrambled :class:`CopulaSobolSampler` replicates, each
+    running the full pricer; leg/spread scalars return the replicate
+    mean, and every ``*_std_err`` key is REPLACED by the replicate-spread
+    standard error ``std(values, ddof=1)/sqrt(R)`` (the iid bar would
+    overstate QMC error by the full convergence gain).  Profile arrays
+    (``expected_loss``) return replicate means with spread bars.
+
+    Measured (tests): >= 2x std-err reduction on the tranche par spread
+    at equal paths vs plain MC replicates.
+
+    ``kw`` passes through to `cdo_tranche` / `kth_to_default_cds`
+    (attach/detach or k, T, n_steps, seed, rate, recovery, ...).
+    """
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2 (the error bar is "
+                         "the spread across replications)")
+    if n_paths % n_replicates:
+        raise ValueError(f"n_paths={n_paths} not divisible by "
+                         f"n_replicates={n_replicates}")
+    per = n_paths // n_replicates
+    n_names = jnp.asarray(hazards).shape[0]
+    pricer = cdo_tranche if product == "tranche" else kth_to_default_cds
+    if product not in ("tranche", "kth"):
+        raise ValueError(f"unknown credit product {product!r}")
+    recs = []
+    for r in range(n_replicates):
+        smp = CopulaSobolSampler.create(n_names, per, seed=qmc_seed + r,
+                                        copula=copula, df=df,
+                                        dtype=kw.get("dtype", jnp.float64))
+        recs.append(pricer(hazards, rho, n_paths=per, copula=copula,
+                           df=df, sampler=smp, **kw))
+    out = {}
+    r_f = float(n_replicates)
+    for k_ in recs[0]:
+        if k_.endswith("_std_err"):
+            continue
+        stack = jnp.stack([jnp.asarray(rec[k_]) for rec in recs])
+        out[k_] = jnp.mean(stack, axis=0)
+        if k_ not in ("times", "n_paths"):
+            out[k_ + "_std_err"] = (jnp.std(stack, axis=0, ddof=1)
+                                    / jnp.sqrt(jnp.asarray(
+                                        r_f, stack.dtype)))
+    out["n_paths"] = jnp.asarray(float(n_paths))
+    out["n_replicates"] = n_replicates
+    return out
+
+
+__all__ = ["CopulaSobolSampler", "cdo_tranche", "credit_rqmc",
+           "kth_to_default_cds", "default_thresholds",
            "credit_legs_pathwise", "tranche_spread_exact",
            "base_correlation", "CREDIT_STREAM"]

@@ -68,7 +68,8 @@ def path_ids_for(n_paths: int, path_offset=0):
 
 def simulate(process, n_paths: int, n_steps: int, *, seed,
              stream=0, sampler=None, mode: str = "terminal",
-             dtype=jnp.float32, path_offset=0, remat: bool = False):
+             dtype=jnp.float32, path_offset=0, remat: bool = False,
+             observe=None):
     """Simulate ``n_paths`` paths for ``n_steps`` steps.
 
     Args:
@@ -89,6 +90,12 @@ def simulate(process, n_paths: int, n_steps: int, *, seed,
         storing all T intermediate states: O(paths) residual memory instead
         of O(paths * steps).  Counter-based draws make the recomputation
         free of RNG state.
+      observe: optional static ``observe(process, state) -> array`` used in
+        place of ``process.prices`` for every output row — how multi-state
+        underlyings (G2++'s (x, y), the hybrid's (S, r, integral)) expose
+        their full state to the exposure engines without changing their
+        pricing observable.  An (n_paths, C) observation yields
+        (n_steps+1, n_paths, C) paths.
 
     Returns:
       ``mode="terminal"`` -> (n_paths,) (or (n_paths, n_assets)) prices at T.
@@ -97,24 +104,26 @@ def simulate(process, n_paths: int, n_steps: int, *, seed,
     k0, k1 = key_from_seed_dynamic(seed, stream)
     return _simulate(process, n_paths, n_steps, seed=k0, stream=k1,
                      sampler=sampler, mode=mode, dtype=dtype,
-                     path_offset=path_offset, remat=remat)
+                     path_offset=path_offset, remat=remat, observe=observe)
 
 
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "mode", "dtype",
-                                   "remat"))
+                                   "remat", "observe"))
 def _simulate(process, n_paths: int, n_steps: int, *, seed, stream,
               sampler=None, mode: str = "terminal",
-              dtype=jnp.float32, path_offset=0, remat: bool = False):
+              dtype=jnp.float32, path_offset=0, remat: bool = False,
+              observe=None):
     if sampler is None:
         sampler = PlainSampler()
     check_sampler(sampler, process, n_steps)
+    obs = observe or (lambda p, s: p.prices(s))
     ids = path_ids_for(n_paths, path_offset)
     state0 = process.init_state(ids, dtype)
 
     def body(state, t):
         eps = sampler.draws(process, seed, stream, ids, t, dtype)
         new_state = process.step(state, eps, t)
-        out = process.prices(new_state) if mode == "paths" else None
+        out = obs(process, new_state) if mode == "paths" else None
         return new_state, out
 
     if remat:
@@ -122,9 +131,9 @@ def _simulate(process, n_paths: int, n_steps: int, *, seed, stream,
     final_state, outs = jax.lax.scan(body, state0,
                                      jnp.arange(n_steps, dtype=jnp.int32))
     if mode == "paths":
-        first = process.prices(state0)[None]
+        first = obs(process, state0)[None]
         return jnp.concatenate([first, outs], axis=0)
-    return process.prices(final_state)
+    return obs(process, final_state)
 
 
 def replay_paths(process, path_ids, n_steps: int, *, seed,

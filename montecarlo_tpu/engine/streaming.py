@@ -437,7 +437,8 @@ def streaming_netting_profile(
     funding_spread: float = 0.0, im_spread: float = 0.0,
     im_quantile: float = 0.99, im_mpor: float = 10.0 / 252.0,
     kva_cost: float = 0.0,
-    kva_capital_ratio: float = 0.112, flat_rate=None, dtype=jnp.float64,
+    kva_capital_ratio: float = 0.112, flat_rate=None, sampler=None,
+    dtype=jnp.float64,
     block_size: int = DEFAULT_BLOCK,
     checkpoint_path: Optional[str] = None,
     resume: bool = True, checkpoint_every: int = 1,
@@ -502,7 +503,7 @@ def streaming_netting_profile(
                        block_size=block_size)
 
     @jax.jit
-    def sim_fn(model_, off0, im_q, im_m):
+    def sim_fn(model_, off0, im_q, im_m, sampler_):
         # im_quantile/im_mpor as runtime OPERANDS, exactly like the
         # sharded engine's shared dict: trace-time constants here would
         # let XLA constant-fold ndtri/exp with host libm while the
@@ -514,7 +515,7 @@ def streaming_netting_profile(
                 * jnp.uint32(block_size))
         stats, pos = jax.lax.map(
             lambda off: block_fn(model_, off, im_quantile=im_q,
-                                 im_mpor=im_m), offs)
+                                 im_mpor=im_m, sampler=sampler_), offs)
         root = moments_reduce(stats)                    # (Q, T+1) leaves
         pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
         return root, pos
@@ -560,7 +561,7 @@ def streaming_netting_profile(
         # counted overflow, never silent).  The simulated chunk is
         # REUSED as the main loop's first chunk — only the cheap
         # histogram pass runs twice, not the simulate+mark work.
-        pilot = sim_fn(model, 0, *im_ops)
+        pilot = sim_fn(model, 0, *im_ops, sampler)
         hi = np.asarray(jnp.max(pilot[1], axis=1), np.float64) * 4.0
         hi = np.where(hi > 0, hi, 1.0)
         state = NettingStreamState(
@@ -577,7 +578,7 @@ def streaming_netting_profile(
             root, pos = pilot
             pilot = None
         else:
-            root, pos = sim_fn(model, state.paths_done, *im_ops)
+            root, pos = sim_fn(model, state.paths_done, *im_ops, sampler)
         counts, over = hist_fn(pos, jnp.asarray(state.hi_edges, dtype))
         state.root_count = np.concatenate(
             [state.root_count, np.asarray(root.count, np.float64)[None]])

@@ -750,15 +750,17 @@ def sharded_terminal_sketch(process, n_paths: int, n_steps: int, *,
 # ---------------------------------------------------------------------------
 
 def _sim_disc_block(model, off, *, n_steps, dt, seed, flat_rate, dtype,
-                    block_size):
+                    block_size, sampler=None):
     """Simulate ONE fixed-width block of global path ids + its pathwise
     discount rows — the simulation unit every netting engine (sharded /
     streaming / the AMC and WWR pre/post passes) shares, so block b's
-    paths are identical wherever they are produced."""
+    paths are identical wherever they are produced.  ``sampler`` (e.g. a
+    Sobol table indexed by GLOBAL path id) rides through unchanged, so
+    QMC draws are as mesh-invariant as the counter-based PRNG's."""
     from montecarlo_tpu.engine.simulate import simulate
 
     paths = simulate(model, block_size, n_steps, seed=seed,
-                     mode="paths", dtype=dtype,
+                     mode="paths", dtype=dtype, sampler=sampler,
                      path_offset=off)                      # (T+1, bs)
     times = jnp.arange(n_steps + 1, dtype=dtype) * dt
     if flat_rate is None:
@@ -825,7 +827,7 @@ def _amc_poly_rows(paths, amc_op, spec, times, dt, n_steps, dtype):
 def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
                         dtype, block_size, im_quantile: float = 0.99,
                         im_mpor: float = 10.0 / 252.0, paths_disc=None,
-                        amc_ops=None):
+                        amc_ops=None, sampler=None):
     """Simulate + mark + net + collateralize ONE fixed-width block of
     global path ids — the unit BOTH the sharded netting engines and the
     streaming (checkpoint/resume) engine map over, so their per-block
@@ -858,7 +860,8 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     if paths_disc is None:
         paths, disc = _sim_disc_block(
             model, off, n_steps=n_steps, dt=dt, seed=seed,
-            flat_rate=flat_rate, dtype=dtype, block_size=block_size)
+            flat_rate=flat_rate, dtype=dtype, block_size=block_size,
+            sampler=sampler)
     else:
         paths, disc = paths_disc
     times = jnp.arange(n_dates, dtype=dtype) * dt
@@ -1189,7 +1192,7 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                             n_steps: int, *, T: float, seed: int, mesh,
                             quantile, pfe_bins: int, flat_rate, dtype,
                             block_size: int, axis: str,
-                            with_wwr: bool = False) -> dict:
+                            with_wwr: bool = False, sampler=None) -> dict:
     """Shared pod-scale netting machinery: N netting sets, ONE simulation.
 
     ``sets`` is a static tuple of ``(name, trades, csa)``; ``credit`` a
@@ -1299,7 +1302,7 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                 "into the distributed regression fit)")
     need_paths = with_wwr or bool(amc_items)
 
-    def shard_fn(model_, credit_, shared_):
+    def shard_fn(model_, credit_, shared_, sampler_):
         shard_idx = jax.lax.axis_index(axis)
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
@@ -1310,7 +1313,7 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
         one_block = partial(netting_block_stats, sets=sets,
                             n_steps=n_steps, dt=dt, seed=seed,
                             flat_rate=flat_rate, dtype=dtype,
-                            block_size=block_size,
+                            block_size=block_size, sampler=sampler_,
                             im_quantile=shared_["im_quantile"],
                             im_mpor=shared_["im_mpor"])
         # lax.map over the shard's fixed-width blocks: block b's program is
@@ -1324,7 +1327,8 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
             paths_all, disc_all = jax.lax.map(
                 partial(_sim_disc_block, model_, n_steps=n_steps, dt=dt,
                         seed=seed, flat_rate=flat_rate, dtype=dtype,
-                        block_size=block_size), offs)  # (n_blk, T+1, bs)
+                        block_size=block_size, sampler=sampler_),
+                offs)                                  # (n_blk, T+1, bs)
             amc_fits = {
                 key: _amc_fit_sharded(
                     paths_all, disc_all, sets[key[0]][1][key[1]].spec,
@@ -1388,11 +1392,11 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
             counts.reshape(n_sets, n_dates, pfe_bins), sum_axes)
         return (gathered, counts, width) + wwr_out
 
-    spec_in = jax.tree.map(lambda _: P(), (model, credit, shared))
+    spec_in = jax.tree.map(lambda _: P(), (model, credit, shared, sampler))
     out_specs = (P(), P(), P()) + ((P(),) if with_wwr else ())
     res = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=spec_in, out_specs=out_specs,
-        check_vma=False)(model, credit, shared)
+        check_vma=False)(model, credit, shared, sampler)
     stats, counts, width = res[:3]
     dpd_means, surv_wwr = res[3] if with_wwr else (None, None)
     means = moments_reduce(stats).mean                      # (Q_total, T+1)
@@ -1473,7 +1477,8 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
                             im_mpor: float = 10.0 / 252.0,
                             kva_cost: float = 0.0,
                             kva_capital_ratio: float = 0.112,
-                            flat_rate=None, dtype=jnp.float64,
+                            flat_rate=None, sampler=None,
+                            dtype=jnp.float64,
                             block_size: int = DEFAULT_BLOCK,
                             axis: str = PATHS_AXIS,
                             with_wwr: bool | None = None) -> dict:
@@ -1507,7 +1512,8 @@ def sharded_netting_profile(model, trades, n_paths: int, n_steps: int, *,
         model, (("_set", tuple(trades), csa),), credit, shared, n_paths,
         n_steps, T=T, seed=seed, mesh=mesh, quantile=quantile,
         pfe_bins=pfe_bins, flat_rate=flat_rate, dtype=dtype,
-        block_size=block_size, axis=axis, with_wwr=with_wwr)["_set"]
+        block_size=block_size, axis=axis, with_wwr=with_wwr,
+        sampler=sampler)["_set"]
 
 
 #: Per-set operand scalars the sharded portfolio engine accepts — the
@@ -1525,7 +1531,7 @@ def sharded_portfolio_xva(model, netting_sets, n_paths: int, n_steps: int,
                           funding_spread: float = 0.0,
                           im_quantile: float = 0.99,
                           im_mpor: float = 10.0 / 252.0, flat_rate=None,
-                          dtype=jnp.float64,
+                          sampler=None, dtype=jnp.float64,
                           block_size: int = DEFAULT_BLOCK,
                           axis: str = PATHS_AXIS) -> dict:
     """Multi-counterparty xVA at pod scale: N netting sets, ONE sharded
@@ -1572,7 +1578,7 @@ def sharded_portfolio_xva(model, netting_sets, n_paths: int, n_steps: int,
         model, tuple(sets), tuple(credit), shared, n_paths, n_steps, T=T,
         seed=seed, mesh=mesh, quantile=quantile, pfe_bins=pfe_bins,
         flat_rate=flat_rate, dtype=dtype, block_size=block_size, axis=axis,
-        with_wwr=with_wwr)
+        with_wwr=with_wwr, sampler=sampler)
     totals = {k: sum(per_set[name][k] for name in per_set)
               for k in ("cva", "dva", "bcva", "cva_no_netting", "fca",
                         "fba", "fva", "mva", "kva", "epe")}
@@ -1752,7 +1758,8 @@ def sharded_rbergomi_estimate(model, payoff_fn, n_paths: int, *, seed: int,
                                    "block_size", "copula", "df"))
 def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
                          n_paths, n_steps, *, product, k, T, seed, rate,
-                         mesh, dtype, block_size, axis, copula, df):
+                         mesh, dtype, block_size, axis, copula, df,
+                         sampler=None):
     from montecarlo_tpu.engine.credit import credit_legs_pathwise
 
     n_slices, n_path_shards, n_shards = _slice_layout(mesh, axis)
@@ -1763,7 +1770,7 @@ def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
     if has_slices:
         _check_two_level_tree(n_paths // block_size // n_slices)
 
-    def shard_fn(h_, w_, rho_, a_, b_, rec_, rate_):
+    def shard_fn(h_, w_, rho_, a_, b_, rec_, rate_, sampler_):
         shard_idx = jax.lax.axis_index(axis)
         if has_slices:
             shard_idx = (jax.lax.axis_index(SLICES_AXIS) * n_path_shards
@@ -1774,7 +1781,7 @@ def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
                 h_, w_, rho_, product=product, attach=a_, detach=b_, k=k,
                 recovery=rec_, n_paths=block_size, n_steps=n_steps, T=T,
                 seed=seed, rate=rate_, dtype=dtype, path_offset=off,
-                copula=copula, df=df)
+                copula=copula, df=df, sampler=sampler_)
             # Third row: the cross product, so the merged moments carry
             # cov(prot, prem) for the linearized par-spread error.
             rows = jnp.stack([prot, prem, prot * prem])
@@ -1790,7 +1797,7 @@ def _sharded_credit_legs(hazards, loss_w, rho, attach, detach, recovery,
         return _gather_two_level(local_stats, axis, has_slices)
 
     args = (hazards, loss_w, rho, attach, detach, recovery,
-            jnp.asarray(rate, dtype))
+            jnp.asarray(rate, dtype), sampler)
     spec_in = jax.tree.map(lambda _: P(), args)
     stats = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
                           out_specs=P(), check_vma=False)(*args)
@@ -1819,7 +1826,7 @@ def sharded_credit_legs(hazards, rho: float, n_paths: int, n_steps: int, *,
                         attach: float = 0.0, detach: float = 0.03,
                         k: int = 1, recovery=0.4, weights=None,
                         rate: float = 0.0, copula: str = "gaussian",
-                        df: int = 4, dtype=jnp.float64,
+                        df: int = 4, sampler=None, dtype=jnp.float64,
                         block_size: int = DEFAULT_BLOCK,
                         axis: str = PATHS_AXIS) -> dict:
     """Pod-scale Gaussian-copula credit legs (CDO tranche or kth-to-default).
@@ -1861,4 +1868,5 @@ def sharded_credit_legs(hazards, rho: float, n_paths: int, n_steps: int, *,
         jnp.asarray(attach, dtype), jnp.asarray(detach, dtype),
         jnp.asarray(recovery, dtype), n_paths, n_steps, product=product,
         k=k, T=T, seed=seed, rate=rate, mesh=mesh, dtype=dtype,
-        block_size=block_size, axis=axis, copula=copula, df=df)
+        block_size=block_size, axis=axis, copula=copula, df=df,
+        sampler=sampler)
