@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Batched-scanner wall-clock at the reference's UI ceiling.
+
+The reference scanner's maximum universe is 300 tickers
+(`/root/reference/app.py:1290-1295`, the "Number of stocks to scan"
+slider); round 4 benched only 50.  Run on the chip:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python experiments/scanner_bench.py 300
+
+Synthetic tickers share one series length, so the whole universe lands in
+ONE length group — every featurization is one vmapped device program and
+all (tickers x folds) GBT fits another; wall-clock through the relay is
+the honest end-to-end number (compile included on the first group, then
+amortized).
+"""
+
+import sys
+import time
+
+from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache("_bench")
+
+import jax  # noqa: E402
+
+from montecarlo_tpu.api.batch_scan import scan_tickers_batched  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    tickers = [f"SYN{i:03d}" for i in range(n)]
+    print("platform:", jax.devices()[0].platform)
+    marks = {}
+
+    def cb(done, total, _out):
+        marks.setdefault(done, time.perf_counter())
+
+    t0 = time.perf_counter()
+    res = scan_tickers_batched(tickers, provider="synthetic",
+                               progress_callback=cb)
+    dt = time.perf_counter() - t0
+    print(f"{n} tickers in {dt:.1f}s ({dt / n * 1000:.0f} ms/ticker); "
+          f"results={len(res.results)} failed={len(res.failed)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,8 @@ from montecarlo_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache("_bench")
 
 from montecarlo_tpu.engine.dispatch import terminal_prices
-from montecarlo_tpu.processes import (CIR, NIG, SABR, SLV, BasketGBM,
+from montecarlo_tpu.processes import (CIR, G2PP, NIG, SABR, SLV,
+                                      BasketGBM,
                                       Bates, CCCGarch, DCCGarch, EulerGBM,
                                       GBM, GARCHBootstrap, Heston,
                                       HullWhite, Kou, LocalVolGBM, Merton,
@@ -27,7 +28,7 @@ from montecarlo_tpu.processes import (CIR, NIG, SABR, SLV, BasketGBM,
 import jax.numpy as jnp
 
 # Short-rate observables may legitimately cross zero.
-MAY_BE_NEGATIVE = {"Vasicek", "CIR", "HullWhite"}
+MAY_BE_NEGATIVE = {"Vasicek", "CIR", "HullWhite", "G2PP"}
 
 
 def all_fusable_processes():
@@ -64,6 +65,7 @@ def all_fusable_processes():
         "Kou": Kou.create(s0=100., mu=.03, sigma=.2, lam=1., p_up=.4,
                           eta1=10., eta2=5., dt=1 / 252),
         "Vasicek": Vasicek.create(.03, .8, .05, .015, 1 / 64),
+        "G2PP": G2PP.create(.03, .8, .01, .1, .008, -.7, 1 / 64),
         "CIR": CIR.create(.03, .8, .05, .015, 1 / 64),
         "HullWhite": HullWhite.from_forward_curve(
             .02 + .005 * np.arange(33) / 16, a=.6, sigma=.012, dt=1 / 64),
@@ -102,8 +104,8 @@ def _demo_slv():
 # NIG joined when the smoke first covered it: the IG-subordinator's
 # sqrt/division chain is an FMA-contraction candidate when compiled
 # (~1e-6 relative on <1% of paths; interpret mode matches bitwise).
-ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "DCC", "Bates", "Heston",
-                 "NIG"}
+ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "G2PP", "DCC", "Bates",
+                 "Heston", "NIG"}
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ def add_parsers(sub):
 def _add_bond(sub):
     p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
     p.add_argument("--model", default="vasicek",
-                   choices=["vasicek", "cir", "hullwhite"])
+                   choices=["vasicek", "cir", "hullwhite", "g2pp"])
     p.add_argument("--r0", type=float, default=0.03)
     p.add_argument("--kappa", type=float, default=0.8,
                    help="mean-reversion speed (a for hullwhite)")
@@ -32,6 +32,12 @@ def _add_bond(sub):
                    help="default: ATM forward bond price")
     p.add_argument("--fwd-slope", type=float, default=0.005,
                    help="hullwhite: slope of the synthetic forward curve")
+    p.add_argument("--g2pp-b", type=float, default=0.1,
+                   help="g2pp: second-factor mean reversion b")
+    p.add_argument("--g2pp-eta", type=float, default=0.01,
+                   help="g2pp: second-factor volatility eta")
+    p.add_argument("--g2pp-rho", type=float, default=-0.7,
+                   help="g2pp: factor correlation rho")
     p.add_argument("--cap", action="store_true",
                    help="price a cap on the simple rate (strip of "
                         "zero-bond puts, closed form; --floor for the "
@@ -72,6 +78,12 @@ def cmd_bond(args) -> int:
     elif args.model == "cir":
         proc = CIR.create(args.r0, args.kappa, args.theta, args.sigma, dt)
         cf = cir_zcb(args.r0, args.kappa, args.theta, args.sigma, T)
+    elif args.model == "g2pp":
+        from montecarlo_tpu.processes.g2pp import G2PP, g2pp_zcb
+
+        proc = G2PP.create(args.r0, args.kappa, args.sigma, args.g2pp_b,
+                           args.g2pp_eta, args.g2pp_rho, dt)
+        cf = float(g2pp_zcb(proc, T))
     else:
         t_grid = np.arange(n_steps + 1) * dt
         fwd = args.r0 + args.fwd_slope * t_grid
@@ -80,8 +92,6 @@ def cmd_bond(args) -> int:
         cf = float(np.exp(-np.trapezoid(fwd, t_grid)))
 
     if args.cap:
-        import json
-
         import jax.numpy as jnp
 
         from montecarlo_tpu.engine.rates import (vasicek_bond_from_rate,
@@ -136,8 +146,32 @@ def cmd_bond(args) -> int:
             bermudan_swaption_lsm, vasicek_swaption_jamshidian)
         from montecarlo_tpu.engine.rates import vasicek_zcb as _zcb
 
+        if args.model == "g2pp":
+            # European payer swaption under G2++: the Brigo-Mercurio
+            # (4.31) quadrature closed form (no LSM needed).
+            from montecarlo_tpu.processes.g2pp import (G2PP, g2pp_swaption,
+                                                       g2pp_zcb)
+
+            delta = 0.25
+            t0 = delta
+            pays = [t0 + (i + 1) * delta for i in range(args.periods - 1)]
+            proc = G2PP.create(args.r0, args.kappa, args.sigma,
+                               args.g2pp_b, args.g2pp_eta, args.g2pp_rho,
+                               delta / 16)
+            if args.swap_strike is None:
+                ps = [float(g2pp_zcb(proc, t)) for t in pays]
+                strike = ((float(g2pp_zcb(proc, t0)) - ps[-1])
+                          / (delta * sum(ps)))
+            else:
+                strike = args.swap_strike
+            px = float(g2pp_swaption(proc, strike, t0, pays, delta,
+                                     payer=True))
+            print(json.dumps({"g2pp_european_swaption": round(px, 8),
+                              "strike": round(float(strike), 8),
+                              "expiry": t0, "periods": args.periods}))
+            return 0
         if args.model != "vasicek":
-            raise SystemExit("--swaption requires --model vasicek")
+            raise SystemExit("--swaption requires --model vasicek or g2pp")
         delta, spp = 0.25, 16
         if args.swap_strike is None:
             # Forward par rate of the swap entered at the first reset t=delta

@@ -17,10 +17,23 @@ def _add_xva(sub):
                                    "an interest-rate swap (Vasicek) or an "
                                    "equity forward (GBM)")
     p.add_argument("--underlying", default="rates",
-                   choices=["rates", "equity"],
+                   choices=["rates", "equity", "g2pp", "hybrid"],
                    help="rates: Vasicek payer swap, pathwise discounting; "
                         "equity: GBM forward, flat discounting (CVA has a "
-                        "Black-Scholes closed form, tested)")
+                        "Black-Scholes closed form, tested); g2pp: "
+                        "two-factor Gaussian rates (--portfolio only — "
+                        "two-tenor swap book, honest curve-risk netting); "
+                        "hybrid: equity x Vasicek (--portfolio only — "
+                        "cross-asset netting set: swap + equity forwards "
+                        "on ONE exact joint simulation, exact pathwise "
+                        "discounting)")
+    p.add_argument("--g2pp-b", type=float, default=0.08,
+                   help="g2pp: second-factor mean reversion")
+    p.add_argument("--g2pp-eta", type=float, default=0.012,
+                   help="g2pp: second-factor volatility")
+    p.add_argument("--factor-rho", type=float, default=-0.7,
+                   help="g2pp: factor correlation; hybrid: equity-rate "
+                        "correlation")
     p.add_argument("--s0", type=float, default=100.0,
                    help="equity: spot")
     p.add_argument("--fwd-strike", type=float, default=None,
@@ -173,6 +186,10 @@ def cmd_xva(args) -> int:
 
     import jax.numpy as jnp
 
+    if args.underlying in ("g2pp", "hybrid") and not args.portfolio:
+        raise SystemExit(f"--underlying {args.underlying} is a multi-state "
+                         "exposure underlying — it marks through the "
+                         "netting engine; add --portfolio")
     if args.portfolio:
         return _cmd_xva_portfolio(args)
     if args.allocate:
@@ -263,9 +280,20 @@ def _cmd_xva_portfolio(args) -> int:
     csa = None if args.no_csa else CSA(
         threshold=args.threshold, own_threshold=args.own_threshold,
         mta=args.mta, mpor=args.mpor)
-    if args.swaption_leg and args.underlying == "equity":
-        raise SystemExit("--swaption-leg is a rates trade; use "
+    if args.swaption_leg and args.underlying != "rates":
+        raise SystemExit("--swaption-leg is a Vasicek rates trade; use "
                          "--underlying rates")
+    if args.underlying in ("g2pp", "hybrid"):
+        if getattr(args, "mesh", 0) or args.checkpoint:
+            raise SystemExit(
+                f"--underlying {args.underlying} is multi-state — the "
+                "sharded/streaming netting engines simulate scalar-state "
+                "paths; drop --mesh/--checkpoint (runs unsharded)")
+        if args.greeks or args.allocate or args.counterparties > 1:
+            raise SystemExit(
+                f"--underlying {args.underlying}: --greeks/--allocate/"
+                "--counterparties are not wired for multi-state books "
+                "yet; drop them")
     if (args.swaption_leg and args.swaption_exercise > 1
             and args.checkpoint):
         raise SystemExit("Bermudan (AMC) swaption legs cannot stream — "
@@ -296,7 +324,80 @@ def _cmd_xva_portfolio(args) -> int:
     # rebuilt from the params so valuation sensitivity flows through the
     # swap closed forms, not just the simulation (see xva_greeks docs).
     dt = args.maturity / args.steps
-    if args.underlying == "equity":
+    if args.underlying == "g2pp":
+        # Two-tenor curve book on the two-factor model: the netting the
+        # one-factor family cannot represent honestly (all forwards
+        # comonotone) — long 4x short-tenor payer, short 1x full-tenor
+        # payer, both at par.
+        from montecarlo_tpu.processes.g2pp import (G2PP,
+                                                   g2pp_swap_value_fn,
+                                                   g2pp_zcb)
+
+        pay_dt = args.maturity / args.periods
+        times_full = pay_dt * np.arange(1, args.periods + 1)
+        times_half = times_full[:max(args.periods // 2, 1)]
+
+        def build(p):
+            m = G2PP.create(p["r0"], args.kappa, p["sigma"], args.g2pp_b,
+                            args.g2pp_eta, args.factor_rho, dt,
+                            dtype=jnp.float32)
+
+            def par(times):
+                ps = [float(g2pp_zcb(m, t)) for t in times]
+                return (1.0 - ps[-1]) / (pay_dt * sum(ps))
+
+            v_s = g2pp_swap_value_fn(m, par(times_half), times_half,
+                                     pay_dt, dtype=jnp.float32)
+            v_l = g2pp_swap_value_fn(m, par(times_full), times_full,
+                                     pay_dt, dtype=jnp.float32)
+            trades = (lambda c, t: 4.0 * v_s(c, t),
+                      lambda c, t: -1.0 * v_l(c, t))
+            return m, trades, None
+
+        params = {"r0": args.r0, "sigma": args.sigma,
+                  "hazard_rate": args.hazard}
+        state_param = "r0"
+    elif args.underlying == "hybrid":
+        # Cross-asset netting set on ONE exact joint simulation: a payer
+        # swap marked off the Vasicek rate component + equity forwards
+        # marked off the spot with stochastic-rate bond discounting —
+        # pathwise bank-account discounting is EXACT (the integral is a
+        # state component).
+        from montecarlo_tpu.engine.rates import (vasicek_bond_from_rate,
+                                                 vasicek_zcb)
+        from montecarlo_tpu.processes import EquityVasicekHybrid, Vasicek
+
+        pay_dt = args.maturity / args.periods
+        times_full = pay_dt * np.arange(1, args.periods + 1)
+        ps = [vasicek_zcb(args.r0, args.kappa, args.theta, args.sigma, t)
+              for t in times_full]
+        k_swap = (1.0 - ps[-1]) / (pay_dt * sum(ps))
+        k_fwd = args.s0 / ps[-1]              # par equity forward
+        t_mat = args.maturity
+
+        def build(p):
+            m = EquityVasicekHybrid.create(
+                p["s0"], p["r0"], args.kappa, args.theta, args.sigma,
+                args.equity_sigma, args.factor_rho, dt, dtype=jnp.float32)
+            vas = Vasicek.create(p["r0"], args.kappa, args.theta,
+                                 args.sigma, dt, dtype=jnp.float32)
+            sw = swap_value_fn(vas, k_swap, times_full, pay_dt,
+                               dtype=jnp.float32)
+
+            def fwd(k):
+                return lambda c, t: c[0] - k * vasicek_bond_from_rate(
+                    c[1], args.kappa, args.theta, args.sigma,
+                    jnp.maximum(t_mat - t, 1e-9))
+
+            trades = (lambda c, t: sw(c[1], t),
+                      fwd(0.9 * k_fwd),
+                      lambda c, t: -0.6 * fwd(1.05 * k_fwd)(c, t))
+            return m, trades, None
+
+        params = {"s0": args.s0, "r0": args.r0,
+                  "hazard_rate": args.hazard}
+        state_param = "s0"
+    elif args.underlying == "equity":
         k_par = args.s0 * float(np.exp(args.r0 * args.maturity))
         t_mat, r0 = args.maturity, args.r0
 

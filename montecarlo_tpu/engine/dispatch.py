@@ -34,6 +34,7 @@ from montecarlo_tpu.processes.euler_gbm import EulerGBM
 from montecarlo_tpu.processes.kou import Kou
 from montecarlo_tpu.processes.nig import NIG
 from montecarlo_tpu.processes.vg import VarianceGamma
+from montecarlo_tpu.processes.g2pp import G2PP
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, Vasicek
 from montecarlo_tpu.processes.sabr import SABR
 from montecarlo_tpu.processes.term_basket import TermBasketGBM
@@ -44,8 +45,8 @@ from montecarlo_tpu.samplers import AntitheticSampler, PlainSampler
 _FUSABLE = (GBM, GARCHBootstrap, Heston, HestonQE, BasketGBM, Bates,
             BatesQE, Merton, CCCGarch,
             DCCGarch, LocalVolGBM, TermStructureGBM, EulerGBM, Kou, NIG,
-            VarianceGamma, Vasicek, CIR, HullWhite, SABR, TermBasketGBM,
-            SLVKnots, SLV)
+            VarianceGamma, Vasicek, CIR, HullWhite, G2PP, SABR,
+            TermBasketGBM, SLVKnots, SLV)
 
 
 def _kernel_block_rows(n_paths: int, max_rows: int = 256,

@@ -276,6 +276,11 @@ def exposure_profile(model, value_fn, n_paths: int, n_steps: int, *,
     With ``own_hazard_rate=0`` the CVA reduces exactly to the unilateral
     ``(1-R) sum D(0,t) EPE(t) dPD(t)`` of earlier revisions.
     """
+    if is_multistate(model):
+        raise TypeError(
+            f"{type(model).__name__} is a multi-state exposure underlying "
+            "— run it through netting_set_profile (a one-trade netting "
+            "set is the same profile)")
     return _exposure_profile(
         model, value_fn, n_paths, n_steps, T=T, seed=seed, sampler=sampler,
         quantile=quantile, hazard_rate=hazard_rate, recovery=recovery,
@@ -561,19 +566,67 @@ def _credit_funding_scalars(depe, dene, depe_per_trade, eepe, pbar, times,
                      "trap": trap}
 
 
+def _observe_exposure(process, state):
+    """The multi-state observation hook for `simulate(observe=...)`."""
+    return process.exposure_obs(state)
+
+
+def is_multistate(model) -> bool:
+    """Does ``model`` expose a multi-component exposure observation?
+
+    Multi-state underlyings (G2++'s two factors, the equity-rates
+    hybrid's (S, r, integral)) declare the protocol class attributes
+    ``exposure_components`` (names tuple), ``exposure_discount_kind``
+    ("rate": trapezoid on `pathwise_rate(obs)`; "exact":
+    `pathwise_discount(obs)`; "flat": the engine's flat_rate), an
+    ``exposure_obs(state) -> (N, C)`` method, plus ``im_tangent`` /
+    ``im_shock(obs, mpor)`` / ``wwr_state(obs)`` for the IM and WWR
+    machinery.  Their exposure paths are (T+1, C, N) and trades are
+    called as ``v(cols, t)`` with the (C, N) state columns.
+    """
+    return getattr(model, "exposure_components", None) is not None
+
+
+def _trapezoid_discount(rate_rows, dt, dtype):
+    n = rate_rows.shape[1]
+    mid = 0.5 * (rate_rows[:-1] + rate_rows[1:]) * dt
+    return jnp.exp(-jnp.concatenate(
+        [jnp.zeros((1, n), dtype), jnp.cumsum(mid, axis=0)], axis=0))
+
+
 def _simulate_and_discount(model, n_paths, n_steps, *, T, seed, flat_rate,
                            dtype, sampler=None):
     """One exposure simulation + its discount rows (shared by every
-    netting set of a portfolio — the paths are the expensive part)."""
+    netting set of a portfolio — the paths are the expensive part).
+
+    Multi-state models return paths (T+1, C, N) with discounting by the
+    model's declared kind; scalar models the usual (T+1, N)."""
     dt = T / n_steps
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    if is_multistate(model):
+        paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                         sampler=sampler, dtype=dtype,
+                         observe=_observe_exposure)     # (T+1, N, C)
+        paths = jnp.moveaxis(paths, -1, 1)              # (T+1, C, N)
+        kind = model.exposure_discount_kind
+        if kind == "exact":
+            disc = model.pathwise_discount(paths)
+        elif kind == "rate":
+            disc = _trapezoid_discount(model.pathwise_rate(paths), dt,
+                                       dtype)
+        else:
+            if flat_rate is None:
+                raise ValueError(
+                    f"{type(model).__name__} declares flat discounting — "
+                    "pass flat_rate")
+            disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                           * times)[:, None] * jnp.ones((1, n_paths),
+                                                        dtype)
+        return paths, disc, times
     paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
                      sampler=sampler, dtype=dtype)      # (T+1, N)
-    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
     if flat_rate is None:
-        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-        disc = jnp.exp(-jnp.concatenate(
-            [jnp.zeros((1, n_paths), dtype), jnp.cumsum(mid, axis=0)],
-            axis=0))
+        disc = _trapezoid_discount(paths, dt, dtype)
     else:
         disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
                        * times)[:, None] * jnp.ones((1, n_paths), dtype)
@@ -614,7 +667,24 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
                         im_mpor: float, kva_cost: float,
                         kva_capital_ratio: float, flat_rate, dtype) -> dict:
     dt = T / n_steps
-    n_paths = paths.shape[1]
+    n_paths = paths.shape[-1]
+    multi = paths.ndim == 3
+    # Delta-normal IM sensitivities: scalar models carry ONE jvp per mark
+    # (dV/d state); multi-state models carry one tangent PER COMPONENT
+    # (jax.linearize: one primal pass + C tangent replays per date) so the
+    # IM is the full multivariate delta-normal
+    # ``sqrt(dV' Sigma_mpor dV)`` with the model-declared margin-period
+    # covariance (`im_norm`) — a single-direction shock would miss
+    # cross-factor offsets (e.g. an equity forward hedged with a swap on
+    # the hybrid underlying).
+    if multi:
+        n_comp = paths.shape[1]
+        eye_c = jnp.eye(n_comp, dtype=dtype)
+        tangents = tuple(eye_c[c][:, None]
+                         * jnp.ones((1, n_paths), dtype)
+                         for c in range(n_comp))
+    else:
+        tangent = jnp.ones((n_paths,), dtype)
 
     # Every trade marked on the SAME paths: v_all[i, k, :] = trade i's value
     # at grid time k.  The simulation is the expensive part; each mark is a
@@ -632,15 +702,20 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
             k_obs = tuple(min(max(int(round(float(ot) / dt)), 0), n_steps)
                           for ot in trade.obs_times)
 
-            def row(k):
+            def fn_at(k):
                 obs = tuple(paths[jnp.minimum(k, ko)] for ko in k_obs)
-                return jax.jvp(
-                    lambda rr: trade.value_fn(rr, times[k], *obs),
-                    (paths[k],), (jnp.ones((n_paths,), dtype),))
+                return lambda rr: trade.value_fn(rr, times[k], *obs)
+        else:
+            def fn_at(k):
+                return lambda rr: trade(rr, times[k])
+
+        if multi:
+            def row(k):
+                v, lin = jax.linearize(fn_at(k), paths[k])
+                return v, jnp.stack([lin(tg) for tg in tangents])
         else:
             def row(k):
-                return jax.jvp(lambda rr: trade(rr, times[k]), (paths[k],),
-                               (jnp.ones((n_paths,), dtype),))
+                return jax.jvp(fn_at(k), (paths[k],), (tangent,))
         return jax.lax.map(row, jnp.arange(n_steps + 1))
 
     marked = [mark_trade(v) for v in trades]
@@ -703,26 +778,32 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
     # calibrated to the flat-hazard curve for ANY beta, so cva_wwr - cva
     # isolates the exposure-default covariance.
     dpd_paths, surv_wwr = _wwr_default_increments(
-        paths, times, hazard_rate, wwr_beta, dt, dtype)
+        model.wwr_state(paths) if multi else paths, times, hazard_rate,
+        wwr_beta, dt, dtype)
     cva_wwr = (1.0 - recovery) * jnp.sum(
         jnp.mean(disc * pos * dpd_paths, axis=1) * w_o)
     # Netted delta-normal dynamic IM + MVA — same model as the single-trade
     # profile (`_exposure_profile`), with dV/dr the NETTED sensitivity:
     # IM_t = z_q |sum_i dV_i/dr| sigma_state(im_mpor) per path.
     z_im = jax.scipy.special.ndtri(jnp.asarray(im_quantile, dtype))
-    kap = getattr(model, "kappa", getattr(model, "a", None))
-    sig_model = jnp.asarray(model.sigma, dtype)
     mpor_t = jnp.asarray(im_mpor, dtype)
-    lognormal_im = flat_rate is not None
-    if kap is not None and not lognormal_im:
-        kap = jnp.asarray(kap, dtype)
-        sig_mpor = sig_model * jnp.sqrt(
-            (1.0 - jnp.exp(-2.0 * kap * mpor_t))
-            / jnp.maximum(2.0 * kap, 1e-12))
+    if multi:
+        # dv_net: (T+1, C, N) per-component netted sensitivities; the
+        # model folds them with its margin-period covariance.
+        im_path = z_im * model.im_norm(dv_net, paths, mpor_t)
     else:
-        sig_mpor = sig_model * jnp.sqrt(mpor_t)
-    state_shock = sig_mpor * paths if lognormal_im else sig_mpor
-    im_path = z_im * jnp.abs(dv_net) * state_shock      # (T+1, N)
+        kap = getattr(model, "kappa", getattr(model, "a", None))
+        sig_model = jnp.asarray(model.sigma, dtype)
+        lognormal_im = flat_rate is not None
+        if kap is not None and not lognormal_im:
+            kap = jnp.asarray(kap, dtype)
+            sig_mpor = sig_model * jnp.sqrt(
+                (1.0 - jnp.exp(-2.0 * kap * mpor_t))
+                / jnp.maximum(2.0 * kap, 1e-12))
+        else:
+            sig_mpor = sig_model * jnp.sqrt(mpor_t)
+        state_shock = sig_mpor * paths if lognormal_im else sig_mpor
+        im_path = z_im * jnp.abs(dv_net) * state_shock  # (T+1, N)
     im = jnp.mean(im_path, axis=1)
     dim = jnp.mean(disc * im_path, axis=1)
     mva = jnp.asarray(im_spread, dtype) * jnp.sum(dim * alive * trap)
@@ -977,16 +1058,31 @@ def portfolio_xva(model, netting_sets, n_paths: int, n_steps: int, *,
 def _book_var(model, trades, n_paths: int, n_steps: int, *,
               horizon: float, seed: int, levels, flat_rate, dtype) -> dict:
     dt = horizon / n_steps
-    paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
-                     dtype=dtype)                       # rows 0..n_steps
     t_h = jnp.asarray(horizon, dtype)
-    if flat_rate is None:
-        mid = 0.5 * (paths[:-1] + paths[1:]) * dt
-        disc_h = jnp.exp(-jnp.sum(mid, axis=0))         # (N,) D(0, h)
+    if is_multistate(model):
+        paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                         dtype=dtype, observe=_observe_exposure)
+        paths = jnp.moveaxis(paths, -1, 1)              # (T+1, C, N)
+        kind = model.exposure_discount_kind
+        if kind == "exact":
+            disc_h = model.pathwise_discount(paths)[-1]
+        elif kind == "rate":
+            r = model.pathwise_rate(paths)
+            disc_h = jnp.exp(-jnp.sum(0.5 * (r[:-1] + r[1:]) * dt, axis=0))
+        else:
+            disc_h = jnp.full((n_paths,),
+                              jnp.exp(-jnp.asarray(flat_rate, dtype)
+                                      * t_h), dtype)
     else:
-        disc_h = jnp.full((n_paths,),
-                          jnp.exp(-jnp.asarray(flat_rate, dtype) * t_h),
-                          dtype)
+        paths = simulate(model, n_paths, n_steps, seed=seed, mode="paths",
+                         dtype=dtype)                   # rows 0..n_steps
+        if flat_rate is None:
+            mid = 0.5 * (paths[:-1] + paths[1:]) * dt
+            disc_h = jnp.exp(-jnp.sum(mid, axis=0))     # (N,) D(0, h)
+        else:
+            disc_h = jnp.full((n_paths,),
+                              jnp.exp(-jnp.asarray(flat_rate, dtype)
+                                      * t_h), dtype)
 
     def mark(trade, row, t, k):
         if isinstance(trade, PathDependentTrade):

@@ -1287,6 +1287,15 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
         return jax.lax.all_gather(x, gather_axes, axis=block_axis,
                                   tiled=True)
 
+    from montecarlo_tpu.engine.exposure import is_multistate
+
+    if is_multistate(model):
+        raise TypeError(
+            f"{type(model).__name__} is a multi-state exposure underlying "
+            "— the sharded netting engines simulate scalar-state paths; "
+            "run multi-state books through netting_set_profile / "
+            "portfolio_xva unsharded (pod-scale multi-state marking is a "
+            "planned extension)")
     # AMC (regression-marked) trades: static detection + spec validation.
     amc_items = tuple(
         (si, ti) for si, (_n, trs, _c) in enumerate(sets)

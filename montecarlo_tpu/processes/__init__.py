@@ -32,6 +32,12 @@ from montecarlo_tpu.processes.hybrid import (  # noqa: F401
     hybrid_call_closed_form,
     hybrid_price_mc,
 )
+from montecarlo_tpu.processes.g2pp import (  # noqa: F401
+    G2PP,
+    g2pp_swap_value_fn,
+    g2pp_swaption,
+    g2pp_zcb,
+)
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
 from montecarlo_tpu.processes.nig import NIG, NIGState  # noqa: F401

@@ -102,11 +102,10 @@ class G2PP(NormalDrawsMixin, NamedTuple("G2PPFields", [
 
     #: Multi-component exposure protocol (engine.exposure): the engines
     #: simulate the full factor state, discount by the trapezoid integral
-    #: of the model's own short rate, and shock the delta-normal IM along
-    #: a parallel move of both factors (a level shift of the curve).
+    #: of the model's own short rate, and compute the multivariate
+    #: delta-normal IM from per-factor sensitivities via `im_norm`.
     exposure_components = ("x", "y")
     exposure_discount_kind = "rate"
-    im_tangent = (1.0, 1.0)
 
     @classmethod
     def create(cls, r0, a, sigma, b, eta, rho, dt, dtype=jnp.float32):
@@ -157,21 +156,29 @@ class G2PP(NormalDrawsMixin, NamedTuple("G2PPFields", [
         return obs[..., 0, :] + obs[..., 1, :] \
             + jnp.asarray(self.phi, obs.dtype)
 
-    def im_shock(self, obs, mpor):
-        """Std of the level move r(t+mpor) - E[r] along ``im_tangent`` —
-        the exact conditional std of x + y over the margin period."""
-        dtype = obs.dtype
+    def im_norm(self, dvs, obs, mpor):
+        """Multivariate delta-normal IM std: ``sqrt(dv' Sigma(mpor) dv)``
+        with the EXACT conditional covariance of (x, y) over the margin
+        period — two-factor curve risk nets inside the IM exactly as it
+        does in the exposure (a level-hedged but slope-exposed book posts
+        slope margin).
+
+        ``dvs``: (..., 2, N) per-factor sensitivities (dV/dx, dV/dy).
+        """
+        dtype = dvs.dtype
         a = jnp.asarray(self.a, dtype)
         b = jnp.asarray(self.b, dtype)
         sg = jnp.asarray(self.sigma, dtype)
         et = jnp.asarray(self.eta, dtype)
         rho = jnp.asarray(self.rho, dtype)
         m = jnp.asarray(mpor, dtype)
-        c2a = (1.0 - jnp.exp(-2.0 * a * m)) / (2.0 * a)
-        c2b = (1.0 - jnp.exp(-2.0 * b * m)) / (2.0 * b)
-        cab = (1.0 - jnp.exp(-(a + b) * m)) / (a + b)
-        return jnp.sqrt(sg * sg * c2a + et * et * c2b
-                        + 2.0 * rho * sg * et * cab)
+        vxx = sg * sg * (1.0 - jnp.exp(-2.0 * a * m)) / (2.0 * a)
+        vyy = et * et * (1.0 - jnp.exp(-2.0 * b * m)) / (2.0 * b)
+        vxy = rho * sg * et * (1.0 - jnp.exp(-(a + b) * m)) / (a + b)
+        dx = dvs[..., 0, :]
+        dy = dvs[..., 1, :]
+        q = dx * dx * vxx + dy * dy * vyy + 2.0 * dx * dy * vxy
+        return jnp.sqrt(jnp.maximum(q, 0.0))
 
     def wwr_state(self, obs):
         """The state the wrong-way intensity loads on: the short rate."""

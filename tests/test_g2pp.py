@@ -1,0 +1,266 @@
+"""G2++ two-factor Gaussian rates (round 5): exact transition moments,
+MC bond vs the affine closed form, the Brigo–Mercurio swaption quadrature
+(pinned against the Vasicek/Jamshidian limit to 1e-12 and exact-transition
+MC), the multi-state netting engine over (x, y) with the pinned
+two-tenor EPE-decorrelation direction, fused-kernel parity, and the CLI."""
+
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.bermudan import vasicek_swaption_jamshidian
+from montecarlo_tpu.engine.exposure import netting_set_profile
+from montecarlo_tpu.engine.simulate import simulate
+from montecarlo_tpu.processes.g2pp import (G2PP, g2pp_bond,
+                                           g2pp_swap_value_fn,
+                                           g2pp_swaption, g2pp_v, g2pp_zcb)
+
+PHI, A, SG, B, ET, RHO = 0.03, 0.8, 0.01, 0.08, 0.012, -0.7
+
+
+def _model(dt, rho=RHO, dtype=jnp.float64):
+    return G2PP.create(PHI, A, SG, B, ET, rho, dt, dtype=dtype)
+
+
+def _obs_paths(m, n, n_steps, seed=3):
+    paths = simulate(m, n, n_steps, seed=seed, mode="paths",
+                     dtype=jnp.float64,
+                     observe=lambda p, s: p.exposure_obs(s))
+    return jnp.moveaxis(paths, -1, 1)          # (T+1, 2, N)
+
+
+def test_exact_transition_moments():
+    """Terminal (x, y) must carry the EXACT OU stationary-approach
+    moments at any step count — the transition is exact, so 4 coarse
+    steps equal the continuous law."""
+    T, n = 2.0, 1 << 16
+    m = _model(T / 4)
+    obs = np.asarray(_obs_paths(m, n, 4)[-1])      # (2, N)
+    vx = SG**2 * (1 - np.exp(-2 * A * T)) / (2 * A)
+    vy = ET**2 * (1 - np.exp(-2 * B * T)) / (2 * B)
+    cxy = RHO * SG * ET * (1 - np.exp(-(A + B) * T)) / (A + B)
+    se = 3.0 / np.sqrt(n)
+    assert abs(obs[0].mean()) < 4 * np.sqrt(vx / n)
+    assert abs(obs[1].mean()) < 4 * np.sqrt(vy / n)
+    np.testing.assert_allclose(obs[0].var(), vx, rtol=5 * se)
+    np.testing.assert_allclose(obs[1].var(), vy, rtol=5 * se)
+    np.testing.assert_allclose(np.cov(obs)[0, 1], cxy, rtol=8 * se)
+
+
+def test_mc_bond_matches_closed_form():
+    """Pathwise-discounted MC bond vs the affine P(0,T) (V(tau) per
+    Brigo–Mercurio 4.10) — only the trapezoid discount integral is
+    discretized."""
+    from montecarlo_tpu.engine.rates import zcb_price_mc
+
+    T = 2.0
+    m = _model(T / 64)
+    est = zcb_price_mc(m, T, 64, 1 << 15, seed=3, dtype=jnp.float64)
+    cf = float(g2pp_zcb(m, T))
+    assert abs(float(est["price"]) - cf) < 4 * float(est["std_err"]) \
+        + 1e-5 * cf
+
+
+def test_bond_reconstitution_identity():
+    """P(0, S) = E-free identity: the t=0 closed form must equal the
+    tower decomposition E[exp(-int_0^T r) P(T, S)] — checked
+    deterministically via P(0,T)*A-terms at (x,y)=(0,0) consistency:
+    V(T) + V(S-T) + cross != V(S) in general, so instead pin the
+    simulated tower at MC tolerance."""
+    T1, T2, n = 1.0, 2.0, 1 << 15
+    m = _model(T1 / 32)
+    obs = _obs_paths(m, n, 32)
+    r = m.pathwise_rate(obs)
+    dt = T1 / 32
+    disc = jnp.exp(-jnp.sum(0.5 * (r[:-1] + r[1:]) * dt, axis=0))
+    p_t1 = g2pp_bond(m, obs[-1, 0], obs[-1, 1], T2 - T1)
+    mc = float(jnp.mean(disc * p_t1))
+    se = float(jnp.std(disc * p_t1) / np.sqrt(n))
+    cf = float(g2pp_zcb(m, T2))
+    assert abs(mc - cf) < 4 * se + 1e-5 * cf
+
+
+DELTA, N_PER, T0, K = 0.25, 8, 1.0, 0.031
+PAYS = tuple(T0 + (i + 1) * DELTA for i in range(N_PER))
+
+
+def test_swaption_vasicek_limit_exact():
+    """Degenerate-x instance (sigma -> 0, the healthy factor carrying the
+    Vasicek dynamics): the quadrature must reproduce the Jamshidian
+    closed form to roundoff — the y-integral is fully closed-form, so
+    this pins every conditional-Gaussian term in the formula."""
+    m = G2PP.create(0.03, 0.3, 1e-12, 0.8, 0.015, 0.0, 0.05,
+                    dtype=jnp.float64)
+    px = float(g2pp_swaption(m, K, T0, PAYS, DELTA, payer=True))
+    jam = float(vasicek_swaption_jamshidian((0.8, 0.03, 0.015), K, T0,
+                                            DELTA, N_PER, 0.03))
+    np.testing.assert_allclose(px, jam, rtol=1e-12)
+
+
+def test_swaption_matches_exact_transition_mc():
+    """Full 2-factor surface: the quadrature vs MC with exact per-step
+    transitions (only the discount integral is discretized — 200 steps
+    make that bias ~1e-7)."""
+    n, n_steps = 1 << 16, 200
+    m = _model(T0 / n_steps)
+    obs = _obs_paths(m, n, n_steps)
+    r = m.pathwise_rate(obs)
+    dt = T0 / n_steps
+    disc = jnp.exp(-jnp.sum(0.5 * (r[:-1] + r[1:]) * dt, axis=0))
+    x, y = obs[-1, 0], obs[-1, 1]
+    cs = np.full(N_PER, K * DELTA)
+    cs[-1] += 1.0
+    cb = sum(float(c) * g2pp_bond(m, x, y, t - T0)
+             for c, t in zip(cs, PAYS))
+    v = disc * jnp.maximum(1.0 - cb, 0.0)
+    mc, se = float(jnp.mean(v)), float(jnp.std(v) / np.sqrt(n))
+    quad = float(g2pp_swaption(m, K, T0, PAYS, DELTA, payer=True))
+    assert abs(mc - quad) < 4 * se, (mc, quad, se)
+    # Spectral quadrature convergence: 64 vs 256 nodes agree to roundoff.
+    q256 = float(g2pp_swaption(m, K, T0, PAYS, DELTA, n_quad=256))
+    np.testing.assert_allclose(quad, q256, rtol=1e-12)
+
+
+def test_swaption_receiver_parity():
+    m = _model(0.05)
+    pay = float(g2pp_swaption(m, K, T0, PAYS, DELTA, payer=True))
+    rec = float(g2pp_swaption(m, K, T0, PAYS, DELTA, payer=False))
+    cs = np.full(N_PER, K * DELTA)
+    cs[-1] += 1.0
+    fwd = float(g2pp_zcb(m, T0)) - sum(
+        float(c) * float(g2pp_zcb(m, t)) for c, t in zip(cs, PAYS))
+    np.testing.assert_allclose(pay - rec, fwd, rtol=1e-12, atol=1e-15)
+
+
+def test_swap_closure_par_value_zero():
+    """The netting-trade closure at t=0 (x=y=0) prices the par swap to
+    zero and reproduces the closed-form leg decomposition."""
+    m = _model(0.05)
+    pay = np.arange(1, 5) * 0.5
+    ps = [float(g2pp_zcb(m, t)) for t in pay]
+    k_par = (1.0 - ps[-1]) / (0.5 * sum(ps))
+    v = g2pp_swap_value_fn(m, k_par, pay, 0.5)
+    cols0 = jnp.zeros((2, 7), jnp.float64)
+    np.testing.assert_allclose(np.asarray(v(cols0, jnp.float64(0.0))),
+                               0.0, atol=1e-14)
+
+
+def _two_tenor_ratio(rho, n=8192):
+    T, n_steps = 5.0, 20
+    m = _model(T / n_steps, rho=rho)
+    pay_s = np.arange(1, 3) * 0.5
+    pay_l = np.arange(1, 11) * 0.5
+
+    def par(pays):
+        ps = [float(g2pp_zcb(m, t)) for t in pays]
+        return (1.0 - ps[-1]) / (0.5 * sum(ps))
+
+    v_s = g2pp_swap_value_fn(m, par(pay_s), pay_s, 0.5)
+    v_l = g2pp_swap_value_fn(m, par(pay_l), pay_l, 0.5)
+    trades = (lambda c, t: 4.0 * v_s(c, t), lambda c, t: -1.0 * v_l(c, t))
+    prof = netting_set_profile(m, trades, n, n_steps, T=T, seed=7,
+                               hazard_rate=0.02, im_spread=0.003)
+    return prof
+
+
+def test_two_tenor_netting_decorrelates_as_rho_drops():
+    """THE reason G2++ exists (round-4 verdict #4): a two-tenor curve
+    book (long short-tenor payer vs short long-tenor payer) nets well
+    when the factors comove and progressively WORSE as they decorrelate
+    — pinned as strict monotonicity of the net-to-gross CVA ratio in
+    rho.  A one-factor model cannot produce this direction at all (its
+    ratio is rho-independent by construction)."""
+    ratios = []
+    for rho in (0.99, 0.5, 0.0, -0.7):
+        prof = _two_tenor_ratio(rho)
+        ratios.append(float(prof["cva"]) / float(prof["cva_no_netting"]))
+    assert ratios == sorted(ratios), ratios
+    assert ratios[-1] > ratios[0] * 1.02, ratios   # visibly, not noise
+
+
+def test_multistate_netting_im_mva_wwr_run():
+    """The full adjustment surface over the multi-state underlying: the
+    multivariate delta-normal IM (per-factor sensitivities folded with
+    the exact (x,y) mpor covariance), MVA, and WWR (intensity loading on
+    the model's short rate)."""
+    prof = _two_tenor_ratio(0.0, n=4096)
+    assert np.all(np.asarray(prof["im"]) >= 0)
+    assert np.asarray(prof["im"]).max() > 0
+    assert float(prof["mva"]) > 0
+    m = _model(5.0 / 20)
+    pay_l = np.arange(1, 11) * 0.5
+    v_l = g2pp_swap_value_fn(m, 0.03, pay_l, 0.5)
+    p2 = netting_set_profile(m, (v_l,), 4096, 20, T=5.0, seed=7,
+                             hazard_rate=0.02, wwr_beta=1.0)
+    # Payer swap exposure rises with rates; beta > 0 is wrong-way.
+    assert float(p2["cva_wwr"]) > float(p2["cva"])
+    np.testing.assert_allclose(np.asarray(p2["survival_wwr"]),
+                               np.exp(-0.02 * np.asarray(p2["times"])),
+                               rtol=1e-9)
+
+
+def test_exposure_profile_rejects_multistate():
+    from montecarlo_tpu.engine.exposure import exposure_profile
+
+    m = _model(0.05)
+    with pytest.raises(TypeError, match="multi-state"):
+        exposure_profile(m, lambda r, t: r, 512, 4, T=0.2, seed=1)
+
+
+def test_sharded_rejects_multistate():
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+
+    m = _model(0.05)
+    with pytest.raises(TypeError, match="multi-state"):
+        sharded_netting_profile(m, (lambda c, t: c[0],), 2048, 4, T=0.2,
+                                seed=1, mesh=make_mesh(2), block_size=256)
+
+
+def test_fused_kernel_parity_interpret():
+    """G2PP rides the fused Pallas kernel (registered in _FUSABLE):
+    interpret-mode kernel vs the scan engine — ULP-tight like the other
+    rate processes (the OU step chain is an FMA-contraction candidate,
+    DEVNOTES determinism note)."""
+    from montecarlo_tpu.ops.fused_engine import fused_terminal_pallas
+
+    m = _model(1 / 64, dtype=jnp.float32)
+    n = 128 * 128
+    ref = np.asarray(simulate(m, n, 16, seed=5))
+    ker = np.asarray(fused_terminal_pallas(m, n, 16, seed=5,
+                                           block_rows=128, interpret=True))
+    np.testing.assert_allclose(ker, ref, rtol=2e-6, atol=2e-8)
+
+
+def test_cli_bond_g2pp(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["bond", "--model", "g2pp", "--paths", "8192",
+                   "--steps", "32", "--maturity", "1.0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["zcb_price"] - out["closed_form"]) \
+        < 5 * out["std_err"] + 1e-4
+    rc = cli.main(["bond", "--model", "g2pp", "--swaption",
+                   "--periods", "6"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["g2pp_european_swaption"] > 0
+
+
+def test_cli_xva_g2pp(capsys):
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--underlying", "g2pp",
+                   "--no-csa", "--paths", "2048", "--steps", "20",
+                   "--im-spread", "0.003", "--wwr-beta", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["underlying"] == "g2pp"
+    assert out["cva"] > 0 and out["mva"] > 0 and out["peak_im"] > 0
+    assert out["cva_wwr"] > 0
+    # Multi-state books run unsharded: --mesh is a clean refusal.
+    with pytest.raises(SystemExit, match="multi-state"):
+        cli.main(["xva", "--portfolio", "--underlying", "g2pp",
+                  "--paths", "2048", "--steps", "20", "--mesh", "2"])
