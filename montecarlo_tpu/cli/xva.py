@@ -284,11 +284,6 @@ def _cmd_xva_portfolio(args) -> int:
         raise SystemExit("--swaption-leg is a Vasicek rates trade; use "
                          "--underlying rates")
     if args.underlying in ("g2pp", "hybrid"):
-        if getattr(args, "mesh", 0) or args.checkpoint:
-            raise SystemExit(
-                f"--underlying {args.underlying} is multi-state — the "
-                "sharded/streaming netting engines simulate scalar-state "
-                "paths; drop --mesh/--checkpoint (runs unsharded)")
         if args.greeks or args.allocate or args.counterparties > 1:
             raise SystemExit(
                 f"--underlying {args.underlying}: --greeks/--allocate/"

@@ -476,15 +476,10 @@ def streaming_netting_profile(
     reductions a chunked stream would need a second full pass for).
     """
     from montecarlo_tpu.engine.exposure import (SimulationMarkedTrade,
-                                                _credit_funding_scalars,
-                                                is_multistate)
+                                                _credit_funding_scalars)
     from montecarlo_tpu.parallel.sharded import netting_block_stats
     from montecarlo_tpu.stats.quantiles import histogram_counts
 
-    if is_multistate(model):
-        raise TypeError(
-            f"{type(model).__name__} is a multi-state exposure underlying "
-            "— run it through netting_set_profile unsharded")
     if any(isinstance(t, SimulationMarkedTrade) for t in trades):
         raise TypeError(
             "streaming_netting_profile cannot mark AMC "

@@ -756,13 +756,44 @@ def _sim_disc_block(model, off, *, n_steps, dt, seed, flat_rate, dtype,
     streaming / the AMC and WWR pre/post passes) shares, so block b's
     paths are identical wherever they are produced.  ``sampler`` (e.g. a
     Sobol table indexed by GLOBAL path id) rides through unchanged, so
-    QMC draws are as mesh-invariant as the counter-based PRNG's."""
+    QMC draws are as mesh-invariant as the counter-based PRNG's.
+
+    Multi-state underlyings (`engine.exposure.is_multistate`) return
+    paths (T+1, C, bs) — the full exposure observation — with discount
+    rows by the model's declared kind (exact integral / trapezoid short
+    rate / flat), mirroring the unsharded `_simulate_and_discount`."""
+    from montecarlo_tpu.engine.exposure import (_observe_exposure,
+                                                is_multistate)
     from montecarlo_tpu.engine.simulate import simulate
 
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    if is_multistate(model):
+        paths = simulate(model, block_size, n_steps, seed=seed,
+                         mode="paths", dtype=dtype, sampler=sampler,
+                         path_offset=off,
+                         observe=_observe_exposure)        # (T+1, bs, C)
+        paths = jnp.moveaxis(paths, -1, 1)                 # (T+1, C, bs)
+        kind = model.exposure_discount_kind
+        if kind == "exact":
+            disc = model.pathwise_discount(paths)
+        elif kind == "rate":
+            r = model.pathwise_rate(paths)
+            mid = 0.5 * (r[:-1] + r[1:]) * dt
+            disc = jnp.exp(-jnp.concatenate(
+                [jnp.zeros((1, block_size), dtype),
+                 jnp.cumsum(mid, axis=0)], axis=0))
+        else:
+            if flat_rate is None:
+                raise ValueError(
+                    f"{type(model).__name__} declares flat discounting — "
+                    "pass flat_rate")
+            disc = jnp.exp(-jnp.asarray(flat_rate, dtype)
+                           * times)[:, None] * jnp.ones((1, block_size),
+                                                        dtype)
+        return paths, disc
     paths = simulate(model, block_size, n_steps, seed=seed,
                      mode="paths", dtype=dtype, sampler=sampler,
                      path_offset=off)                      # (T+1, bs)
-    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
     if flat_rate is None:
         mid = 0.5 * (paths[:-1] + paths[1:]) * dt
         disc = jnp.exp(-jnp.concatenate(
@@ -856,6 +887,8 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
 
     Returns ``(MomentState (Q_total, T+1), pos (n_sets, T+1, bs))``.
     """
+    from montecarlo_tpu.engine.exposure import is_multistate
+
     n_dates = n_steps + 1
     if paths_disc is None:
         paths, disc = _sim_disc_block(
@@ -865,14 +898,24 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     else:
         paths, disc = paths_disc
     times = jnp.arange(n_dates, dtype=dtype) * dt
-    ones = jnp.ones((block_size,), dtype)
+    multi = is_multistate(model)
+    if multi:
+        n_comp = paths.shape[1]
+        eye_c = jnp.eye(n_comp, dtype=dtype)
+        tangents = tuple(eye_c[c][:, None]
+                         * jnp.ones((1, block_size), dtype)
+                         for c in range(n_comp))
+    else:
+        ones = jnp.ones((block_size,), dtype)
 
     def mark_trade(trade, amc_op):
         # Same PathDependentTrade protocol as the unsharded engine: the
         # observation row is block-local (each block simulates its own
         # full time grid), so sharding cannot change the indicator.  One
         # jvp per mark carries dV/d(state) for the netted delta-normal IM
-        # (each path's value depends only on its own state).
+        # (each path's value depends only on its own state); multi-state
+        # models carry one tangent per component (linearize) for the
+        # multivariate IM, exactly like the unsharded engine.
         if isinstance(trade, SimulationMarkedTrade):
             if amc_op is None:
                 raise TypeError(
@@ -888,33 +931,41 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
             k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
                               n_steps) for ot in trade.obs_times)
 
-            def row(k):
+            def fn_at(k):
                 obs = tuple(paths[jnp.minimum(k, ko)] for ko in k_obs)
-                return jax.jvp(
-                    lambda rr: trade.value_fn(rr, times[k], *obs),
-                    (paths[k],), (ones,))
+                return lambda rr: trade.value_fn(rr, times[k], *obs)
+        else:
+            def fn_at(k):
+                return lambda rr: trade(rr, times[k])
+
+        if multi:
+            def row(k):
+                v, lin = jax.linearize(fn_at(k), paths[k])
+                return v, jnp.stack([lin(tg) for tg in tangents])
         else:
             def row(k):
-                return jax.jvp(lambda rr: trade(rr, times[k]),
-                               (paths[k],), (ones,))
+                return jax.jvp(fn_at(k), (paths[k],), (ones,))
         return jax.lax.map(row, jnp.arange(n_dates))
 
     # Delta-normal IM state shock — same model as the unsharded engine
     # (`_netting_from_paths`): OU conditional std over the margin period
-    # for short-rate underlyings, lognormal S*sigma*sqrt(mpor) otherwise.
+    # for short-rate underlyings, lognormal S*sigma*sqrt(mpor) otherwise;
+    # multi-state models fold per-component sensitivities with their
+    # declared margin-period covariance (`im_norm`).
     z_im = jax.scipy.special.ndtri(jnp.asarray(im_quantile, dtype))
-    kap = getattr(model, "kappa", getattr(model, "a", None))
-    sig_model = jnp.asarray(model.sigma, dtype)
     mpor_t = jnp.asarray(im_mpor, dtype)
-    lognormal_im = flat_rate is not None
-    if kap is not None and not lognormal_im:
-        kap = jnp.asarray(kap, dtype)
-        sig_mpor = sig_model * jnp.sqrt(
-            (1.0 - jnp.exp(-2.0 * kap * mpor_t))
-            / jnp.maximum(2.0 * kap, 1e-12))
-    else:
-        sig_mpor = sig_model * jnp.sqrt(mpor_t)
-    state_shock = sig_mpor * paths if lognormal_im else sig_mpor
+    if not multi:
+        kap = getattr(model, "kappa", getattr(model, "a", None))
+        sig_model = jnp.asarray(model.sigma, dtype)
+        lognormal_im = flat_rate is not None
+        if kap is not None and not lognormal_im:
+            kap = jnp.asarray(kap, dtype)
+            sig_mpor = sig_model * jnp.sqrt(
+                (1.0 - jnp.exp(-2.0 * kap * mpor_t))
+                / jnp.maximum(2.0 * kap, 1e-12))
+        else:
+            sig_mpor = sig_model * jnp.sqrt(mpor_t)
+        state_shock = sig_mpor * paths if lognormal_im else sig_mpor
 
     n_q_total = sum(9 + len(tr) for _, tr, _ in sets)
     all_quants = []
@@ -925,8 +976,11 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
                   for ti, v in enumerate(trades_s)]
         v_all = jnp.stack([mk[0] for mk in marked])
         v_net = jnp.sum(v_all, axis=0)                      # (T+1, bs)
-        dv_net = sum(mk[1] for mk in marked)                # (T+1, bs)
-        im_path = z_im * jnp.abs(dv_net) * state_shock
+        dv_net = sum(mk[1] for mk in marked)
+        if multi:
+            im_path = z_im * model.im_norm(dv_net, paths, mpor_t)
+        else:
+            im_path = z_im * jnp.abs(dv_net) * state_shock
 
         if csa_s is None:
             gap = v_net
@@ -1289,13 +1343,7 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
 
     from montecarlo_tpu.engine.exposure import is_multistate
 
-    if is_multistate(model):
-        raise TypeError(
-            f"{type(model).__name__} is a multi-state exposure underlying "
-            "— the sharded netting engines simulate scalar-state paths; "
-            "run multi-state books through netting_set_profile / "
-            "portfolio_xva unsharded (pod-scale multi-state marking is a "
-            "planned extension)")
+    multi = is_multistate(model)
     # AMC (regression-marked) trades: static detection + spec validation.
     amc_items = tuple(
         (si, ti) for si, (_n, trs, _c) in enumerate(sets)
@@ -1309,6 +1357,10 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                 "engine.amc.bermudan_swaption_amc_trade (a bare "
                 "SimulationMarkedTrade closure cannot be decomposed "
                 "into the distributed regression fit)")
+    if amc_items and multi:
+        raise TypeError(
+            "AMC (Bermudan swaption) trades are Vasicek regression fits; "
+            "multi-state underlyings cannot carry them")
     need_paths = with_wwr or bool(amc_items)
 
     def shard_fn(model_, credit_, shared_, sampler_):
@@ -1364,10 +1416,15 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
         # pos: (n_blk, S, T+1, bs); per-set block view for the WWR pass.
         wwr_out = ()
         if with_wwr:
+            # The state the intensity loads on: the raw scalar paths, or
+            # the multi-state model's declared projection (short rate for
+            # G2++, the equity spot for the hybrid).
+            wwr_src = (model_.wwr_state(paths_all) if multi
+                       else paths_all)
             dpds, survs = [], []
             for si in range(n_sets):
                 dpd_m, surv = _wwr_pass(
-                    paths_all, disc_all, pos[:, si],
+                    wwr_src, disc_all, pos[:, si],
                     lam=credit_[si]["hazard_rate"],
                     beta=credit_[si]["wwr_beta"], n_paths=n_paths,
                     dt=dt, n_steps=n_steps, gather=gather_blocks,

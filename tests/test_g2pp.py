@@ -209,13 +209,49 @@ def test_exposure_profile_rejects_multistate():
         exposure_profile(m, lambda r, t: r, 512, 4, T=0.2, seed=1)
 
 
-def test_sharded_rejects_multistate():
+def test_sharded_multistate_bitwise_and_matches_unsharded():
+    """The pod twin carries multi-state books too (round 5): a G2++
+    two-tenor set with IM/MVA and WWR through `sharded_netting_profile`
+    — bitwise mesh-shape-invariant, matching the unsharded engine to
+    fp-reassociation noise, and bitwise-shared means with the streaming
+    engine (same `netting_block_stats` unit)."""
+    from montecarlo_tpu.engine.streaming import streaming_netting_profile
     from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
 
-    m = _model(0.05)
-    with pytest.raises(TypeError, match="multi-state"):
-        sharded_netting_profile(m, (lambda c, t: c[0],), 2048, 4, T=0.2,
-                                seed=1, mesh=make_mesh(2), block_size=256)
+    T, n_steps, n, block = 2.0, 16, 4096, 256
+    m = _model(T / n_steps, rho=-0.5)
+    pay_s = np.arange(1, 3) * 0.5
+    pay_l = np.arange(1, 5) * 0.5
+    v_s = g2pp_swap_value_fn(m, 0.031, pay_s, 0.5)
+    v_l = g2pp_swap_value_fn(m, 0.032, pay_l, 0.5)
+    trades = (lambda c, t: 2.0 * v_s(c, t), lambda c, t: -1.0 * v_l(c, t))
+    kw = dict(T=T, seed=7, hazard_rate=0.02, im_spread=0.003,
+              wwr_beta=0.8)
+    want = netting_set_profile(m, trades, n, n_steps, **kw)
+    got = {k: sharded_netting_profile(m, trades, n, n_steps,
+                                      mesh=make_mesh(k), block_size=block,
+                                      pfe_bins=64, **kw)
+           for k in (1, 4)}
+    for key, v in got[1].items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(got[4][key]),
+                                      err_msg=key)
+    for key in ("cva", "mva", "cva_wwr"):
+        np.testing.assert_allclose(float(got[4][key]), float(want[key]),
+                                   rtol=1e-9, atol=1e-18, err_msg=key)
+    np.testing.assert_allclose(np.asarray(got[4]["im"]),
+                               np.asarray(want["im"]), rtol=1e-9)
+    # Streaming shares the block unit: means bitwise the sharded engine's
+    # (WWR stays sharded/unsharded-only — its Newton fit cannot stream).
+    st = streaming_netting_profile(m, trades, n, n_steps,
+                                   chunk_paths=2048, block_size=block,
+                                   pfe_bins=64,
+                                   **{k_: v_ for k_, v_ in kw.items()
+                                      if k_ != "wwr_beta"})
+    for key in ("epe", "ene", "im"):
+        np.testing.assert_array_equal(np.asarray(st[key]),
+                                      np.asarray(got[4][key]),
+                                      err_msg=key)
 
 
 def test_fused_kernel_parity_interpret():
@@ -260,7 +296,14 @@ def test_cli_xva_g2pp(capsys):
     assert out["underlying"] == "g2pp"
     assert out["cva"] > 0 and out["mva"] > 0 and out["peak_im"] > 0
     assert out["cva_wwr"] > 0
-    # Multi-state books run unsharded: --mesh is a clean refusal.
-    with pytest.raises(SystemExit, match="multi-state"):
-        cli.main(["xva", "--portfolio", "--underlying", "g2pp",
-                  "--paths", "2048", "--steps", "20", "--mesh", "2"])
+    # Multi-state books ride the pod twin too: --mesh works and matches
+    # the unsharded record at the printed precision.
+    rc = cli.main(["xva", "--portfolio", "--underlying", "g2pp",
+                   "--no-csa", "--paths", "2048", "--steps", "20",
+                   "--im-spread", "0.003", "--wwr-beta", "0.5",
+                   "--mesh", "2"])
+    assert rc == 0
+    out_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out_m["mesh"] == 2
+    for k in ("cva", "mva", "cva_wwr", "peak_epe"):
+        assert out_m[k] == out[k], k

@@ -117,6 +117,35 @@ def test_cross_asset_netting_and_multivariate_im():
     assert float(p2["cva_wwr"]) > float(p2["cva"])
 
 
+def test_sharded_hybrid_bitwise_and_matches_unsharded():
+    """Cross-asset books at pod scale: the hybrid netting set through
+    `sharded_netting_profile` — bitwise mesh-invariant, matching the
+    unsharded engine, exact-integral discounting preserved per block."""
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
+
+    pay = np.arange(1, 5) * 0.5
+    vas = Vasicek.create(R0, KAP, TH, SR, T / N_STEPS, dtype=jnp.float64)
+    sw = swap_value_fn(vas, 0.035, pay, 0.5)
+    k_fwd = 100.0 / float(vasicek_zcb(R0, KAP, TH, SR, T))
+    trades = (lambda c, t: 300.0 * sw(c[1], t), _fwd(k_fwd))
+    kw = dict(T=T, seed=7, hazard_rate=0.02, im_spread=0.003)
+    n = 4096
+    want = netting_set_profile(_hyb(0.4), trades, n, N_STEPS, **kw)
+    got = {m: sharded_netting_profile(_hyb(0.4), trades, n, N_STEPS,
+                                      mesh=make_mesh(m), block_size=256,
+                                      pfe_bins=64, **kw)
+           for m in (1, 4)}
+    for k, v in got[1].items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(got[4][k]),
+                                      err_msg=k)
+    for k in ("cva", "mva"):
+        np.testing.assert_allclose(float(got[4][k]), float(want[k]),
+                                   rtol=1e-9, err_msg=k)
+    np.testing.assert_allclose(np.asarray(got[4]["epe"]),
+                               np.asarray(want["epe"]), rtol=1e-10,
+                               atol=1e-12)
+
+
 def test_book_var_multistate():
     """Desk VaR by full revaluation over the hybrid state (multi-state
     book_var plumbing): finite, positive, exact-discount horizon."""
