@@ -33,7 +33,10 @@ def main() -> None:
     marks = {}
 
     def cb(done, total, _out):
-        marks.setdefault(done, time.perf_counter())
+        if done not in marks:
+            marks[done] = time.perf_counter()
+            print(f"  {done}/{total} at +{marks[done] - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     res = scan_tickers_batched(tickers, provider="synthetic",

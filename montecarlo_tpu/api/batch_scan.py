@@ -15,6 +15,15 @@ parallelism over the *ticker* axis:
 Produces the same `ScanResult` schema as `scan_tickers`; records agree with
 the threaded path up to float32-vs-float64 feature round-off (the batched
 featurizer runs in f32 on-device).
+
+Device programs are chunked along the ticker axis (``device_batch``,
+default 50): a single program batching >~100 tickers crashed the TPU
+worker through the relay (round-5 bench at the reference's 300-ticker
+ceiling, reference app.py:1290-1295), and a fixed chunk shape means ONE
+compile reused across the universe — the tail chunk is padded by
+repetition and the padded rows discarded.  Per-ticker results are
+chunking-invariant: every fit is keyed by (seed=42, tree index), never by
+batch position (ml/gbt.py:236-242).
 """
 
 from __future__ import annotations
@@ -48,8 +57,15 @@ def scan_tickers_batched(tickers: List[str], *, forecast_horizon: int = 20,
                          config: Optional[ModelConfig] = None,
                          period: str = "5y",
                          provider: Optional[str] = None,
-                         progress_callback=None) -> ScanResult:
-    """Scan a universe with batched device execution."""
+                         progress_callback=None,
+                         device_batch: int = 50) -> ScanResult:
+    """Scan a universe with batched device execution.
+
+    ``device_batch`` bounds the ticker axis of each device program (see
+    module docstring); results are invariant to its value.
+    """
+    if device_batch < 1:
+        raise ValueError(f"device_batch must be >= 1, got {device_batch}")
     config = config or ModelConfig()
     out = ScanResult()
 
@@ -67,21 +83,48 @@ def scan_tickers_batched(tickers: List[str], *, forecast_horizon: int = 20,
     done = len(out.failed)
     for _, members in sorted(groups.items()):
         done = _scan_group(members, forecast_horizon, config, out,
-                           progress_callback, len(tickers), done)
+                           progress_callback, len(tickers), done,
+                           device_batch)
     return out
 
 
+def _padded_chunks(n_items: int, size: int):
+    """Yield (start, stop, pad) covering [0, n_items) in ``size`` chunks.
+
+    When the whole range fits in one chunk it runs unpadded (one compile
+    either way); otherwise every chunk is padded to exactly ``size`` so the
+    one compiled program is reused, tail included.
+    """
+    if n_items <= size:
+        yield 0, n_items, 0
+        return
+    for s in range(0, n_items, size):
+        e = min(s + size, n_items)
+        yield s, e, size - (e - s)
+
+
+def _pad_rows(a: np.ndarray, pad: int) -> np.ndarray:
+    return np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) if pad else a
+
+
 def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
-                progress_callback, total: int, done: int) -> int:
+                progress_callback, total: int, done: int,
+                device_batch: int) -> int:
     names = [t for t, _ in members]
     stack = {k: np.stack([np.asarray(o[k], np.float64) for _, o in members])
              for k in ("Open", "High", "Low", "Close", "Volume")}
 
-    feats, valid = _batched_features(*[jnp.asarray(stack[k], jnp.float32)
-                                       for k in ("Open", "High", "Low",
-                                                 "Close", "Volume")])
-    valid = np.asarray(valid)  # (B, T)
-    feats = {k: np.asarray(v) for k, v in feats.items()}
+    valid_parts, feat_parts = [], []
+    for s, e, pad in _padded_chunks(len(names), device_batch):
+        f, v = _batched_features(*[
+            jnp.asarray(_pad_rows(stack[k][s:e], pad), jnp.float32)
+            for k in ("Open", "High", "Low", "Close", "Volume")])
+        n_real = e - s
+        valid_parts.append(np.asarray(v)[:n_real])
+        feat_parts.append({k: np.asarray(x)[:n_real] for k, x in f.items()})
+    valid = np.concatenate(valid_parts)  # (B, T)
+    feats = {k: np.concatenate([p[k] for p in feat_parts])
+             for k in feat_parts[0]}
 
     # Group tickers by surviving row count so shapes stay static.  (NaN
     # survivors are NOT always a suffix — mid-series NaNs drop interior
@@ -124,24 +167,32 @@ def _scan_group(members, horizon: int, config: ModelConfig, out: ScanResult,
             ys.append(target[ok])
             vols.append(float(feats["rvol_20"][i][rows][ok][-1]))
             prices.append(float(feats["Close"][i][rows][ok][-1]))
-        x = jnp.asarray(np.stack(xs), jnp.float32)   # (B, n, F)
-        y = jnp.asarray(np.stack(ys), jnp.float32)   # (B, n)
+        x_np = np.stack(xs).astype(np.float32)   # (B, n, F)
+        y_np = np.stack(ys).astype(np.float32)   # (B, n)
 
-        n = y.shape[1]
+        n = y_np.shape[1]
         bounds = split_bounds(n, config.cv_folds)
         arange = np.arange(n)
         fold_masks = np.stack([(arange < tr).astype(np.float32)
                                for tr, _ in bounds])            # (K, n)
-        masks = jnp.asarray(np.broadcast_to(
-            fold_masks, (len(idxs),) + fold_masks.shape))       # (B, K, n)
         cfg = _gbt_cfg(config)
 
-        preds = np.asarray(_fit_folds_tickers(x, y, masks, cfg))  # (B, K, n)
-        # Final models: one more vmapped fit with full-ones masks.
-        full = jnp.ones((len(idxs), 1, n), jnp.float32)
-        final_preds = np.asarray(_fit_folds_tickers(x, y, full, cfg))[:, 0]
-
-        y_np = np.asarray(y)
+        pred_parts, final_parts = [], []
+        for s, e, pad in _padded_chunks(len(idxs), device_batch):
+            xb = jnp.asarray(_pad_rows(x_np[s:e], pad))
+            yb = jnp.asarray(_pad_rows(y_np[s:e], pad))
+            b = xb.shape[0]
+            masks = jnp.asarray(np.broadcast_to(
+                fold_masks, (b,) + fold_masks.shape))           # (b, K, n)
+            n_real = e - s
+            pred_parts.append(
+                np.asarray(_fit_folds_tickers(xb, yb, masks, cfg))[:n_real])
+            # Final models: one more vmapped fit with full-ones masks.
+            full = jnp.ones((b, 1, n), jnp.float32)
+            final_parts.append(
+                np.asarray(_fit_folds_tickers(xb, yb, full, cfg))[:n_real, 0])
+        preds = np.concatenate(pred_parts)        # (B, K, n)
+        final_preds = np.concatenate(final_parts)  # (B, n)
         for b, t in enumerate(batch_names):
             rmse, da = [], []
             for k, (tr, te) in enumerate(bounds):

@@ -60,6 +60,10 @@ def _add_scan(sub):
     p.add_argument("--batched", action="store_true",
                    help="vmapped device batching over the ticker axis "
                         "(TPU fast path) instead of the thread pool")
+    p.add_argument("--device-batch", type=int, default=50,
+                   help="tickers per device program in --batched mode "
+                        "(one compile reused across chunks; results are "
+                        "chunking-invariant)")
     p.add_argument("--provider", default=None)
     p.add_argument("--json", action="store_true")
 
@@ -118,7 +122,7 @@ def cmd_scan(args) -> int:
         res = scan_tickers_batched(
             tickers, forecast_horizon=args.horizon, config=cfg,
             period=period, provider=args.provider,
-            progress_callback=progress)
+            progress_callback=progress, device_batch=args.device_batch)
     else:
         res = scan_tickers(
             tickers, forecast_horizon=args.horizon, config=cfg,

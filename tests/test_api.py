@@ -102,6 +102,25 @@ def test_batched_scanner_matches_threaded():
         assert abs(b["Price"] - r["Price"]) < 0.01 * r["Price"]
 
 
+def test_batched_scanner_chunking_invariant():
+    """device_batch chunking (incl. a padded tail) changes NO record: every
+    fit is keyed by (seed, tree index), never by batch position, and padded
+    rows are discarded (batch_scan._padded_chunks)."""
+    from montecarlo_tpu.api import scan_tickers_batched
+
+    tickers = ["AAPL", "MSFT", "GOOGL", "AMZN", "NVDA"]
+    cfg = ModelConfig.fast()
+    one = scan_tickers_batched(tickers, config=cfg, period="3y",
+                               provider="synthetic", device_batch=50)
+    # 5 tickers in chunks of 2 -> padded tail chunk exercised.
+    chunked = scan_tickers_batched(tickers, config=cfg, period="3y",
+                                   provider="synthetic", device_batch=2)
+    assert len(one.results) == len(chunked.results) == len(tickers)
+    by_name = {r["Ticker"]: r for r in chunked.results}
+    for r in one.results:
+        assert by_name[r["Ticker"]] == r  # bitwise: same floats throughout
+
+
 def test_batched_scanner_failure_records():
     from montecarlo_tpu.api import scan_tickers_batched
 
