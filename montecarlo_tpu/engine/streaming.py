@@ -461,13 +461,20 @@ def streaming_netting_profile(
         sum-reductions compile in different programs, and XLA's
         contraction choice is program-dependent — within either engine
         they remain exactly reproducible);
-      - ``pfe`` is a sketch quantile on a grid FIXED by the pilot chunk
-        (4x its max exposure — a streaming run cannot see the global max
-        up front); mass above the grid is tracked per date in
-        ``pfe_overflow`` and the quantile WARNS and returns the grid top
-        where the rank lands in the overflow.  This mirrors the
-        checkpointed-VaR policy (`api.var`): re-ranging a checkpointed
-        grid would silently change resumed results.
+      - ``pfe`` is a sketch quantile on a grid seeded by the pilot chunk
+        (4x its max exposure) that AUTO-RE-RANGES by per-date grid
+        DOUBLING: a chunk whose max exposure clears a date's grid doubles
+        that date's ``hi`` until it fits, folding the accumulated int64
+        counts exactly (a doubled grid's bin j is the sum of old bins
+        2j and 2j+1 — integer adds, no mass lost).  The doubling
+        decision is a deterministic function of the checkpointed grid
+        and the counter-generated chunk stream, so resume stays bitwise
+        (tested through a doubling event); ``pfe_overflow`` is
+        structurally zero for runs started in this version and is kept
+        for checkpoints written before auto-re-ranging (the quantile
+        still warns and reports the grid top if legacy overflow mass
+        covers the rank).  The reported ``pfe_grid_err`` reflects the
+        final (possibly coarsened) width.
 
     Returns `sharded_netting_profile`'s record plus ``pfe_overflow`` and
     ``paths_done`` (``im``/``mva`` included — the delta-normal IM rows
@@ -494,6 +501,9 @@ def streaming_netting_profile(
             f"blocks per chunk must be a power of two for the chunk-root "
             f"merge to equal the flat fixed tree bitwise; got {bpc} "
             "(adjust chunk_paths or block_size)")
+    if pfe_bins % 2:
+        raise ValueError(f"pfe_bins must be even (grid doubling folds bin "
+                         f"pairs); got {pfe_bins}")
     dt = T / n_steps
     n_dates = n_steps + 1
     sets = (("_set", tuple(trades), csa),)
@@ -579,6 +589,29 @@ def streaming_netting_profile(
             pilot = None
         else:
             root, pos = sim_fn(model, state.paths_done, *im_ops, sampler)
+        # Auto-re-ranging by deterministic grid DOUBLING: if this chunk's
+        # max exposure clears a date's grid, double that date's hi until
+        # it fits strictly, folding the accumulated int64 counts exactly
+        # (bin j of the doubled grid is old bins 2j + 2j+1).  Doubling
+        # depends only on the checkpointed grid and the counter-generated
+        # chunk stream, so interrupted and uninterrupted runs make the
+        # same decisions — resume stays bitwise.
+        # (The 1e-6 margin keeps the top path strictly inside the grid
+        # after the f32-binning round-trip in hist_fn — a max within a few
+        # ULPs of hi could otherwise round up into the overflow cell.)
+        m = np.asarray(jnp.max(pos, axis=1), np.float64) * (1.0 + 1e-6)
+        if np.any(m >= state.hi_edges):
+            k = np.zeros(n_dates, np.int64)
+            while np.any(m >= state.hi_edges * np.exp2(k)):
+                k += m >= state.hi_edges * np.exp2(k)
+            for d in np.nonzero(k)[0]:
+                h = state.hist[d]
+                for _ in range(int(k[d])):
+                    h = np.concatenate([
+                        h[0::2] + h[1::2],
+                        np.zeros(pfe_bins // 2, np.int64)])
+                state.hist[d] = h
+            state.hi_edges = state.hi_edges * np.exp2(k)
         counts, over = hist_fn(pos, jnp.asarray(state.hi_edges, dtype))
         state.root_count = np.concatenate(
             [state.root_count, np.asarray(root.count, np.float64)[None]])

@@ -100,16 +100,12 @@ def test_means_bitwise_match_sharded_scalars_to_a_ulp():
     assert np.all(np.asarray(got["pfe_overflow"]) == 0)  # 4x headroom held
 
 
-def test_overflow_is_counted_and_warned(tmp_path):
-    """A quantile landing above the grid warns and reports the grid top
-    plus per-date overflow, never a silently-wrong number.  Overflow is
-    forced end-to-end by resuming from a fresh checkpoint whose grid is
-    microscopic — every real exposure then lands past it."""
+def _tiny_grid_checkpoint(path):
+    """A fresh checkpoint whose PFE grid is microscopic — the
+    drifting-exposure-scale scenario: every real exposure clears it."""
     from montecarlo_tpu.engine import streaming as sm
 
-    ck = str(tmp_path / "tiny.npz")
-    model, trades = _book()
-    n_q, n_dates = 9 + len(trades), N_STEPS + 1
+    n_q, n_dates = 9 + len(_book()[1]), N_STEPS + 1
     sm.NettingStreamState(
         seed=7, n_steps=N_STEPS, block_size=BLOCK, chunk_paths=CHUNK,
         T=T, paths_done=0,
@@ -118,18 +114,71 @@ def test_overflow_is_counted_and_warned(tmp_path):
         root_m2=np.zeros((0, n_q, n_dates)),
         hist=np.zeros((n_dates, _KW["pfe_bins"]), np.int64),
         overflow=np.zeros((n_dates,), np.int64),
-        hi_edges=np.full((n_dates,), 1e-9)).save(ck)
-    with pytest.warns(UserWarning, match="ABOVE"):
-        res = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+        hi_edges=np.full((n_dates,), 1e-9)).save(path)
+
+
+def test_tiny_grid_recovers_by_doubling(tmp_path):
+    """A grid that is orders of magnitude too small RECOVERS: each chunk
+    whose max exposure clears it doubles the grid (folding accumulated
+    counts exactly), so overflow stays zero and the PFE matches the
+    healthy pilot-sized run within the two runs' combined grid error —
+    the round-4 behavior (warn + report the grid top) only remains for
+    legacy checkpoints that already lost mass to overflow."""
+    ck = str(tmp_path / "tiny.npz")
+    model, trades = _book()
+    _tiny_grid_checkpoint(ck)
+    res = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                    chunk_paths=CHUNK, block_size=BLOCK,
+                                    checkpoint_path=ck, **_KW)
+    assert np.all(np.asarray(res["pfe_overflow"]) == 0)
+    healthy = _stream()
+    assert np.all(np.asarray(healthy["pfe_overflow"]) == 0)
+    gap = np.abs(np.asarray(res["pfe"]) - np.asarray(healthy["pfe"]))
+    err = (np.asarray(res["pfe_grid_err"])
+           + np.asarray(healthy["pfe_grid_err"]))
+    assert np.all(gap <= err + 1e-12)
+    # The doubled grid is coarser than 1e-9/bins by construction.
+    assert np.all(np.asarray(res["pfe_grid_err"])
+                  >= 1e-9 / _KW["pfe_bins"])
+    # Means are untouched by the PFE grid machinery.
+    np.testing.assert_array_equal(np.asarray(res["epe"]),
+                                  np.asarray(healthy["epe"]))
+
+
+def test_doubling_preserves_resume_bitwise(tmp_path):
+    """Kill after the first chunk OF A RUN THAT DOUBLES ITS GRID, resume:
+    bitwise the uninterrupted run from the same initial checkpoint — the
+    doubling decision is a deterministic function of the checkpointed
+    grid and the chunk stream."""
+    model, trades = _book()
+    ck_a, ck_b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    _tiny_grid_checkpoint(ck_a)
+    _tiny_grid_checkpoint(ck_b)
+    oneshot = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
                                         chunk_paths=CHUNK,
                                         block_size=BLOCK,
-                                        checkpoint_path=ck, **_KW)
-    over = np.asarray(res["pfe_overflow"])
-    assert over.max() > 0
-    pfe = np.asarray(res["pfe"])
-    assert np.all(pfe[over > 0.05 * TOTAL] == 1e-9)  # reported grid top
-    # The healthy run's 4x pilot headroom reports zero overflow.
-    assert np.all(np.asarray(_stream()["pfe_overflow"]) == 0)
+                                        checkpoint_path=ck_a, **_KW)
+
+    calls = []
+
+    def stop_after_first(done, total):
+        calls.append(done)
+        if len(calls) == 1:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                  chunk_paths=CHUNK, block_size=BLOCK,
+                                  checkpoint_path=ck_b,
+                                  progress_callback=stop_after_first,
+                                  **_KW)
+    resumed = streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                        chunk_paths=CHUNK,
+                                        block_size=BLOCK,
+                                        checkpoint_path=ck_b, **_KW)
+    for k, v in oneshot.items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(resumed[k]), err_msg=k)
 
 
 def test_validation_errors():
@@ -137,6 +186,10 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="power of two"):
         streaming_netting_profile(model, trades, 7680, N_STEPS,
                                   chunk_paths=1536, block_size=256, **_KW)
+    with pytest.raises(ValueError, match="even"):
+        streaming_netting_profile(model, trades, TOTAL, N_STEPS,
+                                  chunk_paths=CHUNK, block_size=BLOCK,
+                                  **{**_KW, "pfe_bins": 63})
     with pytest.raises(ValueError, match="!= 0"):
         streaming_netting_profile(model, trades, 8000, N_STEPS,
                                   chunk_paths=CHUNK, block_size=BLOCK,
