@@ -28,8 +28,10 @@ from montecarlo_tpu.api.batch_scan import scan_tickers_batched  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    device_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     tickers = [f"SYN{i:03d}" for i in range(n)]
-    print("platform:", jax.devices()[0].platform)
+    print(f"platform: {jax.devices()[0].platform} "
+          f"device_batch={device_batch}")
     marks = {}
 
     def cb(done, total, _out):
@@ -40,7 +42,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     res = scan_tickers_batched(tickers, provider="synthetic",
-                               progress_callback=cb)
+                               progress_callback=cb,
+                               device_batch=device_batch)
     dt = time.perf_counter() - t0
     print(f"{n} tickers in {dt:.1f}s ({dt / n * 1000:.0f} ms/ticker); "
           f"results={len(res.results)} failed={len(res.failed)}")

@@ -19,8 +19,9 @@ enable_persistent_cache("_bench")
 from montecarlo_tpu.engine.dispatch import terminal_prices
 from montecarlo_tpu.processes import (CIR, G2PP, NIG, SABR, SLV,
                                       BasketGBM,
-                                      Bates, CCCGarch, DCCGarch, EulerGBM,
-                                      GBM, GARCHBootstrap, Heston,
+                                      Bates, BatesQE, CCCGarch, DCCGarch,
+                                      EulerGBM,
+                                      GBM, GARCHBootstrap, Heston, HestonQE,
                                       HullWhite, Kou, LocalVolGBM, Merton,
                                       TermBasketGBM, TermStructureGBM,
                                       VarianceGamma, Vasicek,
@@ -40,6 +41,12 @@ def all_fusable_processes():
                                        var0=1e-4),
         "Heston": Heston.create(s0=100., v0=.04, mu=.03, kappa=2.,
                                 theta=.04, xi=.5, rho=-.7, dt=1 / 252),
+        # Feller-violating surface: both QE branches exercised in 32 steps.
+        "HestonQE": HestonQE.create(s0=100., v0=.04, mu=.03, kappa=.5,
+                                    theta=.04, xi=1., rho=-.7, dt=1 / 252),
+        "BatesQE": BatesQE.create(s0=100., v0=.04, mu=.03, kappa=.5,
+                                  theta=.04, xi=1., rho=-.7, lam=1.,
+                                  jump_mean=-.05, jump_std=.1, dt=1 / 252),
         "BasketGBM": BasketGBM.create(s0=[100., 50., 75.], mu=[.03] * 3,
                                       sigma=[.2, .3, .25], corr=corr3,
                                       weights=[1 / 3] * 3, dt=1 / 252),
@@ -105,7 +112,7 @@ def _demo_slv():
 # sqrt/division chain is an FMA-contraction candidate when compiled
 # (~1e-6 relative on <1% of paths; interpret mode matches bitwise).
 ULP_TOLERANCE = {"Vasicek", "CIR", "HullWhite", "G2PP", "DCC", "Bates",
-                 "Heston", "NIG"}
+                 "Heston", "NIG", "HestonQE", "BatesQE"}
 
 
 if __name__ == "__main__":

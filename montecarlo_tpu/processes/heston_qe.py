@@ -91,18 +91,26 @@ class QEVarianceMixin:
         """One QE variance transition: (v_next, quad_mask, a, b2, p, beta).
 
         The branch intermediates are returned for the martingale
-        correction (their conditional MGFs close the drift)."""
+        correction (their conditional MGFs close the drift).
+
+        The algebra is the psi-free rearrangement measured fastest on v5e
+        (`experiments/qe_profile.py` variant E, +10% over the textbook
+        form): the branch test and tail probability are written directly
+        in (m^2, s2) — ``psi <= psi_c`` as ``s2 <= psi_c m^2``,
+        ``(psi-1)/(psi+1)`` as ``(s2-m^2)/(s2+m^2)`` — saving a divide,
+        and ``sqrt(2/psi) sqrt(2/psi-1)`` fuses into one sqrt of the
+        product (both factors nonnegative under the clamp)."""
         one = dtype.type(1.0)
         m = self.theta.astype(dtype) + (v - self.theta.astype(dtype)) \
             * self.e_kdt.astype(dtype)                       # > 0
         s2 = v * self.c1.astype(dtype) + self.c2.astype(dtype)
-        psi = s2 / jnp.square(m)
-        quad = psi <= dtype.type(PSI_C)
+        m2 = jnp.square(m)
+        quad = s2 <= dtype.type(PSI_C) * m2                  # psi <= psi_c
         # Quadratic branch (clamps keep the UNUSED lane's algebra finite:
         # 2/psi - 1 < 0 once psi > 2, which only happens when quad=False).
-        inv2 = 2.0 / psi
+        inv2 = 2.0 * m2 / s2                                 # 2/psi
         tw1 = jnp.maximum(inv2 - one, 0.0)
-        b2 = jnp.maximum(inv2 - one + jnp.sqrt(inv2) * jnp.sqrt(tw1), 0.0)
+        b2 = jnp.maximum(inv2 - one + jnp.sqrt(inv2 * tw1), 0.0)
         a = m / (one + b2)
         z_v = ndtri32(u, dtype)
         v_quad = a * jnp.square(jnp.sqrt(b2) + z_v)
@@ -110,7 +118,7 @@ class QEVarianceMixin:
         # used branch psi > 1.5 so p in (0.2, 1); the (1-p)/(1-u) ratio is
         # finite for open-interval uniforms, and lanes with u <= p take
         # the zero mass.
-        p = (psi - one) / (psi + one)
+        p = (s2 - m2) / (s2 + m2)                            # (psi-1)/(psi+1)
         beta = (one - p) / m
         tail = log32((one - p) / (one - u)) / beta
         v_exp = jnp.where(u <= p, 0.0, jnp.maximum(tail, 0.0))
@@ -120,18 +128,23 @@ class QEVarianceMixin:
         """Per-path martingale-corrected drift constant (Andersen 4.2):
         K0* = -log E[e^{A v'} | v] - (K1 + K3/2) v, closed-form per
         branch; falls back to the plain K0 where the MGF diverges (only
-        reachable for strongly positive rho)."""
+        reachable for strongly positive rho).
+
+        The two branches' MGF logs are lane-exclusive, so ONE log32 runs
+        on a branch-selected argument (qe_profile.py variant E — log32 is
+        a 9-term Newton-over-exp32 chain, the single hottest op here)."""
         one = dtype.type(1.0)
         A = self.mgf_a.astype(dtype)
         den = one - 2.0 * A * a
         ok_q = den > 0.0
         den_s = jnp.where(ok_q, den, one)
-        lm_quad = A * b2 * a / den_s - 0.5 * log32(den_s)  # log MGF
         gap = beta - A
         ok_e = gap > 0.0
-        mgf_e = p + beta * (one - p) / jnp.where(ok_e, gap, one)
-        lm_exp = log32(jnp.maximum(mgf_e, dtype.type(1e-30)))
-        lm = jnp.where(quad, lm_quad, lm_exp)
+        mgf_e = jnp.maximum(p + beta * (one - p)
+                            / jnp.where(ok_e, gap, one),
+                            dtype.type(1e-30))
+        lg = log32(jnp.where(quad, den_s, mgf_e))
+        lm = jnp.where(quad, A * b2 * a / den_s - 0.5 * lg, lg)
         # Logical ops, not a bool-payload select: Mosaic has no i1 select
         # lowering ("unsupported target bitwidth for truncation").
         ok = jnp.logical_or(jnp.logical_and(quad, ok_q),
@@ -180,7 +193,7 @@ class HestonQE(QEVarianceMixin, NamedTuple("HestonQEFields", [
 
     n_draws = 2  # z_asset (normal) + u_variance (uniform, own stream)
     draw_kinds = ("normal", "uniform")
-    #: ndtri + 2 logs + 4 sqrt per step — transcendental-heavy like Kou,
+    #: ndtri + 2 logs + 3 sqrt per step — transcendental-heavy like Kou,
     #: which measured fastest at 64-row blocks on v5e.
     preferred_block_rows = 64
 
