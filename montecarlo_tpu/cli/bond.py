@@ -14,7 +14,7 @@ def add_parsers(sub):
 def _add_bond(sub):
     p = sub.add_parser("bond", help="short-rate bond / bond-option pricing")
     p.add_argument("--model", default="vasicek",
-                   choices=["vasicek", "cir", "hullwhite", "g2pp"])
+                   choices=["vasicek", "cir", "hullwhite", "g2pp", "lmm"])
     p.add_argument("--r0", type=float, default=0.03)
     p.add_argument("--kappa", type=float, default=0.8,
                    help="mean-reversion speed (a for hullwhite)")
@@ -51,7 +51,20 @@ def _add_bond(sub):
     p.add_argument("--swaption", action="store_true",
                    help="Bermudan payer swaption by pathwise-discounted "
                         "LSM (vasicek; n_exercise=1 prints the Jamshidian "
-                        "European closed form too)")
+                        "European closed form too); with --model lmm: "
+                        "European payer swaption, MC vs the Rebonato "
+                        "frozen-weight approximation")
+    p.add_argument("--caplet", action="store_true",
+                   help="lmm: MC caplet vs its EXACT Black closed form "
+                        "(struck at the forward; reset at --t1 snapped to "
+                        "the tenor grid)")
+    p.add_argument("--lmm-sigma", type=float, default=0.2,
+                   help="lmm: flat lognormal forward vol")
+    p.add_argument("--corr-beta", type=float, default=0.1,
+                   help="lmm: forward-correlation decay "
+                        "exp(-beta |T_j - T_k|)")
+    p.add_argument("--tenor", type=float, default=0.25,
+                   help="lmm: forward tenor delta (the simulation grid)")
     p.add_argument("--swap-strike", type=float, default=None,
                    help="fixed rate (default: ~par)")
     p.add_argument("--periods", type=int, default=8,
@@ -69,6 +82,8 @@ def cmd_bond(args) -> int:
         zcb_price_mc)
     from montecarlo_tpu.processes import CIR, HullWhite, Vasicek
 
+    if args.model == "lmm":
+        return _cmd_bond_lmm(args)
     T, n_steps = args.maturity, args.steps
     dt = T / n_steps
     if args.model == "vasicek":
@@ -228,5 +243,61 @@ def cmd_bond(args) -> int:
                "std_err": float(est["std_err"]),
                "closed_form": cf}
     print(json.dumps(out))
+    return 0
+
+
+def _cmd_bond_lmm(args) -> int:
+    """`bond --model lmm`: forward-curve instruments with their oracles —
+    ZCB by the bank-account martingale E[1/B(T)] = P(0,T) (exact up to
+    the predictor-corrector drift), `--caplet` vs its EXACT Black closed
+    form, `--swaption` vs the Rebonato frozen-weight approximation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.simulate import simulate
+    from montecarlo_tpu.processes.lmm import (LMM, lmm_caplet_mc,
+                                              lmm_par_strike,
+                                              lmm_swaption_mc, lmm_zcb0)
+
+    delta = args.tenor
+    k_fwd = max(int(round(args.maturity / delta)), 2)
+    m = LMM.create([args.r0] * k_fwd, [args.lmm_sigma] * k_fwd, delta,
+                   corr_beta=args.corr_beta, dtype=jnp.float32)
+    if args.caplet:
+        k_idx = min(max(int(round(args.t1 / delta)), 1), k_fwd - 1)
+        strike = (args.option_strike if args.option_strike is not None
+                  else args.r0)
+        est = lmm_caplet_mc(m, k_idx, strike, args.paths, seed=args.seed,
+                            dtype=jnp.float32)
+        print(json.dumps({
+            "instrument": "caplet", "reset": k_idx * delta,
+            "strike": strike,
+            "mc_price": round(est["price"], 8),
+            "mc_std_err": round(est["std_err"], 8),
+            "black_exact": round(est["black"], 8)}))
+        return 0
+    if args.swaption:
+        s = max(k_fwd // 4, 1)
+        strike = (args.swap_strike if args.swap_strike is not None
+                  else lmm_par_strike(m, s, k_fwd))
+        est = lmm_swaption_mc(m, s, k_fwd, strike, args.paths,
+                              seed=args.seed, dtype=jnp.float32)
+        print(json.dumps({
+            "instrument": "lmm_european_swaption",
+            "expiry": s * delta, "strike": round(float(strike), 8),
+            "periods": k_fwd - s,
+            "mc_price": round(est["price"], 8),
+            "mc_std_err": round(est["std_err"], 8),
+            "rebonato": round(est["rebonato"], 8)}))
+        return 0
+    obs = simulate(m, args.paths, k_fwd, seed=args.seed, mode="terminal",
+                   dtype=jnp.float32,
+                   observe=lambda p, s_: p.exposure_obs(s_))
+    d = np.asarray(jnp.exp(-obs[:, -1]), np.float64)
+    print(json.dumps({
+        "zcb_price": round(float(d.mean()), 8),
+        "std_err": round(float(d.std(ddof=1) / np.sqrt(args.paths)), 8),
+        "closed_form": round(lmm_zcb0(m, k_fwd), 8),
+        "forwards": k_fwd, "tenor": delta}))
     return 0
 

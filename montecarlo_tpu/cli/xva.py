@@ -17,7 +17,7 @@ def _add_xva(sub):
                                    "an interest-rate swap (Vasicek) or an "
                                    "equity forward (GBM)")
     p.add_argument("--underlying", default="rates",
-                   choices=["rates", "equity", "g2pp", "hybrid"],
+                   choices=["rates", "equity", "g2pp", "hybrid", "lmm"],
                    help="rates: Vasicek payer swap, pathwise discounting; "
                         "equity: GBM forward, flat discounting (CVA has a "
                         "Black-Scholes closed form, tested); g2pp: "
@@ -26,7 +26,11 @@ def _add_xva(sub):
                         "hybrid: equity x Vasicek (--portfolio only — "
                         "cross-asset netting set: swap + equity forwards "
                         "on ONE exact joint simulation, exact pathwise "
-                        "discounting)")
+                        "discounting); lmm: the full forward-curve Libor "
+                        "Market Model (--portfolio only — a K-forward "
+                        "curve book, one state per tenor, EXACT discrete "
+                        "bank-account discounting; the grid is the reset "
+                        "calendar: delta = maturity/steps)")
     p.add_argument("--g2pp-b", type=float, default=0.08,
                    help="g2pp: second-factor mean reversion")
     p.add_argument("--g2pp-eta", type=float, default=0.012,
@@ -34,6 +38,11 @@ def _add_xva(sub):
     p.add_argument("--factor-rho", type=float, default=-0.7,
                    help="g2pp: factor correlation; hybrid: equity-rate "
                         "correlation")
+    p.add_argument("--lmm-sigma", type=float, default=0.2,
+                   help="lmm: flat lognormal forward vol")
+    p.add_argument("--corr-beta", type=float, default=0.1,
+                   help="lmm: exponential forward-correlation decay "
+                        "exp(-beta |T_j - T_k|)")
     p.add_argument("--s0", type=float, default=100.0,
                    help="equity: spot")
     p.add_argument("--fwd-strike", type=float, default=None,
@@ -186,7 +195,7 @@ def cmd_xva(args) -> int:
 
     import jax.numpy as jnp
 
-    if args.underlying in ("g2pp", "hybrid") and not args.portfolio:
+    if args.underlying in ("g2pp", "hybrid", "lmm") and not args.portfolio:
         raise SystemExit(f"--underlying {args.underlying} is a multi-state "
                          "exposure underlying — it marks through the "
                          "netting engine; add --portfolio")
@@ -283,7 +292,7 @@ def _cmd_xva_portfolio(args) -> int:
     if args.swaption_leg and args.underlying != "rates":
         raise SystemExit("--swaption-leg is a Vasicek rates trade; use "
                          "--underlying rates")
-    if args.underlying in ("g2pp", "hybrid"):
+    if args.underlying in ("g2pp", "hybrid", "lmm"):
         if args.greeks or args.allocate or args.counterparties > 1:
             raise SystemExit(
                 f"--underlying {args.underlying}: --greeks/--allocate/"
@@ -351,6 +360,37 @@ def _cmd_xva_portfolio(args) -> int:
 
         params = {"r0": args.r0, "sigma": args.sigma,
                   "hazard_rate": args.hazard}
+        state_param = "r0"
+    elif args.underlying == "lmm":
+        # Full-curve book on the Libor Market Model: long 2x a front-curve
+        # payer, short 1x a back-curve payer, both par — curve-twist
+        # netting a short-rate model cannot see (every forward is a state;
+        # --corr-beta sets the term structure of correlation).  The grid
+        # IS the reset calendar: K = --steps forwards of tenor
+        # maturity/steps; exact discrete bank-account discounting.
+        from montecarlo_tpu.processes.lmm import (LMM, lmm_par_strike,
+                                                  lmm_swap_value_fn)
+
+        k_fwd = args.steps
+        if k_fwd < 4:
+            raise SystemExit("--underlying lmm needs --steps >= 4 "
+                             "(forwards = steps)")
+        front = (1, max(k_fwd // 3, 2))
+        back = (k_fwd // 2, k_fwd)
+
+        def build(p):
+            m = LMM.create([p["r0"]] * k_fwd, [args.lmm_sigma] * k_fwd,
+                           dt, corr_beta=args.corr_beta,
+                           dtype=jnp.float32)
+            v_f = lmm_swap_value_fn(m, lmm_par_strike(m, *front), *front,
+                                    dtype=jnp.float32)
+            v_b = lmm_swap_value_fn(m, lmm_par_strike(m, *back), *back,
+                                    dtype=jnp.float32)
+            trades = (lambda c, t: 2.0 * v_f(c, t),
+                      lambda c, t: -1.0 * v_b(c, t))
+            return m, trades, None
+
+        params = {"r0": args.r0, "hazard_rate": args.hazard}
         state_param = "r0"
     elif args.underlying == "hybrid":
         # Cross-asset netting set on ONE exact joint simulation: a payer

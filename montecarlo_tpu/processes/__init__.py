@@ -38,6 +38,14 @@ from montecarlo_tpu.processes.g2pp import (  # noqa: F401
     g2pp_swaption,
     g2pp_zcb,
 )
+from montecarlo_tpu.processes.lmm import (  # noqa: F401
+    LMM,
+    lmm_caplet_mc,
+    lmm_par_strike,
+    lmm_swap_value_fn,
+    lmm_swaption_mc,
+    lmm_swaption_rebonato,
+)
 from montecarlo_tpu.processes.shortrate import CIR, HullWhite, RateState, Vasicek  # noqa: F401
 from montecarlo_tpu.processes.kou import Kou, KouState  # noqa: F401
 from montecarlo_tpu.processes.nig import NIG, NIGState  # noqa: F401
