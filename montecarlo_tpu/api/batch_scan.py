@@ -17,13 +17,15 @@ the threaded path up to float32-vs-float64 feature round-off (the batched
 featurizer runs in f32 on-device).
 
 Device programs are chunked along the ticker axis (``device_batch``,
-default 50): a single program batching >~100 tickers crashed the TPU
+default 30): batching more tickers into one program crashed the TPU
 worker through the relay (round-5 bench at the reference's 300-ticker
-ceiling, reference app.py:1290-1295), and a fixed chunk shape means ONE
-compile reused across the universe — the tail chunk is padded by
-repetition and the padded rows discarded.  Per-ticker results are
-chunking-invariant: every fit is keyed by (seed=42, tree index), never by
-batch position (ml/gbt.py:236-242).
+ceiling, reference app.py:1290-1295 — 100 tickers at 50-wide chunks
+reproducibly died inside the vmapped GBT fit; 60- and 300-ticker runs at
+30-wide chunks are clean, the 300 finishing in 565 s with 0 failures),
+and a fixed chunk shape means ONE compile reused across the universe —
+the tail chunk is padded by repetition and the padded rows discarded.
+Per-ticker results are chunking-invariant: every fit is keyed by
+(seed=42, tree index), never by batch position (ml/gbt.py:236-242).
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def scan_tickers_batched(tickers: List[str], *, forecast_horizon: int = 20,
                          period: str = "5y",
                          provider: Optional[str] = None,
                          progress_callback=None,
-                         device_batch: int = 50) -> ScanResult:
+                         device_batch: int = 30) -> ScanResult:
     """Scan a universe with batched device execution.
 
     ``device_batch`` bounds the ticker axis of each device program (see

@@ -679,10 +679,11 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
     # the hybrid underlying).
     if multi:
         n_comp = paths.shape[1]
-        eye_c = jnp.eye(n_comp, dtype=dtype)
-        tangents = tuple(eye_c[c][:, None]
-                         * jnp.ones((1, n_paths), dtype)
-                         for c in range(n_comp))
+        # (C, C, N) stacked unit tangents — the C replays batch into ONE
+        # vmapped pass of linearize's lin (flat trace size in C; the LMM
+        # carries K+1 components).
+        tang_stack = (jnp.eye(n_comp, dtype=dtype)[:, :, None]
+                      * jnp.ones((1, 1, n_paths), dtype))
     else:
         tangent = jnp.ones((n_paths,), dtype)
 
@@ -712,7 +713,7 @@ def _netting_from_paths(paths, disc, times, model, trades, *, T: float,
         if multi:
             def row(k):
                 v, lin = jax.linearize(fn_at(k), paths[k])
-                return v, jnp.stack([lin(tg) for tg in tangents])
+                return v, jax.vmap(lin)(tang_stack)
         else:
             def row(k):
                 return jax.jvp(fn_at(k), (paths[k],), (tangent,))

@@ -901,10 +901,12 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     multi = is_multistate(model)
     if multi:
         n_comp = paths.shape[1]
-        eye_c = jnp.eye(n_comp, dtype=dtype)
-        tangents = tuple(eye_c[c][:, None]
-                         * jnp.ones((1, block_size), dtype)
-                         for c in range(n_comp))
+        # (C, C, N) stacked unit tangents: the C tangent replays batch
+        # into ONE vmapped pass of linearize's lin (trace/compile size
+        # stays flat in the component count — the LMM carries K+1
+        # components, where an unrolled loop was K+1 traced replays).
+        tang_stack = (jnp.eye(n_comp, dtype=dtype)[:, :, None]
+                      * jnp.ones((1, 1, block_size), dtype))
     else:
         ones = jnp.ones((block_size,), dtype)
 
@@ -941,7 +943,7 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
         if multi:
             def row(k):
                 v, lin = jax.linearize(fn_at(k), paths[k])
-                return v, jnp.stack([lin(tg) for tg in tangents])
+                return v, jax.vmap(lin)(tang_stack)
         else:
             def row(k):
                 return jax.jvp(fn_at(k), (paths[k],), (ones,))
