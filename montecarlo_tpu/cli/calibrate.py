@@ -17,7 +17,7 @@ def _add_calibrate(sub):
                             "implied-vol surface")
     p.add_argument("--model", default="heston",
                    choices=["heston", "sabr", "vg", "nig", "merton",
-                            "kou", "vasicek"])
+                            "kou", "vasicek", "lmm"])
     p.add_argument("--surface", default=None,
                    help="CSV with header strike,maturity,iv (long form); "
                         "vasicek: header expiry,pay_dt,strike,periods,"
@@ -35,6 +35,55 @@ def _add_calibrate(sub):
 
 def cmd_calibrate(args) -> int:
     import numpy as np
+
+    if args.model == "lmm":
+        # Two-stage market-model calibration: cap strip -> per-tenor
+        # vols (exact Black inversion), then European swaptions -> the
+        # forward-correlation decay (Rebonato map).  Demo: generate the
+        # quotes from a known humped vol curve + beta and recover both.
+        from montecarlo_tpu.engine.rates_calibration import (
+            bootstrap_lmm_vols, calibrate_lmm_corr_to_swaptions)
+        from montecarlo_tpu.processes.lmm import (LMM, lmm_par_strike,
+                                                  lmm_swaption_rebonato)
+
+        if args.surface:
+            raise SystemExit("--model lmm is demo-only in the CLI "
+                             "(cap-strip + swaption file formats vary by "
+                             "desk); call engine.rates_calibration."
+                             "bootstrap_lmm_vols / "
+                             "calibrate_lmm_corr_to_swaptions directly")
+        delta, k_fwd, beta_true = 0.25, 16, 0.35
+        t = delta * np.arange(k_fwd)
+        sig_true = 0.12 + 0.25 * (0.3 + t) * np.exp(-0.8 * t)  # humped
+        f0 = np.full(k_fwd, args.rate)
+        m_true = LMM.create(f0, sig_true, delta, corr_beta=beta_true)
+        # Co-terminal ATM-forward cap strip: sum of exact Black caplets.
+        p = np.cumprod(1.0 / (1.0 + delta * f0))
+        from scipy.stats import norm
+
+        def black(f, k_, sd):
+            d1 = (np.log(f / k_) + 0.5 * sd * sd) / sd
+            return f * norm.cdf(d1) - k_ * norm.cdf(d1 - sd)
+
+        caplets = np.array([delta * p[k] * black(
+            f0[k], args.rate, sig_true[k] * np.sqrt(k * delta))
+            for k in range(1, k_fwd)])
+        caps = np.cumsum(caplets)
+        sig_fit = bootstrap_lmm_vols(f0, delta, args.rate, caps)
+        quotes = []
+        for s, e in ((2, 8), (4, 16), (8, 16)):
+            k_par = lmm_par_strike(m_true, s, e)
+            quotes.append((s, e, k_par,
+                           lmm_swaption_rebonato(m_true, s, e, k_par)))
+        fit = calibrate_lmm_corr_to_swaptions(f0, sig_fit, delta, quotes)
+        out = {"corr_beta": round(fit["corr_beta"], 6),
+               "rmse_rel": round(fit["rmse_rel"], 9),
+               "vol_max_abs_err": round(
+                   float(np.abs(sig_fit[1:] - sig_true[1:]).max()), 9),
+               "demo_truth": {"corr_beta": beta_true,
+                              "vols": "humped, recovered exactly"}}
+        print(json.dumps(out))
+        return 0
 
     if args.model == "vasicek":
         # Rates asset class: fit (kappa, theta, sigma) to payer-swaption

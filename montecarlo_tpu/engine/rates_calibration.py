@@ -17,6 +17,13 @@ Hull-White note: theta(t) is fitted EXACTLY to the discount curve by
 construction (`HullWhite.from_forward_curve`); what a desk calibrates to
 swaptions is (a, sigma), for which the Vasicek machinery here is the
 constant-theta specialization — same bond-option decomposition.
+
+LMM (round 5): the standard two-stage market-model calibration —
+`bootstrap_lmm_vols` inverts a co-terminal CAP strip into the per-tenor
+vol term structure (exact: caplets are Black closed forms under the
+lognormal LMM), then `calibrate_lmm_corr_to_swaptions` pins the
+forward-correlation decay to European swaption premia through the
+Rebonato frozen-weight map.
 """
 
 from __future__ import annotations
@@ -141,4 +148,113 @@ def calibrate_vasicek_to_swaptions(expiries, pay_dts, strikes, n_periods,
     return out
 
 
-__all__ = ["calibrate_vasicek_to_swaptions", "vasicek_swaption_prices"]
+def _black76_np(f, k, sd):
+    """Undiscounted Black-76 call (host f64; vector in any argument)."""
+    import numpy as np
+    from scipy.stats import norm
+
+    f = np.asarray(f, np.float64)
+    sd = np.asarray(sd, np.float64)
+    with np.errstate(divide="ignore"):
+        d1 = np.where(sd > 0, (np.log(f / k) + 0.5 * sd * sd)
+                      / np.where(sd > 0, sd, 1.0), np.inf)
+    return np.where(sd > 0, f * norm.cdf(d1) - k * norm.cdf(d1 - sd),
+                    np.maximum(f - k, 0.0))
+
+
+def bootstrap_lmm_vols(f0, delta, strike, cap_prices):
+    """Bootstrap the LMM vol term structure from a CAP strip — the
+    industry-standard construction: quotes are co-terminal caps on resets
+    1..n (cap n covers caplets 1..n), so caplet k's price is the exact
+    difference ``cap_k - cap_{k-1}`` and sigma_k inverts its Black
+    closed form (EXACT under the lognormal LMM — `processes/lmm.py`
+    caplet oracle) by bisection on the monotone total-stddev map.
+
+    ``f0``: (K,) initial forwards; ``cap_prices``: (K-1,) premia of the
+    caps ending at resets 1..K-1 (caplet 0 is deterministic and never
+    quoted).  Returns (K,) sigmas with ``sigma_0`` copied from
+    ``sigma_1`` (it never enters any price).  Raises on a non-increasing
+    strip (caplet premia are strictly positive) or an unattainable
+    caplet price (above the undiscounted forward bound).
+    """
+    import numpy as np
+
+    f0 = np.asarray(f0, np.float64)
+    k_fwd = f0.shape[0]
+    cap_prices = np.asarray(cap_prices, np.float64)
+    if cap_prices.shape != (k_fwd - 1,):
+        raise ValueError(f"need {k_fwd - 1} co-terminal cap quotes "
+                         f"(resets 1..{k_fwd - 1}); got "
+                         f"{cap_prices.shape}")
+    caplets = np.diff(np.concatenate([[0.0], cap_prices]))
+    if np.any(caplets <= 0.0):
+        raise ValueError("cap strip is not strictly increasing — caplet "
+                         "premia must be positive")
+    dlt = float(delta)
+    # P(0, T_{k+1}) off the initial curve.
+    p = np.cumprod(1.0 / (1.0 + dlt * f0))
+    sigmas = np.zeros(k_fwd)
+    for k in range(1, k_fwd):
+        undisc = caplets[k - 1] / (dlt * p[k])
+        hi = f0[k]  # Black bound: sd -> inf gives F (K > 0)
+        if undisc >= hi:
+            raise ValueError(f"caplet {k} price {caplets[k - 1]:.6g} "
+                             "exceeds its undiscounted forward bound")
+        lo_sd, hi_sd = 0.0, 1e2
+        for _ in range(200):  # bisection: exact to f64 on a monotone map
+            mid = 0.5 * (lo_sd + hi_sd)
+            if _black76_np(f0[k], strike, mid) < undisc:
+                lo_sd = mid
+            else:
+                hi_sd = mid
+        sigmas[k] = 0.5 * (lo_sd + hi_sd) / np.sqrt(k * dlt)
+    sigmas[0] = sigmas[1]
+    return sigmas
+
+
+def calibrate_lmm_corr_to_swaptions(f0, sigma, delta, quotes, *,
+                                    beta_hi: float = 3.0) -> dict:
+    """Fit the forward-correlation decay ``beta``
+    (``rho_jk = exp(-beta |T_j - T_k|)``) to European swaption premia
+    through the Rebonato frozen-weight vol map — the industry-standard
+    two-stage LMM calibration: caplets pin the per-tenor vols
+    (:func:`bootstrap_lmm_vols`), swaptions pin the correlation (a
+    swaption's Rebonato variance is strictly DECREASING in beta, so the
+    1-D golden-section fit is well-posed).
+
+    ``quotes``: iterable of ``(start_idx, end_idx, strike, price)``.
+    Returns ``{"corr_beta", "rmse_rel"}``.
+    """
+    import numpy as np
+
+    from montecarlo_tpu.processes.lmm import (LMM, lmm_swaption_rebonato)
+
+    def loss(beta):
+        m = LMM.create(f0, sigma, delta, corr_beta=float(beta))
+        errs = [lmm_swaption_rebonato(m, int(s), int(e), float(k_)) / px
+                - 1.0 for s, e, k_, px in quotes]
+        return float(np.mean(np.square(errs)))
+
+    # Golden-section on [0, beta_hi] (unimodal: each Rebonato variance is
+    # monotone in beta, the squared relative errors sum to a unimodal
+    # objective for consistent quotes).
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = 0.0, float(beta_hi)
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = loss(c), loss(d)
+    for _ in range(80):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = loss(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = loss(d)
+    beta = 0.5 * (a + b)
+    return {"corr_beta": float(beta),
+            "rmse_rel": float(np.sqrt(loss(beta)))}
+
+
+__all__ = ["bootstrap_lmm_vols", "calibrate_lmm_corr_to_swaptions",
+           "calibrate_vasicek_to_swaptions", "vasicek_swaption_prices"]

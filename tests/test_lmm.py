@@ -275,6 +275,63 @@ def test_cli_xva_lmm(capsys):
         assert out_m[k] == out[k], k
 
 
+def test_calibration_roundtrip():
+    """Two-stage LMM calibration: the cap-strip bootstrap recovers a
+    humped vol term structure to bisection precision (caplets are EXACT
+    Black), and the Rebonato swaption fit recovers the generating
+    correlation decay."""
+    from scipy.stats import norm
+
+    from montecarlo_tpu.engine.rates_calibration import (
+        bootstrap_lmm_vols, calibrate_lmm_corr_to_swaptions)
+    from montecarlo_tpu.processes.lmm import lmm_swaption_rebonato
+
+    delta, k_fwd, beta_true, strike = 0.25, 12, 0.45, 0.03
+    t = delta * np.arange(k_fwd)
+    sig_true = 0.12 + 0.25 * (0.3 + t) * np.exp(-0.8 * t)
+    f0 = np.full(k_fwd, 0.03)
+    p = np.cumprod(1.0 / (1.0 + delta * f0))
+
+    def black(f, k_, sd):
+        d1 = (np.log(f / k_) + 0.5 * sd * sd) / sd
+        return f * norm.cdf(d1) - k_ * norm.cdf(d1 - sd)
+
+    caps = np.cumsum([delta * p[k] * black(
+        f0[k], strike, sig_true[k] * np.sqrt(k * delta))
+        for k in range(1, k_fwd)])
+    sig_fit = bootstrap_lmm_vols(f0, delta, strike, caps)
+    np.testing.assert_allclose(sig_fit[1:], sig_true[1:], atol=1e-10)
+    m_true = LMM.create(f0, sig_true, delta, corr_beta=beta_true)
+    quotes = [(s, e, lmm_par_strike(m_true, s, e),
+               lmm_swaption_rebonato(m_true, s, e,
+                                     lmm_par_strike(m_true, s, e)))
+              for s, e in ((2, 8), (4, 12), (6, 12))]
+    fit = calibrate_lmm_corr_to_swaptions(f0, sig_fit, delta, quotes)
+    assert abs(fit["corr_beta"] - beta_true) < 1e-4, fit
+    assert fit["rmse_rel"] < 1e-6
+    # Guards: a non-increasing strip and an unattainable caplet raise.
+    bad = caps.copy()
+    bad[3] = bad[2]
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bootstrap_lmm_vols(f0, delta, strike, bad)
+    bad2 = caps.copy()
+    bad2[-1] = bad2[-2] + 1.0
+    with pytest.raises(ValueError, match="bound"):
+        bootstrap_lmm_vols(f0, delta, strike, bad2)
+
+
+def test_cli_calibrate_lmm(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["calibrate", "--model", "lmm"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out["corr_beta"] - 0.35) < 1e-3
+    assert out["vol_max_abs_err"] < 1e-9
+
+
 def test_rebonato_atm_sanity():
     """The Rebonato price is bracketed by intrinsic and the annuity-vol
     upper bound, and collapses to the single-caplet Black in the
