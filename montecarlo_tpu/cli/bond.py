@@ -282,13 +282,24 @@ def _cmd_bond_lmm(args) -> int:
                   else lmm_par_strike(m, s, k_fwd))
         est = lmm_swaption_mc(m, s, k_fwd, strike, args.paths,
                               seed=args.seed, dtype=jnp.float32)
-        print(json.dumps({
-            "instrument": "lmm_european_swaption",
-            "expiry": s * delta, "strike": round(float(strike), 8),
-            "periods": k_fwd - s,
-            "mc_price": round(est["price"], 8),
-            "mc_std_err": round(est["std_err"], 8),
-            "rebonato": round(est["rebonato"], 8)}))
+        out = {"instrument": "lmm_european_swaption",
+               "expiry": s * delta, "strike": round(float(strike), 8),
+               "periods": k_fwd - s,
+               "mc_price": round(est["price"], 8),
+               "mc_std_err": round(est["std_err"], 8),
+               "rebonato": round(est["rebonato"], 8)}
+        if args.n_exercise > 1:
+            from montecarlo_tpu.engine.bermudan import (
+                lmm_bermudan_swaption_lsm)
+
+            berm = lmm_bermudan_swaption_lsm(
+                m, float(strike), s, k_fwd,
+                n_exercise=min(args.n_exercise, k_fwd - s),
+                n_paths=args.paths, seed=args.seed, dtype=jnp.float32)
+            out["instrument"] = "lmm_bermudan_swaption"
+            out["bermudan_price"] = round(float(berm["price"]), 8)
+            out["n_exercise"] = min(args.n_exercise, k_fwd - s)
+        print(json.dumps(out))
         return 0
     obs = simulate(m, args.paths, k_fwd, seed=args.seed, mode="terminal",
                    dtype=jnp.float32,

@@ -275,6 +275,46 @@ def test_cli_xva_lmm(capsys):
         assert out_m[k] == out[k], k
 
 
+def test_bermudan_swaption_lsm():
+    """LMM Bermudan swaption by LSM: the n_exercise=1 case reproduces
+    the European MC estimator at the same seed (same scan, bitwise
+    pathwise cashflows — only the closing mean compiles differently),
+    and value is monotone nondecreasing in the exercise rights."""
+    from montecarlo_tpu.engine.bermudan import lmm_bermudan_swaption_lsm
+
+    m = _model()
+    s, e = 4, 12
+    strike = lmm_par_strike(m, s, e)
+    n = 1 << 15
+    eur = lmm_swaption_mc(m, s, e, strike, n, seed=11)
+    prices = []
+    for n_ex in (1, 2, 4, 8):
+        b = lmm_bermudan_swaption_lsm(m, strike, s, e, n_exercise=n_ex,
+                                      n_paths=n, seed=11)
+        prices.append(float(b["price"]))
+    np.testing.assert_allclose(prices[0], eur["price"], rtol=1e-12)
+    se = float(eur["std_err"])
+    for a, b_ in zip(prices, prices[1:]):
+        assert b_ > a - 3 * se, prices      # monotone within MC noise
+    assert prices[-1] > prices[0] + 2 * se, prices  # rights have value
+    with pytest.raises(ValueError, match="n_exercise"):
+        lmm_bermudan_swaption_lsm(m, strike, s, e, n_exercise=9,
+                                  n_paths=64, seed=1)
+
+
+def test_cli_bond_lmm_bermudan(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["bond", "--model", "lmm", "--swaption", "--paths",
+                   "8192", "--maturity", "3.0", "--n-exercise", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["instrument"] == "lmm_bermudan_swaption"
+    assert out["bermudan_price"] >= out["mc_price"] - 3 * out["mc_std_err"]
+
+
 def test_calibration_roundtrip():
     """Two-stage LMM calibration: the cap-strip bootstrap recovers a
     humped vol term structure to bisection precision (caplets are EXACT
