@@ -60,6 +60,9 @@ def _add_bond(sub):
                         "the tenor grid)")
     p.add_argument("--lmm-sigma", type=float, default=0.2,
                    help="lmm: flat lognormal forward vol")
+    p.add_argument("--lmm-shift", type=float, default=0.0,
+                   help="lmm: displaced-diffusion shift (skew / negative "
+                        "rates; caplet oracle shifts with it)")
     p.add_argument("--corr-beta", type=float, default=0.1,
                    help="lmm: forward-correlation decay "
                         "exp(-beta |T_j - T_k|)")
@@ -262,7 +265,8 @@ def _cmd_bond_lmm(args) -> int:
     delta = args.tenor
     k_fwd = max(int(round(args.maturity / delta)), 2)
     m = LMM.create([args.r0] * k_fwd, [args.lmm_sigma] * k_fwd, delta,
-                   corr_beta=args.corr_beta, dtype=jnp.float32)
+                   corr_beta=args.corr_beta, shift=args.lmm_shift,
+                   dtype=jnp.float32)
     if args.caplet:
         k_idx = min(max(int(round(args.t1 / delta)), 1), k_fwd - 1)
         strike = (args.option_strike if args.option_strike is not None

@@ -40,6 +40,8 @@ def _add_xva(sub):
                         "correlation")
     p.add_argument("--lmm-sigma", type=float, default=0.2,
                    help="lmm: flat lognormal forward vol")
+    p.add_argument("--lmm-shift", type=float, default=0.0,
+                   help="lmm: displaced-diffusion shift")
     p.add_argument("--corr-beta", type=float, default=0.1,
                    help="lmm: exponential forward-correlation decay "
                         "exp(-beta |T_j - T_k|)")
@@ -381,7 +383,7 @@ def _cmd_xva_portfolio(args) -> int:
         def build(p):
             m = LMM.create([p["r0"]] * k_fwd, [args.lmm_sigma] * k_fwd,
                            dt, corr_beta=args.corr_beta,
-                           dtype=jnp.float32)
+                           shift=args.lmm_shift, dtype=jnp.float32)
             v_f = lmm_swap_value_fn(m, lmm_par_strike(m, *front), *front,
                                     dtype=jnp.float32)
             v_b = lmm_swap_value_fn(m, lmm_par_strike(m, *back), *back,

@@ -94,8 +94,18 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         ("chol", jnp.ndarray),        # (K, K) lower Cholesky of corr
         ("delta", jnp.ndarray),       # tenor = simulation step
         ("dt", jnp.ndarray),          # == delta (validated)
+        ("shift", jnp.ndarray),       # displaced-diffusion shift d >= 0
 ])):
-    """Lognormal Libor Market Model, spot-measure predictor-corrector."""
+    """(Displaced-)lognormal Libor Market Model, spot-measure
+    predictor-corrector.
+
+    ``shift = d`` makes each SHIFTED forward ``G_k = F_k + d`` lognormal
+    (``dG_k = sigma_k G_k dW_k`` in its own forward measure) — the
+    standard skew / negative-rates handle: forwards live on
+    ``(-d, inf)``, caplets are Black on ``(F+d, K+d)`` exactly, and the
+    implied-vol skew is downward-sloping in strike.  ``shift = 0`` is the
+    plain lognormal model BITWISE (``g - 0 == g``; regression-tested).
+    The state leaf ``logf`` stores ``log(F + d)``."""
 
     #: One normal per forward per step; K is a create-time static (leaf
     #: shape), so ``n_draws`` stays a Python int under tracing.
@@ -114,9 +124,11 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
 
     @classmethod
     def create(cls, f0, sigma, delta, *, corr=None, corr_beta=0.1,
-               dt=None, dtype=jnp.float32):
+               shift=0.0, dt=None, dtype=jnp.float32):
         """``f0``/``sigma`` per tenor; ``corr`` a (K, K) matrix or None to
-        use :func:`exp_decay_corr` with ``corr_beta``.  ``dt`` must equal
+        use :func:`exp_decay_corr` with ``corr_beta``; ``shift`` the
+        displaced-diffusion displacement (0 = plain lognormal; shifted
+        forwards ``f0 + shift`` must be positive).  ``dt`` must equal
         ``delta`` (the grid-is-the-reset-grid contract) — it exists as an
         argument only so CLI plumbing that always passes dt fails loudly
         on a mismatch instead of silently simulating a wrong calendar."""
@@ -124,9 +136,11 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         sig = np.asarray(sigma, np.float64)
         if f0.ndim != 1 or f0.shape != sig.shape:
             raise ValueError("f0 and sigma must be 1-D of equal length")
-        if np.any(f0 <= 0.0):
-            raise ValueError("initial forwards must be positive "
-                             "(lognormal LMM)")
+        if float(shift) < 0.0:
+            raise ValueError("shift must be nonnegative")
+        if np.any(f0 + float(shift) <= 0.0):
+            raise ValueError("shifted initial forwards f0 + shift must be "
+                             "positive (displaced-lognormal LMM)")
         if np.any(sig < 0.0):
             raise ValueError("vols must be nonnegative")
         k = f0.shape[0]
@@ -143,13 +157,14 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         as_ = lambda v: jnp.asarray(v, dtype)
         return cls(f0=as_(f0), sigma=as_(sig), corr=as_(corr),
                    corr_drift=as_(np.triu(corr)), chol=as_(chol),
-                   delta=as_(delta), dt=as_(delta))
+                   delta=as_(delta), dt=as_(delta), shift=as_(shift))
 
     def init_state(self, path_ids, dtype=jnp.float32) -> LMMState:
         n = path_ids.shape[0]
-        logf0 = log32(self.f0.astype(dtype)).astype(dtype)
+        logg0 = log32(self.f0.astype(dtype)
+                      + self.shift.astype(dtype)).astype(dtype)
         return LMMState(
-            logf=jnp.broadcast_to(logf0[None, :],
+            logf=jnp.broadcast_to(logg0[None, :],
                                   (n, self.n_draws)) + jnp.zeros(
                                       (n, 1), dtype),
             logb=jnp.zeros((n,), dtype))
@@ -160,14 +175,16 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         sig = self.sigma.astype(dtype)[None, :]          # (1, K)
         dlt = jnp.asarray(self.delta, dtype)
         dt = jnp.asarray(self.dt, dtype)
+        d = jnp.asarray(self.shift, dtype)
         # Correlated shocks: (N, K) @ chol' — HIGHEST (no bf16 on state).
         z = jnp.dot(jnp.stack(eps, axis=-1),
                     self.chol.astype(dtype).T, precision=_HI)
-        f = exp32(state.logf)
-        # Bank account compounds on the forward fixing NOW (index t);
+        g = exp32(state.logf)                            # shifted forwards
+        # Bank account compounds on the TRUE forward fixing NOW (index t);
         # steps past the last reset (t >= K) freeze everything.
         ti = jnp.minimum(jnp.asarray(t, jnp.int32), k - 1)
-        f_fix = jax.lax.dynamic_index_in_dim(f, ti, axis=1, keepdims=False)
+        f_fix = jax.lax.dynamic_index_in_dim(g, ti, axis=1,
+                                             keepdims=False) - d
         logb = state.logb + jnp.where(
             jnp.asarray(t, jnp.int32) < k,
             jnp.log1p(dlt * f_fix), jnp.zeros_like(f_fix))
@@ -175,11 +192,14 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
                  > jnp.asarray(t, jnp.int32))            # (1, K)
         cd = self.corr_drift.astype(dtype)
 
-        def drift(fv):
-            w = jnp.where(alive, dlt * fv / (1.0 + dlt * fv) * sig, 0.0)
+        def drift(gv):
+            # Spot-measure drift of the SHIFTED forwards: the bond-ratio
+            # volatility is delta sigma_j G_j / (1 + delta F_j).
+            w = jnp.where(alive,
+                          dlt * gv / (1.0 + dlt * (gv - d)) * sig, 0.0)
             return sig * jnp.dot(w, cd, precision=_HI)
 
-        mu0 = drift(f)
+        mu0 = drift(g)
         half = 0.5 * sig * sig
         inc = sig * jnp.sqrt(dt) * z
         pred = exp32(state.logf + (mu0 - half) * dt + inc)
@@ -196,10 +216,12 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
 
     # --- exposure protocol -------------------------------------------
     def exposure_obs(self, state: LMMState):
-        """(n_paths, K+1): the K forwards (dead ones frozen at their
-        fixings) + log B."""
+        """(n_paths, K+1): the K TRUE forwards (dead ones frozen at their
+        fixings; shift subtracted) + log B."""
         return jnp.concatenate(
-            [exp32(state.logf), state.logb[:, None]], axis=-1)
+            [exp32(state.logf) - jnp.asarray(self.shift,
+                                             state.logf.dtype),
+             state.logb[:, None]], axis=-1)
 
     def pathwise_discount(self, obs):
         """Exact D(0, T_i) = 1/B(T_i) rows from (..., C, N) observations."""
@@ -222,9 +244,10 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
 
     def im_norm(self, dvs, obs, mpor):
         """Multivariate delta-normal IM std over the margin period:
-        lognormal forward shocks ``F_k sigma_k sqrt(mpor)`` folded with
-        the full correlation, restricted to forwards still LIVE at each
-        date (a fixed forward cannot move over the margin period — its
+        (displaced-)lognormal forward shocks
+        ``(F_k + shift) sigma_k sqrt(mpor)`` folded with the full
+        correlation, restricted to forwards still LIVE at each date (a
+        fixed forward cannot move over the margin period — its
         sensitivity row is real but riskless).  The log-B row carries no
         shock (the bank account is locally deterministic for
         mpor < delta).  Leading axis = reset-date axis, as called by both
@@ -234,7 +257,8 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         n_dates = obs.shape[0]
         alive = (jnp.arange(k)[None, :]
                  > jnp.arange(n_dates)[:, None]).astype(dtype)  # (T+1, K)
-        a = (dvs[..., :k, :] * obs[..., :k, :]
+        a = (dvs[..., :k, :]
+             * (obs[..., :k, :] + jnp.asarray(self.shift, dtype))
              * self.sigma.astype(dtype)[None, :, None]
              * alive[:, :, None])
         q = jnp.einsum("tjn,jk,tkn->tn", a, self.corr.astype(dtype), a,
@@ -329,8 +353,9 @@ def lmm_caplet_mc(model: LMM, k_idx: int, strike: float, n_paths: int, *,
     price = float(jnp.mean(pay))
     se = float(jnp.std(pay, ddof=1) / np.sqrt(n_paths))
     t_k = k_idx * dlt
+    d = float(model.shift)
     black = dlt * lmm_zcb0(model, k_idx + 1) * _black76(
-        float(model.f0[k_idx]), float(strike),
+        float(model.f0[k_idx]) + d, float(strike) + d,
         float(model.sigma[k_idx]) * np.sqrt(t_k))
     return {"price": price, "std_err": se, "black": black,
             "n_paths": n_paths}
@@ -346,8 +371,14 @@ def lmm_swaption_rebonato(model: LMM, start_idx: int, end_idx: int,
 
     with t=0 annuity weights w_j — the industry-standard LMM quote map,
     accurate to a few tenths of a percent for moderate vols (tested with
-    an explicit tolerance against MC, not assumed)."""
+    an explicit tolerance against MC, not assumed).
+
+    Displaced model: the frozen-weight swap rate inherits the SAME shift
+    (annuity weights sum to one, so ``S + d ~= sum w_j (F_j + d)``) —
+    Black on ``(S0 + d, K + d)`` with the shifted-forward variance, same
+    approximation quality (tested at shift > 0)."""
     dlt = float(model.delta)
+    d = float(model.shift)
     f0 = np.asarray(model.f0, np.float64)
     sig = np.asarray(model.sigma, np.float64)
     corr = np.asarray(model.corr, np.float64)
@@ -357,9 +388,10 @@ def lmm_swaption_rebonato(model: LMM, start_idx: int, end_idx: int,
     s0 = (lmm_zcb0(model, start_idx) - p[-1]) / annuity
     w = dlt * p / annuity
     t_s = start_idx * dlt
-    wf = w * f0[idx] * sig[idx]
-    var = float(wf @ corr[np.ix_(idx, idx)] @ wf) * t_s / (s0 * s0)
-    return annuity * _black76(s0, float(strike), np.sqrt(max(var, 0.0)))
+    wf = w * (f0[idx] + d) * sig[idx]
+    var = float(wf @ corr[np.ix_(idx, idx)] @ wf) * t_s / ((s0 + d) ** 2)
+    return annuity * _black76(s0 + d, float(strike) + d,
+                              np.sqrt(max(var, 0.0)))
 
 
 def lmm_swaption_mc(model: LMM, start_idx: int, end_idx: int,

@@ -275,6 +275,58 @@ def test_cli_xva_lmm(capsys):
         assert out_m[k] == out[k], k
 
 
+def test_displaced_diffusion():
+    """Displaced LMM (shift d): caplets are Black on (F+d, K+d) EXACTLY —
+    the MC must reprice them within bars; the ZCB martingale still holds
+    (the drift derivation under displacement); negative forwards are
+    reachable (the point of the shift); and the closed form produces the
+    downward lognormal-vol skew."""
+    from scipy.optimize import brentq
+    from scipy.stats import norm
+
+    d = 0.02
+    m = LMM.create(np.full(K, 0.005), SIG, DELTA, corr_beta=0.1,
+                   shift=d, dtype=jnp.float64)
+    # Caplet repricing at two strikes (one below the forward, one above).
+    for strike in (0.002, 0.012):
+        est = lmm_caplet_mc(m, 6, strike, 1 << 16, seed=4)
+        tol = 4.0 * est["std_err"] + 2e-4 * est["black"]
+        assert abs(est["price"] - est["black"]) < tol, (strike, est)
+    # ZCB martingale under displacement.
+    n = 1 << 15
+    obs = _obs_paths(m, n, K)
+    disc = np.asarray(jnp.exp(-obs[K, -1, :]))
+    from montecarlo_tpu.processes.lmm import lmm_zcb0
+    se = disc.std(ddof=1) / np.sqrt(n)
+    assert abs(disc.mean() - lmm_zcb0(m, K)) < 4 * se + 2e-5
+    # Negative forwards occur (f0 = 0.5%, shift 2%: plenty of mass < 0).
+    assert np.asarray(obs[K // 2, :K, :]).min() < 0.0
+    # Downward skew: lognormal implied vol from the displaced closed form
+    # falls with strike.
+    f0, sd_tot = 0.005 + d, float(SIG[6]) * np.sqrt(6 * DELTA)
+
+    def black(f, k_, sd):
+        d1 = (np.log(f / k_) + 0.5 * sd * sd) / sd
+        return f * norm.cdf(d1) - k_ * norm.cdf(d1 - sd)
+
+    def ln_iv(k_true):
+        px = black(f0, k_true + d, sd_tot)
+        return brentq(lambda v: black(0.005, k_true,
+                                      v * np.sqrt(6 * DELTA)) - px,
+                      1e-4, 30.0)
+
+    assert ln_iv(0.003) > ln_iv(0.005) > ln_iv(0.008)
+    # Swaption: MC vs the displaced Rebonato map at shift > 0.
+    strike = lmm_par_strike(m, 4, 12)
+    est = lmm_swaption_mc(m, 4, 12, strike, 1 << 16, seed=5)
+    tol = 4.0 * est["std_err"] + 0.01 * est["rebonato"]
+    assert abs(est["price"] - est["rebonato"]) < tol, est
+    with pytest.raises(ValueError, match="shift"):
+        LMM.create([0.03], [0.2], DELTA, shift=-0.01)
+    with pytest.raises(ValueError, match="shifted"):
+        LMM.create([-0.03], [0.2], DELTA, shift=0.01)
+
+
 def test_bermudan_swaption_lsm():
     """LMM Bermudan swaption by LSM: the n_exercise=1 case reproduces
     the European MC estimator at the same seed (same scan, bitwise
