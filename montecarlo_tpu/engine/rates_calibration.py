@@ -162,6 +162,67 @@ def _black76_np(f, k, sd):
                     np.maximum(f - k, 0.0))
 
 
+def _caplet_total_sds(f0, delta, strike, cap_prices):
+    """Invert a co-terminal cap strip into per-caplet TOTAL stddevs
+    (bisection on the monotone Black map; shared by both bootstraps)."""
+    import numpy as np
+
+    f0 = np.asarray(f0, np.float64)
+    k_fwd = f0.shape[0]
+    cap_prices = np.asarray(cap_prices, np.float64)
+    if cap_prices.shape != (k_fwd - 1,):
+        raise ValueError(f"need {k_fwd - 1} co-terminal cap quotes "
+                         f"(resets 1..{k_fwd - 1}); got "
+                         f"{cap_prices.shape}")
+    caplets = np.diff(np.concatenate([[0.0], cap_prices]))
+    if np.any(caplets <= 0.0):
+        raise ValueError("cap strip is not strictly increasing — caplet "
+                         "premia must be positive")
+    dlt = float(delta)
+    p = np.cumprod(1.0 / (1.0 + dlt * f0))
+    sds = np.zeros(k_fwd)
+    for k in range(1, k_fwd):
+        undisc = caplets[k - 1] / (dlt * p[k])
+        if undisc >= f0[k]:
+            raise ValueError(f"caplet {k} price {caplets[k - 1]:.6g} "
+                             "exceeds its undiscounted forward bound")
+        lo_sd, hi_sd = 0.0, 1e2
+        for _ in range(200):  # bisection: exact to f64 on a monotone map
+            mid = 0.5 * (lo_sd + hi_sd)
+            if _black76_np(f0[k], strike, mid) < undisc:
+                lo_sd = mid
+            else:
+                hi_sd = mid
+        sds[k] = 0.5 * (lo_sd + hi_sd)
+    return sds
+
+
+def bootstrap_lmm_ttm_vols(f0, delta, strike, cap_prices):
+    """Bootstrap the TIME-HOMOGENEOUS vol table ``vol_ttm`` (forward k's
+    vol during the period ``m = k - t - 1`` resets away is ``ttm[m]``,
+    the `processes.lmm.LMM(vol_ttm=...)` structure) from a co-terminal
+    cap strip: caplet k's total variance is
+    ``delta * sum_{m < k} ttm[m]^2``, so consecutive differences pin each
+    ``ttm[m]`` exactly.  Raises if the quoted caplet variance term
+    structure is not increasing (no time-homogeneous fit exists)."""
+    import numpy as np
+
+    sds = _caplet_total_sds(f0, delta, strike, cap_prices)
+    v = np.square(sds)
+    dv = np.diff(v)
+    if np.any(dv <= 0.0):
+        raise ValueError(
+            "caplet total variances are not increasing — no "
+            "time-homogeneous vol table reproduces this strip "
+            "(use the per-forward bootstrap_lmm_vols instead)")
+    k_fwd = len(sds)
+    ttm = np.zeros(k_fwd)
+    ttm[0] = sds[1] / np.sqrt(float(delta))
+    ttm[1:k_fwd - 1] = np.sqrt(dv[1:] / float(delta))
+    ttm[k_fwd - 1] = ttm[k_fwd - 2]  # never observed by any quoted caplet
+    return ttm
+
+
 def bootstrap_lmm_vols(f0, delta, strike, cap_prices):
     """Bootstrap the LMM vol term structure from a CAP strip — the
     industry-standard construction: quotes are co-terminal caps on resets
@@ -179,35 +240,11 @@ def bootstrap_lmm_vols(f0, delta, strike, cap_prices):
     """
     import numpy as np
 
-    f0 = np.asarray(f0, np.float64)
-    k_fwd = f0.shape[0]
-    cap_prices = np.asarray(cap_prices, np.float64)
-    if cap_prices.shape != (k_fwd - 1,):
-        raise ValueError(f"need {k_fwd - 1} co-terminal cap quotes "
-                         f"(resets 1..{k_fwd - 1}); got "
-                         f"{cap_prices.shape}")
-    caplets = np.diff(np.concatenate([[0.0], cap_prices]))
-    if np.any(caplets <= 0.0):
-        raise ValueError("cap strip is not strictly increasing — caplet "
-                         "premia must be positive")
-    dlt = float(delta)
-    # P(0, T_{k+1}) off the initial curve.
-    p = np.cumprod(1.0 / (1.0 + dlt * f0))
+    sds = _caplet_total_sds(f0, delta, strike, cap_prices)
+    k_fwd = len(sds)
     sigmas = np.zeros(k_fwd)
-    for k in range(1, k_fwd):
-        undisc = caplets[k - 1] / (dlt * p[k])
-        hi = f0[k]  # Black bound: sd -> inf gives F (K > 0)
-        if undisc >= hi:
-            raise ValueError(f"caplet {k} price {caplets[k - 1]:.6g} "
-                             "exceeds its undiscounted forward bound")
-        lo_sd, hi_sd = 0.0, 1e2
-        for _ in range(200):  # bisection: exact to f64 on a monotone map
-            mid = 0.5 * (lo_sd + hi_sd)
-            if _black76_np(f0[k], strike, mid) < undisc:
-                lo_sd = mid
-            else:
-                hi_sd = mid
-        sigmas[k] = 0.5 * (lo_sd + hi_sd) / np.sqrt(k * dlt)
+    sigmas[1:] = sds[1:] / np.sqrt(float(delta)
+                                   * np.arange(1, k_fwd))
     sigmas[0] = sigmas[1]
     return sigmas
 
@@ -256,5 +293,6 @@ def calibrate_lmm_corr_to_swaptions(f0, sigma, delta, quotes, *,
             "rmse_rel": float(np.sqrt(loss(beta)))}
 
 
-__all__ = ["bootstrap_lmm_vols", "calibrate_lmm_corr_to_swaptions",
+__all__ = ["bootstrap_lmm_ttm_vols", "bootstrap_lmm_vols",
+           "calibrate_lmm_corr_to_swaptions",
            "calibrate_vasicek_to_swaptions", "vasicek_swaption_prices"]

@@ -88,7 +88,12 @@ def exp_decay_corr(n: int, beta: float, delta: float) -> np.ndarray:
 
 class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         ("f0", jnp.ndarray),          # (K,) initial forwards
-        ("sigma", jnp.ndarray),       # (K,) lognormal vols
+        ("sigma", jnp.ndarray),       # (K,) per-forward vols (im_norm /
+                                      # reporting: row-max of sig_steps)
+        ("sig_steps", jnp.ndarray),   # (K, K) vol of forward k DURING
+                                      # step t (deterministic vol paths;
+                                      # constant-vol rows when built from
+                                      # a (K,) sigma)
         ("corr", jnp.ndarray),        # (K, K) instantaneous correlation
         ("corr_drift", jnp.ndarray),  # (K, K) upper-tri (j<=k) masked corr
         ("chol", jnp.ndarray),        # (K, K) lower Cholesky of corr
@@ -105,7 +110,18 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
     ``(-d, inf)``, caplets are Black on ``(F+d, K+d)`` exactly, and the
     implied-vol skew is downward-sloping in strike.  ``shift = 0`` is the
     plain lognormal model BITWISE (``g - 0 == g``; regression-tested).
-    The state leaf ``logf`` stores ``log(F + d)``."""
+    The state leaf ``logf`` stores ``log(F + d)``.
+
+    **Deterministic vol paths** (``sig_steps``): forward k's vol during
+    step t is ``sig_steps[t, k]`` — piecewise-constant per period, the
+    standard LMM vol structure.  Built from a constant (K,) ``sigma``
+    (rows all equal — BITWISE the constant model: the step gathers the
+    same numbers), a full (K, K) table, or the time-homogeneous
+    time-to-reset form ``vol_ttm`` (``sig_steps[t, k] =
+    vol_ttm[k - t - 1]``) that cap strips calibrate
+    (`engine.rates_calibration.bootstrap_lmm_ttm_vols`).  Every closed
+    form (caplet Black, Rebonato) integrates the piecewise variance
+    exactly."""
 
     #: One normal per forward per step; K is a create-time static (leaf
     #: shape), so ``n_draws`` stays a Python int under tracing.
@@ -123,27 +139,51 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
     exposure_discount_kind = "exact"
 
     @classmethod
-    def create(cls, f0, sigma, delta, *, corr=None, corr_beta=0.1,
-               shift=0.0, dt=None, dtype=jnp.float32):
-        """``f0``/``sigma`` per tenor; ``corr`` a (K, K) matrix or None to
-        use :func:`exp_decay_corr` with ``corr_beta``; ``shift`` the
-        displaced-diffusion displacement (0 = plain lognormal; shifted
-        forwards ``f0 + shift`` must be positive).  ``dt`` must equal
-        ``delta`` (the grid-is-the-reset-grid contract) — it exists as an
-        argument only so CLI plumbing that always passes dt fails loudly
-        on a mismatch instead of silently simulating a wrong calendar."""
+    def create(cls, f0, sigma=None, delta=None, *, corr=None,
+               corr_beta=0.1, shift=0.0, vol_ttm=None, dt=None,
+               dtype=jnp.float32):
+        """``f0`` per tenor; the vol structure is ONE of ``sigma`` — a
+        (K,) constant-per-forward vector or a full (K, K) step table
+        ``sig_steps[t, k]`` — or ``vol_ttm``, the time-homogeneous
+        time-to-reset table (``sig_steps[t, k] = vol_ttm[k - t - 1]``).
+        ``corr`` a (K, K) matrix or None to use :func:`exp_decay_corr`
+        with ``corr_beta``; ``shift`` the displaced-diffusion
+        displacement (0 = plain lognormal; shifted forwards
+        ``f0 + shift`` must be positive).  ``dt`` must equal ``delta``
+        (the grid-is-the-reset-grid contract) — it exists as an argument
+        only so CLI plumbing that always passes dt fails loudly on a
+        mismatch instead of silently simulating a wrong calendar."""
+        if delta is None:
+            raise ValueError("delta (the tenor) is required")
         f0 = np.asarray(f0, np.float64)
-        sig = np.asarray(sigma, np.float64)
-        if f0.ndim != 1 or f0.shape != sig.shape:
-            raise ValueError("f0 and sigma must be 1-D of equal length")
+        if f0.ndim != 1:
+            raise ValueError("f0 must be 1-D")
+        k = f0.shape[0]
+        if (sigma is None) == (vol_ttm is None):
+            raise ValueError("pass exactly one of sigma / vol_ttm")
+        if vol_ttm is not None:
+            ttm = np.asarray(vol_ttm, np.float64)
+            if ttm.shape != (k,):
+                raise ValueError(f"vol_ttm must be ({k},)")
+            # sig_steps[t, k] = ttm[k - t - 1] for live k (k > t).
+            idx = np.arange(k)[None, :] - np.arange(k)[:, None] - 1
+            tab = np.where(idx >= 0, ttm[np.clip(idx, 0, k - 1)], 0.0)
+        else:
+            sig = np.asarray(sigma, np.float64)
+            if sig.shape == (k,):
+                tab = np.broadcast_to(sig, (k, k)).copy()
+            elif sig.shape == (k, k):
+                tab = sig
+            else:
+                raise ValueError(f"sigma must be ({k},) or ({k}, {k})")
+        sig_vec = tab[0]  # the t=0 instantaneous vols (reporting/dtype)
         if float(shift) < 0.0:
             raise ValueError("shift must be nonnegative")
         if np.any(f0 + float(shift) <= 0.0):
             raise ValueError("shifted initial forwards f0 + shift must be "
                              "positive (displaced-lognormal LMM)")
-        if np.any(sig < 0.0):
+        if np.any(tab < 0.0):
             raise ValueError("vols must be nonnegative")
-        k = f0.shape[0]
         if dt is not None and abs(float(dt) - float(delta)) > 1e-12:
             raise ValueError(
                 f"LMM simulates on the tenor grid: dt ({float(dt)}) must "
@@ -155,9 +195,10 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
             raise ValueError(f"corr must be ({k}, {k})")
         chol = np.linalg.cholesky(corr + 1e-12 * np.eye(k))
         as_ = lambda v: jnp.asarray(v, dtype)
-        return cls(f0=as_(f0), sigma=as_(sig), corr=as_(corr),
-                   corr_drift=as_(np.triu(corr)), chol=as_(chol),
-                   delta=as_(delta), dt=as_(delta), shift=as_(shift))
+        return cls(f0=as_(f0), sigma=as_(sig_vec), sig_steps=as_(tab),
+                   corr=as_(corr), corr_drift=as_(np.triu(corr)),
+                   chol=as_(chol), delta=as_(delta), dt=as_(delta),
+                   shift=as_(shift))
 
     def init_state(self, path_ids, dtype=jnp.float32) -> LMMState:
         n = path_ids.shape[0]
@@ -172,7 +213,6 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
     def step(self, state: LMMState, eps, t) -> LMMState:
         dtype = state.logf.dtype
         k = self.n_draws
-        sig = self.sigma.astype(dtype)[None, :]          # (1, K)
         dlt = jnp.asarray(self.delta, dtype)
         dt = jnp.asarray(self.dt, dtype)
         d = jnp.asarray(self.shift, dtype)
@@ -183,6 +223,11 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         # Bank account compounds on the TRUE forward fixing NOW (index t);
         # steps past the last reset (t >= K) freeze everything.
         ti = jnp.minimum(jnp.asarray(t, jnp.int32), k - 1)
+        # This step's vol row (piecewise-constant deterministic vol paths;
+        # constant-vol models have identical rows — bitwise the old step).
+        sig = jax.lax.dynamic_index_in_dim(
+            self.sig_steps.astype(dtype), ti, axis=0,
+            keepdims=False)[None, :]                     # (1, K)
         f_fix = jax.lax.dynamic_index_in_dim(g, ti, axis=1,
                                              keepdims=False) - d
         logb = state.logb + jnp.where(
@@ -257,9 +302,13 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         n_dates = obs.shape[0]
         alive = (jnp.arange(k)[None, :]
                  > jnp.arange(n_dates)[:, None]).astype(dtype)  # (T+1, K)
+        # Instantaneous vols over the margin period starting at each date
+        # (row min(i, K-1) of the step-vol table).
+        sig_rows = self.sig_steps.astype(dtype)[
+            jnp.minimum(jnp.arange(n_dates), k - 1)]            # (T+1, K)
         a = (dvs[..., :k, :]
              * (obs[..., :k, :] + jnp.asarray(self.shift, dtype))
-             * self.sigma.astype(dtype)[None, :, None]
+             * sig_rows[:, :, None]
              * alive[:, :, None])
         q = jnp.einsum("tjn,jk,tkn->tn", a, self.corr.astype(dtype), a,
                        precision=_HI) * jnp.asarray(mpor, dtype)
@@ -352,11 +401,12 @@ def lmm_caplet_mc(model: LMM, k_idx: int, strike: float, n_paths: int, *,
     pay = dlt * jnp.maximum(f_k - strike, 0.0) * jnp.exp(-obs[:, -1])
     price = float(jnp.mean(pay))
     se = float(jnp.std(pay, ddof=1) / np.sqrt(n_paths))
-    t_k = k_idx * dlt
     d = float(model.shift)
+    # Exact piecewise-constant total variance of log G_k at its reset.
+    tab = np.asarray(model.sig_steps, np.float64)
+    var_k = dlt * float(np.sum(np.square(tab[:k_idx, k_idx])))
     black = dlt * lmm_zcb0(model, k_idx + 1) * _black76(
-        float(model.f0[k_idx]) + d, float(strike) + d,
-        float(model.sigma[k_idx]) * np.sqrt(t_k))
+        float(model.f0[k_idx]) + d, float(strike) + d, np.sqrt(var_k))
     return {"price": price, "std_err": se, "black": black,
             "n_paths": n_paths}
 
@@ -380,16 +430,19 @@ def lmm_swaption_rebonato(model: LMM, start_idx: int, end_idx: int,
     dlt = float(model.delta)
     d = float(model.shift)
     f0 = np.asarray(model.f0, np.float64)
-    sig = np.asarray(model.sigma, np.float64)
+    tab = np.asarray(model.sig_steps, np.float64)
     corr = np.asarray(model.corr, np.float64)
     idx = np.arange(start_idx, end_idx)
     p = np.array([lmm_zcb0(model, j + 1) for j in idx])
     annuity = dlt * p.sum()
     s0 = (lmm_zcb0(model, start_idx) - p[-1]) / annuity
     w = dlt * p / annuity
-    t_s = start_idx * dlt
-    wf = w * (f0[idx] + d) * sig[idx]
-    var = float(wf @ corr[np.ix_(idx, idx)] @ wf) * t_s / ((s0 + d) ** 2)
+    # Exact piecewise covariance integral to expiry:
+    # C_jl = delta sum_{t < s} sig[t, j] sig[t, l].
+    cov = dlt * tab[:start_idx, :].T @ tab[:start_idx, :]
+    wf = w * (f0[idx] + d)
+    var = float(wf @ (corr[np.ix_(idx, idx)]
+                      * cov[np.ix_(idx, idx)]) @ wf) / ((s0 + d) ** 2)
     return annuity * _black76(s0 + d, float(strike) + d,
                               np.sqrt(max(var, 0.0)))
 

@@ -275,6 +275,54 @@ def test_cli_xva_lmm(capsys):
         assert out_m[k] == out[k], k
 
 
+def test_time_dependent_vols():
+    """Deterministic vol paths (the sig_steps table): a time-homogeneous
+    humped vol_ttm model reprices its caplets against the EXACT piecewise
+    Black variance, the Rebonato map integrates the same covariance, a
+    constant-sigma model is BITWISE the explicit constant table, and the
+    ttm bootstrap round-trips the generating table."""
+    from montecarlo_tpu.engine.rates_calibration import (
+        bootstrap_lmm_ttm_vols)
+
+    ttm = 0.14 + 0.3 * (0.25 + 0.25 * np.arange(K)) \
+        * np.exp(-0.6 * 0.25 * np.arange(K))            # humped in ttm
+    m = LMM.create(F0, vol_ttm=ttm, delta=DELTA, corr_beta=0.1,
+                   dtype=jnp.float64)
+    for k_idx, strike in ((4, 0.030), (9, 0.034)):
+        est = lmm_caplet_mc(m, k_idx, strike, 1 << 16, seed=12)
+        tol = 4.0 * est["std_err"] + 2e-4 * est["black"]
+        assert abs(est["price"] - est["black"]) < tol, (k_idx, est)
+    strike = lmm_par_strike(m, 4, 12)
+    est = lmm_swaption_mc(m, 4, 12, strike, 1 << 16, seed=13)
+    tol = 4.0 * est["std_err"] + 0.01 * est["rebonato"]
+    assert abs(est["price"] - est["rebonato"]) < tol, est
+    # Bitwise: (K,) constant sigma == the explicit constant (K, K) table.
+    m1 = _model()
+    m2 = LMM.create(F0, np.broadcast_to(SIG, (K, K)).copy(), DELTA,
+                    corr_beta=0.1, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(_obs_paths(m1, 256, K)),
+                                  np.asarray(_obs_paths(m2, 256, K)))
+    # ttm bootstrap round-trip: generate the cap strip from the exact
+    # piecewise Black variances, recover the table.
+    from scipy.stats import norm
+
+    p = np.cumprod(1.0 / (1.0 + DELTA * F0))
+    v_tot = np.sqrt(DELTA * np.cumsum(np.square(ttm)))  # sd of caplet k
+
+    def black(f, k_, sd):
+        d1 = (np.log(f / k_) + 0.5 * sd * sd) / sd
+        return f * norm.cdf(d1) - k_ * norm.cdf(d1 - sd)
+
+    caps = np.cumsum([DELTA * p[k] * black(F0[k], 0.03, v_tot[k - 1])
+                      for k in range(1, K)])
+    got = bootstrap_lmm_ttm_vols(F0, DELTA, 0.03, caps)
+    np.testing.assert_allclose(got[:K - 1], ttm[:K - 1], atol=1e-10)
+    with pytest.raises(ValueError, match="exactly one of"):
+        LMM.create(F0, SIG, DELTA, vol_ttm=ttm)
+    with pytest.raises(ValueError, match="exactly one of"):
+        LMM.create(F0, delta=DELTA)
+
+
 def test_displaced_diffusion():
     """Displaced LMM (shift d): caplets are Black on (F+d, K+d) EXACTLY —
     the MC must reprice them within bars; the ZCB martingale still holds
