@@ -294,12 +294,14 @@ def _cmd_xva_portfolio(args) -> int:
     if args.swaption_leg and args.underlying != "rates":
         raise SystemExit("--swaption-leg is a Vasicek rates trade; use "
                          "--underlying rates")
-    if args.underlying in ("g2pp", "hybrid", "lmm"):
-        if args.greeks or args.allocate or args.counterparties > 1:
-            raise SystemExit(
-                f"--underlying {args.underlying}: --greeks/--allocate/"
-                "--counterparties are not wired for multi-state books "
-                "yet; drop them")
+    if args.underlying == "lmm" and args.var_horizon > 0:
+        # book_var rebuilds the model with dt = horizon/steps; the LMM's
+        # grid IS the reset calendar (dt == delta validated at create), so
+        # a horizon grid would silently compound the bank account at every
+        # sub-step as if it were a reset.
+        raise SystemExit("--var-horizon is not defined for --underlying "
+                         "lmm (the simulation grid is the reset calendar); "
+                         "use g2pp/rates for horizon VaR on rates books")
     if (args.swaption_leg and args.swaption_exercise > 1
             and args.checkpoint):
         raise SystemExit("Bermudan (AMC) swaption legs cannot stream — "
@@ -342,19 +344,26 @@ def _cmd_xva_portfolio(args) -> int:
         pay_dt = args.maturity / args.periods
         times_full = pay_dt * np.arange(1, args.periods + 1)
         times_half = times_full[:max(args.periods // 2, 1)]
+        # Strikes are FIXED floats computed once from the CLI inputs (the
+        # --greeks convention above): a concrete model prices them; the
+        # traced rebuild below only carries the differentiable leaves.
+        m0 = G2PP.create(args.r0, args.kappa, args.sigma, args.g2pp_b,
+                         args.g2pp_eta, args.factor_rho, dt,
+                         dtype=jnp.float32)
+
+        def par(times):
+            ps = [float(g2pp_zcb(m0, t)) for t in times]
+            return (1.0 - ps[-1]) / (pay_dt * sum(ps))
+
+        k_half, k_full_g2 = par(times_half), par(times_full)
 
         def build(p):
             m = G2PP.create(p["r0"], args.kappa, p["sigma"], args.g2pp_b,
                             args.g2pp_eta, args.factor_rho, dt,
                             dtype=jnp.float32)
-
-            def par(times):
-                ps = [float(g2pp_zcb(m, t)) for t in times]
-                return (1.0 - ps[-1]) / (pay_dt * sum(ps))
-
-            v_s = g2pp_swap_value_fn(m, par(times_half), times_half,
+            v_s = g2pp_swap_value_fn(m, k_half, times_half,
                                      pay_dt, dtype=jnp.float32)
-            v_l = g2pp_swap_value_fn(m, par(times_full), times_full,
+            v_l = g2pp_swap_value_fn(m, k_full_g2, times_full,
                                      pay_dt, dtype=jnp.float32)
             trades = (lambda c, t: 4.0 * v_s(c, t),
                       lambda c, t: -1.0 * v_l(c, t))
@@ -379,14 +388,24 @@ def _cmd_xva_portfolio(args) -> int:
                              "(forwards = steps)")
         front = (1, max(k_fwd // 3, 2))
         back = (k_fwd // 2, k_fwd)
+        # Par strikes fixed once off the concrete initial curve (the
+        # --greeks convention: contract terms never carry tracers).
+        m0 = LMM.create([args.r0] * k_fwd, [args.lmm_sigma] * k_fwd, dt,
+                        corr_beta=args.corr_beta, shift=args.lmm_shift,
+                        dtype=jnp.float32)
+        k_front = lmm_par_strike(m0, *front)
+        k_back = lmm_par_strike(m0, *back)
 
         def build(p):
-            m = LMM.create([p["r0"]] * k_fwd, [args.lmm_sigma] * k_fwd,
+            # jnp.full (not a python list): under --greeks p["r0"] is a
+            # differentiation tracer and the flat curve must carry it.
+            m = LMM.create(jnp.full(k_fwd, p["r0"]),
+                           [args.lmm_sigma] * k_fwd,
                            dt, corr_beta=args.corr_beta,
                            shift=args.lmm_shift, dtype=jnp.float32)
-            v_f = lmm_swap_value_fn(m, lmm_par_strike(m, *front), *front,
+            v_f = lmm_swap_value_fn(m, k_front, *front,
                                     dtype=jnp.float32)
-            v_b = lmm_swap_value_fn(m, lmm_par_strike(m, *back), *back,
+            v_b = lmm_swap_value_fn(m, k_back, *back,
                                     dtype=jnp.float32)
             trades = (lambda c, t: 2.0 * v_f(c, t),
                       lambda c, t: -1.0 * v_b(c, t))
@@ -724,10 +743,13 @@ def _cmd_xva_portfolio(args) -> int:
             alloc_outs.append("mva")
         if args.wwr_beta != 0.0:
             alloc_outs.append("cva_wwr")
+        # `common` already carries im_spread — passing it again raised a
+        # duplicate-keyword TypeError on every --allocate run (caught by
+        # the round-5 multi-state enablement drive).
         al = xva_trade_allocations(
             model, trades, args.paths, args.steps,
             outputs=tuple(alloc_outs), wwr_beta=args.wwr_beta,
-            im_spread=args.im_spread, im_mpor=args.mpor, **common)
+            im_mpor=args.mpor, **common)
         out["allocations"] = {
             k: [round(float(x), 6) for x in np.asarray(v)]
             for k, v in al["allocations"].items()}

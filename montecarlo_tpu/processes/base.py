@@ -42,6 +42,23 @@ def curve_at(curve_row, ti, kernel_layout: bool):
     return jnp.sum(jnp.where(pos == ti, row, 0.0))
 
 
+def grad_safe_sqrt(q):
+    """``sqrt(max(q, 0))`` with a FINITE gradient at ``q == 0``.
+
+    The multi-state ``im_norm`` quadratic forms hit exactly zero at dates
+    with no live risk (all LMM forwards fixed, a matured book's dv rows) —
+    ``sqrt``'s infinite derivative there turns every xVA-greek jvp into
+    ``0 * inf = NaN`` (caught driving `xva --underlying lmm --greeks`).
+    Double-where: the primal is bitwise ``sqrt(max(q, 0))`` (for q > 0 the
+    argument is untouched; for q <= 0 both forms return exactly 0.0), and
+    the tangent at q <= 0 is 0 — the correct derivative of the clamped
+    branch.
+    """
+    pos = q > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, q, 1.0)),
+                     jnp.zeros_like(q))
+
+
 class NormalDrawsMixin:
     """Default innovation source: i.i.d. standard normals, counter-keyed by
     (global path id, t * n_draws + d) so streams are shard-invariant.

@@ -50,7 +50,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import (NormalDrawsMixin,
+                                            grad_safe_sqrt)
 from montecarlo_tpu.rng.normal import exp32
 
 
@@ -178,7 +179,9 @@ class G2PP(NormalDrawsMixin, NamedTuple("G2PPFields", [
         dx = dvs[..., 0, :]
         dy = dvs[..., 1, :]
         q = dx * dx * vxx + dy * dy * vyy + 2.0 * dx * dy * vxy
-        return jnp.sqrt(jnp.maximum(q, 0.0))
+        # grad_safe: a matured book's dv rows are exactly zero — plain
+        # sqrt's infinite slope at 0 NaNs the xVA-greek tangents.
+        return grad_safe_sqrt(q)
 
     def wwr_state(self, obs):
         """The state the wrong-way intensity loads on: the short rate."""

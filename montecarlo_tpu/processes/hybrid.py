@@ -49,7 +49,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import (NormalDrawsMixin,
+                                            grad_safe_sqrt)
 from montecarlo_tpu.rng.normal import exp32, log32
 
 
@@ -200,8 +201,9 @@ class EquityVasicekHybrid(NormalDrawsMixin, NamedTuple("HybridFields", [
         rho = jnp.asarray(self.rho, dtype)
         a = dvs[..., 0, :] * sd_s
         b = dvs[..., 1, :] * sd_r
-        return jnp.sqrt(jnp.maximum(a * a + b * b + 2.0 * rho * a * b,
-                                    0.0))
+        # grad_safe: a matured book's dv rows are exactly zero — plain
+        # sqrt's infinite slope at 0 NaNs the xVA-greek tangents.
+        return grad_safe_sqrt(a * a + b * b + 2.0 * rho * a * b)
 
 
 def hybrid_price_mc(process: EquityVasicekHybrid, payoff_fn, n_paths: int,

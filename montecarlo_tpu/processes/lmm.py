@@ -68,7 +68,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_tpu.processes.base import NormalDrawsMixin
+from montecarlo_tpu.processes.base import (NormalDrawsMixin,
+                                            grad_safe_sqrt)
 from montecarlo_tpu.rng.normal import exp32, log32
 
 _HI = jax.lax.Precision.HIGHEST
@@ -155,35 +156,48 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
         mismatch instead of silently simulating a wrong calendar."""
         if delta is None:
             raise ValueError("delta (the tenor) is required")
-        f0 = np.asarray(f0, np.float64)
+        # Trace-friendly: under `xva_greeks` the curve/vol/shift leaves
+        # arrive as differentiation tracers — build with jnp and skip the
+        # host-side value validation (shapes stay static either way).
+        traced = any(
+            isinstance(leaf, jax.core.Tracer)
+            for v in (f0, sigma, vol_ttm, shift) if v is not None
+            for leaf in jax.tree_util.tree_leaves(v))
+        xp = jnp if traced else np
+        f0 = jnp.asarray(f0) if traced else np.asarray(f0, np.float64)
         if f0.ndim != 1:
             raise ValueError("f0 must be 1-D")
         k = f0.shape[0]
         if (sigma is None) == (vol_ttm is None):
             raise ValueError("pass exactly one of sigma / vol_ttm")
         if vol_ttm is not None:
-            ttm = np.asarray(vol_ttm, np.float64)
+            ttm = xp.asarray(vol_ttm)
             if ttm.shape != (k,):
                 raise ValueError(f"vol_ttm must be ({k},)")
             # sig_steps[t, k] = ttm[k - t - 1] for live k (k > t).
             idx = np.arange(k)[None, :] - np.arange(k)[:, None] - 1
-            tab = np.where(idx >= 0, ttm[np.clip(idx, 0, k - 1)], 0.0)
+            tab = xp.where(idx >= 0, ttm[np.clip(idx, 0, k - 1)],
+                           xp.zeros_like(ttm)[0])
         else:
-            sig = np.asarray(sigma, np.float64)
+            sig = xp.asarray(sigma)
             if sig.shape == (k,):
-                tab = np.broadcast_to(sig, (k, k)).copy()
+                tab = xp.broadcast_to(sig, (k, k))
+                if not traced:
+                    tab = tab.copy()
             elif sig.shape == (k, k):
                 tab = sig
             else:
                 raise ValueError(f"sigma must be ({k},) or ({k}, {k})")
         sig_vec = tab[0]  # the t=0 instantaneous vols (reporting/dtype)
-        if float(shift) < 0.0:
-            raise ValueError("shift must be nonnegative")
-        if np.any(f0 + float(shift) <= 0.0):
-            raise ValueError("shifted initial forwards f0 + shift must be "
-                             "positive (displaced-lognormal LMM)")
-        if np.any(tab < 0.0):
-            raise ValueError("vols must be nonnegative")
+        if not traced:
+            if float(shift) < 0.0:
+                raise ValueError("shift must be nonnegative")
+            if np.any(np.asarray(f0) + float(shift) <= 0.0):
+                raise ValueError("shifted initial forwards f0 + shift "
+                                 "must be positive (displaced-lognormal "
+                                 "LMM)")
+            if np.any(np.asarray(tab) < 0.0):
+                raise ValueError("vols must be nonnegative")
         if dt is not None and abs(float(dt) - float(delta)) > 1e-12:
             raise ValueError(
                 f"LMM simulates on the tenor grid: dt ({float(dt)}) must "
@@ -312,7 +326,9 @@ class LMM(NormalDrawsMixin, NamedTuple("LMMFields", [
              * alive[:, :, None])
         q = jnp.einsum("tjn,jk,tkn->tn", a, self.corr.astype(dtype), a,
                        precision=_HI) * jnp.asarray(mpor, dtype)
-        return jnp.sqrt(jnp.maximum(q, 0.0))
+        # grad_safe: q == 0 exactly once every forward is fixed (the last
+        # reset dates) — plain sqrt there NaNs the xVA-greek tangents.
+        return grad_safe_sqrt(q)
 
 
 def lmm_zcb0(model: LMM, i: int) -> float:

@@ -178,3 +178,31 @@ def test_cli_xva_hybrid(capsys):
     assert out["peak_im"] > 0 and out["mva"] > 0
     with pytest.raises(SystemExit, match="multi-state"):
         cli.main(["xva", "--underlying", "hybrid", "--paths", "512"])
+
+
+def test_cli_xva_hybrid_greeks_counterparties(capsys):
+    """Round 5: the multi-state CLI guard is gone — pathwise xVA greeks
+    (d cva/d s0 AND d cva/d r0 through the joint transition) and the
+    multi-counterparty split run on the cross-asset hybrid book."""
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--underlying", "hybrid",
+                   "--no-csa", "--paths", "1024", "--steps", "8",
+                   "--greeks"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    g = out["greeks"]["cva"]
+    assert g["hazard_rate"] > 0
+    for k in ("s0", "r0"):
+        assert np.isfinite(g[k]), k
+    for o, gs in out["greeks"].items():     # no NaN tangents (im sqrt(0))
+        for p, v in gs.items():
+            assert np.isfinite(v), (o, p)
+    rc = cli.main(["xva", "--portfolio", "--underlying", "hybrid",
+                   "--no-csa", "--paths", "1024", "--steps", "8",
+                   "--counterparties", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["counterparties"] == 2
+    assert abs(out["cva_total"] - out["cva_cpty_a"]
+               - out["cva_cpty_b"]) < 2e-6

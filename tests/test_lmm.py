@@ -212,7 +212,7 @@ def test_create_validation():
         LMM.create(F0, SIG, DELTA, dt=0.5)
     with pytest.raises(ValueError, match="positive"):
         LMM.create([-0.01, 0.02], [0.2, 0.2], DELTA)
-    with pytest.raises(ValueError, match="equal length"):
+    with pytest.raises(ValueError, match=r"sigma must be \(1,\)"):
         LMM.create([0.03], [0.2, 0.2], DELTA)
     with pytest.raises(ValueError, match="corr must be"):
         LMM.create([0.03, 0.03], [0.2, 0.2], DELTA,
@@ -470,6 +470,38 @@ def test_cli_calibrate_lmm(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(out["corr_beta"] - 0.35) < 1e-3
     assert out["vol_max_abs_err"] < 1e-9
+
+
+def test_cli_xva_lmm_greeks_counterparties(capsys):
+    import json
+
+    from montecarlo_tpu import cli
+
+    rc = cli.main(["xva", "--portfolio", "--underlying", "lmm",
+                   "--no-csa", "--paths", "1024", "--steps", "8",
+                   "--maturity", "2.0", "--greeks"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["greeks"]["cva"]["hazard_rate"] > 0
+    assert out["state_param"] == "r0"
+    # EVERY greek finite — the mva tangent NaN'd through im_norm's
+    # sqrt(0) before grad_safe_sqrt (dates with all forwards fixed).
+    for o, gs in out["greeks"].items():
+        for p, v in gs.items():
+            assert np.isfinite(v), (o, p)
+    rc = cli.main(["xva", "--portfolio", "--underlying", "lmm",
+                   "--no-csa", "--paths", "1024", "--steps", "8",
+                   "--maturity", "2.0", "--counterparties", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["counterparties"] == 2
+    assert abs(out["cva_total"] - out["cva_cpty_a"] - out["cva_cpty_b"]) \
+        < 2e-6
+    # --var-horizon is structurally undefined on the reset-calendar grid.
+    with pytest.raises(SystemExit, match="reset calendar"):
+        cli.main(["xva", "--portfolio", "--underlying", "lmm",
+                  "--no-csa", "--paths", "256", "--steps", "8",
+                  "--maturity", "2.0", "--var-horizon", "0.04"])
 
 
 def test_rebonato_atm_sanity():
