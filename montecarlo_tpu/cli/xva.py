@@ -101,11 +101,15 @@ def _add_xva(sub):
                         "IM/MVA, WWR, and Bermudan AMC legs; PFE via the "
                         "integer-psum sketch, grid error reported)")
     p.add_argument("--swaption-leg", action="store_true",
-                   help="portfolio (rates): add a 0.5x physically-settled "
-                        "payer swaption (expiry at half maturity into the "
-                        "back-half calendar, Jamshidian-marked; exercise "
-                        "indicator and float fixings read from the path "
-                        "rows — engine.exposure.swaption_value_fn)")
+                   help="portfolio (rates/g2pp/lmm): add a 0.5x "
+                        "physically-settled payer swaption (expiry at "
+                        "half maturity into the back calendar). rates: "
+                        "Jamshidian-marked (engine.exposure."
+                        "swaption_value_fn); g2pp/lmm: AMC "
+                        "regression-marked on the curve state (engine."
+                        "amc.bermudan_swaption_amc_trade_g2pp/_lmm — "
+                        "even the European leg, no closed form off a "
+                        "multi-factor state)")
     p.add_argument("--swaption-exercise", type=int, default=1,
                    metavar="N",
                    help="with --swaption-leg: number of Bermudan exercise "
@@ -291,9 +295,17 @@ def _cmd_xva_portfolio(args) -> int:
     csa = None if args.no_csa else CSA(
         threshold=args.threshold, own_threshold=args.own_threshold,
         mta=args.mta, mpor=args.mpor)
-    if args.swaption_leg and args.underlying != "rates":
-        raise SystemExit("--swaption-leg is a Vasicek rates trade; use "
-                         "--underlying rates")
+    if args.swaption_leg and args.underlying not in ("rates", "g2pp",
+                                                     "lmm"):
+        raise SystemExit("--swaption-leg needs a rates underlying: "
+                         "rates (Vasicek), g2pp, or lmm")
+    if (args.swaption_leg and args.underlying in ("g2pp", "lmm")
+            and args.checkpoint):
+        # On multi-state underlyings even the European leg is an AMC
+        # (regression-marked) trade — there is no Jamshidian closed form
+        # off a curve state — and AMC cannot stream.
+        raise SystemExit("multi-state swaption legs are AMC trades and "
+                         "cannot stream; drop --checkpoint or use --mesh")
     if args.underlying == "lmm" and args.var_horizon > 0:
         # book_var rebuilds the model with dt = horizon/steps; the LMM's
         # grid IS the reset calendar (dt == delta validated at create), so
@@ -367,6 +379,22 @@ def _cmd_xva_portfolio(args) -> int:
                                      pay_dt, dtype=jnp.float32)
             trades = (lambda c, t: 4.0 * v_s(c, t),
                       lambda c, t: -1.0 * v_l(c, t))
+            if args.swaption_leg:
+                from montecarlo_tpu.engine.amc import (
+                    bermudan_swaption_amc_trade_g2pp)
+
+                # Second-half payer swaption, AMC-marked (even the
+                # European n_exercise=1 leg: no Jamshidian closed form
+                # off a two-factor state).  notional INSIDE the trade so
+                # the structured spec survives for the sharded fit.
+                times_back = tuple(
+                    float(t) for t in times_full
+                    if t > pay_dt * (args.periods // 2) + 1e-9)
+                trades += (bermudan_swaption_amc_trade_g2pp(
+                    m, k_full_g2, times_back, pay_dt,
+                    n_exercise=min(args.swaption_exercise,
+                                   len(times_back)),
+                    notional=0.5, dtype=jnp.float32),)
             return m, trades, None
 
         params = {"r0": args.r0, "sigma": args.sigma,
@@ -409,6 +437,17 @@ def _cmd_xva_portfolio(args) -> int:
                                     dtype=jnp.float32)
             trades = (lambda c, t: 2.0 * v_f(c, t),
                       lambda c, t: -1.0 * v_b(c, t))
+            if args.swaption_leg:
+                from montecarlo_tpu.engine.amc import (
+                    bermudan_swaption_amc_trade_lmm)
+
+                # Co-terminal Bermudan on the back-tenor swap (exercise
+                # at its first resets), AMC-marked on the full curve.
+                trades += (bermudan_swaption_amc_trade_lmm(
+                    m, k_back, back[0], back[1],
+                    n_exercise=min(args.swaption_exercise,
+                                   back[1] - back[0]),
+                    notional=0.5, dtype=jnp.float32),)
             return m, trades, None
 
         params = {"r0": args.r0, "hazard_rate": args.hazard}
@@ -677,10 +716,12 @@ def _cmd_xva_portfolio(args) -> int:
         out["wwr_beta"] = args.wwr_beta
         out["cva_wwr"] = round(float(prof["cva_wwr"]), 6)
     if args.var_horizon > 0:
-        if args.swaption_leg and args.swaption_exercise > 1:
+        if args.swaption_leg and (args.swaption_exercise > 1
+                                  or args.underlying != "rates"):
             raise SystemExit("--var-horizon revalues closed-form books; "
-                             "Bermudan AMC legs are exposure-grid marks — "
-                             "drop --swaption-exercise or the horizon")
+                             "AMC swaption legs (Bermudan, or any "
+                             "multi-state leg) are exposure-grid marks — "
+                             "drop the leg or the horizon")
         from montecarlo_tpu.engine.exposure import book_var
 
         # The VaR simulation advances by the MODEL's dt: rebuild it on

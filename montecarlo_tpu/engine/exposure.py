@@ -310,12 +310,15 @@ class SimulationMarkedTrade(NamedTuple):
     :func:`montecarlo_tpu.engine.amc.bermudan_swaption_amc_trade`).
 
     ``spec``: optional structured description of the fit (a
-    `montecarlo_tpu.engine.amc.AMCSwaptionSpec`) — the sharded netting
-    engines decompose the regression into gathered fixed-block Gram sums
+    `montecarlo_tpu.engine.amc.AMCSwaptionSpec`, or `AMCSwaptionSpecMS`
+    for multi-state G2++/LMM books) — the sharded netting engines
+    decompose the regression into gathered fixed-block Gram sums
     (`parallel.sharded._amc_fit_sharded`) and need the pieces, not the
-    opaque closure; `bermudan_swaption_amc_trade` attaches it.  The
-    STREAMING engine still rejects AMC trades (its fit would need a
-    second pass over every chunk).
+    opaque closure; the `bermudan_swaption_amc_trade*` constructors
+    attach it.  On multi-state underlyings ``mark_fn`` receives the
+    (T+1, C, N) exposure paths and must return per-component
+    ``dvalues`` (T+1, C, N).  The STREAMING engine still rejects AMC
+    trades (its fit would need a second pass over every chunk).
     """
 
     mark_fn: object

@@ -815,8 +815,8 @@ def _amc_poly_rows(paths, amc_op, spec, times, dt, n_steps, dtype):
     with the local polyfit replaced by the global one.
 
     Returns ``(values, dvalues)`` of shape (T+1, bs)."""
-    m, sd, beta, tau = (amc_op["m"], amc_op["sd"], amc_op["beta"],
-                        amc_op["tau"])
+    m, sd, beta, tau, ok = (amc_op["m"], amc_op["sd"], amc_op["beta"],
+                            amc_op["tau"], amc_op["ok"])
     degree = spec.degree
     resets = jnp.asarray(spec.resets, dtype)
     k_resets = jnp.asarray(
@@ -839,7 +839,7 @@ def _amc_poly_rows(paths, amc_op, spec, times, dt, n_steps, dtype):
                 slope = slope + beta[k, i + 1] * (i + 1) * zp
             zp = zp * z
         v_alive = jnp.maximum(val, 0.0)
-        dv_alive = jnp.where(val > 0, slope / sd[k], 0.0)
+        dv_alive = jnp.where(ok[k] & (val > 0), slope / sd[k], 0.0)
         # Exercised tail: exact remaining swap with the in-period fixing
         # (same machinery as engine.amc's row / swaption_value_fn's tail).
         le = resets <= t + 1e-9
@@ -851,6 +851,81 @@ def _amc_poly_rows(paths, amc_op, spec, times, dt, n_steps, dtype):
         alive = tau > k
         return (notional * jnp.where(alive, v_alive, v_sw),
                 notional * jnp.where(alive, dv_alive, dv_sw))
+
+    return jax.lax.map(row, jnp.arange(n_steps + 1))
+
+
+def _amc_z_rows_ms(paths, spec, *, dt, n_steps, dtype):
+    """Signed-intrinsic regressor rows for a MULTI-STATE AMC trade:
+    ``z[b, k] = sign * swap(paths[b, k], t_k)`` over this shard's blocks
+    — the (n_blk, T+1, bs) array `_amc_fit_sharded` regresses on in its
+    ``z_all`` form.  Block-local and elementwise per path, so it is
+    bitwise mesh-invariant by the same argument as every mark."""
+    sign = jnp.asarray(spec.sign, dtype)
+    times = jnp.arange(n_steps + 1, dtype=dtype) * dt
+
+    def per_block(pb):                                   # (T+1, C, bs)
+        return jax.lax.map(lambda k: sign * spec.swap(pb[k], times[k]),
+                           jnp.arange(n_steps + 1))
+
+    return jax.lax.map(per_block, paths)                 # (n_blk, T+1, bs)
+
+
+def _amc_poly_rows_ms(paths, amc_op, spec, times, dt, n_steps, dtype):
+    """Multi-state `_amc_poly_rows`: mark a `AMCSwaptionSpecMS` trade on
+    ONE (T+1, C, bs) block given the globally-fitted surfaces.  The
+    regressor is the signed intrinsic (recomputed block-locally — same
+    numbers as `_amc_z_rows_ms` fed the fit); ``dvalues`` carry the
+    frozen-beta chain rule per component, ``poly'(z) * dz/dc_j``, with
+    dz by `jax.linearize` batched over the C unit tangents — exactly
+    `engine.amc._ms_amc_trade`'s row with the local polyfit replaced by
+    the global one.  Returns (values (T+1, bs), dvalues (T+1, C, bs))."""
+    m, sd, beta, tau, ok = (amc_op["m"], amc_op["sd"], amc_op["beta"],
+                            amc_op["tau"], amc_op["ok"])
+    degree = spec.degree
+    sign = jnp.asarray(spec.sign, dtype)
+    notional = jnp.asarray(spec.notional, dtype)
+    n_comp = paths.shape[1]
+    tang = (jnp.eye(n_comp, dtype=dtype)[:, :, None]
+            * jnp.ones((1, 1, paths.shape[-1]), dtype))
+    if spec.resets:
+        res_arr = jnp.asarray(spec.resets, dtype)
+        k_res = jnp.asarray(
+            [min(max(int(round(float(e) / float(dt))), 0), n_steps)
+             for e in spec.resets], jnp.int32)
+
+    def row(k):
+        c = paths[k]
+        t = times[k]
+        reg = lambda cc: sign * spec.swap(cc, t)            # noqa: E731
+        z_k, lin = jax.linearize(reg, c)
+        z = (z_k - m[k]) / sd[k]
+        val = jnp.zeros_like(z)
+        slope = jnp.zeros_like(z)
+        zp = jnp.ones_like(z)
+        for i in range(degree + 1):
+            val = val + beta[k, i] * zp
+            if i + 1 <= degree:
+                slope = slope + beta[k, i + 1] * (i + 1) * zp
+            zp = zp * z
+        dz = jax.vmap(lin)(tang)                            # (C, bs)
+        v_alive = jnp.maximum(val, 0.0)
+        dv_alive = (jnp.where(ok[k] & (val > 0), slope / sd[k], 0.0)[None]
+                    * dz)
+        if spec.resets:
+            le = res_arr <= t + 1e-9
+            idx = jnp.argmax(jnp.where(le, res_arr, -jnp.inf))
+            t_fix = res_arr[idx]
+            c_fix = paths[k_res[idx]]
+            tail = lambda cc: sign * spec.swap(cc, t,       # noqa: E731
+                                               c_fix, t_fix)
+        else:
+            tail = reg
+        v_sw, lin_sw = jax.linearize(tail, c)
+        dv_sw = jax.vmap(lin_sw)(tang)                      # (C, bs)
+        alive = tau > k
+        return (notional * jnp.where(alive, v_alive, v_sw),
+                notional * jnp.where(alive[None], dv_alive, dv_sw))
 
     return jax.lax.map(row, jnp.arange(n_steps + 1))
 
@@ -927,8 +1002,13 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
                     "engine.amc.bermudan_swaption_amc_trade so the spec "
                     "rides along); the streaming engine cannot — its fit "
                     "would need a second pass over every chunk")
-            return _amc_poly_rows(paths, amc_op, trade.spec, times, dt,
-                                  n_steps, dtype)
+            from montecarlo_tpu.engine.amc import AMCSwaptionSpecMS
+
+            rows = (_amc_poly_rows_ms
+                    if isinstance(trade.spec, AMCSwaptionSpecMS)
+                    else _amc_poly_rows)
+            return rows(paths, amc_op, trade.spec, times, dt,
+                        n_steps, dtype)
         if isinstance(trade, PathDependentTrade):
             k_obs = tuple(min(max(int(round(float(ot) / dt)), 0),
                               n_steps) for ot in trade.obs_times)
@@ -1026,7 +1106,8 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
     return stats, jnp.stack(all_pos)                        # (S, T+1, bs)
 
 
-def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
+def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
+                     z_all=None):
     """Distributed American-Monte-Carlo fit for ONE regression-marked
     trade: the `engine.amc.bermudan_swaption_amc_trade` policy fit and
     per-date conditional-value regressions, with every cross-path sum
@@ -1055,10 +1136,24 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
     ``{"m": (T+1,), "sd": (T+1,), "beta": (T+1, degree+1),
     "tau": (n_blk, bs) int32}`` with m/sd/beta replicated and ``tau`` the
     shard-local per-path exercise steps.
+
+    ``z_all``: the MULTI-STATE form (`engine.amc.AMCSwaptionSpecMS`) —
+    the precomputed (n_blk, T+1, bs) signed-intrinsic regressor rows
+    ``z = sign * swap(cols, t)`` (see `_amc_z_rows_ms`).  The intrinsic
+    doubles as the exercise value, so ``ex_val = r`` everywhere the
+    scalar form evaluates the swap; everything else (Gram gathers,
+    standardizations, backward induction) is IDENTICAL — which is what
+    keeps the bitwise-mesh-invariance argument one argument.  ``paths``
+    is unused in this form (may be the (n_blk, T+1, C, bs) state).
     """
+    from montecarlo_tpu.engine.amc import _slope_ok as _amc_slope_ok
+
     degree = spec.degree
     k_terms = degree + 1
-    n_blk, n_dates, _bs = paths.shape
+    if z_all is not None:
+        n_blk, n_dates, _bs = z_all.shape
+    else:
+        n_blk, n_dates, _bs = paths.shape
     sign = jnp.asarray(spec.sign, dtype)
 
     k_ex = []
@@ -1078,8 +1173,18 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
     never = jnp.int32(n_steps + 1)
 
     def gsum(x_blocks, block_axis=0):
-        """Per-block partials -> the global (mesh-invariant) sum."""
-        return jnp.sum(gather(x_blocks, block_axis), axis=block_axis)
+        """Per-block partials -> the global (mesh-invariant) sum.
+
+        Both sides of the gather sit behind `optimization_barrier`: the
+        partial-sum producers and the closing reduction must compile the
+        same way at EVERY mesh shape, but XLA fuses them differently
+        when the local block count collapses to 1 (a trip-1 lax.map gets
+        unrolled into its consumers) — measured as a 1-ULP flip in the
+        multi-state fit at n_paths == mesh * block_size.  The barriers
+        pin the boundary; they move no data."""
+        x = jax.lax.optimization_barrier(x_blocks)
+        g = jax.lax.optimization_barrier(gather(x, block_axis))
+        return jnp.sum(g, axis=block_axis)
 
     def basis(z):
         cols = [jnp.ones_like(z)]
@@ -1087,41 +1192,70 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
             cols.append(cols[-1] * z)
         return jnp.stack(cols, axis=-1)
 
+    # Every per-block partial below is produced by a lax.map over the
+    # block axis with a FIXED single-block body — (bs, ...) shapes that
+    # do not depend on how many blocks this shard holds.  Batched
+    # (n_blk, bs, k) einsums compiled DIFFERENTLY at n_blk == 1 vs > 1
+    # (XLA retiles the contraction), flipping fit ULPs between mesh
+    # shapes at n_paths == mesh * block_size; fixed-shape bodies keep
+    # the block contract the block contract.
+    def sums3_blocks(w, r):
+        """Per-block (w, wr, wr^2) sums: (n_blk, 3)."""
+        return jax.lax.map(
+            lambda t: jnp.sum(jnp.stack([t[0], t[0] * t[1],
+                                         t[0] * t[1] * t[1]], -1), axis=0),
+            (w, r))
+
+    def gram_blocks(w, r, y, m, sd):
+        """Per-block fused [Gram | rhs] rows: (n_blk, k^2 + k)."""
+        def one(t):
+            wb, rb, yb = t
+            xb = basis((rb - m) / sd)               # (bs, k)
+            xw = xb * wb[:, None]
+            gram = jnp.einsum("ni,nj->ij", xw, xb,
+                              preferred_element_type=dtype).reshape(-1)
+            rhs = jnp.einsum("ni,n->i", xw, yb,
+                             preferred_element_type=dtype)
+            return jnp.concatenate([gram, rhs])
+
+        return jax.lax.map(one, (w, r, y))
+
     def fit(w, r, y):
         """Global weighted polyfit from this shard's (n_blk, bs) pieces —
         same algebra as `engine.amc._weighted_polyfit` with one-pass
         standardization; returns (beta, m, sd) replicated."""
-        sums = gsum(jnp.sum(jnp.stack([w, w * r, w * r * r], -1), axis=1))
+        sums = gsum(sums3_blocks(w, r))
         wsum = jnp.maximum(sums[0], 1.0)
         m = sums[1] / wsum
         sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
-        x = basis((r - m) / sd)                     # (n_blk, bs, k)
-        xw = x * w[..., None]
-        gram_b = jnp.einsum("bni,bnj->bij", xw, x,
-                            preferred_element_type=dtype
-                            ).reshape(n_blk, k_terms ** 2)
-        rhs_b = jnp.einsum("bni,bn->bi", xw, y,
-                           preferred_element_type=dtype)
-        fused = gsum(jnp.concatenate([gram_b, rhs_b], axis=1)) / wsum
+        fused = gsum(gram_blocks(w, r, y, m, sd)) / wsum
         a = (fused[:k_terms ** 2].reshape(k_terms, k_terms)
              + 1e-8 * jnp.eye(k_terms, dtype=dtype))
-        return jnp.linalg.solve(a, fused[k_terms ** 2:]), m, sd, x
+        return jnp.linalg.solve(a, fused[k_terms ** 2:]), m, sd
 
     # --- backward policy fit over the exercise dates -------------------
     k_last = k_ex[-1]
-    ex_val = sign * spec.swap(paths[:, k_last],
-                              jnp.asarray(spec.ex_dates[-1], dtype))
+    if z_all is not None:
+        ex_val = z_all[:, k_last]
+    else:
+        ex_val = sign * spec.swap(paths[:, k_last],
+                                  jnp.asarray(spec.ex_dates[-1], dtype))
     take = ex_val > 0
     cash = jnp.where(take, ex_val, 0.0) * disc[:, k_last]
     tau = jnp.where(take, jnp.int32(k_last), never)
     for j in range(len(k_ex) - 2, -1, -1):
-        r_j = paths[:, k_ex[j]]
-        ex_val = sign * spec.swap(r_j, jnp.asarray(spec.ex_dates[j], dtype))
+        if z_all is not None:
+            r_j = ex_val = z_all[:, k_ex[j]]
+        else:
+            r_j = paths[:, k_ex[j]]
+            ex_val = sign * spec.swap(r_j,
+                                      jnp.asarray(spec.ex_dates[j], dtype))
         itm = ex_val > 0
-        beta_j, _m, _sd, x = fit(itm.astype(dtype), r_j,
-                                 cash / jnp.maximum(disc[:, k_ex[j]],
-                                                    1e-300))
-        cont = jnp.einsum("bni,i->bn", x, beta_j)
+        beta_j, m_j, sd_j = fit(itm.astype(dtype), r_j,
+                                cash / jnp.maximum(disc[:, k_ex[j]],
+                                                   1e-300))
+        cont = jax.lax.map(
+            lambda rb: basis((rb - m_j) / sd_j) @ beta_j, r_j)
         take = itm & (ex_val >= cont)
         cash = jnp.where(take, ex_val * disc[:, k_ex[j]], cash)
         tau = jnp.where(take, jnp.int32(k_ex[j]), tau)
@@ -1132,38 +1266,37 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype):
     # per-date loops run as lax.map so the basis tensor never exceeds
     # O(local_n * k_terms) memory.
     dates = jnp.arange(n_dates)
+    reg_all = z_all if z_all is not None else paths
 
     def date_sums(k):
-        r = paths[:, k]
+        r = reg_all[:, k]
         w = (tau > k).astype(dtype)
-        return jnp.sum(jnp.stack([w, w * r, w * r * r], -1), axis=1)
+        return sums3_blocks(w, r)
 
     s3 = jax.lax.map(date_sums, dates)              # (T+1, n_blk, 3)
     sums = gsum(s3, block_axis=1)                   # (T+1, 3)
     wsum_k = jnp.maximum(sums[:, 0], 1.0)
     m_k = sums[:, 1] / wsum_k
-    sd_k = jnp.sqrt(jnp.maximum(sums[:, 2] / wsum_k - m_k * m_k, 0.0)
-                    + 1e-12)
+    var_k = jnp.maximum(sums[:, 2] / wsum_k - m_k * m_k, 0.0)
+    sd_k = jnp.sqrt(var_k + 1e-12)
+    # Degenerate-regressor flag per date (e.g. date 0: every path holds
+    # the same state) — slope consumers zero the IM sensitivity there,
+    # exactly like the unsharded fit (engine.amc._slope_ok).
+    ok_k = _amc_slope_ok(var_k, sums[:, 2] / wsum_k, dtype,
+                         one_pass=True)
 
     def date_gram(k):
-        r = paths[:, k]
+        r = reg_all[:, k]
         w = (tau > k).astype(dtype)
         y = cash / jnp.maximum(disc[:, k], 1e-300)
-        x = basis((r - m_k[k]) / sd_k[k])
-        xw = x * w[..., None]
-        gram_b = jnp.einsum("bni,bnj->bij", xw, x,
-                            preferred_element_type=dtype
-                            ).reshape(n_blk, k_terms ** 2)
-        rhs_b = jnp.einsum("bni,bn->bi", xw, y,
-                           preferred_element_type=dtype)
-        return jnp.concatenate([gram_b, rhs_b], axis=1)
+        return gram_blocks(w, r, y, m_k[k], sd_k[k])
 
     gr = jax.lax.map(date_gram, dates)              # (T+1, n_blk, k²+k)
     fused = gsum(gr, block_axis=1) / wsum_k[:, None]
     a = (fused[:, :k_terms ** 2].reshape(n_dates, k_terms, k_terms)
          + 1e-8 * jnp.eye(k_terms, dtype=dtype)[None])
     beta = jax.vmap(jnp.linalg.solve)(a, fused[:, k_terms ** 2:])
-    return {"m": m_k, "sd": sd_k, "beta": beta, "tau": tau}
+    return {"m": m_k, "sd": sd_k, "beta": beta, "tau": tau, "ok": ok_k}
 
 
 def _wwr_pass(paths, disc, pos, *, lam, beta, n_paths, dt, n_steps,
@@ -1351,18 +1484,23 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
         (si, ti) for si, (_n, trs, _c) in enumerate(sets)
         for ti, tr in enumerate(trs)
         if isinstance(tr, SimulationMarkedTrade))
+    if amc_items:
+        from montecarlo_tpu.engine.amc import AMCSwaptionSpecMS
     for si, ti in amc_items:
-        if getattr(sets[si][1][ti], "spec", None) is None:
+        spec_ = getattr(sets[si][1][ti], "spec", None)
+        if spec_ is None:
             raise TypeError(
                 "the sharded netting engines mark AMC trades through "
                 "their structured spec — construct them via "
                 "engine.amc.bermudan_swaption_amc_trade (a bare "
                 "SimulationMarkedTrade closure cannot be decomposed "
                 "into the distributed regression fit)")
-    if amc_items and multi:
-        raise TypeError(
-            "AMC (Bermudan swaption) trades are Vasicek regression fits; "
-            "multi-state underlyings cannot carry them")
+        if multi != isinstance(spec_, AMCSwaptionSpecMS):
+            raise TypeError(
+                "AMC spec/underlying mismatch: multi-state books need "
+                "the AMCSwaptionSpecMS form (engine.amc."
+                "bermudan_swaption_amc_trade_g2pp / _lmm), scalar "
+                "short-rate books the scalar bermudan_swaption_amc_trade")
     need_paths = with_wwr or bool(amc_items)
 
     def shard_fn(model_, credit_, shared_, sampler_):
@@ -1392,18 +1530,37 @@ def _sharded_portfolio_core(model, sets, credit, shared, n_paths: int,
                         seed=seed, flat_rate=flat_rate, dtype=dtype,
                         block_size=block_size, sampler=sampler_),
                 offs)                                  # (n_blk, T+1, bs)
-            amc_fits = {
-                key: _amc_fit_sharded(
-                    paths_all, disc_all, sets[key[0]][1][key[1]].spec,
-                    dt=dt, n_steps=n_steps, gather=gather_blocks,
-                    dtype=dtype)
-                for key in amc_items}
+            # Stage boundaries behind `optimization_barrier`: the
+            # pre-simulated paths, the regressor rows, and the fit
+            # outputs each feed several downstream consumers, and XLA
+            # fuses producer into consumer DIFFERENTLY when the local
+            # block count collapses to 1 (a trip-1 lax.map unrolls) —
+            # measured as a 1-ULP mark flip at n_paths == mesh *
+            # block_size.  Barriers pin each stage to one compilation
+            # at every mesh shape; they move no data.
+            paths_all, disc_all = jax.lax.optimization_barrier(
+                (paths_all, disc_all))
+            amc_fits = {}
+            for key in amc_items:
+                spec_k = sets[key[0]][1][key[1]].spec
+                # Multi-state specs regress on the signed intrinsic —
+                # computed block-locally once, then the fit runs the
+                # IDENTICAL gathered-Gram program as the scalar form.
+                z_all = (jax.lax.optimization_barrier(
+                            _amc_z_rows_ms(paths_all, spec_k, dt=dt,
+                                           n_steps=n_steps, dtype=dtype))
+                         if multi else None)
+                amc_fits[key] = jax.lax.optimization_barrier(
+                    _amc_fit_sharded(
+                        paths_all, disc_all, spec_k, dt=dt,
+                        n_steps=n_steps, gather=gather_blocks,
+                        dtype=dtype, z_all=z_all))
             taus = tuple(amc_fits[key]["tau"] for key in amc_items)
 
             def block_with_paths(args):
                 off_b, paths_b, disc_b = args[0], args[1], args[2]
                 ops = {key: {**{f: amc_fits[key][f]
-                                for f in ("m", "sd", "beta")},
+                                for f in ("m", "sd", "beta", "ok")},
                              "tau": args[3 + j]}
                        for j, key in enumerate(amc_items)}
                 return one_block(model_, off_b,

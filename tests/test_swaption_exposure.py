@@ -210,6 +210,6 @@ def test_cli_swaption_leg(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_trades"] == 4 and out["cva"] > 0
 
-    with pytest.raises(SystemExit, match="rates trade"):
+    with pytest.raises(SystemExit, match="rates underlying"):
         cli.main(["xva", "--portfolio", "--underlying", "equity",
                   "--swaption-leg"])
