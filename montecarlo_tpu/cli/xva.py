@@ -17,7 +17,8 @@ def _add_xva(sub):
                                    "an interest-rate swap (Vasicek) or an "
                                    "equity forward (GBM)")
     p.add_argument("--underlying", default="rates",
-                   choices=["rates", "equity", "g2pp", "hybrid", "lmm"],
+                   choices=["rates", "equity", "g2pp", "hybrid", "lmm",
+                            "heston"],
                    help="rates: Vasicek payer swap, pathwise discounting; "
                         "equity: GBM forward, flat discounting (CVA has a "
                         "Black-Scholes closed form, tested); g2pp: "
@@ -30,7 +31,16 @@ def _add_xva(sub):
                         "Market Model (--portfolio only — a K-forward "
                         "curve book, one state per tenor, EXACT discrete "
                         "bank-account discounting; the grid is the reset "
-                        "calendar: delta = maturity/steps)")
+                        "calendar: delta = maturity/steps); heston: "
+                        "equity + VOLATILITY netting (--portfolio only — "
+                        "equity forward + variance swaps marked off one "
+                        "stochastic-vol simulation; affine closed-form "
+                        "variance-swap marks, WWR loads on the variance)")
+    p.add_argument("--xi", type=float, default=0.5,
+                   help="heston: vol-of-variance (kappa/theta are the "
+                        "variance mean reversion and long-run VARIANCE; "
+                        "v0 = theta; --factor-rho the spot-vol "
+                        "correlation)")
     p.add_argument("--g2pp-b", type=float, default=0.08,
                    help="g2pp: second-factor mean reversion")
     p.add_argument("--g2pp-eta", type=float, default=0.012,
@@ -201,7 +211,8 @@ def cmd_xva(args) -> int:
 
     import jax.numpy as jnp
 
-    if args.underlying in ("g2pp", "hybrid", "lmm") and not args.portfolio:
+    if args.underlying in ("g2pp", "hybrid", "lmm", "heston") \
+            and not args.portfolio:
         raise SystemExit(f"--underlying {args.underlying} is a multi-state "
                          "exposure underlying — it marks through the "
                          "netting engine; add --portfolio")
@@ -490,6 +501,40 @@ def _cmd_xva_portfolio(args) -> int:
             return m, trades, None
 
         params = {"s0": args.s0, "r0": args.r0,
+                  "hazard_rate": args.hazard}
+        state_param = "s0"
+    elif args.underlying == "heston":
+        # Equity + VOLATILITY netting on ONE stochastic-vol simulation:
+        # a par equity forward plus a PAR variance swap (affine
+        # closed-form marks off (v, accrued variance)) — with rho < 0
+        # the legs net exactly when they should (equity down <-> vol
+        # up); WWR loads on the variance.
+        from montecarlo_tpu.processes import (
+            HestonExposure, heston_forward_value_fn,
+            heston_varswap_expected_total, heston_varswap_value_fn)
+
+        t_mat = args.maturity
+        k_fwd_h = args.s0 * float(np.exp(args.r0 * t_mat))
+        m0 = HestonExposure.create(args.s0, args.theta, args.r0,
+                                   args.kappa, args.theta, args.xi,
+                                   args.factor_rho, dt, dtype=jnp.float32)
+        k_var = heston_varswap_expected_total(m0, t_mat) / t_mat
+        vs_notional = 5.0 * args.s0
+
+        def build(p):
+            m = HestonExposure.create(p["s0"], p["v0"], args.r0,
+                                      args.kappa, args.theta, args.xi,
+                                      args.factor_rho, dt,
+                                      dtype=jnp.float32)
+            fwd = heston_forward_value_fn(m, k_fwd_h, t_mat,
+                                          dtype=jnp.float32)
+            vs = heston_varswap_value_fn(m, k_var, t_mat,
+                                         notional=vs_notional,
+                                         dtype=jnp.float32)
+            trades = (lambda c, t: 0.2 * fwd(c, t), vs)
+            return m, trades, args.r0            # flat discounting
+
+        params = {"s0": args.s0, "v0": args.theta,
                   "hazard_rate": args.hazard}
         state_param = "s0"
     elif args.underlying == "equity":

@@ -32,6 +32,12 @@ from montecarlo_tpu.processes.hybrid import (  # noqa: F401
     hybrid_call_closed_form,
     hybrid_price_mc,
 )
+from montecarlo_tpu.processes.heston_exposure import (  # noqa: F401
+    HestonExposure,
+    heston_forward_value_fn,
+    heston_varswap_expected_total,
+    heston_varswap_value_fn,
+)
 from montecarlo_tpu.processes.g2pp import (  # noqa: F401
     G2PP,
     g2pp_swap_value_fn,
