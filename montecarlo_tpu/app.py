@@ -561,6 +561,32 @@ def _derivatives_page():
         z2.metric("Net / gross",
                   f"{float(lb['cva']) / max(float(lb['cva_no_netting']), 1e-12):.2f}")
 
+        st.caption("Equity + volatility netting (Heston): a long-equity "
+                   "forward hedged with a PAR variance swap — the "
+                   "spot-vol correlation is what nets them (equity down "
+                   "<-> vol up), a cross no constant-vol model can mark")
+        from montecarlo_tpu.processes import (
+            HestonExposure as _HX, heston_forward_value_fn,
+            heston_varswap_expected_total, heston_varswap_value_fn)
+
+        t_h = 1.0
+        hx = _HX.create(100.0, 0.04, rate, 1.5, 0.05, 0.5, -0.7,
+                        t_h / 16, dtype=jnp.float32)
+        k_var = heston_varswap_expected_total(hx, t_h) / t_h
+        fwd_h = heston_forward_value_fn(
+            hx, 100.0 * float(_np.exp(rate * t_h)), t_h,
+            dtype=jnp.float32)
+        vs_h = heston_varswap_value_fn(hx, k_var, t_h, notional=500.0,
+                                       dtype=jnp.float32)
+        hb = netting_set_profile(
+            hx, (lambda c, t: 0.2 * fwd_h(c, t), vs_h), 1 << 11, 16,
+            T=t_h, seed=0, hazard_rate=0.02, flat_rate=rate,
+            dtype=jnp.float32)
+        h1, h2 = st.columns(2)
+        h1.metric("Heston equity+vol CVA", f"{float(hb['cva']):.4f}")
+        h2.metric("Net / gross",
+                  f"{float(hb['cva']) / max(float(hb['cva_no_netting']), 1e-12):.2f}")
+
     with st.expander("Portfolio credit (Gaussian copula)"):
         import numpy as _np
 
