@@ -127,8 +127,8 @@ def _add_xva(sub):
                         "American-Monte-Carlo regression marks, "
                         "engine.amc.bermudan_swaption_amc_trade; with "
                         "--mesh the fit runs distributed on gathered "
-                        "fixed-block Gram sums; --checkpoint streaming "
-                        "still rejects AMC)")
+                        "fixed-block Gram sums; with --checkpoint it "
+                        "streams as extra fit sweeps over the chunks)")
     p.add_argument("--counterparties", type=int, default=1,
                    choices=[1, 2],
                    help="portfolio: 2 splits the demo book across two "
@@ -310,13 +310,6 @@ def _cmd_xva_portfolio(args) -> int:
                                                      "lmm"):
         raise SystemExit("--swaption-leg needs a rates underlying: "
                          "rates (Vasicek), g2pp, or lmm")
-    if (args.swaption_leg and args.underlying in ("g2pp", "lmm")
-            and args.checkpoint):
-        # On multi-state underlyings even the European leg is an AMC
-        # (regression-marked) trade — there is no Jamshidian closed form
-        # off a curve state — and AMC cannot stream.
-        raise SystemExit("multi-state swaption legs are AMC trades and "
-                         "cannot stream; drop --checkpoint or use --mesh")
     if args.underlying == "lmm" and args.var_horizon > 0:
         # book_var rebuilds the model with dt = horizon/steps; the LMM's
         # grid IS the reset calendar (dt == delta validated at create), so
@@ -325,13 +318,6 @@ def _cmd_xva_portfolio(args) -> int:
         raise SystemExit("--var-horizon is not defined for --underlying "
                          "lmm (the simulation grid is the reset calendar); "
                          "use g2pp/rates for horizon VaR on rates books")
-    if (args.swaption_leg and args.swaption_exercise > 1
-            and args.checkpoint):
-        raise SystemExit("Bermudan (AMC) swaption legs cannot stream — "
-                         "the regression fit needs all paths before any "
-                         "chunk can be marked; drop --checkpoint, use "
-                         "--mesh (distributed fit), or "
-                         "--swaption-exercise 1")
     if args.allocate and (getattr(args, "mesh", 0) or args.checkpoint):
         # Validate up front: failing only after the profile run would make
         # the user pay the whole simulation before the SystemExit.

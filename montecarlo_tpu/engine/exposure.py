@@ -317,8 +317,11 @@ class SimulationMarkedTrade(NamedTuple):
     opaque closure; the `bermudan_swaption_amc_trade*` constructors
     attach it.  On multi-state underlyings ``mark_fn`` receives the
     (T+1, C, N) exposure paths and must return per-component
-    ``dvalues`` (T+1, C, N).  The STREAMING engine still rejects AMC
-    trades (its fit would need a second pass over every chunk).
+    ``dvalues`` (T+1, C, N).  The STREAMING engine marks AMC trades by
+    running the fit as extra sweeps over the chunk stream, then
+    replaying each chunk's exercise states from the frozen policy
+    (`engine.streaming._amc_fit_streaming` /
+    `parallel.sharded._amc_replay`).
     """
 
     mark_fn: object

@@ -367,6 +367,212 @@ def risk_dict(sk: HistogramSketch, *, mean: float, std: float,
 # Streaming netting-set xVA (checkpoint/resume for exposure profiles)
 # ---------------------------------------------------------------------------
 
+def _amc_fit_streaming(model, spec, *, total_paths, chunk_paths, block_size,
+                       n_steps, dt, seed, flat_rate, dtype, sampler, multi):
+    """The AMC (Longstaff-Schwartz) regression fit as a MULTI-SWEEP
+    stream — the piece that lets `streaming_netting_profile` carry
+    Bermudan (regression-marked) trades.
+
+    The backward policy fit needs global cross-path Gram solves per
+    exercise date, which a single chunked pass cannot provide.  But the
+    counter-based RNG makes chunks replayable for free, so the fit runs
+    as ``2 * (n_exercise - 1) + 2`` full sweeps over the chunk stream:
+    per exercise date (backward) one sweep for the standardization sums
+    and one for the fused [Gram|rhs] partials — with each chunk's
+    ``(tau, cash)`` backward state re-derived block-locally from the
+    already-frozen later-date policies (`parallel.sharded._amc_replay`)
+    — then two more sweeps for all exposure dates' conditional-value
+    regressions.
+
+    Bitwise contract (tested): the per-block partials come from the
+    SAME fixed single-block bodies as `parallel.sharded._amc_fit_sharded`
+    (`_amc_sums3_blocks` / `_amc_gram_blocks`) over the SAME
+    `_sim_disc_block` paths with the same barrier boundaries, and every
+    closing reduction sees the identical global (n_blocks, ...) array —
+    so the fitted ``m/sd/beta/ok`` and policy constants equal the
+    sharded fit's bitwise, and the marked profiles match the sharded
+    engine exactly like plain books do.
+
+    Accumulated state is O(n_blocks) tiny partial rows per sweep (3 and
+    ``(degree+1)^2 + degree + 1`` floats per block) — the same payload
+    the sharded engine all-gathers, never per-path arrays.
+    """
+    from montecarlo_tpu.engine.amc import _slope_ok
+    from montecarlo_tpu.parallel.sharded import (_amc_gram_blocks,
+                                                 _amc_replay,
+                                                 _amc_sums3_blocks,
+                                                 _amc_z_rows_ms,
+                                                 _sim_disc_block)
+
+    degree = spec.degree
+    k_terms = degree + 1
+    n_chunks = total_paths // chunk_paths
+    bpc = chunk_paths // block_size
+    n_dates = n_steps + 1
+    n_ex = len(spec.ex_dates)
+    for e in list(spec.ex_dates) + list(spec.resets):
+        k = int(round(float(e) / dt))
+        if float(e) <= n_steps * dt + 1e-9 and abs(k * dt - float(e)) > 1e-9:
+            raise ValueError(
+                f"AMC exercise/reset date {e} does not lie on the exposure "
+                f"grid (dt={dt}); choose n_steps so resets are grid rows")
+    k_ex = [int(round(float(e) / dt)) for e in spec.ex_dates]
+    sign = jnp.asarray(spec.sign, dtype)
+
+    def chunk_arrays(model_, off0, sampler_):
+        # Mirrors the sharded shard_fn's AMC pre-pass exactly: one
+        # lax.map of `_sim_disc_block` over the chunk's fixed-width
+        # blocks, stage boundaries pinned by optimization_barrier (the
+        # same compilation-stability argument as there).
+        offs = (jnp.asarray(off0, jnp.uint32)
+                + jnp.arange(bpc, dtype=jnp.uint32)
+                * jnp.uint32(block_size))
+        paths_all, disc_all = jax.lax.map(
+            partial(_sim_disc_block, model_, n_steps=n_steps, dt=dt,
+                    seed=seed, flat_rate=flat_rate, dtype=dtype,
+                    block_size=block_size, sampler=sampler_), offs)
+        paths_all, disc_all = jax.lax.optimization_barrier(
+            (paths_all, disc_all))
+        z_all = None
+        if multi:
+            z_all = jax.lax.optimization_barrier(
+                _amc_z_rows_ms(paths_all, spec, dt=dt, n_steps=n_steps,
+                               dtype=dtype))
+        return paths_all, disc_all, z_all
+
+    def reg_at(paths_all, z_all, j):
+        """(regressor rows, exercise value) at exercise date j —
+        verbatim the sharded fit's backward-step head."""
+        if z_all is not None:
+            r_j = z_all[:, k_ex[j]]
+            return r_j, r_j
+        r_j = paths_all[:, k_ex[j]]
+        return r_j, sign * spec.swap(r_j,
+                                     jnp.asarray(spec.ex_dates[j], dtype))
+
+    @partial(jax.jit, static_argnames=("j",))
+    def k_pol_sums3(model_, off0, sampler_, pol_beta, pol_m, pol_sd, *, j):
+        paths_all, disc_all, z_all = chunk_arrays(model_, off0, sampler_)
+        _amc_replay(paths_all, disc_all, spec, pol_beta, pol_m, pol_sd,
+                    dt=dt, n_steps=n_steps, dtype=dtype, z_all=z_all,
+                    j_stop=j + 1)
+        r_j, ex_val = reg_at(paths_all, z_all, j)
+        return _amc_sums3_blocks((ex_val > 0).astype(dtype), r_j)
+
+    @partial(jax.jit, static_argnames=("j",))
+    def k_pol_gram(model_, off0, sampler_, pol_beta, pol_m, pol_sd,
+                   m_j, sd_j, *, j):
+        paths_all, disc_all, z_all = chunk_arrays(model_, off0, sampler_)
+        _tau, cash = _amc_replay(paths_all, disc_all, spec, pol_beta,
+                                 pol_m, pol_sd, dt=dt, n_steps=n_steps,
+                                 dtype=dtype, z_all=z_all, j_stop=j + 1)
+        r_j, ex_val = reg_at(paths_all, z_all, j)
+        y = cash / jnp.maximum(disc_all[:, k_ex[j]], 1e-300)
+        return _amc_gram_blocks((ex_val > 0).astype(dtype), r_j, y,
+                                m_j, sd_j, degree, dtype)
+
+    dates = jnp.arange(n_dates)
+
+    @jax.jit
+    def k_date_sums3(model_, off0, sampler_, pol_beta, pol_m, pol_sd):
+        paths_all, disc_all, z_all = chunk_arrays(model_, off0, sampler_)
+        tau, _cash = _amc_replay(paths_all, disc_all, spec, pol_beta,
+                                 pol_m, pol_sd, dt=dt, n_steps=n_steps,
+                                 dtype=dtype, z_all=z_all, j_stop=0)
+        reg_all = z_all if z_all is not None else paths_all
+
+        def date_sums(k):
+            return _amc_sums3_blocks((tau > k).astype(dtype),
+                                     reg_all[:, k])
+
+        return jax.lax.map(date_sums, dates)         # (T+1, bpc, 3)
+
+    @jax.jit
+    def k_date_gram(model_, off0, sampler_, pol_beta, pol_m, pol_sd,
+                    m_k, sd_k):
+        paths_all, disc_all, z_all = chunk_arrays(model_, off0, sampler_)
+        tau, cash = _amc_replay(paths_all, disc_all, spec, pol_beta,
+                                pol_m, pol_sd, dt=dt, n_steps=n_steps,
+                                dtype=dtype, z_all=z_all, j_stop=0)
+        reg_all = z_all if z_all is not None else paths_all
+
+        def date_gram(k):
+            y = cash / jnp.maximum(disc_all[:, k], 1e-300)
+            return _amc_gram_blocks((tau > k).astype(dtype), reg_all[:, k],
+                                    y, m_k[k], sd_k[k], degree, dtype)
+
+        return jax.lax.map(date_gram, dates)         # (T+1, bpc, k²+k)
+
+    # Closing reductions: the concatenated chunk partials are the SAME
+    # global (n_blocks, ...) array the sharded fit's all-gather produces,
+    # summed behind the same optimization_barrier boundary — and the
+    # scalar algebra below is verbatim `_amc_fit_sharded.fit` / its
+    # per-date tail.
+    @jax.jit
+    def close_sums3(parts):
+        sums = jnp.sum(jax.lax.optimization_barrier(parts), axis=0)
+        wsum = jnp.maximum(sums[0], 1.0)
+        m = sums[1] / wsum
+        sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
+        return wsum, m, sd
+
+    @jax.jit
+    def close_gram(parts, wsum):
+        fused = jnp.sum(jax.lax.optimization_barrier(parts), axis=0) / wsum
+        a = (fused[:k_terms ** 2].reshape(k_terms, k_terms)
+             + 1e-8 * jnp.eye(k_terms, dtype=dtype))
+        return jnp.linalg.solve(a, fused[k_terms ** 2:])
+
+    @jax.jit
+    def close_date_sums3(parts):
+        sums = jnp.sum(jax.lax.optimization_barrier(parts), axis=1)
+        wsum_k = jnp.maximum(sums[:, 0], 1.0)
+        m_k = sums[:, 1] / wsum_k
+        var_k = jnp.maximum(sums[:, 2] / wsum_k - m_k * m_k, 0.0)
+        sd_k = jnp.sqrt(var_k + 1e-12)
+        ok_k = _slope_ok(var_k, sums[:, 2] / wsum_k, dtype, one_pass=True)
+        return wsum_k, m_k, sd_k, ok_k
+
+    @jax.jit
+    def close_date_gram(parts, wsum_k):
+        fused = (jnp.sum(jax.lax.optimization_barrier(parts), axis=1)
+                 / wsum_k[:, None])
+        a = (fused[:, :k_terms ** 2].reshape(n_dates, k_terms, k_terms)
+             + 1e-8 * jnp.eye(k_terms, dtype=dtype)[None])
+        return jax.vmap(jnp.linalg.solve)(a, fused[:, k_terms ** 2:])
+
+    def sweep(kernel, *extra, axis, j=None):
+        parts = []
+        for c in range(n_chunks):
+            out = (kernel(model, c * chunk_paths, sampler, *extra, j=j)
+                   if j is not None
+                   else kernel(model, c * chunk_paths, sampler, *extra))
+            parts.append(np.asarray(out))
+        return jnp.asarray(np.concatenate(parts, axis=axis))
+
+    n_pol = max(n_ex - 1, 0)
+    pol_beta = jnp.zeros((n_pol, k_terms), dtype)
+    pol_m = jnp.zeros((n_pol,), dtype)
+    pol_sd = jnp.ones((n_pol,), dtype)
+    for j in range(n_ex - 2, -1, -1):
+        wsum, m_j, sd_j = close_sums3(
+            sweep(k_pol_sums3, pol_beta, pol_m, pol_sd, axis=0, j=j))
+        beta_j = close_gram(
+            sweep(k_pol_gram, pol_beta, pol_m, pol_sd, m_j, sd_j,
+                  axis=0, j=j), wsum)
+        pol_beta = pol_beta.at[j].set(beta_j)
+        pol_m = pol_m.at[j].set(m_j)
+        pol_sd = pol_sd.at[j].set(sd_j)
+
+    wsum_k, m_k, sd_k, ok_k = close_date_sums3(
+        sweep(k_date_sums3, pol_beta, pol_m, pol_sd, axis=1))
+    beta = close_date_gram(
+        sweep(k_date_gram, pol_beta, pol_m, pol_sd, m_k, sd_k, axis=1),
+        wsum_k)
+    return {"m": m_k, "sd": sd_k, "beta": beta, "ok": ok_k,
+            "pol_beta": pol_beta, "pol_m": pol_m, "pol_sd": pol_sd}
+
+
 @dataclass
 class NettingStreamState:
     """Host-side accumulated netting state (numpy; .npz-serializable).
@@ -478,21 +684,52 @@ def streaming_netting_profile(
 
     Returns `sharded_netting_profile`'s record plus ``pfe_overflow`` and
     ``paths_done`` (``im``/``mva`` included — the delta-normal IM rows
-    ride the same block stats; WWR and AMC trades remain unsharded or
-    sharded-only: the WWR calibration and the AMC fit are global
-    reductions a chunked stream would need a second full pass for).
+    ride the same block stats).
+
+    AMC (regression-marked / Bermudan) trades stream too: the global
+    regression fit runs first as ``2 * (n_exercise - 1) + 2`` extra
+    sweeps over the chunk stream (:func:`_amc_fit_streaming` — counters
+    make re-simulation free), then every chunk re-derives its per-path
+    exercise states from the frozen policy constants alone
+    (`parallel.sharded._amc_replay`) and marks block-locally.  The fit
+    is a deterministic function of the run config, so resume simply
+    re-runs it (bitwise; nothing fit-related is checkpointed) and the
+    marked profiles stay bitwise equal to `sharded_netting_profile`'s —
+    tested.  Only WWR (``wwr_beta``) remains sharded-only: its Newton
+    survival calibration interleaves a global reduction with per-path
+    state at EVERY date, which a chunked stream cannot replay in O(1)
+    sweeps.
     """
     from montecarlo_tpu.engine.exposure import (SimulationMarkedTrade,
                                                 _credit_funding_scalars)
-    from montecarlo_tpu.parallel.sharded import netting_block_stats
+    from montecarlo_tpu.parallel.sharded import (_amc_replay, _amc_z_rows_ms,
+                                                 _sim_disc_block,
+                                                 netting_block_stats)
     from montecarlo_tpu.stats.quantiles import histogram_counts
 
-    if any(isinstance(t, SimulationMarkedTrade) for t in trades):
-        raise TypeError(
-            "streaming_netting_profile cannot mark AMC "
-            "(SimulationMarkedTrade) trades: the regression fit needs all "
-            "paths before any chunk can be marked — run AMC books through "
-            "netting_set_profile or sharded_netting_profile")
+    amc_items = tuple(ti for ti, t in enumerate(trades)
+                      if isinstance(t, SimulationMarkedTrade))
+    if amc_items:
+        from montecarlo_tpu.engine.amc import AMCSwaptionSpecMS
+        from montecarlo_tpu.engine.exposure import is_multistate
+
+        multi = is_multistate(model)
+        for ti in amc_items:
+            spec_ = getattr(trades[ti], "spec", None)
+            if spec_ is None:
+                raise TypeError(
+                    "the sharded/streaming netting engines mark AMC trades "
+                    "through their structured spec — construct them via "
+                    "engine.amc.bermudan_swaption_amc_trade (a bare "
+                    "SimulationMarkedTrade closure cannot be decomposed "
+                    "into the distributed regression fit)")
+            if multi != isinstance(spec_, AMCSwaptionSpecMS):
+                raise TypeError(
+                    "AMC spec/underlying mismatch: multi-state books need "
+                    "the AMCSwaptionSpecMS form (engine.amc."
+                    "bermudan_swaption_amc_trade_g2pp / _lmm), scalar "
+                    "short-rate books the scalar "
+                    "bermudan_swaption_amc_trade")
     if total_paths % chunk_paths or chunk_paths % block_size:
         raise ValueError("total_paths % chunk_paths % block_size != 0")
     bpc = chunk_paths // block_size
@@ -512,23 +749,85 @@ def streaming_netting_profile(
                        dt=dt, seed=seed, flat_rate=flat_rate, dtype=dtype,
                        block_size=block_size)
 
-    @jax.jit
-    def sim_fn(model_, off0, im_q, im_m, sampler_):
-        # im_quantile/im_mpor as runtime OPERANDS, exactly like the
-        # sharded engine's shared dict: trace-time constants here would
-        # let XLA constant-fold ndtri/exp with host libm while the
-        # sharded twin computes them at runtime — a 1-ULP divergence in
-        # the IM rows that broke the bitwise streaming==sharded contract
-        # (caught by test_streaming_netting).
-        offs = (jnp.asarray(off0, jnp.uint32)
-                + jnp.arange(bpc, dtype=jnp.uint32)
-                * jnp.uint32(block_size))
-        stats, pos = jax.lax.map(
-            lambda off: block_fn(model_, off, im_quantile=im_q,
-                                 im_mpor=im_m, sampler=sampler_), offs)
-        root = moments_reduce(stats)                    # (Q, T+1) leaves
-        pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
-        return root, pos
+    amc_fit_ops = None
+    if amc_items:
+        # The global regression fit, streamed (multi-sweep; deterministic
+        # from the run config, so resume just re-runs it — bitwise).
+        amc_fit_ops = {
+            ti: _amc_fit_streaming(
+                model, trades[ti].spec, total_paths=total_paths,
+                chunk_paths=chunk_paths, block_size=block_size,
+                n_steps=n_steps, dt=dt, seed=seed, flat_rate=flat_rate,
+                dtype=dtype, sampler=sampler, multi=multi)
+            for ti in amc_items}
+
+    if amc_items:
+        @jax.jit
+        def sim_fn(model_, off0, im_q, im_m, sampler_):
+            # Mirrors the sharded shard_fn's AMC marking stage verbatim
+            # (pre-simulated blocks behind a barrier, per-item tau, then
+            # `block_with_paths`) so the chunk's block stats are bitwise
+            # the sharded engine's; the only difference is that tau is
+            # REPLAYED from the frozen policy instead of read out of an
+            # in-program fit — same expressions, same values (tested).
+            offs = (jnp.asarray(off0, jnp.uint32)
+                    + jnp.arange(bpc, dtype=jnp.uint32)
+                    * jnp.uint32(block_size))
+            paths_all, disc_all = jax.lax.map(
+                partial(_sim_disc_block, model_, n_steps=n_steps, dt=dt,
+                        seed=seed, flat_rate=flat_rate, dtype=dtype,
+                        block_size=block_size, sampler=sampler_), offs)
+            paths_all, disc_all = jax.lax.optimization_barrier(
+                (paths_all, disc_all))
+            taus = []
+            for ti in amc_items:
+                spec_k = trades[ti].spec
+                z_all = (jax.lax.optimization_barrier(
+                            _amc_z_rows_ms(paths_all, spec_k, dt=dt,
+                                           n_steps=n_steps, dtype=dtype))
+                         if multi else None)
+                op = amc_fit_ops[ti]
+                tau_k, _ = _amc_replay(paths_all, disc_all, spec_k,
+                                       op["pol_beta"], op["pol_m"],
+                                       op["pol_sd"], dt=dt,
+                                       n_steps=n_steps, dtype=dtype,
+                                       z_all=z_all, j_stop=0)
+                taus.append(tau_k)
+
+            def block_with_paths(args):
+                off_b, paths_b, disc_b = args[0], args[1], args[2]
+                ops = {(0, ti): {**{f: amc_fit_ops[ti][f]
+                                    for f in ("m", "sd", "beta", "ok")},
+                                 "tau": args[3 + i]}
+                       for i, ti in enumerate(amc_items)}
+                return block_fn(model_, off_b, im_quantile=im_q,
+                                im_mpor=im_m, sampler=sampler_,
+                                paths_disc=(paths_b, disc_b), amc_ops=ops)
+
+            stats, pos = jax.lax.map(
+                block_with_paths, (offs, paths_all, disc_all, *taus))
+            root = moments_reduce(stats)                # (Q, T+1) leaves
+            pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
+            return root, pos
+    else:
+        @jax.jit
+        def sim_fn(model_, off0, im_q, im_m, sampler_):
+            # im_quantile/im_mpor as runtime OPERANDS, exactly like the
+            # sharded engine's shared dict: trace-time constants here
+            # would let XLA constant-fold ndtri/exp with host libm while
+            # the sharded twin computes them at runtime — a 1-ULP
+            # divergence in the IM rows that broke the bitwise
+            # streaming==sharded contract (caught by
+            # test_streaming_netting).
+            offs = (jnp.asarray(off0, jnp.uint32)
+                    + jnp.arange(bpc, dtype=jnp.uint32)
+                    * jnp.uint32(block_size))
+            stats, pos = jax.lax.map(
+                lambda off: block_fn(model_, off, im_quantile=im_q,
+                                     im_mpor=im_m, sampler=sampler_), offs)
+            root = moments_reduce(stats)                # (Q, T+1) leaves
+            pos = jnp.moveaxis(pos, 0, 2).reshape(n_dates, chunk_paths)
+            return root, pos
 
     im_ops = (jnp.asarray(im_quantile, dtype), jnp.asarray(im_mpor, dtype))
 

@@ -930,6 +930,99 @@ def _amc_poly_rows_ms(paths, amc_op, spec, times, dt, n_steps, dtype):
     return jax.lax.map(row, jnp.arange(n_steps + 1))
 
 
+def _amc_basis_z(z, degree):
+    """Standardized polynomial basis columns ``[1, z, .., z^degree]`` —
+    the ONE basis constructor every AMC fit/replay path shares (bitwise
+    contracts between engines hinge on the same expression tree)."""
+    cols = [jnp.ones_like(z)]
+    for _ in range(degree):
+        cols.append(cols[-1] * z)
+    return jnp.stack(cols, axis=-1)
+
+
+def _amc_sums3_blocks(w, r):
+    """Per-block (w, wr, wr^2) standardization partial sums: (n_blk, 3).
+
+    A FIXED single-block lax.map body — (bs,)-shaped per block whatever
+    the resident block count, so the partials are bitwise identical
+    wherever block b is computed (mesh shard or streamed chunk)."""
+    return jax.lax.map(
+        lambda t: jnp.sum(jnp.stack([t[0], t[0] * t[1],
+                                     t[0] * t[1] * t[1]], -1), axis=0),
+        (w, r))
+
+
+def _amc_gram_blocks(w, r, y, m, sd, degree, dtype):
+    """Per-block fused [Gram | rhs] partial rows: (n_blk, k^2 + k) with
+    ``k = degree + 1`` — same fixed single-block body contract as
+    :func:`_amc_sums3_blocks`."""
+    k_terms = degree + 1
+
+    def one(t):
+        wb, rb, yb = t
+        xb = _amc_basis_z((rb - m) / sd, degree)    # (bs, k)
+        xw = xb * wb[:, None]
+        gram = jnp.einsum("ni,nj->ij", xw, xb,
+                          preferred_element_type=dtype).reshape(-1)
+        rhs = jnp.einsum("ni,n->i", xw, yb,
+                         preferred_element_type=dtype)
+        return jnp.concatenate([gram, rhs])
+
+    return jax.lax.map(one, (w, r, y))
+
+
+def _amc_replay(paths, disc, spec, pol_beta, pol_m, pol_sd, *, dt, n_steps,
+                dtype, z_all=None, j_stop=0):
+    """Re-derive the AMC backward-induction state ``(tau, cash)`` from
+    FROZEN policy regressions — the streaming engine's fit/mark primitive.
+
+    Applies the last exercise date's threshold rule and then, for
+    ``j = n_ex-2 .. j_stop`` (backward), the frozen-beta exercise rule
+    ``take = itm & (ex_val >= poly_j(z))``.  The expressions (including
+    the per-block ``cont`` lax.map body) are verbatim
+    `_amc_fit_sharded`'s, so for policy constants bitwise equal to that
+    fit's, the replayed ``tau``/``cash`` are bitwise the fit's own
+    backward state at step ``j_stop - 1`` — what lets a chunked stream
+    regenerate per-path exercise states from nothing but path ids plus
+    O(n_ex * degree) fitted scalars.
+
+    ``paths``/``disc``: (n_blk, T+1, bs) (``paths`` unused when the
+    multi-state ``z_all`` regressor rows are given); ``pol_*`` are the
+    full-length (n_ex-1, ...) policy arrays (entries below ``j_stop``
+    may be anything — they are not read).  Returns ``tau`` (n_blk, bs)
+    int32 and ``cash`` (n_blk, bs) discounted-to-0 policy cashflows.
+    """
+    sign = jnp.asarray(spec.sign, dtype)
+    degree = spec.degree
+    k_ex = [int(round(float(e) / dt)) for e in spec.ex_dates]
+    never = jnp.int32(n_steps + 1)
+    k_last = k_ex[-1]
+    if z_all is not None:
+        ex_val = z_all[:, k_last]
+    else:
+        ex_val = sign * spec.swap(paths[:, k_last],
+                                  jnp.asarray(spec.ex_dates[-1], dtype))
+    take = ex_val > 0
+    cash = jnp.where(take, ex_val, 0.0) * disc[:, k_last]
+    tau = jnp.where(take, jnp.int32(k_last), never)
+    for j in range(len(k_ex) - 2, j_stop - 1, -1):
+        if z_all is not None:
+            r_j = ex_val = z_all[:, k_ex[j]]
+        else:
+            r_j = paths[:, k_ex[j]]
+            ex_val = sign * spec.swap(r_j,
+                                      jnp.asarray(spec.ex_dates[j], dtype))
+        itm = ex_val > 0
+        m_j, sd_j, beta_j = pol_m[j], pol_sd[j], pol_beta[j]
+        cont = jax.lax.map(
+            lambda rb: _amc_basis_z((rb - m_j) / sd_j, degree) @ beta_j,
+            r_j)
+        take = itm & (ex_val >= cont)
+        cash = jnp.where(take, ex_val * disc[:, k_ex[j]], cash)
+        tau = jnp.where(take, jnp.int32(k_ex[j]), tau)
+    return tau, cash
+
+
 def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
                         dtype, block_size, im_quantile: float = 0.99,
                         im_mpor: float = 10.0 / 252.0, paths_disc=None,
@@ -997,11 +1090,12 @@ def netting_block_stats(model, off, *, sets, n_steps, dt, seed, flat_rate,
             if amc_op is None:
                 raise TypeError(
                     "the sharded/streaming netting engines can only mark "
-                    "SimulationMarkedTrade (AMC) trades through the "
-                    "sharded AMC fit (construct them via "
+                    "SimulationMarkedTrade (AMC) trades through a "
+                    "globally-fitted regression (construct them via "
                     "engine.amc.bermudan_swaption_amc_trade so the spec "
-                    "rides along); the streaming engine cannot — its fit "
-                    "would need a second pass over every chunk")
+                    "rides along: the sharded engines fit on gathered "
+                    "block Grams, the streaming engine via "
+                    "engine.streaming._amc_fit_streaming's extra sweeps)")
             from montecarlo_tpu.engine.amc import AMCSwaptionSpecMS
 
             rows = (_amc_poly_rows_ms
@@ -1186,39 +1280,23 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
         g = jax.lax.optimization_barrier(gather(x, block_axis))
         return jnp.sum(g, axis=block_axis)
 
-    def basis(z):
-        cols = [jnp.ones_like(z)]
-        for _ in range(degree):
-            cols.append(cols[-1] * z)
-        return jnp.stack(cols, axis=-1)
-
     # Every per-block partial below is produced by a lax.map over the
     # block axis with a FIXED single-block body — (bs, ...) shapes that
-    # do not depend on how many blocks this shard holds.  Batched
-    # (n_blk, bs, k) einsums compiled DIFFERENTLY at n_blk == 1 vs > 1
-    # (XLA retiles the contraction), flipping fit ULPs between mesh
-    # shapes at n_paths == mesh * block_size; fixed-shape bodies keep
-    # the block contract the block contract.
+    # do not depend on how many blocks this shard holds (the shared
+    # `_amc_sums3_blocks` / `_amc_gram_blocks`, which the STREAMING fit
+    # maps over its chunks too).  Batched (n_blk, bs, k) einsums compiled
+    # DIFFERENTLY at n_blk == 1 vs > 1 (XLA retiles the contraction),
+    # flipping fit ULPs between mesh shapes at n_paths == mesh *
+    # block_size; fixed-shape bodies keep the block contract the block
+    # contract.
     def sums3_blocks(w, r):
-        """Per-block (w, wr, wr^2) sums: (n_blk, 3)."""
-        return jax.lax.map(
-            lambda t: jnp.sum(jnp.stack([t[0], t[0] * t[1],
-                                         t[0] * t[1] * t[1]], -1), axis=0),
-            (w, r))
+        return _amc_sums3_blocks(w, r)
 
     def gram_blocks(w, r, y, m, sd):
-        """Per-block fused [Gram | rhs] rows: (n_blk, k^2 + k)."""
-        def one(t):
-            wb, rb, yb = t
-            xb = basis((rb - m) / sd)               # (bs, k)
-            xw = xb * wb[:, None]
-            gram = jnp.einsum("ni,nj->ij", xw, xb,
-                              preferred_element_type=dtype).reshape(-1)
-            rhs = jnp.einsum("ni,n->i", xw, yb,
-                             preferred_element_type=dtype)
-            return jnp.concatenate([gram, rhs])
+        return _amc_gram_blocks(w, r, y, m, sd, degree, dtype)
 
-        return jax.lax.map(one, (w, r, y))
+    def basis(z):
+        return _amc_basis_z(z, degree)
 
     def fit(w, r, y):
         """Global weighted polyfit from this shard's (n_blk, bs) pieces —
@@ -1243,6 +1321,7 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
     take = ex_val > 0
     cash = jnp.where(take, ex_val, 0.0) * disc[:, k_last]
     tau = jnp.where(take, jnp.int32(k_last), never)
+    pol = [None] * (len(k_ex) - 1)     # (beta_j, m_j, sd_j) per early date
     for j in range(len(k_ex) - 2, -1, -1):
         if z_all is not None:
             r_j = ex_val = z_all[:, k_ex[j]]
@@ -1254,6 +1333,7 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
         beta_j, m_j, sd_j = fit(itm.astype(dtype), r_j,
                                 cash / jnp.maximum(disc[:, k_ex[j]],
                                                    1e-300))
+        pol[j] = (beta_j, m_j, sd_j)
         cont = jax.lax.map(
             lambda rb: basis((rb - m_j) / sd_j) @ beta_j, r_j)
         take = itm & (ex_val >= cont)
@@ -1296,7 +1376,19 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
     a = (fused[:, :k_terms ** 2].reshape(n_dates, k_terms, k_terms)
          + 1e-8 * jnp.eye(k_terms, dtype=dtype)[None])
     beta = jax.vmap(jnp.linalg.solve)(a, fused[:, k_terms ** 2:])
-    return {"m": m_k, "sd": sd_k, "beta": beta, "tau": tau, "ok": ok_k}
+    # Policy constants ride along (replicated, O(n_ex * degree) scalars):
+    # `_amc_replay` regenerates tau/cash from them alone — the streaming
+    # engine's whole AMC story, and checkable against this fit's tau.
+    if pol:
+        pol_beta = jnp.stack([p[0] for p in pol])
+        pol_m = jnp.stack([p[1] for p in pol])
+        pol_sd = jnp.stack([p[2] for p in pol])
+    else:
+        pol_beta = jnp.zeros((0, k_terms), dtype)
+        pol_m = jnp.zeros((0,), dtype)
+        pol_sd = jnp.zeros((0,), dtype)
+    return {"m": m_k, "sd": sd_k, "beta": beta, "tau": tau, "ok": ok_k,
+            "pol_beta": pol_beta, "pol_m": pol_m, "pol_sd": pol_sd}
 
 
 def _wwr_pass(paths, disc, pos, *, lam, beta, n_paths, dt, n_steps,

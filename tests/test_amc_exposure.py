@@ -208,17 +208,55 @@ def test_sharded_portfolio_with_amc_leg():
         assert float(res[4]["portfolio"][k]) == tot, k
 
 
-def test_streaming_rejects_amc_trades():
-    """The STREAMING engine still rejects AMC books — its fit would need
-    a second pass over every chunk (docstring cites this test)."""
+def test_streaming_amc_bitwise_matches_sharded_and_resumes(tmp_path):
+    """AMC books STREAM (round 5 closes the last engine-family gap): the
+    regression fit runs as extra sweeps over the chunk stream
+    (`engine.streaming._amc_fit_streaming`), each chunk replays its
+    exercise states from the frozen policy (`_amc_replay`), and every
+    per-date mean is BITWISE `sharded_netting_profile`'s — the same
+    contract plain books have.  Resume == one-shot holds through an AMC
+    book too (the fit is deterministic from the run config and simply
+    re-runs on resume)."""
     from montecarlo_tpu.engine.streaming import streaming_netting_profile
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
 
     model = _model(T_END / N_STEPS_SH)
-    amc = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=2)
-    with pytest.raises(TypeError, match="all paths"):
-        streaming_netting_profile(model, (amc,), 2048, N_STEPS_SH,
-                                  T=T_END, seed=1, chunk_paths=1024,
-                                  block_size=256)
+    amc = bermudan_swaption_amc_trade(model, K, PAY_SH, 0.4, n_exercise=3)
+    trades = (swap_value_fn(model, K, PAY_SH, 0.4), amc)
+    kw = dict(T=T_END, seed=7, hazard_rate=0.02, im_spread=0.003,
+              pfe_bins=64)
+    got = streaming_netting_profile(model, trades, 2048, N_STEPS_SH,
+                                    chunk_paths=512, block_size=256, **kw)
+    want = sharded_netting_profile(model, trades, 2048, N_STEPS_SH,
+                                   mesh=make_mesh(4), block_size=256, **kw)
+    for k in ("epe", "ene", "eepe", "epe_uncollateralized",
+              "ene_uncollateralized", "im"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    for k in ("cva", "mva", "cva_no_netting"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=5e-16, atol=0, err_msg=k)
+
+    # Kill after the first chunk, resume: bitwise the one-shot stream.
+    ck = str(tmp_path / "amc.npz")
+    calls = []
+
+    def stop_after_first(done, total):
+        calls.append(done)
+        if len(calls) == 1:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        streaming_netting_profile(model, trades, 2048, N_STEPS_SH,
+                                  chunk_paths=512, block_size=256,
+                                  checkpoint_path=ck,
+                                  progress_callback=stop_after_first, **kw)
+    resumed = streaming_netting_profile(model, trades, 2048, N_STEPS_SH,
+                                        chunk_paths=512, block_size=256,
+                                        checkpoint_path=ck, **kw)
+    for k, v in got.items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(resumed[k]), err_msg=k)
 
 
 def test_sharded_rejects_bare_simulation_marked_trade():

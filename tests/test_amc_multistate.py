@@ -292,15 +292,43 @@ def test_spec_mismatch_rejected():
                                 pfe_bins=64)
 
 
-def test_streaming_still_rejects_ms_amc():
+def test_streaming_ms_amc_bitwise_matches_sharded():
+    """Multi-state AMC books STREAM too: the chunked fit regresses on the
+    same signed-intrinsic rows, and the G2++ Bermudan netting profile's
+    per-date means are BITWISE the sharded engine's (round 5 emptied the
+    streaming exclusion list down to WWR)."""
     from montecarlo_tpu.engine.streaming import streaming_netting_profile
+    from montecarlo_tpu.parallel import make_mesh, sharded_netting_profile
 
     m = _g2()
     tr = bermudan_swaption_amc_trade_g2pp(m, KSTRIKE, PAY_TIMES, PAY_DT,
                                           n_exercise=2)
-    with pytest.raises(TypeError, match="cannot mark AMC"):
-        streaming_netting_profile(m, (tr,), 1024, N_STEPS, T=T_END,
-                                  seed=1, chunk_paths=512, block_size=256)
+    kw = dict(T=T_END, seed=5, hazard_rate=0.02, pfe_bins=64)
+    got = streaming_netting_profile(m, (tr,), 1024, N_STEPS,
+                                    chunk_paths=512, block_size=256, **kw)
+    want = sharded_netting_profile(m, (tr,), 1024, N_STEPS,
+                                   mesh=make_mesh(2), block_size=256, **kw)
+    for k in ("epe", "ene", "eepe", "im"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    np.testing.assert_allclose(float(got["cva"]), float(want["cva"]),
+                               rtol=5e-16, atol=0)
+
+
+def test_streaming_amc_requires_matching_spec_form():
+    """A scalar-spec AMC trade on a multi-state underlying is rejected by
+    the streaming engine with the same message as the sharded ones."""
+    from montecarlo_tpu.engine.amc import bermudan_swaption_amc_trade
+    from montecarlo_tpu.engine.streaming import streaming_netting_profile
+    from montecarlo_tpu.processes import Vasicek
+
+    vas = Vasicek.create(0.03, 0.6, 0.04, 0.012, DT, dtype=jnp.float64)
+    scalar_tr = bermudan_swaption_amc_trade(vas, KSTRIKE, PAY_TIMES,
+                                            PAY_DT, n_exercise=2)
+    with pytest.raises(TypeError, match="spec/underlying mismatch"):
+        streaming_netting_profile(_g2(), (scalar_tr,), 1024, N_STEPS,
+                                  T=T_END, seed=1, chunk_paths=512,
+                                  block_size=256)
 
 
 def test_cli_xva_g2pp_swaption_leg(capsys):
