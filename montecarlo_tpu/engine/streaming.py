@@ -48,6 +48,7 @@ from montecarlo_tpu.stats.welford import (
     moments_from_array,
     moments_reduce,
     std_error,
+    tree_sum,
 )
 
 # One constant shared with the sharded estimators: streamed/resumed and
@@ -505,12 +506,15 @@ def _amc_fit_streaming(model, spec, *, total_paths, chunk_paths, block_size,
 
     # Closing reductions: the concatenated chunk partials are the SAME
     # global (n_blocks, ...) array the sharded fit's all-gather produces,
-    # summed behind the same optimization_barrier boundary — and the
+    # reduced by the same fixed pairwise `tree_sum` behind the same
+    # optimization_barrier boundary (jnp.sum's re-association is
+    # program-dependent — it flipped the per-date gram closings' last
+    # ULP between these programs and the shard programs) — and the
     # scalar algebra below is verbatim `_amc_fit_sharded.fit` / its
     # per-date tail.
     @jax.jit
     def close_sums3(parts):
-        sums = jnp.sum(jax.lax.optimization_barrier(parts), axis=0)
+        sums = tree_sum(jax.lax.optimization_barrier(parts), axis=0)
         wsum = jnp.maximum(sums[0], 1.0)
         m = sums[1] / wsum
         sd = jnp.sqrt(jnp.maximum(sums[2] / wsum - m * m, 0.0) + 1e-12)
@@ -518,14 +522,15 @@ def _amc_fit_streaming(model, spec, *, total_paths, chunk_paths, block_size,
 
     @jax.jit
     def close_gram(parts, wsum):
-        fused = jnp.sum(jax.lax.optimization_barrier(parts), axis=0) / wsum
+        fused = tree_sum(jax.lax.optimization_barrier(parts),
+                         axis=0) / wsum
         a = (fused[:k_terms ** 2].reshape(k_terms, k_terms)
              + 1e-8 * jnp.eye(k_terms, dtype=dtype))
         return jnp.linalg.solve(a, fused[k_terms ** 2:])
 
     @jax.jit
     def close_date_sums3(parts):
-        sums = jnp.sum(jax.lax.optimization_barrier(parts), axis=1)
+        sums = tree_sum(jax.lax.optimization_barrier(parts), axis=1)
         wsum_k = jnp.maximum(sums[:, 0], 1.0)
         m_k = sums[:, 1] / wsum_k
         var_k = jnp.maximum(sums[:, 2] / wsum_k - m_k * m_k, 0.0)
@@ -535,7 +540,7 @@ def _amc_fit_streaming(model, spec, *, total_paths, chunk_paths, block_size,
 
     @jax.jit
     def close_date_gram(parts, wsum_k):
-        fused = (jnp.sum(jax.lax.optimization_barrier(parts), axis=1)
+        fused = (tree_sum(jax.lax.optimization_barrier(parts), axis=1)
                  / wsum_k[:, None])
         a = (fused[:, :k_terms ** 2].reshape(n_dates, k_terms, k_terms)
              + 1e-8 * jnp.eye(k_terms, dtype=dtype)[None])

@@ -35,6 +35,7 @@ from montecarlo_tpu.stats.welford import (
     moments_from_array,
     moments_reduce,
     std_error,
+    tree_sum,
 )
 from montecarlo_tpu.stats.quantiles import sketch_from_array
 
@@ -1275,10 +1276,13 @@ def _amc_fit_sharded(paths, disc, spec, *, dt, n_steps, gather, dtype,
         when the local block count collapses to 1 (a trip-1 lax.map gets
         unrolled into its consumers) — measured as a 1-ULP flip in the
         multi-state fit at n_paths == mesh * block_size.  The barriers
-        pin the boundary; they move no data."""
+        pin the boundary; they move no data.  The closing sum is
+        `stats.welford.tree_sum` — a fixed pairwise tree, so the
+        streaming fit's closings (different compiled programs over the
+        SAME concatenated partials) reproduce it bitwise."""
         x = jax.lax.optimization_barrier(x_blocks)
         g = jax.lax.optimization_barrier(gather(x, block_axis))
-        return jnp.sum(g, axis=block_axis)
+        return tree_sum(g, axis=block_axis)
 
     # Every per-block partial below is produced by a lax.map over the
     # block axis with a FIXED single-block body — (bs, ...) shapes that

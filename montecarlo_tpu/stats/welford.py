@@ -81,6 +81,31 @@ def moments_reduce(states: MomentState) -> MomentState:
     return MomentState(count[0], mean[0], m2[0])
 
 
+def tree_sum(x, axis=0):
+    """Sum along ``axis`` in a fixed pairwise-tree order (adjacent pairing,
+    odd leftover carried) — the plain-sum analogue of :func:`moments_reduce`.
+
+    ``jnp.sum``'s re-association is a per-program compiler choice: the same
+    (n_blocks, ...) partial-sum array summed in two different compiled
+    programs (a shard_map shard program vs. a streaming closing reduction)
+    can flip the last ULP.  Each level here is one elementwise add of two
+    strided halves — an order XLA cannot legally re-associate — so engines
+    that close over the same gathered partials with ``tree_sum`` agree
+    bitwise (found as a 1-ULP flip in the AMC per-date gram closings,
+    ``tests/test_amc_exposure.py::test_streaming_amc_bitwise...``).
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, 0)
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        merged = x[0:2 * half:2] + x[1:2 * half:2]
+        if n % 2:
+            merged = jnp.concatenate([merged, x[2 * half:]])
+        x = merged
+        n = x.shape[0]
+    return x[0]
+
+
 def variance(state: MomentState, ddof: int = 0):
     denom = jnp.maximum(state.count - ddof, 1)
     return state.m2 / denom
